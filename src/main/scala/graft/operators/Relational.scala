@@ -1,0 +1,504 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational core (SURVEY.md §2.2, M1): scan/project/filter, hash
+  * aggregation, every join flavor (inner/left/semi/anti/range/as-of),
+  * grouping sets, window functions, top-k, sort/limit, set ops, and the
+  * scalar/array/json function surface.
+  *
+  * Determinism contract (SURVEY §7.4): every query ends in a total-order
+  * `orderBy` over a unique key set and rounds floating aggregates to 4
+  * decimals so the driver's DuckDB hash compare is stable.
+  *
+  * Scale notes: dimension tables (region/nation/customer/part/supplier) are
+  * broadcast where they stay small at 100 TB (region/nation always;
+  * part/customer grow with SF so those joins are left to AQE, which converts
+  * to broadcast when the runtime size allows). The only unavoidable big-big
+  * shuffle is lineitem⋈orders on the order key — at cluster scale both sides
+  * would be bucketed on the key to make it a zero-shuffle sort-merge join.
+  */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Scan + projection + pushed-down predicate. `.explain` shows the filter
+    * and the 5-column ReadSchema reaching the parquet scan (PushedFilters). */
+  val scanProjectFilter: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_quantity") > 45)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("net_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** TPC-H Q1-style pricing summary: partial (map-side) aggregation makes the
+    * shuffle tiny — 6 group keys regardless of input size. */
+  val pricingSummary: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") <= lit("2001-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Plain equi inner join. customer is the build side — broadcast hint
+    * (dimension table; at 100 TB a SF-scaled customer would instead rely on
+    * AQE or bucketing, noted in PERF.md). */
+  val joinInner: Q = (s, d) =>
+    Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_custkey"), col("c_name"),
+        round(col("o_totalprice"), 4).as("total_price"))
+      .orderBy(col("o_orderkey"))
+
+  /** 5-table join: lineitem⋈orders (big-big, shuffle on orderkey)
+    * ⋈ customer ⋈ nation ⋈ region (dims, broadcast). */
+  val joinMultiway: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val o  = Tables.orders(s, d)
+    val c  = Tables.customer(s, d)
+    val n  = broadcast(Tables.nation(s, d))
+    val r  = broadcast(Tables.region(s, d).where(col("r_name") === "ASIA"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
+  /** Left outer join + aggregate: customers keep their row with zero orders. */
+  val joinLeft: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 4).as("total_spent"))
+      .orderBy(col("c_custkey"))
+
+  /** Left semi join = EXISTS. Filter pushed below the join build side. */
+  val joinSemi: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d).where(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Left anti join = NOT EXISTS. */
+  val joinAnti: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+
+  /** Non-equi (range) join, bucketized: pairs where l_extendedprice falls in
+    * [10·p_retailprice, 10.5·p_retailprice].
+    *
+    * Naive theta join is O(|part|·|lineitem|) nested-loop — unusable at
+    * scale. We discretize the price axis into fixed-width buckets, explode
+    * each part's [lo,hi] interval to the 1–3 buckets it spans, and turn the
+    * theta join into an equi join on bucket + residual range predicate. The
+    * exploded side stays small (≈2×|part|) and is broadcast. This is the
+    * standard scalable range-join strategy (cf. interval binning in
+    * Spark-range-join literature). */
+  val joinRange: Q = (s, d) => {
+    val w = 500.0
+    val p = Tables.part(s, d)
+      .select(col("p_brand"),
+        (col("p_retailprice") * 10.0).as("lo"),
+        (col("p_retailprice") * 10.5).as("hi"))
+      .withColumn("bucket",
+        explode(sequence(floor(col("lo") / w).cast("long"), floor(col("hi") / w).cast("long"))))
+    val l = Tables.lineitem(s, d)
+      .select(col("l_extendedprice"),
+        floor(col("l_extendedprice") / w).cast("long").as("bucket"))
+    l.join(broadcast(p), Seq("bucket"))
+      .where(col("l_extendedprice") >= col("lo") && col("l_extendedprice") <= col("hi"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n"), round(avg(col("l_extendedprice")), 4).as("avg_price"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** As-of join (event-time): for every purchase event, the latest *prior*
+    * view event of the same user. Implemented without any join at all: one
+    * shuffle on user_id + an ordered window with `last(..., ignoreNulls)` —
+    * the scalable union-stream formulation of as-of (no per-row range probe,
+    * no skew amplification). */
+  val joinAsof: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .where(col("event_type").isin("view", "purchase"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isView = col("event_type") === "view"
+    ev.withColumn("prior_view_id", last(when(isView, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("prior_view_value", last(when(isView, col("value")), ignoreNulls = true).over(w))
+      .withColumn("prior_view_ts", last(when(isView, col("ts")), ignoreNulls = true).over(w))
+      .where(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"),
+        coalesce(col("prior_view_id"), lit(-1L)).as("prior_view_id"),
+        round(coalesce(col("prior_view_value"), lit(-1.0)), 4).as("prior_view_value"),
+        coalesce(unix_timestamp(col("ts")) - unix_timestamp(col("prior_view_ts")), lit(-1L)).as("gap_sec"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Exact multi-distinct aggregation. Scale note: COUNT(DISTINCT) expands to
+    * a two-phase aggregate (expand + two shuffles); for 100 TB dashboards the
+    * library also exposes approx_count_distinct (see RefOps.approxDistinct). */
+  val aggDistinct: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  private def groupedTotals(df: DataFrame): DataFrame =
+    df.select(
+      coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+      coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+      col("gid"), col("sum_qty"), col("n_rows"))
+      .orderBy(col("rf"), col("ls"), col("gid"))
+
+  val aggRollup: Q = (s, d) =>
+    groupedTotals(Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"), count(lit(1)).as("n_rows")))
+
+  val aggCube: Q = (s, d) =>
+    groupedTotals(Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"), count(lit(1)).as("n_rows")))
+
+  val aggGroupingSets: Q = (s, d) =>
+    groupedTotals(Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().cast("long").as("gid"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"), count(lit(1)).as("n_rows")))
+
+  /** rank / dense_rank (value-ordered, tie-stable) + row_number (total order). */
+  val windowRank: Q = (s, d) => {
+    val byBal  = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc)
+    val total  = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_custkey"), round(col("c_acctbal"), 4).as("acctbal"),
+        rank().over(byBal).cast("long").as("rnk"),
+        dense_rank().over(byBal).cast("long").as("drnk"),
+        row_number().over(total).cast("long").as("rn"))
+      .orderBy(col("c_nationkey"), col("rn"))
+  }
+
+  /** Sliding row frame (moving sum/avg over the last 4 rows) + lag/lead. */
+  val windowFrame: Q = (s, d) => {
+    val w  = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val fr = w.rowsBetween(-3, 0)
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        round(sum(col("value")).over(fr), 4).as("moving_sum"),
+        round(avg(col("value")).over(fr), 4).as("moving_avg"),
+        round(coalesce(lag(col("value"), 1).over(w), lit(-1.0)), 4).as("prev_value"),
+        round(coalesce(lead(col("value"), 1).over(w), lit(-1.0)), 4).as("next_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Top-k per group via row_number — the shuffle carries only the group key;
+    * with AQE, skewed nations would be split automatically. */
+  val topkPerGroup: Q = (s, d) => {
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 3)
+      .select(col("c_nationkey"), col("rn"), col("c_custkey"), round(col("c_acctbal"), 4).as("acctbal"))
+      .orderBy(col("c_nationkey"), col("rn"))
+  }
+
+  /** Global order + limit → Spark plans TakeOrderedAndProject: each partition
+    * keeps only its local top-100, so no full sort materializes at scale. */
+  val sortLimit: Q = (s, d) =>
+    Tables.orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("total_price"))
+
+  /** UNION / UNION ALL / INTERSECT / EXCEPT over two key sets, tagged. */
+  val setOps: Q = (s, d) => {
+    val a = Tables.orders(s, d).select(col("o_custkey").as("key")).distinct()
+    val b = Tables.customer(s, d).where(col("c_acctbal") < 0)
+      .select(col("c_custkey").as("key")).distinct()
+    val one = lit(1L)
+    val u  = a.union(b).distinct().select(lit("union").as("op"), col("key"), one.as("n"))
+    val i  = a.intersect(b).select(lit("intersect").as("op"), col("key"), one.as("n"))
+    val e  = a.except(b).select(lit("except").as("op"), col("key"), one.as("n"))
+    val ua = a.unionAll(b).groupBy(col("key")).agg(count(lit(1)).as("n"))
+      .select(lit("union_all").as("op"), col("key"), col("n"))
+    u.unionAll(i).unionAll(e).unionAll(ua).orderBy(col("op"), col("key"))
+  }
+
+  /** String / date / math scalar-function surface (all codegen built-ins). */
+  val scalarFuncs: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        substring(col("o_orderpriority"), 1, 1).as("pr1"),
+        upper(col("o_orderstatus")).as("st_up"),
+        concat(col("o_orderstatus"), lit("-"), col("o_orderpriority")).as("st_pri"),
+        col("o_orderpriority").like("%URGENT%").cast("long").as("is_urgent"),
+        regexp_extract(col("o_orderpriority"), "([0-9]+)", 1).as("pri_num"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        unix_timestamp(date_trunc("month", col("o_orderdate"))).as("month_start_epoch"),
+        round(abs(col("o_totalprice") - 100000.0), 4).as("abs_diff"),
+        round(pow(col("o_totalprice"), 0.5), 4).as("sqrt_price"))
+      .orderBy(col("o_orderkey"))
+
+  /** Array function surface over the embedding column: size / element_at /
+    * aggregate (fold) / transform — all without UDFs, so the whole projection
+    * stays inside WholeStageCodegen. */
+  val arrayFuncs: Q = (s, d) => {
+    val v = col("embedding").cast("array<double>")
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        size(col("embedding")).cast("long").as("n_dim"),
+        round(element_at(v, 1), 4).as("first_v"),
+        round(element_at(v, size(col("embedding"))), 4).as("last_v"),
+        round(sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x)), 4).as("norm"),
+        round(aggregate(v, lit(0.0), (acc, x) => acc + x) / size(col("embedding")), 4).as("mean_v"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** JSON extraction from the events.props string column. */
+  val jsonFuncs: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k_val"))
+      .withColumn("k_mod", col("k_val") % 10)
+      .orderBy(col("event_id"))
+
+  /** CASE WHEN + null semantics (coalesce / nullif). */
+  val caseWhenNulls: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 1000, "low")
+          .otherwise("high").as("bal_class"),
+        coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg_or_other"),
+        when(col("c_acctbal") > 5000, 1L).otherwise(0L).as("is_rich"))
+      .orderBy(col("c_custkey"))
+
+  val queries: Map[String, Q] = Map(
+    "q_scan_project_filter" -> scanProjectFilter,
+    "q_pricing_summary"     -> pricingSummary,
+    "q_join_inner"          -> joinInner,
+    "q_join_multiway"       -> joinMultiway,
+    "q_join_left"           -> joinLeft,
+    "q_join_semi"           -> joinSemi,
+    "q_join_anti"           -> joinAnti,
+    "q_join_range"          -> joinRange,
+    "q_join_asof"           -> joinAsof,
+    "q_agg_distinct"        -> aggDistinct,
+    "q_agg_rollup"          -> aggRollup,
+    "q_agg_cube"            -> aggCube,
+    "q_agg_gsets"           -> aggGroupingSets,
+    "q_window_rank"         -> windowRank,
+    "q_window_frame"        -> windowFrame,
+    "q_topk_per_group"      -> topkPerGroup,
+    "q_sort_limit"          -> sortLimit,
+    "q_set_ops"             -> setOps,
+    "q_scalar_funcs"        -> scalarFuncs,
+    "q_array_map_funcs"     -> arrayFuncs,
+    "q_json_funcs"          -> jsonFuncs,
+    "q_case_when_nulls"     -> caseWhenNulls,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_project_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        | round(l_extendedprice * (1.0 - l_discount), 4) AS net_price
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 4) AS sum_qty,
+        | round(sum(l_extendedprice), 4) AS sum_base_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 4) AS sum_charge,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_extendedprice), 4) AS avg_price,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_inner" ->
+      """SELECT o_orderkey, c_custkey, c_name, round(o_totalprice, 4) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_join_multiway" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q_join_left" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+        | round(coalesce(sum(o_totalprice), 0.0), 4) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_join_range" ->
+      """SELECT p_brand, count(*) AS n, round(avg(l_extendedprice), 4) AS avg_price
+        |FROM part JOIN lineitem
+        |  ON l_extendedprice >= p_retailprice * 10.0
+        | AND l_extendedprice <= p_retailprice * 10.5
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin,
+    "q_join_asof" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, value, ts,
+        |    last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS) OVER w AS prior_view_id,
+        |    last_value(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS) OVER w AS prior_view_value,
+        |    last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS) OVER w AS prior_view_ts
+        |  FROM events
+        |  WHERE event_type IN ('view', 'purchase')
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id,
+        |  coalesce(prior_view_id, -1) AS prior_view_id,
+        |  round(coalesce(prior_view_value, -1.0), 4) AS prior_view_value,
+        |  coalesce(CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prior_view_ts)) AS BIGINT), -1) AS gap_sec
+        |FROM ev WHERE event_type = 'purchase'
+        |ORDER BY event_id""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        | CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls, gid""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        | CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls, gid""".stripMargin,
+    "q_agg_gsets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+        | CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        | round(sum(l_quantity), 4) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls, gid""".stripMargin,
+    "q_window_rank" ->
+      """SELECT c_nationkey, c_custkey, round(c_acctbal, 4) AS acctbal,
+        | CAST(rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS BIGINT) AS rnk,
+        | CAST(dense_rank() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC) AS BIGINT) AS drnk,
+        | CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+        |FROM customer
+        |ORDER BY c_nationkey, rn""".stripMargin,
+    "q_window_frame" ->
+      """SELECT event_id, user_id,
+        | round(sum(value) OVER w4, 4) AS moving_sum,
+        | round(avg(value) OVER w4, 4) AS moving_avg,
+        | round(coalesce(lag(value, 1) OVER wo, -1.0), 4) AS prev_value,
+        | round(coalesce(lead(value, 1) OVER wo, -1.0), 4) AS next_value
+        |FROM events
+        |WINDOW
+        | wo AS (PARTITION BY user_id ORDER BY ts, event_id),
+        | w4 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+    "q_topk_per_group" ->
+      """SELECT c_nationkey, rn, c_custkey, acctbal FROM (
+        |  SELECT c_nationkey, c_custkey, round(c_acctbal, 4) AS acctbal,
+        |    CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+        |  FROM customer) t
+        |WHERE rn <= 3
+        |ORDER BY c_nationkey, rn""".stripMargin,
+    "q_sort_limit" ->
+      """SELECT o_orderkey, round(o_totalprice, 4) AS total_price
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    "q_set_ops" ->
+      """WITH a AS (SELECT DISTINCT o_custkey AS key FROM orders),
+        |     b AS (SELECT DISTINCT c_custkey AS key FROM customer WHERE c_acctbal < 0)
+        |SELECT 'union' AS op, key, CAST(1 AS BIGINT) AS n FROM (SELECT key FROM a UNION SELECT key FROM b)
+        |UNION ALL
+        |SELECT 'intersect', key, 1 FROM (SELECT key FROM a INTERSECT SELECT key FROM b)
+        |UNION ALL
+        |SELECT 'except', key, 1 FROM (SELECT key FROM a EXCEPT SELECT key FROM b)
+        |UNION ALL
+        |SELECT 'union_all', key, count(*) FROM (SELECT key FROM a UNION ALL SELECT key FROM b) GROUP BY key
+        |ORDER BY op, key""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT o_orderkey,
+        | substring(o_orderpriority, 1, 1) AS pr1,
+        | upper(o_orderstatus) AS st_up,
+        | o_orderstatus || '-' || o_orderpriority AS st_pri,
+        | CAST(o_orderpriority LIKE '%URGENT%' AS BIGINT) AS is_urgent,
+        | regexp_extract(o_orderpriority, '([0-9]+)', 1) AS pri_num,
+        | CAST(year(o_orderdate) AS BIGINT) AS yr,
+        | CAST(month(o_orderdate) AS BIGINT) AS mo,
+        | CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_start_epoch,
+        | round(abs(o_totalprice - 100000.0), 4) AS abs_diff,
+        | round(pow(o_totalprice, 0.5), 4) AS sqrt_price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_array_map_funcs" ->
+      """WITH u AS (
+        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+        |agg AS (
+        |  SELECT vec_id, round(sqrt(sum(x * x)), 4) AS norm,
+        |    round(sum(x) / count(*), 4) AS mean_v
+        |  FROM u GROUP BY vec_id)
+        |SELECT e.vec_id, CAST(len(e.embedding) AS BIGINT) AS n_dim,
+        | round(CAST(e.embedding[1] AS DOUBLE), 4) AS first_v,
+        | round(CAST(e.embedding[len(e.embedding)] AS DOUBLE), 4) AS last_v,
+        | agg.norm, agg.mean_v
+        |FROM embeddings e JOIN agg ON e.vec_id = agg.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
+    "q_json_funcs" ->
+      """SELECT event_id, user_id,
+        | CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+        | CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_case_when_nulls" ->
+      """SELECT c_custkey,
+        | CASE WHEN c_acctbal < 0 THEN 'neg'
+        |      WHEN c_acctbal < 1000 THEN 'low'
+        |      ELSE 'high' END AS bal_class,
+        | coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS seg_or_other,
+        | CAST(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END AS BIGINT) AS is_rich
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+  )
+}

@@ -1,0 +1,161 @@
+package graft.sources
+
+import java.io.{BufferedOutputStream, DataOutputStream, File, FileOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Fortran unformatted *sequential* record codec (SURVEY.md §2.1 R1–R3,
+  * reference readers at `/root/reference/seisdb/DSEM_Utils/bin_reader.py`).
+  *
+  * On-disk record = 4-byte little-endian length marker, payload, repeated
+  * marker. The reference's seek-based reader exploits marker size == one
+  * float32 slot (`strainfield_reader.py:43-55`: `offset=1`,
+  * `inter_offset=2`); our parser reads markers properly and validates them.
+  */
+object Fortran {
+
+  def writeRecord(out: DataOutputStream, payload: Array[Byte]): Unit = {
+    val m = new Array[Byte](4)
+    ByteBuffer.wrap(m).order(ByteOrder.LITTLE_ENDIAN).putInt(payload.length)
+    out.write(m); out.write(payload); out.write(m)
+  }
+
+  /** Parse every sequential record in a file image. */
+  def readRecords(bytes: Array[Byte]): Seq[Array[Byte]] = {
+    val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    val recs = Seq.newBuilder[Array[Byte]]
+    while (bb.remaining() >= 8) {
+      val n = bb.getInt
+      require(n >= 0 && n <= bb.remaining() - 4, s"corrupt record length $n")
+      val payload = new Array[Byte](n)
+      bb.get(payload)
+      val trailer = bb.getInt
+      require(trailer == n, s"marker mismatch: leading=$n trailing=$trailer")
+      recs += payload
+    }
+    require(bb.remaining() == 0, s"${bb.remaining()} trailing bytes")
+    recs.result()
+  }
+
+  def floatsLE(payload: Array[Byte]): Array[Float] = {
+    val fb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN).asFloatBuffer()
+    val out = new Array[Float](fb.remaining()); fb.get(out); out
+  }
+
+  def intsLE(payload: Array[Byte]): Array[Int] = {
+    val ib = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN).asIntBuffer()
+    val out = new Array[Int](ib.remaining()); ib.get(out); out
+  }
+
+  def bytesOfFloats(xs: Array[Float]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(xs.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+    xs.foreach(bb.putFloat); bb.array()
+  }
+
+  def bytesOfInts(xs: Array[Int]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(xs.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+    xs.foreach(bb.putInt); bb.array()
+  }
+
+  def writeRecordFile(path: File, records: Seq[Array[Byte]]): Unit = {
+    path.getParentFile.mkdirs()
+    val out = new DataOutputStream(new BufferedOutputStream(new FileOutputStream(path)))
+    try records.foreach(writeRecord(out, _)) finally out.close()
+  }
+}
+
+/** Deterministic synthetic SPECFEM-style fixture (FIXTURES.md §B): tiny mesh
+  * + strain/displacement snapshots, used by the non-oracle ingest queries and
+  * the golden pipeline test. Seeded `java.util.Random` → stable across runs.
+  */
+object SeisFixture {
+  val NSPEC = 4
+  val NGLL_LOCAL = 125
+  val Steps: Seq[Int] = 0 to 100 by 10
+  val Forces = Seq("N", "E", "Z")
+  val Proc = "proc000000"
+
+  /** 27-of-125 spatial subsample index — same constant as the reference
+    * (`/root/reference/seisdb/DSEM_Utils/__init__.py:6-8`): the 3×3×3
+    * corner/edge/center lattice of the 5×5×5 GLL cube (indices 0,2,4 per
+    * axis, (k*5+j)*5+i). */
+  val Index27: Seq[Int] =
+    for (k <- Seq(0, 2, 4); j <- Seq(0, 2, 4); i <- Seq(0, 2, 4)) yield (k * 5 + j) * 5 + i
+
+  /** 1-based ibool with (a) shared GLL ids between adjacent elements and
+    * (b) at least one first occurrence below the running max (exercises the
+    * monotone-dedup divergence, `ibool_reader.py:133-141`). */
+  def iboolIds(): Array[Int] = {
+    val rnd = new java.util.Random(42)
+    val arr = new Array[Int](NSPEC * NGLL_LOCAL)
+    var next = 1
+    for (spec <- 0 until NSPEC; p <- 0 until NGLL_LOCAL) {
+      val idx = spec * NGLL_LOCAL + p
+      arr(idx) =
+        if (spec > 0 && p < 25) arr((spec - 1) * NGLL_LOCAL + 100 + p) // share a face
+        else if (spec == 2 && p == 60) 3 // first occurrence below running max
+        else { val v = next; next += 1; v }
+      if (rnd.nextInt(50) == 0 && idx > 0) arr(idx) = arr(rnd.nextInt(idx)) // extra repeats
+    }
+    arr
+  }
+
+  def nGllGlobal: Int = iboolIds().max
+
+  /** Ground-truth full strain tensor value for (param, point, step) — smooth
+    * deterministic field, dense in ±1e-7 like real SGT amplitudes. */
+  def strainTruth(param: Int, point: Int, step: Int): Float =
+    (1e-7 * math.sin(0.1 * point + 0.7 * param + 0.05 * step + 1.0)).toFloat
+
+  def dispTruth(comp: Int, gll: Int, step: Int): Float =
+    (1e-7 * math.cos(0.13 * gll + 0.9 * comp + 0.07 * step)).toFloat
+
+  /** Write the whole fixture tree under `dir` (idempotent). Layout:
+    * dir/force_{N,E,Z}/proc000000_strain_field_Step_%d.bin, …_disp_Step…,
+    * dir/proc000000_ibool.bin. */
+  def generate(dir: String): Unit = synchronized {
+    val root = new File(dir)
+    val marker = new File(root, ".complete")
+    if (marker.exists()) return
+    // ibool: single record of NSPEC*125 int32, 1-based
+    Fortran.writeRecordFile(new File(root, s"${Proc}_ibool.bin"),
+      Seq(Fortran.bytesOfInts(iboolIds())))
+    val nPoints = NSPEC * NGLL_LOCAL
+    val nGlobal = nGllGlobal
+    for ((f, fi) <- Forces.zipWithIndex; step <- Steps) {
+      // strain: six records (trace, xx_dev, yy_dev, xy, xz, yz), each 125*NSPEC
+      // float32 (strainfield_reader.py:40-55). Deviatoric encoding of truth:
+      // trace = xx+yy+zz; xx_dev = xx - trace/3; yy_dev = yy - trace/3.
+      val phase = fi * 100000 // decorrelate forces
+      def truth(p: Int, pt: Int) = strainTruth(p, pt + phase, step)
+      val recs = (0 until 6).map { r =>
+        val vals = new Array[Float](nPoints)
+        for (pt <- 0 until nPoints) {
+          val xx = truth(0, pt); val yy = truth(1, pt); val zz = truth(2, pt)
+          val tr = xx + yy + zz
+          vals(pt) = r match {
+            case 0 => tr
+            case 1 => xx - tr / 3f
+            case 2 => yy - tr / 3f
+            case 3 => truth(3, pt) // xy
+            case 4 => truth(4, pt) // xz
+            case 5 => truth(5, pt) // yz
+          }
+        }
+        Fortran.bytesOfFloats(vals)
+      }
+      Fortran.writeRecordFile(
+        new File(root, s"force_$f/${Proc}_strain_field_Step_$step.bin"), recs)
+      // displacement: one record of nGllGlobal*3 float32, shape (nGLL, 3)
+      val disp = new Array[Float](nGlobal * 3)
+      for (g <- 0 until nGlobal; c <- 0 until 3)
+        disp(g * 3 + c) = dispTruth(c + fi * 3, g, step)
+      Fortran.writeRecordFile(
+        new File(root, s"force_$f/${Proc}_disp_Step_$step.bin"), Seq(Fortran.bytesOfFloats(disp)))
+    }
+    marker.createNewFile()
+  }
+
+  /** Default on-disk location (inside the repo workspace, never /root/testdata). */
+  val defaultDir = "/root/repo/target/seis_fixture"
+  def ensure(): String = { generate(defaultDir); defaultDir }
+}

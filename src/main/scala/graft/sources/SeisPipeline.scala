@@ -1,0 +1,149 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.{Codec, SeisSample, SeriesEncodeStats}
+import graft.operators.RefOps
+
+/** Spark-native rebuild of the reference's SGT/DGF database pipelines
+  * (SURVEY.md §3 E1/E2, `/root/reference/seisdb/DSGT.py:40-196`,
+  * `DDGF.py:40-190`) over the synthetic fixture (FIXTURES.md §B).
+  *
+  * Shape of the job (the reference's imperative loops → one DataFrame plan):
+  *   binaryFile scan (one file per force×step — the natural parallelism axis
+  *   at 100 TB: SPECFEM emits one file per MPI slice, so file-granular input
+  *   splits ARE the cluster partitioning) → record parse + tensor
+  *   reconstruction (flatMap) → broadcast-join against the subsampled mesh
+  *   index → groupByKey(gll).agg(SeriesEncodeStats) — the shuffle here is
+  *   exactly where the reference materializes its dense RAM buffer
+  *   (`DSGT.py:88`), with spill instead of its "minimum RAM" failure mode.
+  */
+object SeisPipeline {
+
+  /** ibool scan (R4): Fortran record → long-form (spec, igll, gll), 1-based
+    * shifted to 0-based (`ibool_reader.py:27-31`). */
+  def readIbool(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*_ibool.bin").load(dir)
+      .select("content").as[Array[Byte]]
+      .flatMap { bytes =>
+        val ids = Fortran.intsLE(Fortran.readRecords(bytes).head)
+        ids.zipWithIndex.iterator.map { case (gll1, i) =>
+          (i / SeisFixture.NGLL_LOCAL, i % SeisFixture.NGLL_LOCAL, (gll1 - 1).toLong)
+        }
+      }
+      .toDF("spec", "igll", "gll")
+  }
+
+  /** 27-point spatial subsample + the reference's monotone first-occurrence
+    * dedup, in its exact scan order: spec-major, then position within
+    * CONSTANT_INDEX_27_GLL (`ibool_reader.py:145-173`). */
+  def subsampledIndex(spark: SparkSession, dir: String): DataFrame = {
+    val rank27 = SeisFixture.Index27.zipWithIndex.toMap
+    val rankCol = SeisFixture.Index27.zipWithIndex
+      .foldLeft(lit(-1)) { case (acc, (igll, r)) => when(col("igll") === igll, r).otherwise(acc) }
+    val filtered = readIbool(spark, dir)
+      .where(col("igll").isin(SeisFixture.Index27.map(Integer.valueOf): _*))
+      .withColumn("ord", (col("spec") * rank27.size + rankCol).cast("long"))
+    RefOps.monotoneDedup(filtered, "ord", "gll")
+      .select(col("spec"), col("igll"), col("gll"))
+  }
+
+  /** Strain snapshot scan + tensor reconstruction (R1/R14): six deviatoric
+    * records per file → full 6-component tensor per local point
+    * (`strainfield_reader.py:48-59`: xx = xx_dev + tr/3, yy = yy_dev + tr/3,
+    * zz = tr − xx − yy). Emits (force, step, param, spec, igll, value). */
+  def readStrain(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pat = ".*force_([NEZ])/.*_strain_field_Step_(\\d+)\\.bin$".r
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*_strain_field_Step_*.bin")
+      .option("recursiveFileLookup", "true").load(dir)
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val pat(forceName, stepStr) = path
+        val force = SeisFixture.Forces.indexOf(forceName)
+        val step = stepStr.toInt
+        val recs = Fortran.readRecords(bytes).map(Fortran.floatsLE)
+        require(recs.length == 6, s"expected 6 strain records, got ${recs.length}")
+        val Seq(tr, xxD, yyD, xy, xz, yz) = recs
+        tr.indices.iterator.flatMap { pt =>
+          val xx = xxD(pt) + tr(pt) / 3f
+          val yy = yyD(pt) + tr(pt) / 3f
+          val zz = tr(pt) - xx - yy
+          val spec = pt / SeisFixture.NGLL_LOCAL
+          val igll = pt % SeisFixture.NGLL_LOCAL
+          Array(xx, yy, zz, xy(pt), xz(pt), yz(pt)).iterator.zipWithIndex.map {
+            case (v, param) => (force, step, param, spec, igll, v.toDouble)
+          }
+        }
+      }
+      .toDF("force", "step", "param", "spec", "igll", "value")
+  }
+
+  /** Displacement snapshot scan (R13): one record, shape (nGLL, 3) →
+    * (force, step, comp, gll, value). */
+  def readDisp(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val pat = ".*force_([NEZ])/.*_disp_Step_(\\d+)\\.bin$".r
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*_disp_Step_*.bin")
+      .option("recursiveFileLookup", "true").load(dir)
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        val pat(forceName, stepStr) = path
+        val force = SeisFixture.Forces.indexOf(forceName)
+        val step = stepStr.toInt
+        val vals = Fortran.floatsLE(Fortran.readRecords(bytes).head)
+        val n = vals.length / 3
+        (0 until n).iterator.flatMap { g =>
+          (0 until 3).iterator.map(c => (force, step, c, g.toLong, vals(g * 3 + c).toDouble))
+        }
+      }
+      .toDF("force", "step", "comp", "gll", "value")
+  }
+
+  /** E1 — full SGT build: ingest → gather (R15 broadcast join on the tiny
+    * subsampled index) → per-point series encode (R17–R22 Aggregator) →
+    * decode-verify stats. Returns one row per retained GLL point. */
+  def sgtPipeline(spark: SparkSession, fixtureDir: String): DataFrame = {
+    import spark.implicits._
+    val index = broadcast(subsampledIndex(spark, fixtureDir))
+    val strain = readStrain(spark, fixtureDir)
+    val gathered = strain.join(index, Seq("spec", "igll"))
+      .select(col("gll"), col("force"), col("param"), col("step"), col("value"))
+      .as[SeisSample]
+    gathered.groupByKey(_.gll)
+      .agg(SeriesEncodeStats.toColumn.name("enc"))
+      .toDF("gll", "enc")
+      .select(col("gll"), col("enc.n").as("n"),
+        round(col("enc.offset"), 12).as("offset"),
+        round(col("enc.scale"), 12).as("scale"),
+        col("enc.payloadLen").as("payload_len"),
+        col("enc.crc").as("crc"),
+        col("enc.maxErr").as("max_err"),
+        (col("enc.maxErr") <= col("enc.scale") / 255.0 + lit(1e-12)).as("within_bound"))
+      .orderBy(col("gll"))
+  }
+
+  /** E2 — DGF build over displacement snapshots: gather by global gll id
+    * (semi-join against the subsample names), (comp, force)-major order
+    * (`DDGF.py:128-132` — comp becomes `param`, force stays `force`). */
+  def dgfPipeline(spark: SparkSession, fixtureDir: String): DataFrame = {
+    import spark.implicits._
+    val names = broadcast(subsampledIndex(spark, fixtureDir).select("gll").distinct())
+    val disp = readDisp(spark, fixtureDir)
+    val gathered = disp.join(names, Seq("gll"))
+      .select(col("gll"), col("force"), col("comp").as("param"), col("step"), col("value"))
+      .as[SeisSample]
+      .map(s => s.copy(force = s.param, param = s.force)) // comp-major, then force
+    gathered.groupByKey(_.gll)
+      .agg(SeriesEncodeStats.toColumn.name("enc"))
+      .toDF("gll", "enc")
+      .select(col("gll"), col("enc.n").as("n"), col("enc.payloadLen").as("payload_len"),
+        col("enc.maxErr").as("max_err"),
+        (col("enc.maxErr") <= col("enc.scale") / 255.0 + lit(1e-12)).as("within_bound"))
+      .orderBy(col("gll"))
+  }
+}
