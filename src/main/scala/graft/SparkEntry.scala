@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Events, RefOps, Relational}
+import graft.operators.{Events, Multimodal, RefOps, Relational, Text, Vectors}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,10 +20,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Events.queries ++ RefOps.queries
+    Relational.queries ++ Events.queries ++ RefOps.queries ++
+      Text.queries ++ Vectors.queries ++ Multimodal.queries
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Events.oracles ++ RefOps.oracles
+    Relational.oracles ++ Events.oracles ++ RefOps.oracles ++
+      Text.oracles ++ Vectors.oracles ++ Multimodal.oracles
 }

@@ -35,7 +35,7 @@ object Codec {
     val out = new ByteArrayOutputStream(bytes.length * 4)
     while (!inf.finished()) {
       val n = inf.inflate(buf)
-      if (n == 0 && inf.needsInput())
+      if (n == 0 && !inf.finished() && inf.needsInput())
         throw new java.util.zip.DataFormatException("truncated zlib stream")
       out.write(buf, 0, n)
     }

@@ -1,0 +1,121 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** Deterministic hash families for the dedup/similarity operators
+  * (MinHash+LSH banding, SimHash, winnowing fingerprints). All hashes are
+  * seed-fixed and engine-independent (FNV-1a over UTF-8 bytes), so
+  * signatures are reproducible across runs and cluster sizes — a property
+  * the reference's offset bookkeeping never needed but 100 TB dedup does
+  * (re-runs must bucket identically for incremental pipelines).
+  */
+object Hashing {
+
+  /** 64-bit FNV-1a — stable, allocation-free, portable. */
+  def fnv64(s: String): Long = {
+    var h = 0xcbf29ce484222325L
+    val bytes = s.getBytes("UTF-8")
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    h
+  }
+
+  /** Seeded variant for the MinHash permutation family. */
+  def fnv64Seeded(s: String, seed: Long): Long = {
+    var h = 0xcbf29ce484222325L ^ java.lang.Long.rotateLeft(seed, 17)
+    val bytes = s.getBytes("UTF-8")
+    var i = 0
+    while (i < bytes.length) {
+      h ^= (bytes(i) & 0xffL)
+      h *= 0x100000001b3L
+      i += 1
+    }
+    // final avalanche (splitmix64 tail) to decorrelate seeds
+    h ^= (h >>> 30); h *= 0xbf58476d1ce4e5b9L
+    h ^= (h >>> 27); h *= 0x94d049bb133111ebL
+    h ^ (h >>> 31)
+  }
+
+  /** MinHash signature over a shingle set: sig(i) = min over shingles of
+    * h_i(shingle). numHashes seed-indexed FNV permutations. */
+  def minhash(shingles: Seq[String], numHashes: Int): Array[Long] = {
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    shingles.foreach { sh =>
+      var i = 0
+      while (i < numHashes) {
+        val h = fnv64Seeded(sh, i.toLong)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+    }
+    sig
+  }
+
+  /** LSH band keys: hash `rows`-sized signature slices; docs sharing any
+    * band key are candidate pairs. bands*rows == numHashes. */
+  def lshBands(sig: Array[Long], bands: Int, rows: Int): Array[Long] =
+    (0 until bands).map { b =>
+      var h = 0xcbf29ce484222325L ^ b.toLong
+      var r = 0
+      while (r < rows) {
+        h ^= sig(b * rows + r)
+        h *= 0x100000001b3L
+        r += 1
+      }
+      h
+    }.toArray
+
+  /** 64-bit SimHash over a token multiset. */
+  def simhash(tokens: Seq[String]): Long = {
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = fnv64(t)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) acc(j) += 1 else acc(j) -= 1
+        j += 1
+      }
+    }
+    var out = 0L
+    var j = 0
+    while (j < 64) { if (acc(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03): k-gram
+    * rolling hashes, keep the rightmost minimum of each sliding window of
+    * size w; returns distinct selected hashes. */
+  def winnow(text: String, k: Int, w: Int): Array[Long] = {
+    val n = text.length - k + 1
+    if (n <= 0) return Array.empty
+    val grams = Array.tabulate(n)(i => fnv64(text.substring(i, i + k)))
+    if (n <= w) return grams.distinct.sorted
+    val picked = scala.collection.mutable.LinkedHashSet.empty[Long]
+    for (start <- 0 to n - w) {
+      var mi = start
+      var i = start + 1
+      while (i < start + w) { if (grams(i) <= grams(mi)) mi = i; i += 1 }
+      picked += grams(mi)
+    }
+    picked.toArray.sorted
+  }
+
+  /** Register as SQL-callable functions (the engine's text/dedup UDF
+    * surface). */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("fnv64", (s: String) => fnv64(s))
+    spark.udf.register("minhash_sig",
+      (sh: Seq[String], n: Int) => minhash(sh, n))
+    spark.udf.register("lsh_bands",
+      (sig: Seq[Long], bands: Int, rows: Int) => lshBands(sig.toArray, bands, rows))
+    spark.udf.register("simhash64", (ts: Seq[String]) => simhash(ts))
+    spark.udf.register("hamming64", (a: Long, b: Long) => hamming64(a, b))
+    spark.udf.register("winnow_fp", (s: String, k: Int, w: Int) => winnow(s, k, w))
+  }
+}

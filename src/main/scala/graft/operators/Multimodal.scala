@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing (north-star extension): media as opaque
+  * `binary` columns with typed metadata, decode / feature-extract /
+  * frame-sample as distributed transforms.
+  *
+  * The container has no image/audio codecs, so the decode kernel is a
+  * clearly-marked DETERMINISTIC FAKE (byte-statistics standing in for pixel
+  * decoding) — the Spark-side plumbing (schema, batching, partitioning,
+  * per-frame explode) is real and is what the tests cover. Swapping the fake
+  * for a JNI/ffmpeg kernel changes one function.
+  */
+object Multimodal {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** STUB — deterministic fake decode: real implementation would hand
+    * `bytes` to an image codec; this derives stable pseudo-metadata from the
+    * payload so plumbing is testable without codecs. */
+  def fakeDecodeMeta(bytes: Array[Byte]): (Int, Int, Double) = {
+    val n = bytes.length
+    val mean = if (n == 0) 0.0 else bytes.iterator.map(b => (b & 0xff).toDouble).sum / n
+    (640 + n % 640, 360 + n % 360, mean) // (width, height, mean "luma")
+  }
+
+  /** Metadata projection over a binary media column (here: utf-8 text bytes
+    * as the stand-in payload). Oracle-checked: byte length + header hex are
+    * codec-independent. */
+  val multimodalMeta: Q = (s, d) => {
+    val bin = col("text").cast("binary")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(bin).cast("long").as("n_bytes"),
+        lower(hex(substring(bin, 1, 8))).as("head_hex"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Frame sampling over a fake "video" payload: every 64th byte offset is a
+    * "frame"; per-frame rows carry (idx, offset, fake feature). The explode
+    * pattern — one row per sampled frame, partition-parallel over media
+    * blobs — is exactly the 100 TB video-pipeline shape (blob-sized tasks,
+    * no driver involvement). Non-oracle (stub decode). */
+  val multimodalFrames: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val (w, h, _) = fakeDecodeMeta(bytes)
+        val stride = 64
+        (0 until math.max(1, bytes.length / stride)).iterator.map { f =>
+          val off = f * stride
+          val end = math.min(bytes.length, off + stride)
+          val slice = bytes.slice(off, end)
+          val mean = if (slice.isEmpty) 0.0
+            else slice.iterator.map(b => (b & 0xff).toDouble).sum / slice.length
+          (id, f.toLong, off.toLong, w, h, math.rint(mean * 10000) / 10000)
+        }
+      }
+      .toDF("doc_id", "frame_idx", "byte_off", "width", "height", "frame_mean")
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_multimodal_meta"   -> multimodalMeta,
+    "q_multimodal_frames" -> multimodalFrames,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        | lower(left(hex(CAST(text AS BLOB)), 16)) AS head_hex
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

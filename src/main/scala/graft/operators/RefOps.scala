@@ -172,6 +172,61 @@ object RefOps {
         count(lit(1)).as("est_bytes"))
       .orderBy(col("user_id"))
 
+  /** R17–R22 fused as the typed [[graft.functions.SeriesEncodeStats]]
+    * Aggregator on events-as-proxy series (non-oracle: binary payload;
+    * verified by the round-trip bound in the output + property tests). */
+  val refBlobEncode: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val typeIdx = map_from_arrays(
+      array(lit("click"), lit("error"), lit("purchase"), lit("signup"), lit("view")),
+      array(lit(0), lit(1), lit(2), lit(3), lit(4)))
+    Tables.events(s, d)
+      .select(col("user_id").as("gll"), lit(0).as("force"),
+        element_at(typeIdx, col("event_type")).as("param"),
+        col("event_id").cast("int").as("step"), col("value"))
+      .as[graft.functions.SeisSample]
+      .groupByKey(_.gll)
+      .agg(graft.functions.SeriesEncodeStats.toColumn.name("enc"))
+      .toDF("user_id", "enc")
+      .select(col("user_id"), col("enc.n").as("n"),
+        col("enc.payloadLen").as("payload_len"), col("enc.crc").as("crc"),
+        col("enc.maxErr").as("max_err"),
+        (col("enc.maxErr") <= col("enc.scale") / 255.0 + lit(1e-12)).as("within_bound"))
+      .orderBy(col("user_id"))
+  }
+
+  /** R1–R4/R14 binary ingest smoke over the synthetic SPECFEM fixture
+    * (FIXTURES.md §B): per (force, step) record counts + checksums of the
+    * reconstructed tensor. Non-oracle (DuckDB can't read Fortran bins). */
+  val refFortranScan: Q = (s, _) => {
+    val dir = graft.sources.SeisFixture.ensure()
+    graft.sources.SeisPipeline.readStrain(s, dir)
+      .groupBy(col("force"), col("step"))
+      .agg(count(lit(1)).as("n_values"),
+        round(sum(col("value")) * 1e7, 4).as("sum_scaled"))
+      .orderBy(col("force"), col("step"))
+  }
+
+  /** E1 end-to-end: full SGT build on the fixture (non-oracle; golden test
+    * asserts the quantization bound). */
+  val refSgtPipeline: Q = (s, _) =>
+    graft.sources.SeisPipeline.sgtPipeline(s, graft.sources.SeisFixture.ensure())
+
+  /** E2 end-to-end: DGF build on the fixture. */
+  val refDgfPipeline: Q = (s, _) =>
+    graft.sources.SeisPipeline.dgfPipeline(s, graft.sources.SeisFixture.ensure())
+
+  /** Sketch surface: approximate distinct (HLL++) — non-oracle by design
+    * (approx results differ engine to engine; SURVEY §7.4 bans approx_* in
+    * oracle-checked queries). */
+  val refApproxDistinct: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, Q] = Map(
     "ref_monotone_dedup"     -> refMonotoneDedup,
     "ref_subsample"          -> refSubsample,
@@ -180,6 +235,11 @@ object RefOps {
     "ref_minmax_normalize"   -> refMinmaxNormalize,
     "ref_quantize_roundtrip" -> refQuantizeRoundtrip,
     "ref_header_stats"       -> refHeaderStats,
+    "ref_blob_encode"        -> refBlobEncode,
+    "ref_fortran_scan"       -> refFortranScan,
+    "ref_sgt_pipeline"       -> refSgtPipeline,
+    "ref_dgf_pipeline"       -> refDgfPipeline,
+    "ref_approx_distinct"    -> refApproxDistinct,
   )
 
   val oracles: Map[String, String] = Map(

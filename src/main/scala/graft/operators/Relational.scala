@@ -277,7 +277,9 @@ object Relational {
         round(element_at(v, 1), 4).as("first_v"),
         round(element_at(v, size(col("embedding"))), 4).as("last_v"),
         round(sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x)), 4).as("norm"),
-        round(aggregate(v, lit(0.0), (acc, x) => acc + x) / size(col("embedding")), 4).as("mean_v"))
+        // + 0.0 normalizes IEEE -0.0 (sign of a ~1e-18 sum residual differs
+        // across summation orders) so both engines hash identically
+        (round(aggregate(v, lit(0.0), (acc, x) => acc + x) / size(col("embedding")), 4) + 0.0).as("mean_v"))
       .orderBy(col("vec_id"))
   }
 
@@ -479,7 +481,7 @@ object Relational {
         |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
         |agg AS (
         |  SELECT vec_id, round(sqrt(sum(x * x)), 4) AS norm,
-        |    round(sum(x) / count(*), 4) AS mean_v
+        |    round(sum(x) / count(*), 4) + 0.0 AS mean_v
         |  FROM u GROUP BY vec_id)
         |SELECT e.vec_id, CAST(len(e.embedding) AS BIGINT) AS n_dim,
         | round(CAST(e.embedding[1] AS DOUBLE), 4) AS first_v,

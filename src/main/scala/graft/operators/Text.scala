@@ -1,0 +1,263 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.Hashing
+
+/** Text-analysis + deduplication operators over the `documents` table
+  * (north-star LLM-pipeline extension): exact dedup, token/term statistics,
+  * shingling, quality scoring, language-ID heuristic, winnowing
+  * fingerprints.
+  *
+  * Tokenization is a single shared definition (split on whitespace of the
+  * lower-cased, trimmed text) expressed identically in Spark and DuckDB so
+  * the oracle hashes match.
+  *
+  * Scale: all of these are embarrassingly parallel scans + one groupBy;
+  * term-frequency's explode is the only row-expander and is bounded by token
+  * count, with map-side partial aggregation keeping the shuffle at
+  * #distinct (lang, term).
+  */
+object Text {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def toks(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  /** Exact dedup via content hash: one group per distinct text, with group
+    * size and representative (min doc_id). At 100 TB this is the classic
+    * hash-shuffle dedup; the 256-bit-hash groupBy shuffles only
+    * (hash, id) pairs, never the text. */
+  val exactDedup: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("text_hash"))
+      .groupBy(col("text_hash"))
+      .agg(count(lit(1)).as("n_dups"), min(col("doc_id")).as("keep_doc_id"))
+      .orderBy(col("text_hash"))
+
+  /** Per-language corpus statistics. */
+  val textStats: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("lang"), col("n_chars"), size(toks(col("text"))).cast("long").as("n_words"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("total_words"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        round(avg(col("n_words")), 4).as("avg_words"))
+      .orderBy(col("lang"))
+
+  /** Top-5 terms per language: explode → count → windowed top-k. */
+  val termFreq: Q = (s, d) => {
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("term"))
+    Tables.documents(s, d)
+      .select(col("lang"), explode(toks(col("text"))).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 5)
+      .select(col("lang"), col("rn"), col("term"), col("n"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  /** Word 3-gram shingle sets per document (near-dup groundwork): token
+    * count + distinct shingle count, UDF-free via sequence+transform. */
+  val ngramShingles: Q = (s, d) => {
+    val ws = toks(col("text"))
+    val shingles = transform(
+      sequence(lit(1), greatest(size(ws) - 2, lit(0))),
+      i => concat_ws(" ", slice(ws, i, lit(3))))
+    Tables.documents(s, d)
+      .select(col("doc_id"), size(ws).cast("long").as("n_tokens"),
+        when(size(ws) >= 3, size(array_distinct(shingles)))
+          .otherwise(0).cast("long").as("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** BPE-ish regex token counting: words vs punctuation runs. */
+  val tokenCount: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).cast("long").as("n_word_toks"),
+        size(regexp_extract_all(col("text"), lit("[^a-z0-9\\s]"), lit(0))).cast("long").as("n_punct_toks"),
+        length(col("text")).cast("long").as("n_chars_calc"))
+      .orderBy(col("doc_id"))
+
+  /** Heuristic quality score: length, punctuation ratio, stopword ratio,
+    * mean word length — the standard cheap pre-filters of LLM data
+    * pipelines. */
+  val qualityScore: Q = (s, d) => {
+    val ws = toks(col("text"))
+    val nChars = length(col("text")).cast("double")
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^a-z0-9\\s]"), lit(0))).cast("double")
+    val nStop = size(filter(ws, t => t.isin("the", "a", "of", "and", "to"))).cast("double")
+    val nToks = size(ws).cast("double")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        round(nPunct / nChars, 4).as("punct_ratio"),
+        round(nStop / nToks, 4).as("stopword_ratio"),
+        round(nChars / nToks, 4).as("avg_token_len"),
+        round(least(nToks / 100.0, lit(1.0)) * (lit(1.0) - nPunct / nChars), 4).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language-ID heuristic: per-language marker-token counts, argmax with a
+    * fixed priority tie-break, 'und' when no marker hits. Reported as a
+    * confusion summary per (true lang, guess). */
+  val langId: Q = (s, d) => {
+    val ws = toks(col("text"))
+    def cnt(markers: String*): Column =
+      size(filter(ws, t => t.isin(markers.map(lit): _*))).cast("long")
+    val en = cnt("the", "a", "of"); val de = cnt("der", "die", "und")
+    val es = cnt("el", "la", "que"); val fr = cnt("le", "les", "et")
+    val zh = cnt("的", "是", "了")
+    val best = greatest(col("c_en"), col("c_de"), col("c_es"), col("c_fr"), col("c_zh"))
+    val guess = when(best === 0, "und")
+      .when(col("c_en") === best, "en").when(col("c_de") === best, "de")
+      .when(col("c_es") === best, "es").when(col("c_fr") === best, "fr")
+      .otherwise("zh")
+    Tables.documents(s, d)
+      .select(col("lang"), en.as("c_en"), de.as("c_de"), es.as("c_es"),
+        fr.as("c_fr"), zh.as("c_zh"))
+      .withColumn("guess", guess)
+      .groupBy(col("lang"), col("guess"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("guess"))
+  }
+
+  /** Token-set (1-gram) Jaccard similarity join on a bounded sample
+    * (doc_id < 50, J ≥ 0.5). Exact set arithmetic via array_intersect on
+    * distinct token arrays; the full-corpus scalable path is
+    * [[Vectors.minhashLsh]] (banded equi-join instead of pairs). */
+  val jaccardNgram: Q = (s, d) => {
+    val docs = Tables.documents(s, d).where(col("doc_id") < 50)
+      .select(col("doc_id"), array_distinct(toks(col("text"))).as("ws"))
+    val a = docs.select(col("doc_id").as("id_a"), col("ws").as("wa"))
+    val b = docs.select(col("doc_id").as("id_b"), col("ws").as("wb"))
+    val inter = size(array_intersect(col("wa"), col("wb"))).cast("double")
+    val jac = inter / (size(col("wa")) + size(col("wb")) - inter)
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), jac.as("jac"))
+      .where(col("jac") >= 0.5)
+      .select(col("id_a"), col("id_b"), round(col("jac"), 4).as("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Winnowing fingerprints (non-oracle; property-tested): fingerprint
+    * count + min/max hash per doc. */
+  val docFingerprint: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val fp = Hashing.winnow(text, k = 8, w = 4)
+        (id, fp.length.toLong, if (fp.isEmpty) 0L else fp.min, if (fp.isEmpty) 0L else fp.max)
+      }
+      .toDF("doc_id", "n_fingerprints", "min_fp", "max_fp")
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_exact_dedup"     -> exactDedup,
+    "q_text_stats"      -> textStats,
+    "q_term_freq"       -> termFreq,
+    "q_ngram_shingles"  -> ngramShingles,
+    "q_token_count"     -> tokenCount,
+    "q_quality_score"   -> qualityScore,
+    "q_lang_id"         -> langId,
+    "q_jaccard_ngram"   -> jaccardNgram,
+    "q_doc_fingerprint" -> docFingerprint,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_exact_dedup" ->
+      """SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keep_doc_id
+        |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,
+    "q_text_stats" ->
+      """WITH t AS (
+        |  SELECT lang, n_chars,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_words
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs, sum(n_words) AS total_words,
+        | round(avg(n_chars), 4) AS avg_chars, round(avg(n_words), 4) AS avg_words
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_term_freq" ->
+      """WITH w AS (
+        |  SELECT lang, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, term, count(*) AS n FROM w WHERE len(term) > 0 GROUP BY lang, term),
+        |r AS (
+        |  SELECT lang, term, n,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS BIGINT) AS rn
+        |  FROM c)
+        |SELECT lang, rn, term, n FROM r WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+    "q_ngram_shingles" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |s AS (
+        |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w) t),
+        |c AS (SELECT doc_id, count(DISTINCT sh) AS n FROM s GROUP BY doc_id)
+        |SELECT w.doc_id, CAST(len(w.ws) AS BIGINT) AS n_tokens,
+        | CAST(coalesce(c.n, 0) AS BIGINT) AS n_shingles
+        |FROM w LEFT JOIN c ON w.doc_id = c.doc_id
+        |ORDER BY w.doc_id""".stripMargin,
+    "q_token_count" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_word_toks,
+        | CAST(len(regexp_extract_all(text, '[^a-z0-9\s]')) AS BIGINT) AS n_punct_toks,
+        | CAST(length(text) AS BIGINT) AS n_chars_calc
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS DOUBLE) AS n_chars,
+        |    CAST(len(regexp_extract_all(text, '[^a-z0-9\s]')) AS DOUBLE) AS n_punct,
+        |    CAST(len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+        |      x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE) AS n_stop,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) AS n_toks
+        |  FROM documents)
+        |SELECT doc_id,
+        | round(n_punct / n_chars, 4) AS punct_ratio,
+        | round(n_stop / n_toks, 4) AS stopword_ratio,
+        | round(n_chars / n_toks, 4) AS avg_token_len,
+        | round(least(n_toks / 100.0, 1.0) * (1.0 - n_punct / n_chars), 4) AS quality
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH t AS (
+        |  SELECT lang, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |c AS (
+        |  SELECT lang,
+        |    CAST(len(list_filter(ws, x -> x IN ('the', 'a', 'of'))) AS BIGINT) AS c_en,
+        |    CAST(len(list_filter(ws, x -> x IN ('der', 'die', 'und'))) AS BIGINT) AS c_de,
+        |    CAST(len(list_filter(ws, x -> x IN ('el', 'la', 'que'))) AS BIGINT) AS c_es,
+        |    CAST(len(list_filter(ws, x -> x IN ('le', 'les', 'et'))) AS BIGINT) AS c_fr,
+        |    CAST(len(list_filter(ws, x -> x IN ('的', '是', '了'))) AS BIGINT) AS c_zh
+        |  FROM t),
+        |g AS (
+        |  SELECT lang,
+        |    CASE WHEN greatest(c_en, c_de, c_es, c_fr, c_zh) = 0 THEN 'und'
+        |         WHEN c_en = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'en'
+        |         WHEN c_de = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'de'
+        |         WHEN c_es = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'es'
+        |         WHEN c_fr = greatest(c_en, c_de, c_es, c_fr, c_zh) THEN 'fr'
+        |         ELSE 'zh' END AS guess
+        |  FROM c)
+        |SELECT lang, guess, count(*) AS n_docs FROM g
+        |GROUP BY lang, guess ORDER BY lang, guess""".stripMargin,
+    "q_jaccard_ngram" ->
+      """WITH w AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ws
+        |  FROM documents WHERE doc_id < 50),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE) /
+        |      (len(a.ws) + len(b.ws) - len(list_intersect(a.ws, b.ws))) AS jac
+        |  FROM w a JOIN w b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM p
+        |WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+  )
+}

@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.Hashing
+
+/** Similarity search + near-dup operators over `embeddings` and `documents`
+  * (north-star LLM-pipeline extension): brute-force cosine top-k, sampled
+  * kNN join, exact near-dup pairs, IVF-style pruned ANN, MinHash-LSH and
+  * SimHash candidate generation.
+  *
+  * Vector math is UDF-free (`zip_with` + `aggregate` on array<double>), so
+  * it stays inside codegen; norms are precomputed once per side before any
+  * join, never inside the pair loop.
+  */
+object Vectors {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def vec: Column = col("embedding").cast("array<double>")
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Brute-force cosine top-k for a probe vector (the exactness baseline any
+    * ANN variant is judged against). The probe is a 1-row broadcast; the scan
+    * side computes one fused dot+norm per row (no shuffle until the global
+    * top-k, which TakeOrdered keeps at k per partition). */
+  val cosineTopk: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
+    val probe = broadcast(e.where(col("vec_id") === 0).select(col("v").as("pv")))
+    e.where(col("vec_id") =!= 0)
+      .crossJoin(probe)
+      .select(col("vec_id"),
+        (dot(col("v"), col("pv")) / (norm(col("v")) * norm(col("pv")))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+      .select(col("vec_id"), round(col("cos"), 4).as("cos_r"))
+  }
+
+  /** Pairwise similarity join on a bounded sample (vec_id < 100, i < j).
+    * The sample is broadcast; full-corpus pairing goes through
+    * [[embedNeardup]]. */
+  val knnJoinSample: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).where(col("vec_id") < 100)
+      .select(col("vec_id"), vec.as("v"), norm(vec).as("nrm"))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .where(col("cos") >= 0.3)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Exact embedding near-dup pairs over the full corpus (cos ≥ 0.35).
+    * O(n²) pair generation with precomputed norms — exact and fine to ~10⁴
+    * vectors/partition-side; beyond that the LSH-bucketed [[annIvf]] path
+    * prunes candidates first. */
+  val embedNeardup: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), vec.as("v"), norm(vec).as("nrm"))
+    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
+    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
+      .where(col("cos") >= 0.35)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** IVF-style ANN (non-oracle; recall property-tested vs brute force):
+    * coarse quantize every vector to its nearest of 16 deterministic
+    * centroids (the first 16 vectors), probe the query against the nProbe=4
+    * nearest clusters only. The assignment join is broadcast (centroid list
+    * is tiny); at 100 TB the cluster-id becomes the shuffle/bucket key and
+    * each query touches nProbe/16 of the data. */
+  val annIvf: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
+    val cents = broadcast(e.where(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("v").as("cv")))
+    val assigned = e.crossJoin(cents)
+      .select(col("vec_id"), col("v"), col("cent_id"),
+        (dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv")))).as("csim"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
+          .orderBy(col("csim").desc, col("cent_id"))))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cent_id"))
+    val probeClusters = assigned.where(col("vec_id") === 0)
+      .crossJoin(cents.select(col("cent_id").as("pc_id"), col("cv")))
+      .select(col("v").as("pv"), col("pc_id"),
+        (dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv")))).as("csim"))
+      .orderBy(col("csim").desc, col("pc_id")).limit(4)
+    val cand = assigned.join(broadcast(probeClusters),
+      assigned("cent_id") === probeClusters("pc_id"))
+    cand.where(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        (dot(col("v"), col("pv")) / (norm(col("v")) * norm(col("pv")))).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      .select(col("vec_id"), round(col("cos"), 4).as("cos_r"))
+  }
+
+  /** MinHash + LSH banded near-dup candidates over document 3-gram shingles
+    * (non-oracle; property: exact-dup docs always collide). 32 hashes,
+    * 8 bands × 4 rows. The band explode is the scalable trick: candidates
+    * come from an equi-join on (band, key) — never a cross join. */
+  val minhashLsh: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = text.toLowerCase.trim.split("\\s+").toSeq
+        val shingles =
+          if (toks.length < 3) toks
+          else toks.sliding(3).map(_.mkString(" ")).toSeq
+        val sig = Hashing.minhash(shingles, 32)
+        (id, Hashing.lshBands(sig, 8, 4), sig)
+      }
+      .toDF("doc_id", "bands", "sig")
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      posexplode(col("bands")).as(Seq("band", "key")))
+    val a = banded.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
+      col("band"), col("key"))
+    val b = banded.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
+      col("band"), col("key"))
+    a.join(b, Seq("band", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1.0).otherwise(0.0)),
+          lit(0.0), (acc, x) => acc + x) / 32.0, 4).as("est_jaccard"))
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash near-dup candidates (non-oracle): 64-bit token simhash,
+    * pairs within Hamming distance 12 on a bounded sample. At scale the
+    * pair search uses the pigeonhole trick (split 64 bits into d+1 blocks,
+    * equi-join per block) — demonstrated here with 4 16-bit block keys. */
+  val simhashDedup: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val hashed = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val h = Hashing.simhash(text.toLowerCase.trim.split("\\s+").toSeq)
+        (id, h, Array.tabulate(4)(b => (b.toLong << 32) | ((h >>> (b * 16)) & 0xffffL)))
+      }
+      .toDF("doc_id", "sim", "blocks")
+    val exploded = hashed.select(col("doc_id"), col("sim"), explode(col("blocks")).as("blk"))
+    val a = exploded.select(col("doc_id").as("id_a"), col("sim").as("sim_a"), col("blk"))
+    val b = exploded.select(col("doc_id").as("id_b"), col("sim").as("sim_b"), col("blk"))
+    val ham = udf((x: Long, y: Long) => Hashing.hamming64(x, y))
+    a.join(b, Seq("blk"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), ham(col("sim_a"), col("sim_b")).as("hamming"))
+      .where(col("hamming") <= 12)
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** documents ⋈ embeddings on id — the multimodal star join (text +
+    * vector features side by side). */
+  val multimodalJoin: Q = (s, d) =>
+    Tables.documents(s, d)
+      .join(Tables.embeddings(s, d), col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(col("embedding")).cast("long").as("n_dim"),
+        col("label").cast("long").as("label_l"),
+        round(norm(vec), 4).as("emb_norm"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, Q] = Map(
+    "q_cosine_topk"     -> cosineTopk,
+    "q_knn_join_sample" -> knnJoinSample,
+    "q_embed_neardup"   -> embedNeardup,
+    "q_ann_ivf"         -> annIvf,
+    "q_minhash_lsh"     -> minhashLsh,
+    "q_simhash_dedup"   -> simhashDedup,
+    "q_multimodal_join" -> multimodalJoin,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT v AS pv FROM e WHERE vec_id = 0)
+        |SELECT vec_id, round(cos, 4) AS cos_r FROM (
+        |  SELECT e.vec_id,
+        |    list_dot_product(e.v, p.pv) /
+        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(p.pv, p.pv))) AS cos
+        |  FROM e, p WHERE e.vec_id <> 0) t
+        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q_knn_join_sample" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings WHERE vec_id < 100)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_r
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_embed_neardup" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_r
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_multimodal_join" ->
+      """SELECT d.doc_id, d.lang, d.n_chars,
+        | CAST(len(e.embedding) AS BIGINT) AS n_dim,
+        | CAST(e.label AS BIGINT) AS label_l,
+        | round(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))), 4) AS emb_norm
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |ORDER BY d.doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming variants of the [[graft.operators.Events]] batch
+  * pipelines (SURVEY §2.2 streaming family, M4): the same logical
+  * transformations compiled against `readStream`, with real watermarks and
+  * state. The batch forms are what the DuckDB oracle checks; these are what
+  * a production deployment would run, and StreamingSpec asserts
+  * batch/stream agreement on the file-replay of the events table.
+  *
+  * Scale: state is keyed by (window | user) — partitioned across executors
+  * by the shuffle; watermarks bound state size (late events beyond 10 min
+  * are dropped), which is exactly the unbounded-state control the batch
+  * emulation can't express.
+  */
+object Streams {
+
+  /** events schema for the file-source replay (ts is INT64 nanos on disk —
+    * read as long, converted to a proper event-time column below). */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-replay stream of the events table (one parquet = one micro-batch
+    * replay; in production this is a Kafka/file-drop source with identical
+    * downstream plan). */
+  def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file stream source needs a *directory* base path; glob-filter the
+    // events table out of the shared sf directory
+    spark.readStream.schema(eventsRawSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 5-minute counts with a 10-minute watermark. */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "5 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .select(unix_timestamp(col("window.start")).as("w_start"),
+        col("event_type"), col("n"), col("sum_v"))
+
+  /** Session windows (30-minute gap) per user under watermark. */
+  def sessionCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"), unix_timestamp(col("session_window.start")).as("sess_start"),
+        col("n"))
+
+  /** Stateful dedup on event_id within the watermark horizon. */
+  def dedupStream(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  case class UserAgg(userId: Long, nEvents: Long, maxValue: Double)
+
+  /** Custom keyed state via flatMapGroupsWithState: running per-user event
+    * count + max value, emitted on every update (the
+    * KeyValueGroupedDataset path for state machines the built-in aggs can't
+    * express). */
+  def statefulUserAgg(spark: SparkSession, events: DataFrame): Dataset[UserAgg] = {
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserAgg, UserAgg](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Double)], state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(key, 0L, Double.MinValue))
+          var n = prev.nEvents
+          var mx = prev.maxValue
+          rows.foreach { case (_, v) => n += 1; if (v > mx) mx = v }
+          val next = UserAgg(key, n, mx)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
+  /** Run a streaming DataFrame to completion against the replayed file
+    * source and return the final result table (memory sink, complete or
+    * update mode depending on the query). Used by tests and demos. */
+  def runToCompletion(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    df.sparkSession.table(name)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.streaming.Streams
+
+/** Batch/stream agreement: the streaming pipelines replayed over the events
+  * file must reproduce the batch (oracle-checked) results. */
+class StreamingSpec extends AnyFunSuite {
+
+  test("streaming tumbling window equals batch q_tumbling_window") {
+    val spark = TestSpark.spark
+    val stream = Streams.eventsStream(spark, TestSpark.sf0001)
+    val got = Streams.runToCompletion(
+      Streams.tumblingCounts(stream), "t_tumbling", "complete")
+      .select(col("w_start"), col("event_type"), col("n"),
+        round(col("sum_v"), 4).as("sum_v"))
+      .orderBy(col("w_start"), col("event_type"))
+      .collect().toSeq
+    val want = operators.Events.tumblingWindow(spark, TestSpark.sf0001)
+      .collect().toSeq
+    assert(got == want)
+  }
+
+  test("streaming session window row counts match batch q_session_window") {
+    val spark = TestSpark.spark
+    val stream = Streams.eventsStream(spark, TestSpark.sf0001)
+    val got = Streams.runToCompletion(
+      Streams.sessionCounts(stream), "t_session", "complete")
+      .orderBy(col("user_id"), col("sess_start"))
+      .collect().toSeq
+    val want = operators.Events.sessionWindow(spark, TestSpark.sf0001)
+      .select(col("user_id"), col("sess_start"), col("n"))
+      .collect().toSeq
+    assert(got == want)
+  }
+
+  test("dropDuplicatesWithinWatermark keeps one row per event_id") {
+    val spark = TestSpark.spark
+    val stream = Streams.eventsStream(spark, TestSpark.sf0001)
+    val got = Streams.runToCompletion(
+      Streams.dedupStream(stream).select(col("event_id")), "t_dedup", "append")
+    val total = Tables.events(spark, TestSpark.sf0001).count()
+    assert(got.count() == total) // event_ids are unique → all kept, none dropped
+    assert(got.distinct().count() == total)
+  }
+
+  test("flatMapGroupsWithState running per-user aggregate matches batch") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val stream = Streams.eventsStream(spark, TestSpark.sf0001)
+    val finalRows = Streams.runToCompletion(
+      Streams.statefulUserAgg(spark, stream).toDF(), "t_state", "update")
+    // in update mode the memory sink holds every emitted update; the final
+    // state per user is the row with the max nEvents
+    val got = finalRows.groupBy(col("userId"))
+      .agg(max(struct(col("nEvents"), col("maxValue"))).as("s"))
+      .select(col("userId"), col("s.nEvents").as("n"), round(col("s.maxValue"), 4).as("mx"))
+      .orderBy(col("userId")).collect().toSeq
+    val want = Tables.events(spark, TestSpark.sf0001)
+      .groupBy(col("user_id").as("userId"))
+      .agg(count(lit(1)).as("n"), round(max(col("value")), 4).as("mx"))
+      .orderBy(col("userId")).collect().toSeq
+    assert(got == want)
+  }
+}
