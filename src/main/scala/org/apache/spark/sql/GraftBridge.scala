@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Narrow bridge to `private[sql]` Column↔Expression converters — the
+  * supported way for a library jar to expose custom Catalyst expressions as
+  * `Column`s on Spark 4.x (where `new Column(expr)` is gone). Kept to two
+  * one-line delegates; nothing else of the internal API leaks out. */
+object GraftBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

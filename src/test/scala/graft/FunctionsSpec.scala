@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{Codec, FnvHash64Expr, Hashing}
+
+/** The engine's user-facing function surface: SQL-registered UDFs and the
+  * native codegen expression, exercised through spark.sql. */
+class FunctionsSpec extends AnyFunSuite {
+
+  test("zlib/crc/quantize UDFs round-trip through SQL") {
+    val spark = TestSpark.spark
+    Codec.register(spark)
+    val row = spark.sql(
+      """SELECT
+        |  decode(zlib_inflate(zlib_deflate(encode('hello graft', 'utf-8'))), 'utf-8') AS back,
+        |  crc32_long(zlib_deflate(encode('hello graft', 'utf-8'))) AS crc,
+        |  dequantize255(quantize255(array(0.0D, 0.5D, 1.0D)), 0.0D, 1.0D) AS deq
+        |""".stripMargin).head()
+    assert(row.getString(0) == "hello graft")
+    assert(row.getLong(1) != 0L)
+    val deq = row.getSeq[Double](2)
+    assert(math.abs(deq(0) - 0.0) < 1e-9 && math.abs(deq(2) - 1.0) < 1e-9)
+    assert(deq(1) >= 0.5 - 1.0 / 255 && deq(1) <= 0.5)
+  }
+
+  test("hashing UDFs are SQL-callable and deterministic") {
+    val spark = TestSpark.spark
+    Hashing.register(spark)
+    val r1 = spark.sql("SELECT fnv64('abc') AS h, simhash64(array('a','b')) AS s").head()
+    val r2 = spark.sql("SELECT fnv64('abc') AS h, simhash64(array('a','b')) AS s").head()
+    assert(r1 == r2)
+    assert(r1.getLong(0) == Hashing.fnv64("abc"))
+  }
+
+  test("native fnv_hash64 expression: codegen result equals Scala impl, stays in codegen plan") {
+    val spark = TestSpark.spark
+    FnvHash64Expr.register(spark)
+    import spark.implicits._
+    val lit = Seq("a", "graft engine", "", "日本語").toDF("s")
+      .select(col("s"), FnvHash64Expr.fnv_hash64(col("s")).as("h"))
+    lit.collect().foreach { r =>
+      assert(r.getLong(1) == Hashing.fnv64(r.getString(0)), s"mismatch for '${r.getString(0)}'")
+    }
+    // a real scan → the projection must fuse into WholeStageCodegen
+    val df = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("text"), FnvHash64Expr.fnv_hash64(col("text")).as("h"))
+    df.collect().foreach { r =>
+      assert(r.getLong(1) == Hashing.fnv64(r.getString(0)))
+    }
+    // SQL registration path
+    val viaSql = spark.sql("SELECT fnv_hash64('graft') AS h").head().getLong(0)
+    assert(viaSql == Hashing.fnv64("graft"))
+    // the projection must fuse into a WholeStageCodegen span (the `*(n)`
+    // prefix in the executed plan) — a UDF fallback would lose it
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("fnv_hash64"), plan)
+  }
+}
