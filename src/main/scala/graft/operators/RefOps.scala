@@ -217,6 +217,20 @@ object RefOps {
   val refDgfPipeline: Q = (s, _) =>
     graft.sources.SeisPipeline.dgfPipeline(s, graft.sources.SeisFixture.ensure())
 
+  /** R5/R6/E3: element point-lookup read path on the fixture (non-oracle;
+    * exact permutation semantics pinned by PipelineSpec). */
+  val refElementLookup: Q = (s, _) => {
+    val dir = graft.sources.SeisFixture.ensure()
+    graft.sources.SeisPipeline.elementLookup(s, dir, indexElement = 2, use27 = true)
+      .orderBy(col("pos"))
+  }
+
+  /** R12: valid-step scan over the fixture's 3 force dirs (non-oracle). */
+  val refValidSteps: Q = (s, _) => {
+    val dir = graft.sources.SeisFixture.ensure()
+    graft.sources.SeisPipeline.validSteps(s, dir, 0, 101, 10)
+  }
+
   /** Sketch surface: approximate distinct (HLL++) — non-oracle by design
     * (approx results differ engine to engine; SURVEY §7.4 bans approx_* in
     * oracle-checked queries). */
@@ -239,6 +253,8 @@ object RefOps {
     "ref_fortran_scan"       -> refFortranScan,
     "ref_sgt_pipeline"       -> refSgtPipeline,
     "ref_dgf_pipeline"       -> refDgfPipeline,
+    "ref_element_lookup"     -> refElementLookup,
+    "ref_valid_steps"        -> refValidSteps,
     "ref_approx_distinct"    -> refApproxDistinct,
   )
 

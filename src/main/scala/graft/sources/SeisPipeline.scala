@@ -127,6 +127,94 @@ object SeisPipeline {
       .orderBy(col("gll"))
   }
 
+  /** R10 (`DWidgets.py:9-11`): zero-padded processor partition name. */
+  def procName(idx: Int): String = f"proc$idx%06d"
+
+  /** R5/R6 + E3 (`ibool_reader.py:37-111` `DEnquire_Element`): point-lookup
+    * of one element's GLL ids — the read-path entry a consumer uses to
+    * locate blobs. 27-variant emits the reference's exact (i,j,k)→(k,j,i)
+    * transposed order (`ibool_reader.py:81-86`); out-of-range element →
+    * zeros, matching the reference's quirk (`:52,73`). Runs as a point
+    * filter on the ibool scan — at scale this is a partition-pruned lookup,
+    * not a full scan (the ibool table would be bucketed by spec). */
+  def elementLookup(spark: SparkSession, dir: String, indexElement: Int,
+      use27: Boolean): DataFrame = {
+    import spark.implicits._
+    val rows = readIbool(spark, dir)
+      .where(col("spec") === indexElement)
+      .orderBy(col("igll"))
+      .select(col("igll"), col("gll"))
+      .as[(Int, Long)].collect().toMap
+    val out: Seq[Long] =
+      if (rows.isEmpty) Seq.fill(if (use27) 27 else SeisFixture.NGLL_LOCAL)(0L)
+      else if (!use27) (0 until SeisFixture.NGLL_LOCAL).map(rows(_))
+      else {
+        val sel = SeisFixture.Index27.map(rows(_)) // k-major selection order
+        for (i <- 0 until 3; j <- 0 until 3; k <- 0 until 3)
+          yield sel(k * 9 + j * 3 + i) // emit transposed (i,j,k) ← [k][j][i]
+      }
+    out.zipWithIndex.map { case (g, p) => (p, g) }.toDF("pos", "gll")
+  }
+
+  /** R12 (`DDBbase.py:55-84` `DCheck_valid_step`): generate the stride range
+    * and keep steps whose snapshot exists in ALL 3 force dirs — expressed as
+    * range ⋈ (file listing grouped by step, count == 3), an inner join on
+    * the tiny driver-free listing DF. Errors if empty, like the reference. */
+  def validSteps(spark: SparkSession, dir: String, step0: Int, step1: Int,
+      dstep: Int, kind: String = "strain_field"): DataFrame = {
+    import spark.implicits._
+    val pat = (".*force_([NEZ])/.*_" + kind + "_Step_(\\d+)\\.bin$").r
+    val listed = spark.read.format("binaryFile")
+      .option("pathGlobFilter", s"*_${kind}_Step_*.bin")
+      .option("recursiveFileLookup", "true").load(dir)
+      .select("path").as[String]
+      .flatMap { p => p match {
+        case pat(f, st) => Some((f, st.toInt))
+        case _ => None
+      } }
+      .toDF("force", "step")
+    val complete = listed.groupBy(col("step"))
+      .agg(countDistinct(col("force")).as("nf"))
+      .where(col("nf") === 3)
+    val steps = spark.range(step0, step1, dstep)
+      .select(col("id").cast("int").as("step"))
+      .join(complete, Seq("step"), "left_semi")
+      .orderBy(col("step"))
+    if (steps.isEmpty)
+      throw new IllegalArgumentException(
+        s"no valid steps in [$step0,$step1) stride $dstep under $dir")
+    steps
+  }
+
+  /** E1 as a *database build* (the `DSGTdb.create_db` equivalent,
+    * `DSGT.py:40-196`): encode per-point blobs + stats and sink them
+    * hive-partitioned by (network, station, proc) — the reference's
+    * directory layout R11 (`DDBbase.py:38-48`) — as parquet with the blob
+    * as a binary column. Parquet replaces the hand-rolled offset/HDF5
+    * bookkeeping (stats ride with the payload; row-group stats give
+    * point-lookup pruning). Returns the written row count. */
+  def createSgtDb(spark: SparkSession, fixtureDir: String, outDir: String,
+      network: String, station: String, procIdx: Int = 0): Long = {
+    import spark.implicits._
+    val index = broadcast(subsampledIndex(spark, fixtureDir))
+    val gathered = readStrain(spark, fixtureDir)
+      .join(index, Seq("spec", "igll"))
+      .select(col("gll"), col("force"), col("param"), col("step"), col("value"))
+      .as[SeisSample]
+    val blobs = gathered.groupByKey(_.gll)
+      .agg(graft.functions.SeriesEncoder.toColumn.name("enc"))
+      .toDF("gll", "enc")
+      .select(col("gll"), col("enc.n").as("n"), col("enc.offset").as("offset"),
+        col("enc.scale").as("scale"), col("enc.payload").as("payload"),
+        length(col("enc.payload")).as("payload_len"),
+        lit(network).as("network"), lit(station).as("station"),
+        lit(procName(procIdx)).as("proc"))
+    blobs.write.mode("overwrite")
+      .partitionBy("network", "station", "proc")
+      .parquet(outDir)
+    spark.read.parquet(outDir).count()
+  }
+
   /** E2 — DGF build over displacement snapshots: gather by global gll id
     * (semi-join against the subsample names), (comp, force)-major order
     * (`DDGF.py:128-132` — comp becomes `param`, force stays `force`). */
