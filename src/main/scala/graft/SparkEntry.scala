@@ -23,7 +23,9 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ RefOps.queries ++
-      Text.queries ++ Vectors.queries ++ Multimodal.queries
+      Text.queries ++ Vectors.queries ++ Multimodal.queries ++
+      Map("q_dedup_clusters" ->
+        ((s: SparkSession, d: String) => operators.DedupCluster.clusters(s, d, 0.5)))
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */

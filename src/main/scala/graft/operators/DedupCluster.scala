@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup clustering: near-dup candidate pairs → connected components →
+  * one representative per cluster. The step after MinHash-LSH / SimHash in a
+  * 100 TB dedup pipeline ("keep one of each near-dup family").
+  *
+  * Components by iterative min-label propagation: each round every node
+  * takes the min component id among itself and its neighbors — O(diameter)
+  * rounds, and near-dup graphs are shallow (cliques + short chains).
+  * Lineage is cut per round with localCheckpoint so the plan doesn't grow
+  * exponentially; each round is one join + one aggregate, all shuffle-
+  * partitioned by node id.
+  */
+object DedupCluster {
+
+  /** pairs: two id columns (undirected edges). Returns (id, comp) where comp
+    * is the min node id of the component. Nodes absent from `pairs` are
+    * their own components (callers union them back if needed). */
+  def connectedComponents(pairs: DataFrame, idA: String = "id_a",
+      idB: String = "id_b", maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("comp", col("id"))
+      .localCheckpoint(true)
+    var iter = 0
+    var done = false
+    while (!done && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("comp")).as("ncomp"))
+      val propagated = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+      // pointer jumping (comp ← comp's comp): turns O(diameter) rounds into
+      // O(log diameter) — a 40-node chain converges in ~7 rounds, not 39
+      val next = propagated
+        .join(propagated.select(col("id").as("comp"), col("comp").as("jump")),
+          Seq("comp"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("jump"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      done = next.join(labels.withColumnRenamed("comp", "oldc"), Seq("id"))
+        .where(col("comp") =!= col("oldc"))
+        .isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist(blocking = false)
+    labels
+  }
+
+  /** Full dedup plan over documents: LSH candidates (est. Jaccard ≥ minJac)
+    * → components → per-cluster size + representative (min doc_id). */
+  def clusters(s: SparkSession, d: String, minJac: Double): DataFrame = {
+    val pairs = Vectors.minhashLsh(s, d).where(col("est_jaccard") >= minJac)
+    connectedComponents(pairs)
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("cluster_size"), min(col("id")).as("keep_doc_id"))
+      .orderBy(col("comp"))
+  }
+}

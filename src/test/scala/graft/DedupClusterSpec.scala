@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.DedupCluster
+
+class DedupClusterSpec extends AnyFunSuite {
+
+  test("connected components on a known graph (two chains + one clique)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // components: {1,2,3,4} (chain), {10,11,12} (triangle), {20,21} (edge)
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+    val comp = DedupCluster.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comp(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(comp(_) == 10L))
+    assert(Seq(20L, 21L).forall(comp(_) == 20L))
+  }
+
+  test("long chain converges (diameter > a couple of rounds)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("id_a", "id_b")
+    val comp = DedupCluster.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 40L).forall(comp(_) == 0L))
+  }
+
+  test("document clusters from LSH candidates have sane shape") {
+    val spark = TestSpark.spark
+    val cl = DedupCluster.clusters(spark, TestSpark.sf0001, minJac = 0.5).collect()
+    // every cluster has >= 2 members (components only form from pairs) and
+    // the representative is its own component id
+    cl.foreach { r =>
+      assert(r.getAs[Long]("cluster_size") >= 2)
+      assert(r.getAs[Long]("keep_doc_id") == r.getAs[Long]("comp"))
+    }
+  }
+}
