@@ -18,10 +18,38 @@ object DedupCluster {
 
   /** pairs: two id columns (undirected edges). Returns (id, comp) where comp
     * is the min node id of the component. Nodes absent from `pairs` are
-    * their own components (callers union them back if needed). */
+    * their own components (callers union them back if needed).
+    *
+    * Adaptive: candidate-pair edge lists are tiny relative to the corpus
+    * (that's the point of LSH pruning), so below `driverThreshold` edges we
+    * run exact union-find on the driver — microseconds, no per-round job
+    * overhead. The distributed min-label + pointer-jumping path handles the
+    * rare beyond-driver-memory graph. */
   def connectedComponents(pairs: DataFrame, idA: String = "id_a",
-      idB: String = "id_b", maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      idB: String = "id_b", maxIter: Int = 25,
+      driverThreshold: Long = 2_000_000L): DataFrame = {
+    val spark = pairs.sparkSession
+    val undirected = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val nEdges = undirected.count()
+    if (nEdges <= driverThreshold) {
+      import spark.implicits._
+      val es = undirected.as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val nxt = parent(c); parent(c) = r; c = nxt }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      return parent.keys.toSeq.sorted.map(k => (k, find(k))).toDF("id", "comp")
+    }
+    val edges = undirected
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

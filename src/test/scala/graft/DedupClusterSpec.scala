@@ -18,14 +18,29 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(Seq(20L, 21L).forall(comp(_) == 20L))
   }
 
-  test("long chain converges (diameter > a couple of rounds)") {
+  test("long chain converges on the distributed path (driverThreshold=0)") {
     val spark = TestSpark.spark
     import spark.implicits._
     val chain = (0L until 40L).sliding(2).map(s => (s(0), s(1))).toSeq
       .toDF("id_a", "id_b")
-    val comp = DedupCluster.connectedComponents(chain)
+    val comp = DedupCluster.connectedComponents(chain, driverThreshold = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert((0L until 40L).forall(comp(_) == 0L))
+  }
+
+  test("driver and distributed paths agree") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pairs = (1 to 120).map(_ => (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("id_a", "id_b")
+    val fast = DedupCluster.connectedComponents(pairs)
+      .orderBy("id").collect().toSeq
+    val dist = DedupCluster.connectedComponents(pairs, driverThreshold = 0)
+      .orderBy("id").collect().toSeq
+    assert(fast == dist && fast.nonEmpty)
   }
 
   test("document clusters from LSH candidates have sane shape") {
