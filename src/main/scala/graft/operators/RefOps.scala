@@ -241,6 +241,15 @@ object RefOps {
         count(lit(1)).as("n"))
       .orderBy(col("event_type"))
 
+  /** Custom TypedImperativeAggregate sketch (KMV) beside the exact count —
+    * non-oracle (sketches are engine-specific by design). */
+  val refKmvDistinct: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.KmvDistinct.kmv_distinct(col("user_id"), 256).as("kmv_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, Q] = Map(
     "ref_monotone_dedup"     -> refMonotoneDedup,
     "ref_subsample"          -> refSubsample,
@@ -256,6 +265,7 @@ object RefOps {
     "ref_element_lookup"     -> refElementLookup,
     "ref_valid_steps"        -> refValidSteps,
     "ref_approx_distinct"    -> refApproxDistinct,
+    "ref_kmv_distinct"       -> refKmvDistinct,
   )
 
   val oracles: Map[String, String] = Map(

@@ -47,6 +47,14 @@ object Streams {
       .select(unix_timestamp(col("window.start")).as("w_start"),
         col("event_type"), col("n"), col("sum_v"))
 
+  /** Sliding 10-minute windows every 5, watermarked — each event lands in
+    * exactly two windows (Expand node; state keyed by window start). */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_v"))
+      .select(unix_timestamp(col("window.start")).as("w_start"), col("n"), col("sum_v"))
+
   /** Session windows (30-minute gap) per user under watermark. */
   def sessionCounts(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")

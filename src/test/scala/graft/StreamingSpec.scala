@@ -22,6 +22,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming sliding window equals batch q_sliding_window") {
+    val spark = TestSpark.spark
+    val stream = Streams.eventsStream(spark, TestSpark.sf0001)
+    val got = Streams.runToCompletion(
+      Streams.slidingCounts(stream), "t_sliding", "complete")
+      .select(col("w_start"), col("n"), round(col("sum_v"), 4).as("sum_v"))
+      .orderBy(col("w_start"))
+      .collect().toSeq
+    val want = operators.Events.slidingWindow(spark, TestSpark.sf0001)
+      .collect().toSeq
+    assert(got == want)
+  }
+
   test("streaming session window row counts match batch q_session_window") {
     val spark = TestSpark.spark
     val stream = Streams.eventsStream(spark, TestSpark.sf0001)
