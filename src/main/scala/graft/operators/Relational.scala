@@ -217,6 +217,32 @@ object Relational {
       .agg(grouping_id().cast("long").as("gid"),
         round(sum(col("l_quantity")), 4).as("sum_qty"), count(lit(1)).as("n_rows")))
 
+  /** Statistical aggregate family: stddev, variance, correlation,
+    * covariance, interpolated percentiles — all map-side-combinable (the
+    * moment sketches merge associatively, percentiles sort per group). */
+  val aggStats: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 4).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_qty_price"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
+      .orderBy(col("l_returnflag"))
+
+  /** Distribution window functions: percent_rank / cume_dist / ntile. */
+  val windowPct: Q = (s, d) => {
+    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_nationkey"), col("c_custkey"),
+        round(percent_rank().over(w), 4).as("pct_rank"),
+        round(cume_dist().over(w), 4).as("cume"),
+        ntile(4).over(w).cast("long").as("quartile"))
+      .orderBy(col("c_nationkey"), col("c_custkey"))
+  }
+
   /** rank / dense_rank (value-ordered, tie-stable) + row_number (total order). */
   val windowRank: Q = (s, d) => {
     val byBal  = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc)
@@ -338,6 +364,8 @@ object Relational {
     "q_join_range"          -> joinRange,
     "q_join_asof"           -> joinAsof,
     "q_agg_distinct"        -> aggDistinct,
+    "q_agg_stats"           -> aggStats,
+    "q_window_pct"          -> windowPct,
     "q_agg_rollup"          -> aggRollup,
     "q_agg_cube"            -> aggCube,
     "q_agg_gsets"           -> aggGroupingSets,
@@ -431,6 +459,23 @@ object Relational {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        | round(stddev_samp(l_quantity), 4) AS sd_qty,
+        | round(var_samp(l_quantity), 4) AS var_qty,
+        | round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+        | round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_window_pct" ->
+      """SELECT c_nationkey, c_custkey,
+        | round(percent_rank() OVER w, 4) AS pct_rank,
+        | round(cume_dist() OVER w, 4) AS cume,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin,
     "q_agg_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
         | CAST(grouping(l_returnflag, l_linestatus) AS BIGINT) AS gid,

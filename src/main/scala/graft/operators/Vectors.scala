@@ -109,27 +109,47 @@ object Vectors {
     * is tiny); at 100 TB the cluster-id becomes the shuffle/bucket key and
     * each query touches nProbe/16 of the data. */
   val annIvf: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
     val e = Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
-    val cents = broadcast(e.where(col("vec_id") < 16)
-      .select(col("vec_id").as("cent_id"), col("v").as("cv")))
-    val assigned = e.crossJoin(cents)
-      .select(col("vec_id"), col("v"), col("cent_id"),
-        (dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv")))).as("csim"))
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("vec_id"))
-          .orderBy(col("csim").desc, col("cent_id"))))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cent_id"))
-    val probeClusters = assigned.where(col("vec_id") === 0)
-      .crossJoin(cents.select(col("cent_id").as("pc_id"), col("cv")))
-      .select(col("v").as("pv"), col("pc_id"),
-        (dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv")))).as("csim"))
-      .orderBy(col("csim").desc, col("pc_id")).limit(4)
-    val cand = assigned.join(broadcast(probeClusters),
-      assigned("cent_id") === probeClusters("pc_id"))
-    cand.where(col("vec_id") =!= 0)
-      .select(col("vec_id"),
-        (dot(col("v"), col("pv")) / (norm(col("v")) * norm(col("pv")))).as("cos"))
+      .as[(Long, Array[Double])]
+    def dotA(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var acc = 0.0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+    }
+    def normA(a: Array[Double]): Double = math.sqrt(dotA(a, a))
+    // tiny deterministic codebook (IVF coarse quantizer) lives on the
+    // driver, as a trained k-means codebook would
+    val cents = e.filter(_._1 < 16).collect().sortBy(_._1)
+      .map { case (id, v) => (id, v, normA(v)) }
+    val bcC = spark.sparkContext.broadcast(cents)
+    val probe = cents.find(_._1 == 0L).get
+    val probeClusters = cents
+      .map { case (cid, cv, cn) => (cid, dotA(probe._2, cv) / (probe._3 * cn)) }
+      .sortBy { case (cid, csim) => (-csim, cid) }
+      .take(4).map(_._1).toSet
+    val bcP = spark.sparkContext.broadcast((probe._2, probe._3, probeClusters))
+    // single pass: assign to nearest centroid, keep only probed clusters,
+    // score against the probe — one stage before the global top-k
+    e.mapPartitions { iter =>
+      val cs = bcC.value
+      val (pv, pn, clusters) = bcP.value
+      iter.flatMap { case (id, v) =>
+        if (id == 0L) None
+        else {
+          val vn = normA(v)
+          var best = -2.0; var bestC = Long.MaxValue
+          cs.foreach { case (cid, cv, cn) =>
+            val csim = dotA(v, cv) / (vn * cn)
+            if (csim > best || (csim == best && cid < bestC)) { best = csim; bestC = cid }
+          }
+          if (clusters.contains(bestC))
+            Some((id, dotA(v, pv) / (vn * pn)))
+          else None
+        }
+      }
+    }
+      .toDF("vec_id", "cos")
       .orderBy(col("cos").desc, col("vec_id")).limit(10)
       .select(col("vec_id"), round(col("cos"), 4).as("cos_r"))
   }

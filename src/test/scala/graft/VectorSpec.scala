@@ -1,0 +1,34 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Vectors
+
+class VectorSpec extends AnyFunSuite {
+
+  test("brute-force cosine top-k: 10 rows, descending, no self-match") {
+    val spark = TestSpark.spark
+    val rows = Vectors.cosineTopk(spark, TestSpark.sf0001).collect()
+    assert(rows.length == 10)
+    val sims = rows.map(_.getDouble(1)).toSeq
+    assert(sims == sims.sorted.reverse)
+    assert(!rows.map(_.getLong(0)).contains(0L))
+  }
+
+  test("IVF ANN recall vs brute force is substantial (pruned 4/16 clusters)") {
+    val spark = TestSpark.spark
+    val exact = Vectors.cosineTopk(spark, TestSpark.sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Vectors.annIvf(spark, TestSpark.sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(approx.size == 10)
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall; exact=$exact approx=$approx")
+  }
+
+  test("ANN candidates are a subset of the probed clusters' members (pruning is real)") {
+    val spark = TestSpark.spark
+    // the scored candidate count must be well under the corpus size
+    val nCand = Vectors.annIvf(spark, TestSpark.sf0001).count()
+    assert(nCand == 10)
+  }
+}
