@@ -342,6 +342,46 @@ object Relational {
       .withColumn("k_mod", col("k_val") % 10)
       .orderBy(col("event_id"))
 
+  /** Uncorrelated scalar subquery: filter against a computed global
+    * aggregate — the 1-row aggregate is broadcast, so the scan side stays a
+    * single pass. */
+  val scalarSubquery: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val threshold = broadcast(li.agg((avg(col("l_quantity")) * 1.8).as("qty_cut")))
+    li.crossJoin(threshold)
+      .where(col("l_quantity") > col("qty_cut"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), round(avg(col("l_extendedprice")), 4).as("avg_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Explicit pivot (long → wide): per-user sums per event type. Pivot
+    * values are declared, so no extra distinct-scan pass and stable column
+    * order. */
+  val pivotWide: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(sum(col("value")))
+      .select(col("user_id") +:
+        Seq("click", "error", "purchase", "signup", "view")
+          .map(c => round(coalesce(col(c), lit(0.0)), 4).as(c)): _*)
+      .orderBy(col("user_id"))
+
+  /** Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    * match NULL keys — the semantics plain equi-joins silently drop. */
+  val nullSafeJoin: Q = (s, d) => {
+    val cust = Tables.customer(s, d)
+      .withColumn("seg", nullif(col("c_mktsegment"), lit("BUILDING")))
+    val left = cust.groupBy(col("seg")).agg(count(lit(1)).as("n_cust"))
+    val right = cust.where(col("c_acctbal") > 0)
+      .groupBy(col("seg").as("seg_r")).agg(count(lit(1)).as("n_pos"))
+    left.join(right, col("seg") <=> col("seg_r"), "left")
+      .select(coalesce(col("seg"), lit("NULL_SEG")).as("seg_label"),
+        col("n_cust"), coalesce(col("n_pos"), lit(0L)).as("n_pos"))
+      .orderBy(col("seg_label"))
+  }
+
   /** CASE WHEN + null semantics (coalesce / nullif). */
   val caseWhenNulls: Q = (s, d) =>
     Tables.customer(s, d)
@@ -374,6 +414,9 @@ object Relational {
     "q_topk_per_group"      -> topkPerGroup,
     "q_sort_limit"          -> sortLimit,
     "q_set_ops"             -> setOps,
+    "q_scalar_subquery"     -> scalarSubquery,
+    "q_pivot_wide"          -> pivotWide,
+    "q_null_safe_join"      -> nullSafeJoin,
     "q_scalar_funcs"        -> scalarFuncs,
     "q_array_map_funcs"     -> arrayFuncs,
     "q_json_funcs"          -> jsonFuncs,
@@ -533,6 +576,27 @@ object Relational {
         |UNION ALL
         |SELECT 'union_all', key, count(*) FROM (SELECT key FROM a UNION ALL SELECT key FROM b) GROUP BY key
         |ORDER BY op, key""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT l_returnflag, count(*) AS n, round(avg(l_extendedprice), 4) AS avg_price
+        |FROM lineitem
+        |WHERE l_quantity > (SELECT avg(l_quantity) FROM lineitem) * 1.8
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_pivot_wide" ->
+      """SELECT user_id,
+        | round(coalesce(sum(CASE WHEN event_type = 'click' THEN value END), 0.0), 4) AS click,
+        | round(coalesce(sum(CASE WHEN event_type = 'error' THEN value END), 0.0), 4) AS error,
+        | round(coalesce(sum(CASE WHEN event_type = 'purchase' THEN value END), 0.0), 4) AS purchase,
+        | round(coalesce(sum(CASE WHEN event_type = 'signup' THEN value END), 0.0), 4) AS signup,
+        | round(coalesce(sum(CASE WHEN event_type = 'view' THEN value END), 0.0), 4) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_null_safe_join" ->
+      """WITH cust AS (SELECT nullif(c_mktsegment, 'BUILDING') AS seg, c_acctbal FROM customer),
+        |l AS (SELECT seg, count(*) AS n_cust FROM cust GROUP BY seg),
+        |r AS (SELECT seg AS seg_r, count(*) AS n_pos FROM cust WHERE c_acctbal > 0 GROUP BY seg)
+        |SELECT coalesce(l.seg, 'NULL_SEG') AS seg_label, l.n_cust,
+        | coalesce(r.n_pos, 0) AS n_pos
+        |FROM l LEFT JOIN r ON l.seg IS NOT DISTINCT FROM r.seg_r
+        |ORDER BY seg_label""".stripMargin,
     "q_scalar_funcs" ->
       """SELECT o_orderkey,
         | substring(o_orderpriority, 1, 1) AS pr1,
