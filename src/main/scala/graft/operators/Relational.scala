@@ -301,6 +301,33 @@ object Relational {
     u.unionAll(i).unionAll(e).unionAll(ua).orderBy(col("op"), col("key"))
   }
 
+  /** Multiset (ALL) set operations — bag semantics with multiplicities,
+    * summarized per key so the output is hashable. */
+  val setOpsAll: Q = (s, d) => {
+    val a = Tables.orders(s, d).where(col("o_orderstatus") =!= "F")
+      .select(col("o_custkey").as("key"))
+    val b = Tables.orders(s, d).where(col("o_totalprice") > 100000)
+      .select(col("o_custkey").as("key"))
+    val ia = a.intersectAll(b).groupBy(col("key")).agg(count(lit(1)).as("n"))
+      .select(lit("intersect_all").as("op"), col("key"), col("n"))
+    val ea = a.exceptAll(b).groupBy(col("key")).agg(count(lit(1)).as("n"))
+      .select(lit("except_all").as("op"), col("key"), col("n"))
+    ia.unionAll(ea).orderBy(col("op"), col("key"))
+  }
+
+  /** Correlated scalar subquery, decorrelated the Spark way: the
+    * per-customer average is a window aggregate over the same scan — one
+    * shuffle on the correlation key instead of a per-row subquery probe. */
+  val correlatedSubquery: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+    Tables.orders(s, d)
+      .withColumn("cust_avg", avg(col("o_totalprice")).over(w))
+      .where(col("o_totalprice") > col("cust_avg") * 1.5)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_big"), round(max(col("o_totalprice")), 4).as("max_price"))
+      .orderBy(col("o_custkey"))
+  }
+
   /** String / date / math scalar-function surface (all codegen built-ins). */
   val scalarFuncs: Q = (s, d) =>
     Tables.orders(s, d)
@@ -414,6 +441,8 @@ object Relational {
     "q_topk_per_group"      -> topkPerGroup,
     "q_sort_limit"          -> sortLimit,
     "q_set_ops"             -> setOps,
+    "q_set_ops_all"         -> setOpsAll,
+    "q_correlated_subquery" -> correlatedSubquery,
     "q_scalar_subquery"     -> scalarSubquery,
     "q_pivot_wide"          -> pivotWide,
     "q_null_safe_join"      -> nullSafeJoin,
@@ -576,6 +605,21 @@ object Relational {
         |UNION ALL
         |SELECT 'union_all', key, count(*) FROM (SELECT key FROM a UNION ALL SELECT key FROM b) GROUP BY key
         |ORDER BY op, key""".stripMargin,
+    "q_set_ops_all" ->
+      """WITH a AS (SELECT o_custkey AS key FROM orders WHERE o_orderstatus <> 'F'),
+        |     b AS (SELECT o_custkey AS key FROM orders WHERE o_totalprice > 100000)
+        |SELECT 'intersect_all' AS op, key, count(*) AS n
+        |FROM (SELECT key FROM a INTERSECT ALL SELECT key FROM b) GROUP BY key
+        |UNION ALL
+        |SELECT 'except_all', key, count(*)
+        |FROM (SELECT key FROM a EXCEPT ALL SELECT key FROM b) GROUP BY key
+        |ORDER BY op, key""".stripMargin,
+    "q_correlated_subquery" ->
+      """SELECT o_custkey, count(*) AS n_big, round(max(o_totalprice), 4) AS max_price
+        |FROM orders o
+        |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders i
+        |                            WHERE i.o_custkey = o.o_custkey)
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
     "q_scalar_subquery" ->
       """SELECT l_returnflag, count(*) AS n, round(avg(l_extendedprice), 4) AS avg_price
         |FROM lineitem
