@@ -57,9 +57,13 @@ object Events {
     * watermarks are per-trigger monotonic, the batch form uses the final max —
     * the strictest watermark). */
   val lateDataPolicy: Q = (s, d) => {
-    val wmax = Window.partitionBy(col("event_type"))
-    Tables.events(s, d)
-      .withColumn("max_ts", max(col("ts")).over(wmax))
+    // per-type max via groupBy + broadcast join back, NOT a window: a window
+    // partitioned by a ~5-value key funnels 20% of all events into single
+    // sort tasks (12.9 s at sf0.1, unbounded skew at scale); the aggregate
+    // is map-side partial and the join side is 5 rows
+    val ev = Tables.events(s, d)
+    val maxPerType = ev.groupBy(col("event_type")).agg(max(col("ts")).as("max_ts"))
+    ev.join(broadcast(maxPerType), Seq("event_type"))
       .withColumn("is_late",
         col("ts") < col("max_ts") - expr("INTERVAL 10 MINUTES"))
       .groupBy(col("event_type"))

@@ -22,7 +22,9 @@ object Multimodal {
     * payload so plumbing is testable without codecs. */
   def fakeDecodeMeta(bytes: Array[Byte]): (Int, Int, Double) = {
     val n = bytes.length
-    val mean = if (n == 0) 0.0 else bytes.iterator.map(b => (b & 0xff).toDouble).sum / n
+    var i = 0; var sum = 0.0
+    while (i < n) { sum += (bytes(i) & 0xff); i += 1 }
+    val mean = if (n == 0) 0.0 else sum / n
     (640 + n % 640, 360 + n % 360, mean) // (width, height, mean "luma")
   }
 
@@ -52,12 +54,14 @@ object Multimodal {
         val bytes = text.getBytes("UTF-8")
         val (w, h, _) = fakeDecodeMeta(bytes)
         val stride = 64
+        // in-place byte loop, no slice allocation / boxed iterator: the
+        // per-byte boxing was the whole 22.7 s of round 1's frame pass
         (0 until math.max(1, bytes.length / stride)).iterator.map { f =>
           val off = f * stride
           val end = math.min(bytes.length, off + stride)
-          val slice = bytes.slice(off, end)
-          val mean = if (slice.isEmpty) 0.0
-            else slice.iterator.map(b => (b & 0xff).toDouble).sum / slice.length
+          var j = off; var sum = 0.0
+          while (j < end) { sum += (bytes(j) & 0xff); j += 1 }
+          val mean = if (end == off) 0.0 else sum / (end - off)
           (id, f.toLong, off.toLong, w, h, math.rint(mean * 10000) / 10000)
         }
       }

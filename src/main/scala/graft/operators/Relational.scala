@@ -114,43 +114,43 @@ object Relational {
     * standard scalable range-join strategy (cf. interval binning in
     * Spark-range-join literature). */
   val joinRange: Q = (s, d) => {
-    val spark = s
-    import spark.implicits._
-    // The intervals are dense: at sf0.1 the naive (even bucketized) range
-    // join materializes ~50M intersecting pairs just to count/sum them.
+    // The intervals are dense: the naive (even bucketized) range join
+    // materializes ~50M intersecting pairs at sf0.1 just to count/sum them.
     // Since the aggregate only needs COUNT and SUM of prices inside each
-    // part's interval, we precompute a sorted price array + prefix sums and
-    // answer each interval with two binary searches — O(L log L + P log L),
-    // pairs never materialize. At cluster scale the sorted array becomes
-    // range-partitioned per-partition prefix aggregates (partition totals
-    // broadcast), with each interval probing only overlapping partitions.
-    val prices = Tables.lineitem(s, d)
-      .select(col("l_extendedprice")).as[Double].collect()
-    java.util.Arrays.sort(prices)
-    val prefix = new Array[Double](prices.length + 1)
-    var i = 0
-    while (i < prices.length) { prefix(i + 1) = prefix(i) + prices(i); i += 1 }
-    val bcP = spark.sparkContext.broadcast(prices)
-    val bcS = spark.sparkContext.broadcast(prefix)
-    def lowerBound(a: Array[Double], key: Double): Int = {
-      var lo = 0; var hi = a.length
-      while (lo < hi) { val m = (lo + hi) >>> 1; if (a(m) < key) lo = m + 1 else hi = m }
-      lo
-    }
-    val perPart = Tables.part(s, d)
+    // part's interval, we discretize the price axis into fixed-width
+    // buckets and split every interval into
+    //   (a) interior buckets — fully covered, answered wholesale from a
+    //       tiny per-bucket (count, sum) aggregate (broadcast), and
+    //   (b) the ≤2 boundary buckets — answered exactly by an equi-join on
+    //       bucket id with the residual range predicate, touching only the
+    //       rows that share a bucket with an interval endpoint.
+    // Everything is a scan + equi-join + partial aggregate: no driver
+    // collect (round 1 collected the full price column — a driver OOM at
+    // 100 TB), no pair materialization, and both joins broadcast the small
+    // side. Zero-match brands drop out naturally (inner-join semantics,
+    // matching the oracle).
+    val W = 100.0
+    val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("price"),
+      floor(col("l_extendedprice") / W).as("bkt"))
+    val bucketAgg = li.groupBy(col("bkt"))
+      .agg(count(lit(1)).as("bn"), sum(col("price")).as("bs"))
+    val parts = Tables.part(s, d)
       .select(col("p_brand"), (col("p_retailprice") * 10.0).as("lo"),
         (col("p_retailprice") * 10.5).as("hi"))
-      .as[(String, Double, Double)]
-      .mapPartitions { iter =>
-        val ps = bcP.value; val pre = bcS.value
-        iter.map { case (brand, lo, hi) =>
-          val a = lowerBound(ps, lo)
-          val b = lowerBound(ps, math.nextUp(hi)) // first index > hi (inclusive upper)
-          (brand, (b - a).toLong, pre(b) - pre(a))
-        }
-      }
-      .toDF("p_brand", "n_rows", "sum_price")
-    perPart.groupBy(col("p_brand"))
+      .withColumn("b_lo", floor(col("lo") / W))
+      .withColumn("b_hi", floor(col("hi") / W))
+    val interior = parts.where(col("b_hi") - col("b_lo") >= 2)
+      .select(col("p_brand"), explode(sequence(col("b_lo") + 1, col("b_hi") - 1)).as("bkt"))
+      .join(broadcast(bucketAgg), Seq("bkt"))
+      .select(col("p_brand"), col("bn").as("n_rows"), col("bs").as("sum_price"))
+    val edges = parts
+      .select(col("p_brand"), col("lo"), col("hi"),
+        explode(array_distinct(array(col("b_lo"), col("b_hi")))).as("bkt"))
+    val edgeContrib = broadcast(edges).join(li, Seq("bkt"))
+      .where(col("price") >= col("lo") && col("price") <= col("hi"))
+      .select(col("p_brand"), lit(1L).as("n_rows"), col("price").as("sum_price"))
+    interior.unionAll(edgeContrib)
+      .groupBy(col("p_brand"))
       .agg(sum(col("n_rows")).as("n"),
         round(sum(col("sum_price")) / sum(col("n_rows")), 4).as("avg_price"))
       .orderBy(col("p_brand"))
@@ -287,31 +287,49 @@ object Relational {
       .limit(100)
       .select(col("o_orderkey"), round(col("o_totalprice"), 4).as("total_price"))
 
-  /** UNION / UNION ALL / INTERSECT / EXCEPT over two key sets, tagged. */
+  /** UNION / UNION ALL / INTERSECT / EXCEPT over two key sets, tagged.
+    *
+    * One membership-flag aggregate answers all four ops: tag each side,
+    * union-all, `max` the flags per key, then each set op is a filter over
+    * (in_a, in_b). Spark's native intersect/except would each re-shuffle and
+    * re-sort both inputs (4.7 s round 1); here the four branches share one
+    * aggregation subtree, so the exchange is planned once and reused. */
   val setOps: Q = (s, d) => {
-    val a = Tables.orders(s, d).select(col("o_custkey").as("key")).distinct()
+    val a = Tables.orders(s, d)
+      .select(col("o_custkey").as("key"), lit(1L).as("a"), lit(0L).as("b"))
     val b = Tables.customer(s, d).where(col("c_acctbal") < 0)
-      .select(col("c_custkey").as("key")).distinct()
+      .select(col("c_custkey").as("key"), lit(0L).as("a"), lit(1L).as("b"))
+    val flags = a.unionAll(b).groupBy(col("key"))
+      .agg(max(col("a")).as("in_a"), max(col("b")).as("in_b"))
     val one = lit(1L)
-    val u  = a.union(b).distinct().select(lit("union").as("op"), col("key"), one.as("n"))
-    val i  = a.intersect(b).select(lit("intersect").as("op"), col("key"), one.as("n"))
-    val e  = a.except(b).select(lit("except").as("op"), col("key"), one.as("n"))
-    val ua = a.unionAll(b).groupBy(col("key")).agg(count(lit(1)).as("n"))
-      .select(lit("union_all").as("op"), col("key"), col("n"))
+    val u  = flags.select(lit("union").as("op"), col("key"), one.as("n"))
+    val i  = flags.where(col("in_a") === 1 && col("in_b") === 1)
+      .select(lit("intersect").as("op"), col("key"), one.as("n"))
+    val e  = flags.where(col("in_a") === 1 && col("in_b") === 0)
+      .select(lit("except").as("op"), col("key"), one.as("n"))
+    val ua = flags.select(lit("union_all").as("op"), col("key"),
+      (col("in_a") + col("in_b")).as("n"))
     u.unionAll(i).unionAll(e).unionAll(ua).orderBy(col("op"), col("key"))
   }
 
   /** Multiset (ALL) set operations — bag semantics with multiplicities,
-    * summarized per key so the output is hashable. */
+    * summarized per key so the output is hashable.
+    *
+    * Bag arithmetic over per-key conditional counts: one scan, one shuffle.
+    * INTERSECT ALL multiplicity is least(|a|, |b|), EXCEPT ALL is
+    * greatest(|a| − |b|, 0) — Spark's intersectAll/exceptAll would sort and
+    * shuffle the table 4× for the same numbers (10.5 s round 1). */
   val setOpsAll: Q = (s, d) => {
-    val a = Tables.orders(s, d).where(col("o_orderstatus") =!= "F")
-      .select(col("o_custkey").as("key"))
-    val b = Tables.orders(s, d).where(col("o_totalprice") > 100000)
-      .select(col("o_custkey").as("key"))
-    val ia = a.intersectAll(b).groupBy(col("key")).agg(count(lit(1)).as("n"))
-      .select(lit("intersect_all").as("op"), col("key"), col("n"))
-    val ea = a.exceptAll(b).groupBy(col("key")).agg(count(lit(1)).as("n"))
-      .select(lit("except_all").as("op"), col("key"), col("n"))
+    val counted = Tables.orders(s, d)
+      .select(col("o_custkey").as("key"),
+        (col("o_orderstatus") =!= "F").as("in_a"),
+        (col("o_totalprice") > 100000).as("in_b"))
+      .groupBy(col("key"))
+      .agg(count(when(col("in_a"), 1)).as("na"), count(when(col("in_b"), 1)).as("nb"))
+    val ia = counted.where(col("na") > 0 && col("nb") > 0)
+      .select(lit("intersect_all").as("op"), col("key"), least(col("na"), col("nb")).as("n"))
+    val ea = counted.where(col("na") > col("nb"))
+      .select(lit("except_all").as("op"), col("key"), (col("na") - col("nb")).as("n"))
     ia.unionAll(ea).orderBy(col("op"), col("key"))
   }
 

