@@ -82,31 +82,58 @@ object Vectors {
     // C×dim×8B ≈ 2 MB. At even larger scale an LSH/banding pass prunes the
     // candidate block pairs first (see minhashLsh).
     val C = 4096L
-    val e = Tables.embeddings(s, d)
+    // blocks are flat primitive arrays (ids / row-major values / norms), so
+    // the block join ships three unsafe arrays per side and the kernel never
+    // boxes a vector
+    val blocks = Tables.embeddings(s, d)
       .select(col("vec_id"), vec.as("v")).as[(Long, Array[Double])]
-      .map { case (id, v) =>
-        var i = 0; var ss = 0.0
-        while (i < v.length) { ss += v(i) * v(i); i += 1 }
-        (id / C, id, v, math.sqrt(ss))
+      .groupByKey(_._1 / C)
+      .mapGroups { (chunk, iter) =>
+        val rows = iter.toArray.sortBy(_._1)
+        val n = rows.length
+        val dim = if (n == 0) 0 else rows(0)._2.length
+        val ids = new Array[Long](n)
+        val norms = new Array[Double](n)
+        val flat = new Array[Double](n * dim)
+        var i = 0
+        while (i < n) {
+          val (id, v) = rows(i)
+          ids(i) = id
+          System.arraycopy(v, 0, flat, i * dim, dim)
+          var j = 0; var ss = 0.0
+          while (j < dim) { ss += v(j) * v(j); j += 1 }
+          norms(i) = math.sqrt(ss)
+          i += 1
+        }
+        (chunk, ids, flat, norms)
       }
-      .toDF("chunk", "vec_id", "v", "nrm")
-    val blocks = e.groupBy(col("chunk"))
-      .agg(sort_array(collect_list(struct(col("vec_id").as("_1"), col("v").as("_2"),
-        col("nrm").as("_3")))).as("block"))
-    blocks.select(col("chunk").as("ca"), col("block").as("ba"))
-      .join(blocks.select(col("chunk").as("cb"), col("block").as("bb")),
+      .toDF("chunk", "ids", "flat", "norms")
+    blocks.select(col("chunk").as("ca"), col("ids").as("ids_a"),
+        col("flat").as("flat_a"), col("norms").as("norms_a"))
+      .join(blocks.select(col("chunk").as("cb"), col("ids").as("ids_b"),
+        col("flat").as("flat_b"), col("norms").as("norms_b")),
         col("ca") <= col("cb"))
-      .select(col("ba"), col("bb"))
-      .as[(Array[(Long, Array[Double], Double)], Array[(Long, Array[Double], Double)])]
-      .flatMap { case (ba, bb) =>
-        ba.iterator.flatMap { case (idA, va, na) =>
-          bb.iterator.filter(_._1 > idA).flatMap { case (idB, vb, nb) =>
-            var j = 0; var acc = 0.0
-            while (j < va.length) { acc += va(j) * vb(j); j += 1 }
-            val cos = acc / (na * nb)
-            if (cos >= 0.35)
-              Some((idA, idB, BigDecimal(cos).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
-            else None
+      .select(col("ids_a"), col("flat_a"), col("norms_a"),
+        col("ids_b"), col("flat_b"), col("norms_b"))
+      .as[(Array[Long], Array[Double], Array[Double],
+           Array[Long], Array[Double], Array[Double])]
+      .flatMap { case (idsA, flatA, normsA, idsB, flatB, normsB) =>
+        val nA = idsA.length; val nB = idsB.length
+        val dim = if (nA == 0) 0 else flatA.length / nA
+        (0 until nA).iterator.flatMap { i =>
+          val idA = idsA(i); val na = normsA(i); val offA = i * dim
+          (0 until nB).iterator.flatMap { k =>
+            if (idsB(k) <= idA) None
+            else {
+              val offB = k * dim
+              var j = 0; var acc = 0.0
+              while (j < dim) { acc += flatA(offA + j) * flatB(offB + j); j += 1 }
+              val cos = acc / (na * normsB(k))
+              if (cos >= 0.35)
+                Some((idA, idsB(k),
+                  BigDecimal(cos).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+              else None
+            }
           }
         }
       }

@@ -36,6 +36,38 @@ object Fortran {
     recs.result()
   }
 
+  /** R2 analogue (`bin_reader.py:53-74` `read_bin_files`): seek-based
+    * partial read — fetch `count` float32 values starting at float-offset
+    * `offset` within record `record`, touching only the bytes needed.
+    * Earlier records are skipped by marker arithmetic (seek past payload),
+    * never materialized; the reference does the same with raw sample
+    * offsets (`offset=1`, `inter_offset=2` marker-slot tricks), we keep
+    * record addressing explicit so the read stays marker-aware. This is the
+    * point-read path for big slices: O(bytes requested), not O(file). */
+  def readFloatSlice(path: File, record: Int, offset: Long, count: Int): Array[Float] = {
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try {
+      def readMarker(): Int = {
+        val b = new Array[Byte](4)
+        raf.readFully(b)
+        ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN).getInt
+      }
+      var r = 0
+      var recLen = readMarker()
+      while (r < record) {
+        raf.seek(raf.getFilePointer + recLen + 4) // payload + trailing marker
+        recLen = readMarker()
+        r += 1
+      }
+      require(offset >= 0 && (offset + count) * 4 <= recLen,
+        s"slice [$offset, ${offset + count}) floats outside record of $recLen bytes")
+      raf.seek(raf.getFilePointer + offset * 4)
+      val buf = new Array[Byte](count * 4)
+      raf.readFully(buf)
+      floatsLE(buf)
+    } finally raf.close()
+  }
+
   def floatsLE(payload: Array[Byte]): Array[Float] = {
     val fb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN).asFloatBuffer()
     val out = new Array[Float](fb.remaining()); fb.get(out); out

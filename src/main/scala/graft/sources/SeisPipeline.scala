@@ -160,11 +160,12 @@ object SeisPipeline {
     * and keep steps whose snapshot exists in ALL 3 force dirs — expressed as
     * range ⋈ (file listing grouped by step, count == 3), an inner join on
     * the tiny driver-free listing DF. Errors if empty, like the reference. */
-  def validSteps(spark: SparkSession, dir: String, step0: Int, step1: Int,
-      dstep: Int, kind: String = "strain_field"): DataFrame = {
+  /** (force, step) listing of snapshot files — a metadata-only path scan
+    * (binaryFile lists lazily; `content` is never read). */
+  private def listSnapshots(spark: SparkSession, dir: String, kind: String): DataFrame = {
     import spark.implicits._
     val pat = (".*force_([NEZ])/.*_" + kind + "_Step_(\\d+)\\.bin$").r
-    val listed = spark.read.format("binaryFile")
+    spark.read.format("binaryFile")
       .option("pathGlobFilter", s"*_${kind}_Step_*.bin")
       .option("recursiveFileLookup", "true").load(dir)
       .select("path").as[String]
@@ -173,6 +174,11 @@ object SeisPipeline {
         case _ => None
       } }
       .toDF("force", "step")
+  }
+
+  def validSteps(spark: SparkSession, dir: String, step0: Int, step1: Int,
+      dstep: Int, kind: String = "strain_field"): DataFrame = {
+    val listed = listSnapshots(spark, dir, kind)
     val complete = listed.groupBy(col("step"))
       .agg(countDistinct(col("force")).as("nf"))
       .where(col("nf") === 3)
@@ -212,7 +218,66 @@ object SeisPipeline {
     blobs.write.mode("overwrite")
       .partitionBy("network", "station", "proc")
       .parquet(outDir)
-    spark.read.parquet(outDir).count()
+    val written = spark.read.parquet(outDir).count()
+    writeDbMeta(spark, fixtureDir, outDir, dbType = "SGT", forder = "NEZ",
+      nGll = written, nForce = 3, nParas = 6, kind = "strain_field",
+      withGlobal = false) // DSGT.py:179-194 attrs (no nGLL_global for SGT)
+    written
+  }
+
+  /** Header-attr sidecar — the reference's HDF5 header attrs
+    * (`DSGT.py:179-194`, `DDGF.py:172-188`) as a one-row parquet under
+    * `outDir/_meta`; the underscore prefix keeps it invisible to a plain
+    * `spark.read.parquet(outDir)` of the blob table. start/length/offset/
+    * scale datasets are parquet-managed (they ride with each blob row);
+    * `dt` is not modeled by the fixture and is omitted. */
+  private def writeDbMeta(spark: SparkSession, fixtureDir: String, outDir: String,
+      dbType: String, forder: String, nGll: Long, nForce: Int, nParas: Int,
+      kind: String, withGlobal: Boolean): Unit = {
+    import spark.implicits._
+    val nStep = listSnapshots(spark, fixtureDir, kind)
+      .select(col("step")).distinct().count()
+    val mesh = readIbool(spark, fixtureDir)
+      .agg(max(col("spec")).as("max_spec"), max(col("gll")).as("max_gll")).head()
+    val nSpec = mesh.getAs[Int]("max_spec") + 1L
+    val nGllGlobal = if (withGlobal) mesh.getAs[Long]("max_gll") + 1L else -1L
+    Seq((dbType, forder, nGll, nStep, nForce.toLong, nParas.toLong, nSpec,
+      nGllGlobal, "0.1.0"))
+      .toDF("db_type", "forder", "ngll", "nstep", "nforce", "nparas", "nspec",
+        "ngll_global", "version")
+      .coalesce(1).write.mode("overwrite").parquet(outDir + "/_meta")
+  }
+
+  /** E2 as a *database build* (the `DDGFdb.create_db` equivalent,
+    * `DDGF.py:100-190`): per-point encoded displacement blobs (comp-major,
+    * then force — `DDGF.py:128-132`) sunk hive-partitioned by
+    * (network, station, proc), plus the `_meta` sidecar carrying
+    * `nGLL_global` and force order `'ENZ'` (`DDGF.py:185-187` — the two
+    * attrs that distinguish a DGF header from an SGT one). */
+  def createDgfDb(spark: SparkSession, fixtureDir: String, outDir: String,
+      network: String, station: String, procIdx: Int = 0): Long = {
+    import spark.implicits._
+    val names = broadcast(subsampledIndex(spark, fixtureDir).select("gll").distinct())
+    val gathered = readDisp(spark, fixtureDir)
+      .join(names, Seq("gll"))
+      .select(col("gll"), col("force"), col("comp").as("param"), col("step"), col("value"))
+      .as[SeisSample]
+      .map(s => s.copy(force = s.param, param = s.force)) // comp-major, then force
+    val blobs = gathered.groupByKey(_.gll)
+      .agg(graft.functions.SeriesEncoder.toColumn.name("enc"))
+      .toDF("gll", "enc")
+      .select(col("gll"), col("enc.n").as("n"), col("enc.offset").as("offset"),
+        col("enc.scale").as("scale"), col("enc.payload").as("payload"),
+        length(col("enc.payload")).as("payload_len"),
+        lit(network).as("network"), lit(station).as("station"),
+        lit(procName(procIdx)).as("proc"))
+    blobs.write.mode("overwrite")
+      .partitionBy("network", "station", "proc")
+      .parquet(outDir)
+    val written = spark.read.parquet(outDir).count()
+    writeDbMeta(spark, fixtureDir, outDir, dbType = "DGF", forder = "ENZ",
+      nGll = written, nForce = 3, nParas = 3, kind = "disp", withGlobal = true)
+    written
   }
 
   /** E2 — DGF build over displacement snapshots: gather by global gll id

@@ -22,9 +22,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * (force INT, step INT, param INT, spec INT, igll INT, value DOUBLE) with
   * the R14 tensor reconstruction applied inline during the scan.
   *
-  * Kept deliberately batch-only and pushdown-free: the rows it emits feed
-  * straight into Catalyst, which handles the rest (pruning, filters after
-  * scan). Record-marker validation lives in [[Fortran.readRecords]].
+  * File-level pruning options — the reference's biggest data reducer is its
+  * temporal stride (`DDBbase.py:55-84`, typically 1:50), and at scale that
+  * MUST prune files at planning time, not rows after the scan:
+  *   - `step0`/`step1` (inclusive/exclusive) + `dstep`: keep only snapshot
+  *     files whose step is in the strided range;
+  *   - `forces`: comma-separated subset of N,E,Z directories to read.
+  * Pruned files never become input partitions, so a 1:50 stride plans 1/50th
+  * of the tasks and reads 1/50th of the bytes. Row-level filters after the
+  * scan stay Catalyst's job. Record-marker validation lives in
+  * [[Fortran.readRecords]].
   */
 class StrainDataSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -55,6 +62,27 @@ object StrainDataSource {
       .map(_.getPath)
       .filter(p => pathPattern.findFirstIn(p).isDefined)
   }
+
+  /** Planning-time file pruning from read options (stride + force subset). */
+  private[sources] case class Pruning(step0: Option[Int], step1: Option[Int],
+      dstep: Int, forces: Option[Set[String]]) {
+    def keeps(path: String): Boolean = path match {
+      case pathPattern(force, stepStr) =>
+        val step = stepStr.toInt
+        forces.forall(_.contains(force)) &&
+          step0.forall(step >= _) &&
+          step1.forall(step < _) &&
+          (step - step0.getOrElse(0)) % dstep == 0
+      case _ => false
+    }
+  }
+
+  private[sources] def pruningFrom(options: CaseInsensitiveStringMap): Pruning =
+    Pruning(
+      Option(options.get("step0")).map(_.toInt),
+      Option(options.get("step1")).map(_.toInt),
+      Option(options.get("dstep")).map(_.toInt).getOrElse(1),
+      Option(options.get("forces")).map(_.split(",").map(_.trim).toSet))
 }
 
 class StrainTable(path: String) extends Table with SupportsRead {
@@ -63,16 +91,20 @@ class StrainTable(path: String) extends Table with SupportsRead {
   override def schema(): StructType = StrainDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val pruning = StrainDataSource.pruningFrom(options)
     new ScanBuilder with Scan with Batch {
       override def build(): Scan = this
       override def readSchema(): StructType = StrainDataSource.schema
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] =
-        StrainDataSource.listFiles(path).map(StrainFilePartition(_): InputPartition).toArray
+        StrainDataSource.listFiles(path)
+          .filter(pruning.keeps)
+          .map(StrainFilePartition(_): InputPartition).toArray
       override def createReaderFactory(): PartitionReaderFactory =
         new StrainReaderFactory
     }
+  }
 }
 
 case class StrainFilePartition(file: String) extends InputPartition

@@ -34,6 +34,35 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("16-bit level: golden little-endian codes, matching numpy uint16 tobytes") {
+    val xs = Array(0.0, 0.5, 1.0, 0.25, 0.9999999)
+    // floor(x*65535) = 0, 32767, 65535, 16383, 65534 — little-endian pairs
+    val bytes = Codec.quantize(xs, 16)
+    assert(bytes.toSeq.map(_ & 0xff) ==
+      Seq(0, 0, 0xff, 0x7f, 0xff, 0xff, 0xff, 0x3f, 0xfe, 0xff))
+    val back = Codec.dequantize(bytes, 16, 0.0, 1.0)
+    assert(back.length == xs.length)
+    xs.zip(back).foreach { case (v, d) =>
+      val err = v - d
+      assert(err >= -1e-12 && err <= 1.0 / 65535.0 + 1e-12)
+    }
+  }
+
+  test("encode at level 16: round-trip bound tightens to scale/65535") {
+    for (_ <- 1 to 20) {
+      val values = Array.fill(1 + rnd.nextInt(500))(rnd.nextDouble() * 2e3 - 1e3)
+      val blob = Codec.encodeSeries(values, bits = 16)
+      assert(blob.bits == 16)
+      val decoded = Codec.decodeSeries(blob)
+      assert(decoded.length == values.length)
+      values.zip(decoded).foreach { case (v, d) =>
+        val err = v - d
+        assert(err >= -1e-9 && err <= blob.scale / 65535.0 + 1e-9,
+          s"err $err outside [0, ${blob.scale / 65535.0}]")
+      }
+    }
+  }
+
   test("tiny-amplitude series (seismic scale ~1e-7) keeps relative accuracy") {
     val values = Array.tabulate(300)(i => 1e-7 * math.sin(i * 0.1))
     val blob = Codec.encodeSeries(values)

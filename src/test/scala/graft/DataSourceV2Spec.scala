@@ -29,6 +29,23 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(v2.rdd.getNumPartitions == nFiles)
   }
 
+  test("step-stride + force options prune FILES at planning time (DDBbase.py:71 1:N reducer)") {
+    val spark = TestSpark.spark
+    val dir = SeisFixture.ensure()
+    // stride 20 over steps 0..100 → 6 steps of 11; one force of three
+    val pruned = spark.read.format(classOf[StrainDataSource].getName)
+      .option("path", dir)
+      .option("step0", "0").option("step1", "101").option("dstep", "20")
+      .option("forces", "N").load()
+    assert(pruned.rdd.getNumPartitions == 6)
+    assert(pruned.select("step").distinct().count() == 6)
+    assert(pruned.select("force").distinct().collect().map(_.getInt(0)).toSeq == Seq(0))
+    // full scan is unchanged
+    val full = spark.read.format(classOf[StrainDataSource].getName)
+      .option("path", dir).load()
+    assert(full.rdd.getNumPartitions == 3 * SeisFixture.Steps.length)
+  }
+
   test("filters compose on top of the scan (Catalyst handles post-scan pruning)") {
     val spark = TestSpark.spark
     val dir = SeisFixture.ensure()

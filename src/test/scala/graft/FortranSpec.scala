@@ -21,6 +21,24 @@ class FortranSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Fortran.readRecords(bytes))
   }
 
+  test("seek-based slice read (R2): matches whole-file parse, touches only the range") {
+    val rnd = new scala.util.Random(7)
+    val recs = Seq(
+      Array.fill(100)(rnd.nextFloat()),
+      Array.fill(500)(rnd.nextFloat()),
+      Array.fill(30)(rnd.nextFloat()))
+    val f = File.createTempFile("fortran_slice", ".bin")
+    Fortran.writeRecordFile(f, recs.map(Fortran.bytesOfFloats))
+    // slice inside record 1
+    val got = Fortran.readFloatSlice(f, record = 1, offset = 37, count = 200)
+    assert(got.sameElements(recs(1).slice(37, 237)))
+    // full record 2 as a slice
+    assert(Fortran.readFloatSlice(f, 2, 0, 30).sameElements(recs(2)))
+    // out-of-range slice rejected
+    intercept[IllegalArgumentException](Fortran.readFloatSlice(f, 2, 20, 20))
+    f.delete()
+  }
+
   test("float/int LE codecs round-trip") {
     val fs = Array(1.5f, -2.25e-7f, 0f, Float.MinPositiveValue)
     assert(Fortran.floatsLE(Fortran.bytesOfFloats(fs)).sameElements(fs))

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.Relational
+import graft.operators.{Events, Relational, Vectors}
 
 /** Plan-shape assertions — the 100 TB contract is as much about the physical
   * plan as the answer: filters/projections must reach the parquet scan,
@@ -37,5 +37,32 @@ class PlanSpec extends AnyFunSuite {
   test("pricing summary partial-aggregates map-side before the shuffle") {
     val p = plan(Relational.pricingSummary)
     assert(p.contains("partial_sum") || p.contains("partial"), p)
+  }
+
+  test("late-data policy has NO window over the 5-value event_type (skew funnel)") {
+    val p = plan(Events.lateDataPolicy)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("range join is bucket equi-joins, never a nested-loop pair join") {
+    val p = plan(Relational.joinRange)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("set ops share one aggregation subtree (exchange planned once, reused)") {
+    // AQE materializes exchange reuse only in the final plan — execute first
+    val df = Relational.setOps(TestSpark.spark, TestSpark.sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ReusedExchange"), p.take(4000))
+  }
+
+  test("simhash pair scoring stays codegen (bit_count builtin, no Scala UDF)") {
+    val p = plan(Vectors.simhashDedup)
+    assert(p.contains("bit_count"), p)
+    assert(!p.toLowerCase.contains("scalaudf"), p)
   }
 }

@@ -62,5 +62,38 @@ class SinkSpec extends AnyFunSuite {
         r.getDouble(2), r.getDouble(3))
       assert(decoded.length == r.getInt(1))
     }
+    // header-attr sidecar (DSGT.py:179-194): SGT type, NEZ force order
+    val meta = spark.read.parquet(s"$out/_meta").collect()
+    assert(meta.length == 1)
+    assert(meta(0).getAs[String]("db_type") == "SGT")
+    assert(meta(0).getAs[String]("forder") == "NEZ")
+    assert(meta(0).getAs[Long]("ngll") == n)
+    assert(meta(0).getAs[Long]("nstep") == SeisFixture.Steps.length.toLong)
+  }
+
+  test("createDgfDb: partitioned blobs decode within bound; ENZ + nGLL_global meta") {
+    val spark = TestSpark.spark
+    val out = Files.createTempDirectory("dgfdb").toString
+    val n = SeisPipeline.createDgfDb(spark, SeisFixture.ensure(), out, "CI", "TST")
+    assert(n > 0)
+    assert(new java.io.File(s"$out/network=CI/station=TST/proc=proc000000").isDirectory)
+    val back = spark.read.parquet(out)
+      .select("gll", "n", "offset", "scale", "payload").collect()
+    assert(back.length == n)
+    back.foreach { r =>
+      val decoded = Codec.dequantize255(
+        Codec.inflate(r.getAs[Array[Byte]]("payload")),
+        r.getDouble(2), r.getDouble(3))
+      // 3 forces × 3 comps × all steps per point
+      assert(decoded.length == r.getInt(1))
+      assert(r.getInt(1) == 3 * 3 * SeisFixture.Steps.length)
+    }
+    // DDGF.py:185-187: the DGF header carries nGLL_global and 'ENZ' order
+    val meta = spark.read.parquet(s"$out/_meta").collect()
+    assert(meta.length == 1)
+    assert(meta(0).getAs[String]("db_type") == "DGF")
+    assert(meta(0).getAs[String]("forder") == "ENZ")
+    assert(meta(0).getAs[Long]("ngll_global") == SeisFixture.nGllGlobal.toLong)
+    assert(meta(0).getAs[Long]("nparas") == 3L)
   }
 }
