@@ -29,11 +29,16 @@ object DedupCluster {
       idB: String = "id_b", maxIter: Int = 25,
       driverThreshold: Long = 2_000_000L): DataFrame = {
     val spark = pairs.sparkSession
+    // the edge list is consumed twice (size probe, then either the driver
+    // collect or the iterative joins) — persist so the upstream candidate
+    // generation (e.g. the full LSH pipeline) runs once, not per action
     val undirected = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nEdges = undirected.count()
     if (nEdges <= driverThreshold) {
       import spark.implicits._
       val es = undirected.as[(Long, Long)].collect()
+      undirected.unpersist(blocking = false)
       val parent = scala.collection.mutable.Map.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -50,7 +55,7 @@ object DedupCluster {
       return parent.keys.toSeq.sorted.map(k => (k, find(k))).toDF("id", "comp")
     }
     val edges = undirected
-      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .union(undirected.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id"))
@@ -81,6 +86,7 @@ object DedupCluster {
       iter += 1
     }
     edges.unpersist(blocking = false)
+    undirected.unpersist(blocking = false)
     labels
   }
 

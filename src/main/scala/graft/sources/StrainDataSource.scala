@@ -5,9 +5,11 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -85,12 +87,31 @@ object StrainDataSource {
       Option(options.get("forces")).map(_.split(",").map(_.trim).toSet))
 }
 
-class StrainTable(path: String) extends Table with SupportsRead {
+class StrainTable(path: String) extends Table with SupportsRead with SupportsWrite {
   require(path != null, "option 'path' is required")
   override def name(): String = s"strain($path)"
   override def schema(): StructType = StrainDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE).asJava
+
+  /** Write path: long-form tensor rows → Fortran snapshot files (the exact
+    * inverse of the read path's R14 reconstruction — xx/yy/zz are re-encoded
+    * as trace + deviatoric records). The write declares a clustered
+    * distribution on (force, step), so Spark shuffles rows to co-locate each
+    * snapshot file's content with one task — file = unit of work on both
+    * paths, no cross-task file stitching. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    val proc = Option(info.options.get("proc")).getOrElse(SeisFixture.Proc)
+    new WriteBuilder {
+      override def build(): Write = new Write with RequiresDistributionAndOrdering {
+        override def requiredDistribution(): Distribution =
+          Distributions.clustered(Array(
+            Expressions.identity("force"), Expressions.identity("step")))
+        override def requiredOrdering(): Array[SortOrder] = Array.empty
+        override def toBatch: BatchWrite = new StrainBatchWrite(path, proc)
+      }
+    }
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val pruning = StrainDataSource.pruningFrom(options)
     new ScanBuilder with Scan with Batch {
@@ -150,4 +171,70 @@ class StrainPartitionReader(file: String) extends PartitionReader[InternalRow] {
       pt / SeisFixture.NGLL_LOCAL, pt % SeisFixture.NGLL_LOCAL, comps(param)))
 
   override def close(): Unit = ()
+}
+
+class StrainBatchWrite(path: String, proc: String) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new StrainWriterFactory(path, proc)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+class StrainWriterFactory(path: String, proc: String) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new StrainDataWriter(path, proc)
+}
+
+case class StrainWriteCommit(files: Seq[String]) extends WriterCommitMessage
+
+/** One task writes the complete snapshot files for the (force, step) groups
+  * routed to it by the clustered write distribution. Rows buffer per group
+  * (a snapshot's working set — same as the read path's per-file record set);
+  * on commit each group re-encodes to the reference's six deviatoric records
+  * (`strainfield_reader.py:48-59` inverted: tr = xx+yy+zz,
+  * xx_dev = xx − tr/3, yy_dev = yy − tr/3; xy/xz/yz pass through). */
+class StrainDataWriter(path: String, proc: String) extends DataWriter[InternalRow] {
+  import scala.collection.mutable
+  // (force, step) -> param -> (pt -> value)
+  private val groups =
+    mutable.Map.empty[(Int, Int), mutable.Map[Int, mutable.Map[Int, Float]]]
+
+  override def write(row: InternalRow): Unit = {
+    val force = row.getInt(0); val step = row.getInt(1); val param = row.getInt(2)
+    val pt = row.getInt(3) * SeisFixture.NGLL_LOCAL + row.getInt(4)
+    groups.getOrElseUpdate((force, step), mutable.Map.empty)
+      .getOrElseUpdate(param, mutable.Map.empty)
+      .update(pt, row.getDouble(5).toFloat)
+  }
+
+  override def commit(): WriterCommitMessage = {
+    val files = groups.toSeq.sortBy(_._1).map { case ((force, step), byParam) =>
+      val nPoints = byParam.valuesIterator.map(m => m.keysIterator.max + 1).max
+      def comp(p: Int): Int => Float = { val m = byParam(p); pt => m(pt) }
+      val (xx, yy, zz) = (comp(0), comp(1), comp(2))
+      val recs = (0 until 6).map { r =>
+        val vals = new Array[Float](nPoints)
+        var pt = 0
+        while (pt < nPoints) {
+          val tr = xx(pt) + yy(pt) + zz(pt)
+          vals(pt) = r match {
+            case 0 => tr
+            case 1 => xx(pt) - tr / 3f
+            case 2 => yy(pt) - tr / 3f
+            case p => byParam(p)(pt) // records 3..5 = params 3..5 (xy, xz, yz)
+          }
+          pt += 1
+        }
+        Fortran.bytesOfFloats(vals)
+      }
+      val f = new java.io.File(path,
+        s"force_${SeisFixture.Forces(force)}/${proc}_strain_field_Step_$step.bin")
+      Fortran.writeRecordFile(f, recs)
+      f.getPath
+    }
+    StrainWriteCommit(files)
+  }
+
+  override def abort(): Unit = ()
+  override def close(): Unit = groups.clear()
 }

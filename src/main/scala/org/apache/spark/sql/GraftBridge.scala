@@ -9,4 +9,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Apply a `spark.sql.extensions`-style extensions object to an ALREADY
+    * RUNNING session's function registry (extensions normally only take
+    * effect at session construction — this is the test/notebook escape
+    * hatch; `registerFunctions` is `private[sql]`, hence it lives here). */
+  def applyFunctionExtensions(ext: SparkSessionExtensions, spark: SparkSession): Unit =
+    ext.registerFunctions(spark.sessionState.functionRegistry)
 }

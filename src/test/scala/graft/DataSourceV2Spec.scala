@@ -46,6 +46,27 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(full.rdd.getNumPartitions == 3 * SeisFixture.Steps.length)
   }
 
+  test("DSv2 write path round-trips: rows → Fortran snapshots → same rows") {
+    val spark = TestSpark.spark
+    val dir = SeisFixture.ensure()
+    val out = java.nio.file.Files.createTempDirectory("strain_write").toString
+    val src = spark.read.format(classOf[StrainDataSource].getName)
+      .option("path", dir).option("step0", "0").option("step1", "21").load()
+    src.write.format(classOf[StrainDataSource].getName)
+      .option("path", out).mode("append").save()
+    // written layout matches the reference's (force dir / proc_..._Step_N.bin)
+    assert(new java.io.File(s"$out/force_N/proc000000_strain_field_Step_0.bin").isFile)
+    val back = spark.read.format(classOf[StrainDataSource].getName)
+      .option("path", out).load()
+    val keys = Seq("force", "step", "param", "spec", "igll")
+    val joined = src.withColumnRenamed("value", "va")
+      .join(back.withColumnRenamed("value", "vb"), keys)
+    assert(joined.count() == src.count() && back.count() == src.count())
+    // deviatoric re-encode + float32 reconstruction may differ by an ulp
+    val maxDiff = joined.agg(max(abs(col("va") - col("vb")))).head().getDouble(0)
+    assert(maxDiff < 1e-12, s"round-trip max diff $maxDiff")
+  }
+
   test("filters compose on top of the scan (Catalyst handles post-scan pruning)") {
     val spark = TestSpark.spark
     val dir = SeisFixture.ensure()

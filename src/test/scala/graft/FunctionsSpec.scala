@@ -33,6 +33,18 @@ class FunctionsSpec extends AnyFunSuite {
     assert(r1.getLong(0) == Hashing.fnv64("abc"))
   }
 
+  test("GraftExtensions registers the native expression via the extensions hook") {
+    val spark = TestSpark.spark
+    // a shared test session can't be re-created with spark.sql.extensions,
+    // so apply the SAME extensions object to its registry via the bridge —
+    // the injection path a cluster deploy exercises at session construction
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftBridge.applyFunctionExtensions(ext, spark)
+    val got = spark.sql("SELECT fnv_hash64('via extensions') AS h").head().getLong(0)
+    assert(got == Hashing.fnv64("via extensions"))
+  }
+
   test("native fnv_hash64 expression: codegen result equals Scala impl, stays in codegen plan") {
     val spark = TestSpark.spark
     FnvHash64Expr.register(spark)
