@@ -4,15 +4,17 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.FnvHash64Expr
+import graft.functions.{DotProductExpr, FnvHash64Expr}
+import graft.plans.TopKPerGroupStrategy
 
 /** Cluster-deploy packaging of the engine's native Catalyst expressions:
   * `--conf spark.sql.extensions=graft.GraftExtensions` registers them with
   * every session the cluster creates — the standard extension hook for a
   * Spark library jar, replacing per-session `register(spark)` calls (which
   * remain available for notebook use). Scalar/codec UDFs stay session-level
-  * (`Codec.register`, `Hashing.register`); only codegen-native expressions
-  * belong here.
+  * (`Codec.register`, `Hashing.register`); codegen-native expressions and
+  * planner strategies (the [[graft.plans.TopKPerGroupStrategy]] whole-
+  * operator extension) belong here.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -20,5 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("fnv_hash64"),
       new ExpressionInfo(classOf[FnvHash64Expr].getName, "fnv_hash64"),
       (exprs: Seq[Expression]) => FnvHash64Expr(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[DotProductExpr].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => DotProductExpr(exprs.head, exprs(1))))
+    ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.VectorizeDotProduct)
   }
 }

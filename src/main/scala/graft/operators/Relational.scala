@@ -268,16 +268,22 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
-  /** Top-k per group via row_number — the shuffle carries only the group key;
-    * with AQE, skewed nations would be split automatically. */
-  val topkPerGroup: Q = (s, d) => {
-    val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
-    Tables.customer(s, d)
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .where(col("rn") <= 3)
+  /** Top-k per group via the engine's custom Catalyst operator
+    * ([[graft.plans.TopKPerGroup]]): partial k-bounded heaps map-side, a
+    * shuffle carrying at most k rows per (partition, group), final heap
+    * merge with rank emission. The declarative `row_number` window spelling
+    * (kept in RelationalSpec as the semantic reference) shuffles the whole
+    * table and fully sorts every group first — at 100 TB the custom plan
+    * shuffles k·|groups| rows instead. Oracle SQL is unchanged, so the
+    * DuckDB gate certifies the custom operator. */
+  val topkPerGroup: Q = (s, d) =>
+    graft.plans.TopKPerGroup.topK(
+      Tables.customer(s, d),
+      groupCols = Seq("c_nationkey"),
+      order = Seq("c_acctbal" -> false, "c_custkey" -> true),
+      k = 3)
       .select(col("c_nationkey"), col("rn"), col("c_custkey"), round(col("c_acctbal"), 4).as("acctbal"))
       .orderBy(col("c_nationkey"), col("rn"))
-  }
 
   /** Global order + limit → Spark plans TakeOrderedAndProject: each partition
     * keeps only its local top-100, so no full sort materializes at scale. */

@@ -3,24 +3,25 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.Hashing
+import graft.functions.{DotProductExpr, Hashing}
 
 /** Similarity search + near-dup operators over `embeddings` and `documents`
   * (north-star LLM-pipeline extension): brute-force cosine top-k, sampled
   * kNN join, exact near-dup pairs, IVF-style pruned ANN, MinHash-LSH and
   * SimHash candidate generation.
   *
-  * Vector math is UDF-free (`zip_with` + `aggregate` on array<double>), so
-  * it stays inside codegen; norms are precomputed once per side before any
-  * join, never inside the pair loop.
+  * Vector math runs on the native codegen [[DotProductExpr]] (a primitive
+  * `getDouble` loop fused into whole-stage codegen — the declarative
+  * `zip_with`+`aggregate` spelling it replaced is a CodegenFallback
+  * interpreter path that allocates per row); norms are precomputed once per
+  * side before any join, never inside the pair loop.
   */
 object Vectors {
   type Q = (SparkSession, String) => DataFrame
 
   private def vec: Column = col("embedding").cast("array<double>")
 
-  private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private def dot(a: Column, b: Column): Column = DotProductExpr.vec_dot(a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -1,6 +1,7 @@
 package org.apache.spark.sql
 
 import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Narrow bridge to `private[sql]` Column↔Expression converters — the
   * supported way for a library jar to expose custom Catalyst expressions as
@@ -16,4 +17,11 @@ object GraftBridge {
     * hatch; `registerFunctions` is `private[sql]`, hence it lives here). */
   def applyFunctionExtensions(ext: SparkSessionExtensions, spark: SparkSession): Unit =
     ext.registerFunctions(spark.sessionState.functionRegistry)
+
+  /** Analyzed plan of a DataFrame / DataFrame over a LogicalPlan — the two
+    * halves a library needs to insert a custom logical operator into a
+    * user's query (`Dataset.ofRows` is `private[sql]` on 4.x). */
+  def plan(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

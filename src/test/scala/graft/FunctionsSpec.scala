@@ -68,4 +68,26 @@ class FunctionsSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("*(1) Project") && plan.contains("fnv_hash64"), plan)
   }
+
+  test("native vec_dot expression: equals interpreted zip_with spelling, stays in codegen plan") {
+    val spark = TestSpark.spark
+    import graft.functions.DotProductExpr
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val zipDot = aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val df = e.select(col("vec_id"),
+      DotProductExpr.vec_dot(col("v"), col("v")).as("fast"), zipDot.as("slow"))
+    // same ascending-index accumulation order → bit-identical, not approx
+    df.collect().foreach(r => assert(r.getDouble(1) == r.getDouble(2), r))
+    val plan = e.select(DotProductExpr.vec_dot(col("v"), col("v")).as("d"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("vec_dot"), plan)
+    // SQL registration path
+    DotProductExpr.register(spark)
+    val viaSql = spark.sql(
+      "SELECT vec_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .head().getDouble(0)
+    assert(viaSql == 32.0)
+  }
 }

@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.{TopKPerGroup, VectorizeDotProduct}
+
+/** The custom TopKPerGroup logical/physical operator: semantics pinned to
+  * the declarative row_number window spelling, physical plan pinned to the
+  * partial/final heap shape (no Window, no full sort before the shuffle). */
+class PlansSpec extends AnyFunSuite {
+
+  test("TopKPerGroup matches the row_number window spelling exactly") {
+    val spark = TestSpark.spark
+    val cust = Tables.customer(spark, TestSpark.sf0001)
+    val custom = TopKPerGroup.topK(cust,
+      groupCols = Seq("c_nationkey"),
+      order = Seq("c_acctbal" -> false, "c_custkey" -> true), k = 3)
+      .select(col("c_nationkey"), col("rn"), col("c_custkey"), col("c_acctbal"))
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    val reference = cust
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= 3)
+      .select(col("c_nationkey"), col("rn"), col("c_custkey"), col("c_acctbal"))
+    assert(custom.count() == reference.count())
+    assert(custom.exceptAll(reference).isEmpty && reference.exceptAll(custom).isEmpty)
+  }
+
+  test("k larger than any group returns whole groups, ranked densely from 1") {
+    val spark = TestSpark.spark
+    val nat = Tables.nation(spark, TestSpark.sf0001)
+    val all = TopKPerGroup.topK(nat,
+      groupCols = Seq("n_regionkey"),
+      order = Seq("n_nationkey" -> true), k = 1000)
+    assert(all.count() == nat.count())
+    val ranks = all.groupBy(col("n_regionkey"))
+      .agg(min(col("rn")).as("lo"), max(col("rn")).as("hi"), count(lit(1)).as("n"))
+      .collect()
+    ranks.foreach(r => assert(r.getLong(1) == 1L && r.getLong(2) == r.getLong(3), r))
+  }
+
+  test("physical plan is partial+final heap execs around one shuffle — no Window, no Sort of the input") {
+    val spark = TestSpark.spark
+    val df = TopKPerGroup.topK(Tables.customer(spark, TestSpark.sf0001),
+      groupCols = Seq("c_nationkey"),
+      order = Seq("c_acctbal" -> false, "c_custkey" -> true), k = 3)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert("TopKPerGroup \\[".r.findAllIn(p).size == 2, p)
+    assert(p.contains("Exchange hashpartitioning(c_nationkey"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Sort "), p)
+  }
+
+  test("VectorizeDotProduct rule rewrites aggregate(zip_with) into the native vec_dot") {
+    val spark = TestSpark.spark
+    VectorizeDotProduct.install(spark)
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val declarative = e.select(col("vec_id"),
+      aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("d"))
+    val optimized = declarative.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("vec_dot") && !optimized.contains("aggregate("), optimized)
+    // bit-identical to the interpreted evaluation (same accumulation order):
+    // compare against the un-rewritten session result via the expression API
+    val expected = e.select(col("vec_id"),
+      graft.functions.DotProductExpr.vec_dot(col("v"), col("v")).as("d"))
+    val joined = declarative.withColumnRenamed("d", "da")
+      .join(expected.withColumnRenamed("d", "db"), "vec_id")
+    assert(joined.count() == e.count())
+    assert(joined.where(col("da") =!= col("db")).isEmpty)
+  }
+}
