@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.Hashing
 
@@ -47,18 +46,46 @@ object Text {
         round(avg(col("n_words")), 4).as("avg_words"))
       .orderBy(col("lang"))
 
-  /** Top-5 terms per language: explode → count → windowed top-k. */
+  /** Top-5 terms per language: explode → count → top-k via the custom
+    * [[graft.plans.TopKPerGroup]] operator. A `row_number` window here
+    * partitions on `lang` — 5 distinct values, so 5 sort tasks each holding
+    * 20% of all (lang, term) counts: the same low-cardinality skew funnel
+    * the round-1 q_late_data_policy fix removed. The heap operator keeps
+    * ≤ 5 rows per group per map task instead. */
   val termFreq: Q = (s, d) => {
-    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("term"))
-    Tables.documents(s, d)
+    val counts = Tables.documents(s, d)
       .select(col("lang"), explode(toks(col("text"))).as("term"))
       .where(length(col("term")) > 0)
       .groupBy(col("lang"), col("term"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .where(col("rn") <= 5)
+    graft.plans.TopKPerGroup
+      .topK(counts, Seq("lang"), Seq("n" -> false, "term" -> true), 5)
       .select(col("lang"), col("rn"), col("term"), col("n"))
       .orderBy(col("lang"), col("rn"))
+  }
+
+  /** TF-IDF top-3 terms per document — the classic relevance scoring pass of
+    * a text corpus pipeline, and the second production composition of the
+    * custom top-k operator. tf = per-(doc, term) count; df = docs containing
+    * the term; idf = ln((N+1)/(df+1)). Everything is scan + two partial-agg
+    * shuffles + one broadcast of the N scalar; the per-doc top-3 never sorts
+    * a doc's full term list. */
+  val tfidf: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val tf = docs
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf_r",
+        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 4))
+    graft.plans.TopKPerGroup
+      .topK(scored, Seq("doc_id"), Seq("tfidf_r" -> false, "term" -> true), 3)
+      .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("tfidf_r"))
+      .orderBy(col("doc_id"), col("rn"))
   }
 
   /** Word 3-gram shingle sets per document (near-dup groundwork): token
@@ -177,6 +204,7 @@ object Text {
     "q_exact_dedup"     -> exactDedup,
     "q_text_stats"      -> textStats,
     "q_term_freq"       -> termFreq,
+    "q_tfidf"           -> tfidf,
     "q_ngram_shingles"  -> ngramShingles,
     "q_token_count"     -> tokenCount,
     "q_quality_score"   -> qualityScore,
@@ -208,6 +236,25 @@ object Text {
         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS BIGINT) AS rn
         |  FROM c)
         |SELECT lang, rn, term, n FROM r WHERE rn <= 5 ORDER BY lang, rn""".stripMargin,
+    "q_tfidf" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM w WHERE len(term) > 0
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    round(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 4) AS tfidf_r
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |r AS (
+        |  SELECT doc_id, term, tf, tfidf_r,
+        |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tfidf_r DESC, term) AS BIGINT) AS rn
+        |  FROM s)
+        |SELECT doc_id, rn, term, CAST(tf AS BIGINT) AS tf, tfidf_r
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
     "q_ngram_shingles" ->
       """WITH w AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
