@@ -173,19 +173,44 @@ class StrainPartitionReader(file: String) extends PartitionReader[InternalRow] {
   override def close(): Unit = ()
 }
 
+/** Job-level two-phase commit: tasks write `.inprogress-<task>` temp files
+  * and report (tmp, final) pairs; only the driver's job commit renames them
+  * into place, and abort deletes the temps. A failed or speculative task
+  * attempt therefore never leaves a partial snapshot where a reader could
+  * scan it. (Requires the destination to be a shared filesystem, the same
+  * contract as any file sink; object stores would swap rename for a
+  * copy+manifest commit.) */
 class StrainBatchWrite(path: String, proc: String) extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
     new StrainWriterFactory(path, proc)
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
-  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case StrainWriteCommit(files) => files.foreach { case (tmp, dst) =>
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp), java.nio.file.Paths.get(dst),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      }
+      case _ => ()
+    }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.foreach {
+      case StrainWriteCommit(files) => files.foreach { case (tmp, _) =>
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp))
+      }
+      case _ => ()
+    }
 }
 
 class StrainWriterFactory(path: String, proc: String) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new StrainDataWriter(path, proc)
+    new StrainDataWriter(path, proc, s"$partitionId-$taskId")
 }
 
-case class StrainWriteCommit(files: Seq[String]) extends WriterCommitMessage
+/** (tmp, final) path pairs — renamed into place only at job commit. */
+case class StrainWriteCommit(files: Seq[(String, String)]) extends WriterCommitMessage
 
 /** One task writes the complete snapshot files for the (force, step) groups
   * routed to it by the clustered write distribution. Rows buffer per group
@@ -193,11 +218,13 @@ case class StrainWriteCommit(files: Seq[String]) extends WriterCommitMessage
   * on commit each group re-encodes to the reference's six deviatoric records
   * (`strainfield_reader.py:48-59` inverted: tr = xx+yy+zz,
   * xx_dev = xx − tr/3, yy_dev = yy − tr/3; xy/xz/yz pass through). */
-class StrainDataWriter(path: String, proc: String) extends DataWriter[InternalRow] {
+class StrainDataWriter(path: String, proc: String, attemptTag: String)
+    extends DataWriter[InternalRow] {
   import scala.collection.mutable
   // (force, step) -> param -> (pt -> value)
   private val groups =
     mutable.Map.empty[(Int, Int), mutable.Map[Int, mutable.Map[Int, Float]]]
+  private val written = mutable.Buffer.empty[(String, String)]
 
   override def write(row: InternalRow): Unit = {
     val force = row.getInt(0); val step = row.getInt(1); val param = row.getInt(2)
@@ -229,12 +256,17 @@ class StrainDataWriter(path: String, proc: String) extends DataWriter[InternalRo
       }
       val f = new java.io.File(path,
         s"force_${SeisFixture.Forces(force)}/${proc}_strain_field_Step_$step.bin")
-      Fortran.writeRecordFile(f, recs)
-      f.getPath
+      val tmp = new java.io.File(f.getParentFile, s".${f.getName}.inprogress-$attemptTag")
+      Fortran.writeRecordFile(tmp, recs)
+      written += ((tmp.getPath, f.getPath))
+      (tmp.getPath, f.getPath)
     }
     StrainWriteCommit(files)
   }
 
-  override def abort(): Unit = ()
+  override def abort(): Unit =
+    written.foreach { case (tmp, _) =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp))
+    }
   override def close(): Unit = groups.clear()
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.functions._
-import graft.sources.{SeisFixture, SeisPipeline, StrainDataSource}
+import graft.sources.{SeisFixture, SeisPipeline, StrainBatchWrite, StrainDataSource, StrainDataWriter, StrainWriteCommit}
 
 class DataSourceV2Spec extends AnyFunSuite {
 
@@ -65,6 +65,29 @@ class DataSourceV2Spec extends AnyFunSuite {
     // deviatoric re-encode + float32 reconstruction may differ by an ulp
     val maxDiff = joined.agg(max(abs(col("va") - col("vb")))).head().getDouble(0)
     assert(maxDiff < 1e-12, s"round-trip max diff $maxDiff")
+  }
+
+  test("write is two-phase: task commit leaves temps, job commit renames, abort deletes") {
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val out = java.nio.file.Files.createTempDirectory("strain_2pc").toString
+    def freshWriter(tag: String) = {
+      val w = new StrainDataWriter(out, "proc000000", tag)
+      for (param <- 0 until 6; pt <- 0 until 4)
+        w.write(new GenericInternalRow(Array[Any](0, 0, param, 0, pt, param + pt * 0.5)))
+      w
+    }
+    val msg1 = freshWriter("a1").commit().asInstanceOf[StrainWriteCommit]
+    val (tmp1, dst1) = msg1.files.head
+    assert(new java.io.File(tmp1).isFile && !new java.io.File(dst1).exists(),
+      "task commit must stage a temp file, not the final name")
+    val bw = new StrainBatchWrite(out, "proc000000")
+    bw.abort(Array(msg1))
+    assert(!new java.io.File(tmp1).exists(), "job abort must remove staged temps")
+    val msg2 = freshWriter("a2").commit().asInstanceOf[StrainWriteCommit]
+    bw.commit(Array(msg2))
+    val (tmp2, dst2) = msg2.files.head
+    assert(new java.io.File(dst2).isFile && !new java.io.File(tmp2).exists(),
+      "job commit must rename temps into place")
   }
 
   test("filters compose on top of the scan (Catalyst handles post-scan pruning)") {

@@ -73,4 +73,16 @@ class PlansSpec extends AnyFunSuite {
     assert(joined.count() == e.count())
     assert(joined.where(col("da") =!= col("db")).isEmpty)
   }
+
+  test("GraftSession.install puts the full surface on a live session") {
+    val spark = TestSpark.spark
+    GraftSession.install(spark)
+    GraftSession.install(spark) // idempotent
+    assert(spark.sql("SELECT vec_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0) == 11.0)
+    assert(spark.sql("SELECT fnv_hash64('x') AS h").head().getLong(0) ==
+      graft.functions.Hashing.fnv64("x"))
+    assert(spark.experimental.extraStrategies.count(_ eq graft.plans.TopKPerGroupStrategy) == 1)
+    assert(spark.experimental.extraOptimizations.count(_ eq graft.plans.VectorizeDotProduct) == 1)
+  }
 }
