@@ -69,9 +69,67 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** STUB resize kernel: real code would decode, scale 2× down, re-encode;
+    * the fake keeps every 4th byte (area ratio of a 2× downscale). */
+  def fakeResize(bytes: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte]((bytes.length + 3) / 4)
+    var i = 0
+    while (i < out.length) { out(i) = bytes(i * 4); i += 1 }
+    out
+  }
+
+  /** Resize pass over the media column: emits the resized payload's true
+    * length plus old/new dims. Oracle-checked — the stub kernel's output
+    * length and the fake dims are pure arithmetic on octet_length, so DuckDB
+    * can verify the whole transform without running it. */
+  val multimodalResize: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val (w, h, _) = fakeDecodeMeta(bytes)
+        val resized = fakeResize(bytes)
+        (id, w.toLong, h.toLong, w / 2L, h / 2L, resized.length.toLong)
+      }
+      .toDF("doc_id", "width", "height", "new_width", "new_height", "n_bytes_out")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Feature extraction: media payload → fixed-size dense vector (8-bin
+    * normalized byte histogram standing in for a CNN embedding). The output
+    * column is similarity-ready — `vec_dot`/cosine over it composes with the
+    * Vectors operators. Non-oracle (stub kernel); MultimodalSpec pins the
+    * kernel's determinism and the distribution-sum invariant. */
+  val multimodalFeatures: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val bytes = text.getBytes("UTF-8")
+        val hist = new Array[Double](8)
+        var i = 0
+        while (i < bytes.length) { hist((bytes(i) & 0xff) >> 5) += 1.0; i += 1 }
+        if (bytes.length > 0) {
+          var b = 0
+          while (b < 8) {
+            hist(b) = math.rint(hist(b) / bytes.length * 10000) / 10000
+            b += 1
+          }
+        }
+        (id, hist)
+      }
+      .toDF("doc_id", "feat")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "q_multimodal_meta"   -> multimodalMeta,
-    "q_multimodal_frames" -> multimodalFrames,
+    "q_multimodal_meta"     -> multimodalMeta,
+    "q_multimodal_frames"   -> multimodalFrames,
+    "q_multimodal_resize"   -> multimodalResize,
+    "q_multimodal_features" -> multimodalFeatures,
   )
 
   val oracles: Map[String, String] = Map(
@@ -80,5 +138,17 @@ object Multimodal {
         | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         | lower(left(hex(CAST(text AS BLOB)), 16)) AS head_hex
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // the stub kernels are pure arithmetic on the byte length, so the whole
+    // resize transform is SQL-verifiable: w = 640 + n%640, h = 360 + n%360,
+    // resized length = ceil(n/4)
+    "q_multimodal_resize" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
+        |  FROM documents)
+        |SELECT doc_id,
+        | 640 + n % 640 AS width, 360 + n % 360 AS height,
+        | (640 + n % 640) // 2 AS new_width, (360 + n % 360) // 2 AS new_height,
+        | (n + 3) // 4 AS n_bytes_out
+        |FROM t ORDER BY doc_id""".stripMargin,
   )
 }

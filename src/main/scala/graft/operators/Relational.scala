@@ -129,7 +129,13 @@ object Relational {
     // 100 TB), no pair materialization, and both joins broadcast the small
     // side. Zero-match brands drop out naturally (inner-join semantics,
     // matching the oracle).
-    val W = 100.0
+    // W trades boundary-join fan-out against interior-explode width: every
+    // lineitem row joins ~2·|part|/(range/W) boundary edges, every part
+    // explodes ~intervalWidth/W interior buckets. At W=100 the edge join
+    // probed ~40 edges/row (24M pre-filter rows, 2-3 s at sf0.1); W=10
+    // rebalances to ~4 edges/row + ~75 interior buckets/part (~4M rows
+    // total). Both terms scale linearly with their input at fixed W.
+    val W = 10.0
     val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("price"),
       floor(col("l_extendedprice") / W).as("bkt"))
     val bucketAgg = li.groupBy(col("bkt"))

@@ -54,6 +54,30 @@ class PlansSpec extends AnyFunSuite {
     assert(!p.contains("Sort "), p)
   }
 
+  test("TopKPerGroup equals the window spelling on random data (seeded), incl. ties and skew") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(0xC0FFEE)
+    // skewed groups (g=0 holds ~half the rows), duplicate scores to force
+    // tie-breaking through the id column
+    val rows = (0 until 5000).map { i =>
+      val g = if (rnd.nextBoolean()) 0 else rnd.nextInt(40)
+      (i.toLong, g, rnd.nextInt(25).toDouble)
+    }
+    val df = rows.toDF("id", "g", "score")
+    for (k <- Seq(1, 3, 17)) {
+      val custom = graft.plans.TopKPerGroup
+        .topK(df, Seq("g"), Seq("score" -> false, "id" -> true), k)
+        .select(col("g"), col("rn"), col("id"), col("score"))
+      val w = Window.partitionBy(col("g")).orderBy(col("score").desc, col("id"))
+      val reference = df.withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= k)
+        .select(col("g"), col("rn"), col("id"), col("score"))
+      assert(custom.exceptAll(reference).isEmpty &&
+        reference.exceptAll(custom).isEmpty, s"mismatch at k=$k")
+    }
+  }
+
   test("VectorizeDotProduct rule rewrites aggregate(zip_with) into the native vec_dot") {
     val spark = TestSpark.spark
     VectorizeDotProduct.install(spark)
