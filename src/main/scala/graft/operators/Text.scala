@@ -167,6 +167,21 @@ object Text {
       .orderBy(col("lang"), col("guess"))
   }
 
+  /** Deterministic per-group sampling: k docs per language, selected by
+    * md5 of the doc id — the "carve a stable eval set out of 100 TB" op of
+    * a training-data pipeline. Hash-ordered top-k means the sample is
+    * reproducible across runs/engines (md5 exists on both sides, so this is
+    * fully oracle-checked) and adding data only perturbs the selection
+    * locally. Runs on the custom top-k operator: no per-language sort. */
+  val samplePerGroup: Q = (s, d) => {
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), md5(col("doc_id").cast("string")).as("h"))
+    graft.plans.TopKPerGroup
+      .topK(scored, Seq("lang"), Seq("h" -> true, "doc_id" -> true), 3)
+      .select(col("lang"), col("rn"), col("doc_id"), col("h"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
   /** Token-set (1-gram) Jaccard similarity join on a bounded sample
     * (doc_id < 50, J ≥ 0.5). Exact set arithmetic via array_intersect on
     * distinct token arrays; the full-corpus scalable path is
@@ -205,6 +220,7 @@ object Text {
     "q_text_stats"      -> textStats,
     "q_term_freq"       -> termFreq,
     "q_tfidf"           -> tfidf,
+    "q_sample_per_group" -> samplePerGroup,
     "q_ngram_shingles"  -> ngramShingles,
     "q_token_count"     -> tokenCount,
     "q_quality_score"   -> qualityScore,
@@ -255,6 +271,15 @@ object Text {
         |  FROM s)
         |SELECT doc_id, rn, term, CAST(tf AS BIGINT) AS tf, tfidf_r
         |FROM r WHERE rn <= 3 ORDER BY doc_id, rn""".stripMargin,
+    "q_sample_per_group" ->
+      """WITH s AS (
+        |  SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, h,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS BIGINT) AS rn
+        |  FROM s)
+        |SELECT lang, rn, doc_id, h FROM r WHERE rn <= 3
+        |ORDER BY lang, rn""".stripMargin,
     "q_ngram_shingles" ->
       """WITH w AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),

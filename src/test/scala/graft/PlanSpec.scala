@@ -65,4 +65,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("bit_count"), p)
     assert(!p.toLowerCase.contains("scalaudf"), p)
   }
+
+  test("term-freq, tfidf and per-group sampling use the heap operator, not a Window sort") {
+    import graft.operators.Text
+    for (q <- Seq(Text.termFreq, Text.tfidf, Text.samplePerGroup)) {
+      val p = plan(q)
+      assert(p.contains("TopKPerGroup"), p.take(2000))
+      assert(!p.contains("Window"), p.take(2000))
+    }
+  }
+
+  test("cosine top-k runs on the native vec_dot, no interpreted higher-order fold") {
+    val p = plan(Vectors.cosineTopk)
+    assert(p.contains("vec_dot"), p)
+    assert(!p.contains("aggregate(zip_with"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
