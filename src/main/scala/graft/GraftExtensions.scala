@@ -21,11 +21,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("fnv_hash64"),
       new ExpressionInfo(classOf[FnvHash64Expr].getName, "fnv_hash64"),
-      (exprs: Seq[Expression]) => FnvHash64Expr(exprs.head)))
+      (exprs: Seq[Expression]) => FnvHash64Expr.build(exprs)))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "vec_dot"),
-      (exprs: Seq[Expression]) => DotProductExpr(exprs.head, exprs(1))))
+      (exprs: Seq[Expression]) => DotProductExpr.build(exprs)))
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
     ext.injectOptimizerRule(_ => graft.plans.VectorizeDotProduct)
   }

@@ -40,15 +40,14 @@ object GraftSession {
   }
 
   /** Install the full graft surface on an already-running session
-    * (idempotent): SQL UDFs, native expressions, optimizer rule, planner
-    * strategy. */
+    * (idempotent): SQL UDFs, plus everything `GraftExtensions` injects
+    * (native expressions, planner strategy, optimizer rule) — the extensions
+    * object is the single registration site, applied here via the bridge. */
   def install(spark: SparkSession): Unit = {
     functions.Codec.register(spark)
     functions.Hashing.register(spark)
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
-    org.apache.spark.sql.GraftBridge.applyFunctionExtensions(ext, spark)
-    plans.TopKPerGroup.install(spark)
-    plans.VectorizeDotProduct.install(spark)
+    org.apache.spark.sql.GraftBridge.applyExtensions(ext, spark)
   }
 }

@@ -19,8 +19,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * `getDouble` loop over the two `ArrayData`s inside the fused
   * whole-stage-codegen loop: no allocation, no boxing, no fallback.
   *
-  * Accumulation is in ascending index order — bit-identical to both the
-  * zip_with spelling it replaces and DuckDB's `list_dot_product` oracle.
+  * Semantics match the declarative spelling EXACTLY — that is what makes
+  * the [[graft.plans.VectorizeDotProduct]] rewrite sound on arbitrary user
+  * queries, not just the engine's own embeddings: unequal lengths → NULL
+  * (zip_with pads the short side with nulls, and the fold then yields
+  * NULL), any NULL element in the zipped range → NULL (null * x → null),
+  * and otherwise accumulation in ascending index order — bit-identical to
+  * the interpreted result and to DuckDB's `list_dot_product` oracle.
   * Deployed cluster-wide via [[graft.GraftExtensions]] (`vec_dot` in SQL).
   */
 case class DotProductExpr(left: Expression, right: Expression)
@@ -42,13 +47,20 @@ case class DotProductExpr(left: Expression, right: Expression)
         s"vec_dot expects (ARRAY<DOUBLE>, ARRAY<DOUBLE>), got " +
           s"(${left.dataType.catalogString}, ${right.dataType.catalogString})")
 
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val xs = a.asInstanceOf[ArrayData]
     val ys = b.asInstanceOf[ArrayData]
-    val n = math.min(xs.numElements(), ys.numElements())
+    val n = xs.numElements()
+    if (n != ys.numElements()) return null
     var acc = 0.0
     var i = 0
-    while (i < n) { acc += xs.getDouble(i) * ys.getDouble(i); i += 1 }
+    while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+      acc += xs.getDouble(i) * ys.getDouble(i)
+      i += 1
+    }
     acc
   }
 
@@ -58,12 +70,17 @@ case class DotProductExpr(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -79,8 +96,17 @@ object DotProductExpr {
   def vec_dot(a: Column, b: Column): Column =
     GraftBridge.column(DotProductExpr(GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** Builder with an arity check that surfaces as an analysis-time error
+    * (not an IndexOutOfBounds from `exprs(1)`). */
+  def build(exprs: Seq[Expression]): DotProductExpr = {
+    if (exprs.length != 2)
+      throw new IllegalArgumentException(
+        s"vec_dot expects 2 arguments (ARRAY<DOUBLE>, ARRAY<DOUBLE>), got ${exprs.length}")
+    DotProductExpr(exprs.head, exprs(1))
+  }
+
   /** SQL registration: `SELECT vec_dot(a, b) FROM ...`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "vec_dot", exprs => DotProductExpr(exprs.head, exprs(1)), "built-in")
+      "vec_dot", build, "built-in")
 }

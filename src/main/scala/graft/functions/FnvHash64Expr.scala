@@ -59,8 +59,16 @@ object FnvHash64Expr {
   def fnv_hash64(c: Column): Column =
     GraftBridge.column(FnvHash64Expr(GraftBridge.expression(c)))
 
+  /** Builder with an arity check that surfaces as an analysis-time error. */
+  def build(exprs: Seq[Expression]): FnvHash64Expr = {
+    if (exprs.length != 1)
+      throw new IllegalArgumentException(
+        s"fnv_hash64 expects 1 STRING argument, got ${exprs.length}")
+    FnvHash64Expr(exprs.head)
+  }
+
   /** SQL registration: `SELECT fnv_hash64(text) FROM ...`. */
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "fnv_hash64", exprs => FnvHash64Expr(exprs.head), "built-in")
+      "fnv_hash64", build, "built-in")
 }

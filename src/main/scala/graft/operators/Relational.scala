@@ -149,10 +149,14 @@ object Relational {
       .select(col("p_brand"), explode(sequence(col("b_lo") + 1, col("b_hi") - 1)).as("bkt"))
       .join(broadcast(bucketAgg), Seq("bkt"))
       .select(col("p_brand"), col("bn").as("n_rows"), col("bs").as("sum_price"))
+    // edges derives from the full part table (~2 rows/part), so no forced
+    // broadcast hint — AQE converts to broadcast while it fits and degrades
+    // to a shuffle join when part outgrows memory (a hard hint here would
+    // re-create the driver-OOM failure mode this rewrite removed)
     val edges = parts
       .select(col("p_brand"), col("lo"), col("hi"),
         explode(array_distinct(array(col("b_lo"), col("b_hi")))).as("bkt"))
-    val edgeContrib = broadcast(edges).join(li, Seq("bkt"))
+    val edgeContrib = edges.join(li, Seq("bkt"))
       .where(col("price") >= col("lo") && col("price") <= col("hi"))
       .select(col("p_brand"), lit(1L).as("n_rows"), col("price").as("sum_price"))
     interior.unionAll(edgeContrib)

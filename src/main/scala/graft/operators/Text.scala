@@ -153,7 +153,7 @@ object Text {
       .select(col("lang"), col("text")).as[(String, String)]
       .map { case (lang, text) =>
         val counts = new Array[Long](5)
-        text.toLowerCase.trim.split("\\s+").foreach { t =>
+        text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").foreach { t =>
           markerLang.get(t).foreach(i => counts(i) += 1)
         }
         var best = 0L; var bi = -1

@@ -239,7 +239,7 @@ object Vectors {
     val sigs = Tables.documents(s, d)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val toks = text.toLowerCase.trim.split("\\s+").toSeq
+        val toks = text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").toSeq
         val shingles =
           if (toks.length < 3) toks
           else toks.sliding(3).map(_.mkString(" ")).toSeq
@@ -248,8 +248,12 @@ object Vectors {
       }
       .toDF("doc_id", "bands", "sig")
       // the signature pass feeds the band join and both signature re-joins;
-      // in a persistent pipeline this is a written (or cached) sig table
-      .localCheckpoint(true)
+      // in a persistent pipeline this is a written (or cached) sig table.
+      // Lazy persist (NOT localCheckpoint): no job runs at DataFrame
+      // construction, and the ContextCleaner reclaims the blocks once the
+      // plan is unreferenced — an eager checkpoint here pinned a signature
+      // copy in the BlockManager on every invocation
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band", "key")))
     val pairs = banded.select(col("doc_id").as("id_a"), col("band"), col("key"))
@@ -283,7 +287,7 @@ object Vectors {
     val hashed = Tables.documents(s, d)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val h = Hashing.simhash(text.toLowerCase.trim.split("\\s+").toSeq)
+        val h = Hashing.simhash(text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").toSeq)
         (id, h, Array.tabulate(4)(b => (b.toLong << 32) | ((h >>> (b * 16)) & 0xffffL)))
       }
       .toDF("doc_id", "sim", "blocks")

@@ -51,8 +51,10 @@ case class TopKPerGroupPlan(
     ordering: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    maxGroupsInFlight: Int = 1 << 17) extends UnaryNode {
   require(k > 0, s"top-k needs k > 0, got $k")
+  require(maxGroupsInFlight > 0, "maxGroupsInFlight must be positive")
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr :: Nil)
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerGroupPlan =
@@ -61,9 +63,9 @@ case class TopKPerGroupPlan(
 
 object TopKPerGroupStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerGroupPlan(grouping, ordering, k, rankAttr, child) =>
+    case TopKPerGroupPlan(grouping, ordering, k, rankAttr, child, maxGroups) =>
       TopKPerGroupExec(grouping, ordering, k, Some(rankAttr),
-        TopKPerGroupExec(grouping, ordering, k, None, planLater(child))) :: Nil
+        TopKPerGroupExec(grouping, ordering, k, None, planLater(child), maxGroups)) :: Nil
     case _ => Nil
   }
 }
@@ -73,15 +75,22 @@ object TopKPerGroupStrategy extends SparkStrategy {
   * group. `rankAttr = Some(_)` is the final phase: requires clustering on
   * the group key, merges the partial heaps and emits ranks 1..k.
   *
-  * Per-partition state is one k-bounded binary heap per distinct group key
-  * seen in that partition — the same memory shape as a partial hash
-  * aggregate, and the reason the full table never needs sorting. */
+  * Memory: the partial phase bounds its in-flight state at
+  * `maxGroupsInFlight` k-bounded heaps — when a new group would exceed the
+  * cap, the current heaps are FLUSHED to the output and state restarts
+  * (correct because the final phase merges duplicate per-group batches;
+  * the cost of a flush is only lost pre-aggregation, exactly like a partial
+  * hash aggregate falling back to pass-through on an overfull hash map).
+  * The final phase holds one partition's k·|groups-in-partition| output
+  * rows — the operator's own result size, strictly less state than the
+  * window sort it replaces. */
 case class TopKPerGroupExec(
     grouping: Seq[Expression],
     ordering: Seq[SortOrder],
     k: Int,
     rankAttr: Option[Attribute],
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    maxGroupsInFlight: Int = 1 << 17) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output ++ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr.toSeq)
@@ -96,6 +105,7 @@ case class TopKPerGroupExec(
     val limit = k
     val childOutput = child.output
     val emitRank = rankAttr.isDefined
+    val maxGroups = if (emitRank) Int.MaxValue else maxGroupsInFlight
     child.execute().mapPartitions ({ iter =>
       val keyProj = UnsafeProjection.create(groupingExprs, childOutput)
       val toUnsafe = UnsafeProjection.create(childOutput, childOutput)
@@ -107,23 +117,66 @@ case class TopKPerGroupExec(
         override def compare(a: UnsafeRow, b: UnsafeRow): Int = ord.compare(b, a)
       }
       val heaps = mutable.LinkedHashMap.empty[UnsafeRow, PriorityQueue[UnsafeRow]]
-      while (iter.hasNext) {
-        val row = toUnsafe(iter.next())
-        val key = keyProj(row)
-        heaps.get(key) match {
-          case Some(heap) =>
-            if (heap.size < limit) heap.add(row.copy())
-            else if (ord.compare(row, heap.peek()) < 0) {
-              heap.poll(); heap.add(row.copy())
-            }
-          case None =>
-            val heap = new PriorityQueue[UnsafeRow](limit, worstFirst)
-            heap.add(row.copy())
-            heaps.put(key.copy(), heap)
+
+      def admit(heap: PriorityQueue[UnsafeRow], row: UnsafeRow): Unit =
+        if (heap.size < limit) heap.add(row.copy())
+        else if (ord.compare(row, heap.peek()) < 0) {
+          heap.poll(); heap.add(row.copy())
         }
+      // drains current state to a materialized batch (rows are already
+      // defensive copies) and resets
+      def drain(): Iterator[UnsafeRow] = {
+        val rows = heaps.valuesIterator.flatMap(_.iterator().asScala).toArray
+        heaps.clear()
+        rows.iterator
       }
-      if (!emitRank) heaps.valuesIterator.flatMap(_.iterator().asScala)
-      else {
+      // consume input until a flush is forced or input ends; returns the
+      // batch to emit (empty only when input and state are both exhausted)
+      def nextBatch(): Iterator[UnsafeRow] = {
+        while (iter.hasNext) {
+          val row = toUnsafe(iter.next())
+          val key = keyProj(row)
+          heaps.get(key) match {
+            case Some(heap) => admit(heap, row)
+            case None =>
+              if (heaps.size >= maxGroups) {
+                val flushed = drain()
+                val heap = new PriorityQueue[UnsafeRow](limit, worstFirst)
+                heap.add(row.copy())
+                heaps.put(key.copy(), heap)
+                return flushed
+              }
+              val heap = new PriorityQueue[UnsafeRow](limit, worstFirst)
+              heap.add(row.copy())
+              heaps.put(key.copy(), heap)
+          }
+        }
+        drain()
+      }
+
+      if (!emitRank) {
+        new Iterator[InternalRow] {
+          private var cur: Iterator[UnsafeRow] = Iterator.empty
+          override def hasNext: Boolean = {
+            while (!cur.hasNext && (iter.hasNext || heaps.nonEmpty)) cur = nextBatch()
+            cur.hasNext
+          }
+          override def next(): InternalRow = { hasNext; cur.next() }
+        }
+      } else {
+        // final phase: all of a group's rows are in this partition; single
+        // pass, then rank each group's ≤k rows
+        while (iter.hasNext) {
+          val row = toUnsafe(iter.next())
+          val key = keyProj(row)
+          heaps.get(key) match {
+            case Some(heap) => admit(heap, row)
+            case None =>
+              val heap = new PriorityQueue[UnsafeRow](limit, worstFirst)
+              heap.add(row.copy())
+              heaps.put(key.copy(), heap)
+          }
+        }
         val joined = new JoinedRow
         val rankRow = new GenericInternalRow(1)
         heaps.valuesIterator.flatMap { heap =>
@@ -159,7 +212,11 @@ object TopKPerGroup {
       groupCols: Seq[String],
       order: Seq[(String, Boolean)],
       k: Int,
-      rankName: String = "rn"): DataFrame = {
+      rankName: String = "rn",
+      maxGroupsInFlight: Int = 1 << 17): DataFrame = {
+    require(groupCols.nonEmpty,
+      "topK needs at least one group column (global top-k is orderBy().limit() — TakeOrderedAndProject)")
+    require(order.nonEmpty, "topK needs a total order — include a unique tiebreaker column")
     install(df.sparkSession)
     val child = GraftBridge.plan(df)
     def attr(name: String): Attribute =
@@ -171,6 +228,7 @@ object TopKPerGroup {
     }
     val rankAttr = AttributeReference(rankName, LongType, nullable = false)()
     GraftBridge.ofRows(df.sparkSession,
-      TopKPerGroupPlan(groupCols.map(attr), ordering, k, rankAttr, child))
+      TopKPerGroupPlan(groupCols.map(attr), ordering, k, rankAttr, child,
+        maxGroupsInFlight))
   }
 }

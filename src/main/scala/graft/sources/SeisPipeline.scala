@@ -212,6 +212,7 @@ object SeisPipeline {
       .toDF("gll", "enc")
       .select(col("gll"), col("enc.n").as("n"), col("enc.offset").as("offset"),
         col("enc.scale").as("scale"), col("enc.payload").as("payload"),
+        col("enc.bits").as("bits"), // _encoding_level: readers must dequantize at the written width
         length(col("enc.payload")).as("payload_len"),
         lit(network).as("network"), lit(station).as("station"),
         lit(procName(procIdx)).as("proc"))
@@ -268,6 +269,7 @@ object SeisPipeline {
       .toDF("gll", "enc")
       .select(col("gll"), col("enc.n").as("n"), col("enc.offset").as("offset"),
         col("enc.scale").as("scale"), col("enc.payload").as("payload"),
+        col("enc.bits").as("bits"), // _encoding_level: readers must dequantize at the written width
         length(col("enc.payload")).as("payload_len"),
         lit(network).as("network"), lit(station).as("station"),
         lit(procName(procIdx)).as("proc"))

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
-import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NullOrdering, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.types._
@@ -65,17 +65,31 @@ object StrainDataSource {
       .filter(p => pathPattern.findFirstIn(p).isDefined)
   }
 
-  /** Planning-time file pruning from read options (stride + force subset). */
+  private[sources] def parse(path: String): Option[(String, Int)] = path match {
+    case pathPattern(force, stepStr) => Some((force, stepStr.toInt))
+    case _ => None
+  }
+
+  /** Planning-time file pruning from read options (stride + force subset).
+    * The stride anchors at `step0` when given, else at the SMALLEST step
+    * actually present in the (range/force-filtered) listing — anchoring a
+    * bare `dstep` at 0 would silently drop every file whose steps don't
+    * happen to be multiples of the stride. */
   private[sources] case class Pruning(step0: Option[Int], step1: Option[Int],
       dstep: Int, forces: Option[Set[String]]) {
-    def keeps(path: String): Boolean = path match {
-      case pathPattern(force, stepStr) =>
-        val step = stepStr.toInt
-        forces.forall(_.contains(force)) &&
-          step0.forall(step >= _) &&
-          step1.forall(step < _) &&
-          (step - step0.getOrElse(0)) % dstep == 0
-      case _ => false
+    def keepsRange(force: String, step: Int): Boolean =
+      forces.forall(_.contains(force)) &&
+        step0.forall(step >= _) &&
+        step1.forall(step < _)
+
+    /** Full filter over a listing: range/force filter, then stride from the
+      * anchor. */
+    def prune(paths: Seq[String]): Seq[String] = {
+      val inRange = paths.flatMap(p => parse(p).collect {
+        case (force, step) if keepsRange(force, step) => (p, step)
+      })
+      val anchor = step0.orElse(inRange.map(_._2).minOption).getOrElse(0)
+      inRange.collect { case (p, step) if (step - anchor) % dstep == 0 => p }
     }
   }
 
@@ -97,9 +111,11 @@ class StrainTable(path: String) extends Table with SupportsRead with SupportsWri
   /** Write path: long-form tensor rows → Fortran snapshot files (the exact
     * inverse of the read path's R14 reconstruction — xx/yy/zz are re-encoded
     * as trace + deviatoric records). The write declares a clustered
-    * distribution on (force, step), so Spark shuffles rows to co-locate each
-    * snapshot file's content with one task — file = unit of work on both
-    * paths, no cross-task file stitching. */
+    * distribution on (force, step) — each snapshot file's content lands in
+    * exactly one task — AND an ordering on (force, step), so a task
+    * receives its snapshots as contiguous runs and the writer holds ONE
+    * snapshot's working set at a time (not every snapshot routed to the
+    * task). File = unit of work on both paths, memory = one snapshot. */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     val proc = Option(info.options.get("proc")).getOrElse(SeisFixture.Proc)
     new WriteBuilder {
@@ -107,7 +123,11 @@ class StrainTable(path: String) extends Table with SupportsRead with SupportsWri
         override def requiredDistribution(): Distribution =
           Distributions.clustered(Array(
             Expressions.identity("force"), Expressions.identity("step")))
-        override def requiredOrdering(): Array[SortOrder] = Array.empty
+        override def requiredOrdering(): Array[SortOrder] = Array(
+          Expressions.sort(Expressions.identity("force"),
+            SortDirection.ASCENDING),
+          Expressions.sort(Expressions.identity("step"),
+            SortDirection.ASCENDING))
         override def toBatch: BatchWrite = new StrainBatchWrite(path, proc)
       }
     }
@@ -119,8 +139,7 @@ class StrainTable(path: String) extends Table with SupportsRead with SupportsWri
       override def readSchema(): StructType = StrainDataSource.schema
       override def toBatch: Batch = this
       override def planInputPartitions(): Array[InputPartition] =
-        StrainDataSource.listFiles(path)
-          .filter(pruning.keeps)
+        pruning.prune(StrainDataSource.listFiles(path))
           .map(StrainFilePartition(_): InputPartition).toArray
       override def createReaderFactory(): PartitionReaderFactory =
         new StrainReaderFactory
@@ -213,60 +232,77 @@ class StrainWriterFactory(path: String, proc: String) extends DataWriterFactory 
 case class StrainWriteCommit(files: Seq[(String, String)]) extends WriterCommitMessage
 
 /** One task writes the complete snapshot files for the (force, step) groups
-  * routed to it by the clustered write distribution. Rows buffer per group
-  * (a snapshot's working set — same as the read path's per-file record set);
-  * on commit each group re-encodes to the reference's six deviatoric records
-  * (`strainfield_reader.py:48-59` inverted: tr = xx+yy+zz,
-  * xx_dev = xx − tr/3, yy_dev = yy − tr/3; xy/xz/yz pass through). */
+  * routed to it. The write's required ordering delivers each group as a
+  * contiguous run, so only ONE snapshot's working set is buffered at a time
+  * (a few MB, same as the read path's per-file record set) — a group flushes
+  * to its temp file the moment the key changes. Each flush re-encodes to the
+  * reference's six deviatoric records (`strainfield_reader.py:48-59`
+  * inverted: tr = xx+yy+zz, xx_dev = xx − tr/3, yy_dev = yy − tr/3;
+  * xy/xz/yz pass through). Incomplete snapshots (a param or point missing —
+  * e.g. someone writes a filtered subset) fail loudly with the offending
+  * (force, step, param) rather than corrupting a file. */
 class StrainDataWriter(path: String, proc: String, attemptTag: String)
     extends DataWriter[InternalRow] {
   import scala.collection.mutable
-  // (force, step) -> param -> (pt -> value)
-  private val groups =
-    mutable.Map.empty[(Int, Int), mutable.Map[Int, mutable.Map[Int, Float]]]
+  private var curKey: (Int, Int) = null
+  // param -> (pt -> value), for the CURRENT (force, step) group only
+  private val byParam = mutable.Map.empty[Int, mutable.Map[Int, Float]]
   private val written = mutable.Buffer.empty[(String, String)]
 
   override def write(row: InternalRow): Unit = {
-    val force = row.getInt(0); val step = row.getInt(1); val param = row.getInt(2)
+    val key = (row.getInt(0), row.getInt(1))
+    if (curKey != null && key != curKey) flushGroup()
+    curKey = key
     val pt = row.getInt(3) * SeisFixture.NGLL_LOCAL + row.getInt(4)
-    groups.getOrElseUpdate((force, step), mutable.Map.empty)
-      .getOrElseUpdate(param, mutable.Map.empty)
+    byParam.getOrElseUpdate(row.getInt(2), mutable.Map.empty)
       .update(pt, row.getDouble(5).toFloat)
   }
 
-  override def commit(): WriterCommitMessage = {
-    val files = groups.toSeq.sortBy(_._1).map { case ((force, step), byParam) =>
-      val nPoints = byParam.valuesIterator.map(m => m.keysIterator.max + 1).max
-      def comp(p: Int): Int => Float = { val m = byParam(p); pt => m(pt) }
-      val (xx, yy, zz) = (comp(0), comp(1), comp(2))
-      val recs = (0 until 6).map { r =>
-        val vals = new Array[Float](nPoints)
-        var pt = 0
-        while (pt < nPoints) {
-          val tr = xx(pt) + yy(pt) + zz(pt)
-          vals(pt) = r match {
-            case 0 => tr
-            case 1 => xx(pt) - tr / 3f
-            case 2 => yy(pt) - tr / 3f
-            case p => byParam(p)(pt) // records 3..5 = params 3..5 (xy, xz, yz)
-          }
-          pt += 1
-        }
-        Fortran.bytesOfFloats(vals)
-      }
-      val f = new java.io.File(path,
-        s"force_${SeisFixture.Forces(force)}/${proc}_strain_field_Step_$step.bin")
-      val tmp = new java.io.File(f.getParentFile, s".${f.getName}.inprogress-$attemptTag")
-      Fortran.writeRecordFile(tmp, recs)
-      written += ((tmp.getPath, f.getPath))
-      (tmp.getPath, f.getPath)
+  private def flushGroup(): Unit = {
+    val (force, step) = curKey
+    def param(p: Int): mutable.Map[Int, Float] = byParam.getOrElse(p,
+      throw new IllegalStateException(
+        s"incomplete snapshot (force=$force, step=$step): param $p has no rows — " +
+          "the strain write needs all 6 tensor params for every point"))
+    val nPoints = (0 until 6).map(p => param(p).keysIterator.max + 1).max
+    def comp(p: Int): Int => Float = { val m = param(p); pt => m.getOrElse(pt,
+      throw new IllegalStateException(
+        s"incomplete snapshot (force=$force, step=$step): param $p missing point $pt of $nPoints"))
     }
-    StrainWriteCommit(files)
+    val (xx, yy, zz) = (comp(0), comp(1), comp(2))
+    val recs = (0 until 6).map { r =>
+      val rec = if (r >= 3) comp(r) else null
+      val vals = new Array[Float](nPoints)
+      var pt = 0
+      while (pt < nPoints) {
+        val tr = xx(pt) + yy(pt) + zz(pt)
+        vals(pt) = r match {
+          case 0 => tr
+          case 1 => xx(pt) - tr / 3f
+          case 2 => yy(pt) - tr / 3f
+          case _ => rec(pt) // records 3..5 = params 3..5 (xy, xz, yz)
+        }
+        pt += 1
+      }
+      Fortran.bytesOfFloats(vals)
+    }
+    val f = new java.io.File(path,
+      s"force_${SeisFixture.Forces(force)}/${proc}_strain_field_Step_$step.bin")
+    val tmp = new java.io.File(f.getParentFile, s".${f.getName}.inprogress-$attemptTag")
+    Fortran.writeRecordFile(tmp, recs)
+    written += ((tmp.getPath, f.getPath))
+    byParam.clear()
+    curKey = null
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (curKey != null) flushGroup()
+    StrainWriteCommit(written.toSeq)
   }
 
   override def abort(): Unit =
     written.foreach { case (tmp, _) =>
       java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(tmp))
     }
-  override def close(): Unit = groups.clear()
+  override def close(): Unit = byParam.clear()
 }

@@ -18,6 +18,24 @@ object GraftBridge {
   def applyFunctionExtensions(ext: SparkSessionExtensions, spark: SparkSession): Unit =
     ext.registerFunctions(spark.sessionState.functionRegistry)
 
+  /** Apply EVERYTHING an extensions object carries that a live session can
+    * still absorb: functions into the registry, planner strategies and
+    * optimizer rules into `spark.experimental` (idempotent by class). The
+    * extensions object stays the single source of truth — a new
+    * `injectFunction`/`injectPlannerStrategy`/`injectOptimizerRule` in it is
+    * picked up here with no second registration site. */
+  def applyExtensions(ext: SparkSessionExtensions, spark: SparkSession): Unit = {
+    applyFunctionExtensions(ext, spark)
+    val strategies = ext.buildPlannerStrategies(spark)
+    val existingS = spark.experimental.extraStrategies
+    spark.experimental.extraStrategies =
+      existingS ++ strategies.filterNot(s => existingS.exists(_.getClass == s.getClass))
+    val rules = ext.buildOptimizerRules(spark)
+    val existingR = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      existingR ++ rules.filterNot(r => existingR.exists(_.getClass == r.getClass))
+  }
+
   /** Analyzed plan of a DataFrame / DataFrame over a LogicalPlan — the two
     * halves a library needs to insert a custom logical operator into a
     * user's query (`Dataset.ofRows` is `private[sql]` on 4.x). */

@@ -67,6 +67,25 @@ class DataSourceV2Spec extends AnyFunSuite {
     assert(maxDiff < 1e-12, s"round-trip max diff $maxDiff")
   }
 
+  test("bare dstep anchors the stride at the smallest present step, not at 0") {
+    val spark = TestSpark.spark
+    val dir = SeisFixture.ensure()
+    // a directory whose steps start at 10 (no step-0 snapshot)
+    val shifted = java.nio.file.Files.createTempDirectory("strain_shift").toString
+    new java.io.File(s"$shifted/force_N").mkdirs()
+    for (step <- 10 to 100 by 10) {
+      val name = s"${SeisFixture.Proc}_strain_field_Step_$step.bin"
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/force_N/$name"),
+        java.nio.file.Paths.get(s"$shifted/force_N/$name"))
+    }
+    val strided = spark.read.format(classOf[StrainDataSource].getName)
+      .option("path", shifted).option("dstep", "30").load()
+    // anchor = 10 → steps 10, 40, 70, 100 (anchoring at 0 would keep only 30/60/90)
+    assert(strided.select(col("step")).distinct().orderBy(col("step"))
+      .collect().map(_.getInt(0)).toSeq == Seq(10, 40, 70, 100))
+  }
+
   test("write is two-phase: task commit leaves temps, job commit renames, abort deletes") {
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
     val out = java.nio.file.Files.createTempDirectory("strain_2pc").toString

@@ -90,4 +90,24 @@ class FunctionsSpec extends AnyFunSuite {
       .head().getDouble(0)
     assert(viaSql == 32.0)
   }
+
+  test("vec_dot matches aggregate(zip_with) NULL semantics exactly (rule soundness)") {
+    val spark = TestSpark.spark
+    import graft.functions.DotProductExpr
+    DotProductExpr.register(spark)
+    // the declarative spelling these must agree with, evaluated by Spark itself
+    def declarative(a: String, b: String): Any = spark.sql(
+      s"SELECT aggregate(zip_with($a, $b, (x, y) -> x * y), 0.0d, (acc, x) -> acc + x)")
+      .head().get(0)
+    def native(a: String, b: String): Any =
+      spark.sql(s"SELECT vec_dot($a, $b)").head().get(0)
+    val cases = Seq(
+      ("array(1.0d, 2.0d)", "array(3.0d, 4.0d)"),              // plain
+      ("array(1.0d, 2.0d, 3.0d)", "array(3.0d, 4.0d)"),        // unequal → NULL
+      ("array(1.0d, CAST(NULL AS DOUBLE))", "array(3.0d, 4.0d)"), // null elem → NULL
+      ("CAST(NULL AS ARRAY<DOUBLE>)", "array(1.0d)"))           // null array → NULL
+    cases.foreach { case (a, b) =>
+      assert(native(a, b) == declarative(a, b), s"vec_dot($a, $b)")
+    }
+  }
 }

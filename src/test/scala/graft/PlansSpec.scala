@@ -65,9 +65,12 @@ class PlansSpec extends AnyFunSuite {
       (i.toLong, g, rnd.nextInt(25).toDouble)
     }
     val df = rows.toDF("id", "g", "score")
-    for (k <- Seq(1, 3, 17)) {
+    // maxGroupsInFlight=2 forces many partial-phase flushes (40 groups),
+    // exercising the bounded-memory path; results must be unaffected
+    for ((k, cap) <- Seq((1, 1 << 17), (3, 2), (17, 2))) {
       val custom = graft.plans.TopKPerGroup
-        .topK(df, Seq("g"), Seq("score" -> false, "id" -> true), k)
+        .topK(df, Seq("g"), Seq("score" -> false, "id" -> true), k,
+          maxGroupsInFlight = cap)
         .select(col("g"), col("rn"), col("id"), col("score"))
       val w = Window.partitionBy(col("g")).orderBy(col("score").desc, col("id"))
       val reference = df.withColumn("rn", row_number().over(w).cast("long"))
