@@ -386,11 +386,13 @@ object Relational {
     Tables.embeddings(s, d)
       .select(col("vec_id"),
         size(col("embedding")).cast("long").as("n_dim"),
-        round(element_at(v, 1), 4).as("first_v"),
-        round(element_at(v, size(col("embedding"))), 4).as("last_v"),
+        // + 0.0 normalizes IEEE -0.0 everywhere a rounded value can be a
+        // tiny negative (raw elements round to -0.0 in DuckDB but 0.0 in
+        // Spark — bit at sf0.1; the mean's ~1e-18 summation residual flips
+        // sign across summation orders) so both engines hash identically
+        (round(element_at(v, 1), 4) + 0.0).as("first_v"),
+        (round(element_at(v, size(col("embedding"))), 4) + 0.0).as("last_v"),
         round(sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x)), 4).as("norm"),
-        // + 0.0 normalizes IEEE -0.0 (sign of a ~1e-18 sum residual differs
-        // across summation orders) so both engines hash identically
         (round(aggregate(v, lit(0.0), (acc, x) => acc + x) / size(col("embedding")), 4) + 0.0).as("mean_v"))
       .orderBy(col("vec_id"))
   }
@@ -696,8 +698,8 @@ object Relational {
         |    round(sum(x) / count(*), 4) + 0.0 AS mean_v
         |  FROM u GROUP BY vec_id)
         |SELECT e.vec_id, CAST(len(e.embedding) AS BIGINT) AS n_dim,
-        | round(CAST(e.embedding[1] AS DOUBLE), 4) AS first_v,
-        | round(CAST(e.embedding[len(e.embedding)] AS DOUBLE), 4) AS last_v,
+        | round(CAST(e.embedding[1] AS DOUBLE), 4) + 0.0 AS first_v,
+        | round(CAST(e.embedding[len(e.embedding)] AS DOUBLE), 4) + 0.0 AS last_v,
         | agg.norm, agg.mean_v
         |FROM embeddings e JOIN agg ON e.vec_id = agg.vec_id
         |ORDER BY e.vec_id""".stripMargin,

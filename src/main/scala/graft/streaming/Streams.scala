@@ -99,4 +99,19 @@ object Streams {
     try { q.processAllAvailable() } finally { q.stop() }
     df.sparkSession.table(name)
   }
+
+  /** Run an append-mode stream into a parquet file sink with a checkpoint —
+    * the production delivery shape. The checkpoint (source offsets + sink
+    * file manifest) is what makes the pipeline exactly-once across
+    * restarts: re-running with the same checkpoint re-emits NOTHING for
+    * already-committed batches (asserted in StreamingSpec), and a crash
+    * mid-batch replays from the last committed offset. */
+  def runToFiles(df: DataFrame, outDir: String, checkpointDir: String): Unit = {
+    val q = df.writeStream.outputMode(OutputMode.Append)
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .start()
+    try { q.processAllAvailable() } finally { q.stop() }
+  }
 }

@@ -58,6 +58,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.distinct().count() == total)
   }
 
+  test("append-mode parquet file sink with checkpoint is exactly-once across restarts") {
+    val spark = TestSpark.spark
+    val out = java.nio.file.Files.createTempDirectory("stream_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("stream_ckpt").toString
+    def run(): Unit = Streams.runToFiles(
+      Streams.dedupStream(Streams.eventsStream(spark, TestSpark.sf0001))
+        .select(col("event_id"), col("user_id"), col("event_type")),
+      out, ckpt)
+    run()
+    val total = Tables.events(spark, TestSpark.sf0001).count()
+    val first = spark.read.parquet(out)
+    assert(first.count() == total && first.select(col("event_id")).distinct().count() == total)
+    // restart from the same checkpoint with no new source data: the
+    // committed batches must NOT re-emit — exactly-once, not at-least-once
+    run()
+    assert(spark.read.parquet(out).count() == total)
+  }
+
   test("flatMapGroupsWithState running per-user aggregate matches batch") {
     val spark = TestSpark.spark
     import spark.implicits._
