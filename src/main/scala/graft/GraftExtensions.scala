@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductExpr, FnvHash64Expr}
+import graft.functions.{CosineSimExpr, DotProductExpr, FnvHash64Expr}
 import graft.plans.TopKPerGroupStrategy
 
 /** Cluster-deploy packaging of the engine's native Catalyst expressions:
@@ -26,6 +26,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[DotProductExpr].getName, "vec_dot"),
       (exprs: Seq[Expression]) => DotProductExpr.build(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "vec_cosine"),
+      (exprs: Seq[Expression]) => CosineSimExpr.build(exprs)))
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
     ext.injectOptimizerRule(_ => graft.plans.VectorizeDotProduct)
   }

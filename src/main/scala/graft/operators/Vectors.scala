@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{DotProductExpr, Hashing}
+import graft.functions.{CosineSimExpr, DotProductExpr, Hashing}
 
 /** Similarity search + near-dup operators over `embeddings` and `documents`
   * (north-star LLM-pipeline extension): brute-force cosine top-k, sampled
@@ -27,15 +27,17 @@ object Vectors {
 
   /** Brute-force cosine top-k for a probe vector (the exactness baseline any
     * ANN variant is judged against). The probe is a 1-row broadcast; the scan
-    * side computes one fused dot+norm per row (no shuffle until the global
-    * top-k, which TakeOrdered keeps at k per partition). */
+    * side runs the fused [[CosineSimExpr]] — dot and both norms in ONE array
+    * traversal per row (the composed dot/norm spelling walks the arrays
+    * three times), bit-identical to the composed form and the oracle. No
+    * shuffle until the global top-k, which TakeOrdered keeps at k per
+    * partition. */
   val cosineTopk: Q = (s, d) => {
     val e = Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
     val probe = broadcast(e.where(col("vec_id") === 0).select(col("v").as("pv")))
     e.where(col("vec_id") =!= 0)
       .crossJoin(probe)
-      .select(col("vec_id"),
-        (dot(col("v"), col("pv")) / (norm(col("v")) * norm(col("pv")))).as("cos"))
+      .select(col("vec_id"), CosineSimExpr.vec_cosine(col("v"), col("pv")).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))
       .limit(10)
       .select(col("vec_id"), round(col("cos"), 4).as("cos_r"))

@@ -91,6 +91,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaSql == 32.0)
   }
 
+  test("fused vec_cosine is bit-identical to the composed dot/norm spelling, stays codegen") {
+    val spark = TestSpark.spark
+    import graft.functions.{CosineSimExpr, DotProductExpr}
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val probe = broadcast(e.where(col("vec_id") === 0).select(col("v").as("pv")))
+    def d(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      DotProductExpr.vec_dot(a, b)
+    val df = e.crossJoin(probe).select(
+      CosineSimExpr.vec_cosine(col("v"), col("pv")).as("fused"),
+      (d(col("v"), col("pv")) / (sqrt(d(col("v"), col("v"))) * sqrt(d(col("pv"), col("pv"))))).as("composed"))
+    df.collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1), r))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("vec_cosine"), plan)
+    // NULL semantics mirror vec_dot
+    CosineSimExpr.register(spark)
+    assert(spark.sql("SELECT vec_cosine(array(1.0d), array(1.0d, 2.0d))").head().isNullAt(0))
+    assert(spark.sql("SELECT vec_cosine(array(1.0d, CAST(NULL AS DOUBLE)), array(1.0d, 2.0d))").head().isNullAt(0))
+  }
+
   test("vec_dot matches aggregate(zip_with) NULL semantics exactly (rule soundness)") {
     val spark = TestSpark.spark
     import graft.functions.DotProductExpr

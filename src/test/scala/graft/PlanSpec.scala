@@ -75,9 +75,9 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
-  test("cosine top-k runs on the native vec_dot, no interpreted higher-order fold") {
+  test("cosine top-k runs on the fused native vec_cosine, no interpreted higher-order fold") {
     val p = plan(Vectors.cosineTopk)
-    assert(p.contains("vec_dot"), p)
+    assert(p.contains("vec_cosine"), p)
     assert(!p.contains("aggregate(zip_with"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
