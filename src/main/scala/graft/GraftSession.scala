@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 
 /** The library's front door: builds (or upgrades) a SparkSession with the
   * full graft surface installed — native expressions (`fnv_hash64`,
-  * `vec_dot`), the `VectorizeDotProduct` optimizer rule, the `TopKPerGroup`
+  * `vec_dot`, `vec_cosine`), the `VectorizeDotProduct` optimizer rule, the `TopKPerGroup`
   * planner strategy, and the scalar codec/hashing SQL UDFs — plus the
   * engine's recommended execution config (AQE with partition coalescing and
   * skew handling, UTC session time).

@@ -242,6 +242,24 @@ object Relational {
         round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90_price"))
       .orderBy(col("l_returnflag"))
 
+  /** Single-pass approximate quantiles (the Greenwald-Khanna summaries
+    * behind `approx_percentile`): the 100 TB companion to [[aggStats]]'s
+    * exact percentiles. Exact `percentile` buffers and sorts every group's
+    * values; the GK sketch is one scan with mergeable per-partition
+    * summaries of bounded size and rank error ≤ n/accuracy — the same
+    * shuffle-k-not-n contract as the KMV/HLL distinct sketches. Rows-only
+    * for the driver (summary merge order is partitioning-dependent);
+    * FunctionsSpec bounds the rank error against the exact sorted order. */
+  val quantileSketch: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.9), 10000)").as("qs"))
+      .select(col("l_returnflag"), col("n_rows"),
+        transform(col("qs"), q => round(q, 4)).as("qs_r"))
+      .orderBy(col("l_returnflag"))
+
   /** Distribution window functions: percent_rank / cume_dist / ntile. */
   val windowPct: Q = (s, d) => {
     val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
@@ -468,6 +486,7 @@ object Relational {
     "q_join_asof"           -> joinAsof,
     "q_agg_distinct"        -> aggDistinct,
     "q_agg_stats"           -> aggStats,
+    "q_quantile_sketch"     -> quantileSketch,
     "q_window_pct"          -> windowPct,
     "q_agg_rollup"          -> aggRollup,
     "q_agg_cube"            -> aggCube,

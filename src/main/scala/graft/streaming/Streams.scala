@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -86,6 +88,44 @@ object Streams {
           var mx = prev.maxValue
           rows.foreach { case (_, v) => n += 1; if (v > mx) mx = v }
           val next = UserAgg(key, n, mx)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
+  case class TopKSnapshot(
+      eventType: String, nSeen: Long, topIds: Seq[Long], topVals: Seq[Double])
+
+  /** Streaming top-k per event_type — the streaming twin of the custom
+    * [[graft.plans.TopKPerGroup]] batch operator. The same k-bounded
+    * invariant the batch operator keeps in its map-side heaps lives here in
+    * keyed `GroupState`: at most k (value, id) pairs per key, ever, so state
+    * size is k·|keys| regardless of stream length — the property that makes
+    * an unbounded top-k dashboard viable (a naive "collect all then rank"
+    * state grows with the stream).
+    *
+    * Ordering is the total order (value DESC, event_id ASC) — the tiebreaker
+    * makes the emitted snapshot deterministic, exactly as the batch operator
+    * requires. Each trigger emits the updated snapshot with a monotone
+    * `nSeen` so a consumer (or the spec) can pick the latest per key. */
+  def streamingTopK(spark: SparkSession, events: DataFrame, k: Int = 5): Dataset[TopKSnapshot] = {
+    import spark.implicits._
+    events.select(col("event_type"), col("event_id"), col("value"))
+      .as[(String, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[TopKSnapshot, TopKSnapshot](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long, Double)], state: GroupState[TopKSnapshot]) =>
+          val prev = state.getOption.getOrElse(TopKSnapshot(key, 0L, Nil, Nil))
+          // merge the micro-batch into the ≤k retained pairs; k is tiny, so
+          // sort-and-take is the clear spelling (the batch operator's heap
+          // admission is the same O(log k) idea at scan volume)
+          var n = prev.nSeen
+          val buf = mutable.ArrayBuffer.empty[(Double, Long)]
+          prev.topVals.zip(prev.topIds).foreach { case (v, id) => buf += ((v, id)) }
+          rows.foreach { case (_, id, v) => n += 1; buf += ((v, id)) }
+          val top = buf.sortBy { case (v, id) => (-v, id) }.take(k)
+          val next = TopKSnapshot(key, n, top.map(_._2).toSeq, top.map(_._1).toSeq)
           state.update(next)
           Iterator(next)
       }

@@ -91,6 +91,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(viaSql == 32.0)
   }
 
+  test("q_quantile_sketch rank error is within the GK bound of the exact quantiles") {
+    val spark = TestSpark.spark
+    val accuracy = 10000
+    val got = operators.Relational.quantileSketch(spark, TestSpark.sf0001)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getSeq[Double](2))).toMap
+    val exact = Tables.lineitem(spark, TestSpark.sf0001)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val phis = Seq(0.25, 0.5, 0.75, 0.9)
+    for ((flag, vals) <- exact) {
+      val (n, qs) = got(flag)
+      assert(n == vals.length)
+      // GK guarantee: the returned value's rank is within n/accuracy of the
+      // target rank (plus the 4-decimal output rounding slack)
+      val tol = math.max(1.0, n.toDouble / accuracy)
+      phis.zip(qs).foreach { case (phi, q) =>
+        val below = vals.count(_ <= q + 1e-4)
+        val atLeast = vals.count(_ >= q - 1e-4)
+        val targetRank = phi * n
+        assert(below >= targetRank - tol && (n - atLeast) <= targetRank + tol,
+          s"$flag phi=$phi q=$q n=$n below=$below atLeast=$atLeast")
+      }
+    }
+  }
+
   test("fused vec_cosine is bit-identical to the composed dot/norm spelling, stays codegen") {
     val spark = TestSpark.spark
     import graft.functions.{CosineSimExpr, DotProductExpr}

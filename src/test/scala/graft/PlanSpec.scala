@@ -75,6 +75,39 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("selective shuffle join gets a runtime bloom filter on the fact side") {
+    // At 100 TB a selective dimension filter should reach the fact scan as a
+    // runtime bloom semi-filter (Spark's InjectRuntimeFilter), cutting the
+    // shuffled fact rows before the join. Local fixtures are below the
+    // injection thresholds and broadcast-join sized, so pin both down to
+    // prove the engine's config surface actually produces the plan.
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      val li = Tables.lineitem(spark, TestSpark.sf0001)
+      val ord = Tables.orders(spark, TestSpark.sf0001)
+        .where(col("o_totalprice") > 400000.0)
+      val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).count()
+      val p = joined.queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"), p.take(3000))
+      assert(p.contains("bloom_filter_agg"), p.take(3000))
+    } finally {
+      saved.foreach { case (k, v) =>
+        v.fold(conf.unset(k))(x => conf.set(k, x))
+      }
+    }
+  }
+
   test("cosine top-k runs on the fused native vec_cosine, no interpreted higher-order fold") {
     val p = plan(Vectors.cosineTopk)
     assert(p.contains("vec_cosine"), p)

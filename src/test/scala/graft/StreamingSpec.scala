@@ -76,6 +76,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == total)
   }
 
+  test("streaming top-k keyed state matches the batch TopKPerGroup operator") {
+    val spark = TestSpark.spark
+    val k = 5
+    val stream = Streams.eventsStream(spark, TestSpark.sf0001)
+    val updates = Streams.runToCompletion(
+      Streams.streamingTopK(spark, stream, k).toDF(), "t_topk", "update")
+    // final state per event_type = the snapshot with the max nSeen
+    val got = updates.groupBy(col("eventType"))
+      .agg(max(struct(col("nSeen"), col("topIds"), col("topVals"))).as("s"))
+      .select(col("eventType"), col("s.topIds").as("ids"),
+        transform(col("s.topVals"), v => round(v, 4)).as("vals"))
+      .orderBy(col("eventType")).collect().toSeq
+    val want = plans.TopKPerGroup.topK(
+        Tables.events(spark, TestSpark.sf0001)
+          .select(col("event_type"), col("event_id"), col("value")),
+        Seq("event_type"), Seq(("value", false), ("event_id", true)), k)
+      .groupBy(col("event_type"))
+      .agg(sort_array(collect_list(struct(col("rn"), col("event_id"), col("value")))).as("t"))
+      .select(col("event_type"),
+        transform(col("t"), r => r.getField("event_id")).as("ids"),
+        transform(col("t"), r => round(r.getField("value"), 4)).as("vals"))
+      .orderBy(col("event_type")).collect().toSeq
+    assert(got == want)
+  }
+
   test("flatMapGroupsWithState running per-user aggregate matches batch") {
     val spark = TestSpark.spark
     import spark.implicits._
