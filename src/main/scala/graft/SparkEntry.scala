@@ -24,12 +24,16 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ RefOps.queries ++
       Text.queries ++ Vectors.queries ++ Multimodal.queries ++
-      Map("q_dedup_clusters" ->
-        ((s: SparkSession, d: String) => operators.DedupCluster.clusters(s, d, 0.5)))
+      Map(
+        "q_dedup_clusters" ->
+          ((s: SparkSession, d: String) => operators.DedupCluster.clusters(s, d, 0.5)),
+        "q_dedup_clusters_exact" ->
+          ((s: SparkSession, d: String) => operators.DedupCluster.clustersExact(s, d)))
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Events.oracles ++ RefOps.oracles ++
-      Text.oracles ++ Vectors.oracles ++ Multimodal.oracles
+      Text.oracles ++ Vectors.oracles ++ Multimodal.oracles ++
+      operators.DedupCluster.oracles
 }

@@ -99,4 +99,37 @@ object DedupCluster {
       .agg(count(lit(1)).as("cluster_size"), min(col("id")).as("keep_doc_id"))
       .orderBy(col("comp"))
   }
+
+  /** Oracle-checked clustering: the same components → size → representative
+    * plan over the EXACT embedding near-dup pairs ([[Vectors.embedNeardup]],
+    * itself hash-checked), so the whole chain — pair kernel, connected
+    * components, representative selection — verifies against a DuckDB
+    * recursive-CTE transitive closure. The LSH-fed [[clusters]] stays
+    * rows-only only because approximate candidate generation isn't
+    * SQL-expressible; this pins the clustering algebra itself. */
+  def clustersExact(s: SparkSession, d: String): DataFrame =
+    connectedComponents(Vectors.embedNeardup(s, d))
+      .groupBy(col("comp"))
+      .agg(count(lit(1)).as("cluster_size"), min(col("id")).as("keep_doc_id"))
+      .orderBy(col("comp"))
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_clusters_exact" ->
+      """WITH RECURSIVE e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+        |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+        |n AS (SELECT DISTINCT src AS id FROM e),
+        |reach(id, root) AS (
+        |  SELECT id, id FROM n
+        |  UNION
+        |  SELECT e.dst, r.root FROM reach r JOIN e ON e.src = r.id),
+        |comp0 AS (SELECT id, min(root) AS comp FROM reach GROUP BY id)
+        |SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size, min(id) AS keep_doc_id
+        |FROM comp0 GROUP BY comp ORDER BY comp""".stripMargin,
+  )
 }

@@ -28,6 +28,19 @@ object ScaleJoins {
     bigSalted.join(smallExploded, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Hive-style partitioned + sorted parquet layout: the directory tree on
+    * `partCol` gives planning-time partition pruning (a filter on partCol
+    * never lists, let alone reads, the other directories — at 100 TB the
+    * difference between a metadata lookup and a full scan), and sorting
+    * within files tightens parquet row-group min/max stats so the reader
+    * skips pages inside the selected partitions too. The explicit
+    * `repartition(partCol)` writes one file per partition value per
+    * reducer instead of one per input task — small-file control at scale. */
+  def writePartitioned(df: DataFrame, path: String, partCol: String, sortCols: String*): Unit =
+    df.repartition(col(partCol))
+      .sortWithinPartitions((partCol +: sortCols).map(col): _*)
+      .write.mode("overwrite").partitionBy(partCol).parquet(path)
+
   /** Write both sides bucketed by the join key into managed tables —
     * subsequent equi-joins on that key are co-located (no Exchange in the
     * plan), the standard way to amortize the big-big shuffle across every

@@ -43,6 +43,30 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(fast == dist && fast.nonEmpty)
   }
 
+  test("exact clustering equals an independent union-find over the exact pairs") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    val pairs = graft.operators.Vectors.embedNeardup(spark, TestSpark.sf0001)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val want = parent.keys.toSeq.map(k => (find(k), k)).groupBy(_._1)
+      .map { case (c, ms) => (c, ms.size.toLong, ms.map(_._2).min) }
+      .toSeq.sortBy(_._1)
+    val got = DedupCluster.clustersExact(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
+  }
+
   test("document clusters from LSH candidates have sane shape") {
     val spark = TestSpark.spark
     val cl = DedupCluster.clusters(spark, TestSpark.sf0001, minJac = 0.5).collect()

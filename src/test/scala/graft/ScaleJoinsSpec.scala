@@ -21,6 +21,33 @@ class ScaleJoinsSpec extends AnyFunSuite {
     assert(salted == plain && plain.nonEmpty)
   }
 
+  test("partitioned layout prunes directories at planning time") {
+    val spark = TestSpark.spark
+    val out = java.nio.file.Files.createTempDirectory("part_layout").toString
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+      .select(col("l_orderkey"), col("l_shipdate"), col("l_quantity"), col("l_returnflag"))
+    ScaleJoins.writePartitioned(li, out, "l_returnflag", "l_shipdate")
+    val r = spark.read.parquet(out).where(col("l_returnflag") === "R")
+    val plan = r.queryExecution.executedPlan.toString
+    // the returnflag predicate lands in PartitionFilters (directory-level
+    // pruning), not in the row-level PushedFilters
+    assert(plan.contains("PartitionFilters: ["), plan)
+    assert("PartitionFilters: \\[[^\\]]*l_returnflag".r.findFirstIn(plan).isDefined, plan)
+    assert(r.count() == li.where(col("l_returnflag") === "R").count())
+    // the executed scan's metrics prove pruning: of the 3 returnflag
+    // directories only R's single file was listed and read
+    r.collect()
+    val exec = r.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = exec.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.metrics("numPartitions").value == 1, scan.metrics("numPartitions").value)
+    assert(scan.metrics("numFiles").value == 1, scan.metrics("numFiles").value)
+  }
+
   test("bucketed tables join without a shuffle Exchange") {
     val spark = TestSpark.spark
     val o = Tables.orders(spark, TestSpark.sf0001)
