@@ -31,4 +31,16 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
+
+  /** SQL front door: register every table as a temp view so users can run
+    * plain `spark.sql` against the engine (with the events nanos→micros
+    * normalization applied). The ANSI subset of the oracle corpus runs
+    * verbatim on these views — asserted by SqlParitySpec, which is the
+    * "switch engines, keep your SQL" story made concrete. */
+  def registerViews(spark: SparkSession, sfDir: String): Unit = {
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+      "lineitem", "documents", "embeddings")
+      .foreach(t => apply(spark, sfDir, t).createOrReplaceTempView(t))
+    events(spark, sfDir).createOrReplaceTempView("events")
+  }
 }

@@ -108,20 +108,17 @@ object DedupCluster {
     * rows-only only because approximate candidate generation isn't
     * SQL-expressible; this pins the clustering algebra itself. */
   def clustersExact(s: SparkSession, d: String): DataFrame =
-    connectedComponents(Vectors.embedNeardup(s, d))
+    connectedComponents(Vectors.embedNeardupPairs(s, d))
       .groupBy(col("comp"))
       .agg(count(lit(1)).as("cluster_size"), min(col("id")).as("keep_doc_id"))
       .orderBy(col("comp"))
 
+  /** The pair CTE is [[Vectors.nearDupPairCte]] — the SAME fragment (and
+    * threshold constant) the q_embed_neardup oracle uses, so the clustering
+    * oracle always tests the edge set the kernel actually produces. */
   val oracles: Map[String, String] = Map(
     "q_dedup_clusters_exact" ->
-      """WITH RECURSIVE e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-        |  FROM embeddings),
-        |p AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
-        |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35),
+      s"""WITH RECURSIVE ${Vectors.nearDupPairCte},
         |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
         |n AS (SELECT DISTINCT src AS id FROM e),
         |reach(id, root) AS (

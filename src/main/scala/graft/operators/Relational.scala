@@ -249,13 +249,16 @@ object Relational {
     * summaries of bounded size and rank error ≤ n/accuracy — the same
     * shuffle-k-not-n contract as the KMV/HLL distinct sketches. Rows-only
     * for the driver (summary merge order is partitioning-dependent);
-    * FunctionsSpec bounds the rank error against the exact sorted order. */
+    * FunctionsSpec bounds the rank error against the exact sorted order
+    * using the same [[QuantileAccuracy]] constant. */
+  val QuantileAccuracy = 10000
+
   val quantileSketch: Q = (s, d) =>
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n_rows"),
-        expr("approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.9), 10000)").as("qs"))
+        expr(s"approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.9), $QuantileAccuracy)").as("qs"))
       .select(col("l_returnflag"), col("n_rows"),
         transform(col("qs"), q => round(q, 4)).as("qs_r"))
       .orderBy(col("l_returnflag"))

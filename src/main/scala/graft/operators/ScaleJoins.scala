@@ -33,11 +33,14 @@ object ScaleJoins {
     * never lists, let alone reads, the other directories — at 100 TB the
     * difference between a metadata lookup and a full scan), and sorting
     * within files tightens parquet row-group min/max stats so the reader
-    * skips pages inside the selected partitions too. The explicit
-    * `repartition(partCol)` writes one file per partition value per
-    * reducer instead of one per input task — small-file control at scale. */
+    * skips pages inside the selected partitions too. Range-repartitioning
+    * on (partCol, sortCols) bounds files per directory at the shuffle
+    * parallelism (small-file control vs one-file-per-input-task) WITHOUT
+    * funnelling a hot partition value through a single reducer — a plain
+    * `repartition(partCol)` would serialize an entire partition's
+    * terabytes in one task at 100 TB. */
   def writePartitioned(df: DataFrame, path: String, partCol: String, sortCols: String*): Unit =
-    df.repartition(col(partCol))
+    df.repartitionByRange((partCol +: sortCols).map(col): _*)
       .sortWithinPartitions((partCol +: sortCols).map(col): _*)
       .write.mode("overwrite").partitionBy(partCol).parquet(path)
 

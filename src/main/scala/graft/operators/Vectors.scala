@@ -73,7 +73,31 @@ object Vectors {
     * matrix-multiply join, each block pair an independent task), with the
     * MinHash/hyperplane-LSH path pruning candidates first when the threshold
     * allows recall bounds. */
-  val embedNeardup: Q = (s, d) => {
+  /** Cosine cutoff shared by the Scala kernel and BOTH oracles that
+    * describe it (q_embed_neardup, q_dedup_clusters_exact) — one constant so
+    * the kernel and its SQL descriptions cannot silently diverge. */
+  val NearDupThreshold = 0.35
+
+  /** The exact near-dup pair set as a DuckDB CTE fragment (`e0` → `p` with
+    * columns id_a, id_b, cos), shared by the q_embed_neardup oracle and the
+    * clustering oracle built on the same edges. */
+  private[operators] val nearDupPairCte: String =
+    s"""e0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+       |  FROM embeddings),
+       |p AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |    list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+       |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+       |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $NearDupThreshold)""".stripMargin
+
+  val embedNeardup: Q = (s, d) =>
+    embedNeardupPairs(s, d).orderBy(col("id_a"), col("id_b"))
+
+  /** The pair kernel WITHOUT the presentation sort — composing operators
+    * (connected components) re-shuffle the edges anyway, so only the
+    * oracle-facing [[embedNeardup]] query pays the global orderBy. */
+  def embedNeardupPairs(s: SparkSession, d: String): DataFrame = {
     val spark = s
     import spark.implicits._
     // Blocked self-join: chunk the corpus by vec_id, build one block row per
@@ -132,7 +156,7 @@ object Vectors {
               var j = 0; var acc = 0.0
               while (j < dim) { acc += flatA(offA + j) * flatB(offB + j); j += 1 }
               val cos = acc / (na * normsB(k))
-              if (cos >= 0.35)
+              if (cos >= NearDupThreshold)
                 Some((idA, idsB(k),
                   BigDecimal(cos).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
               else None
@@ -141,7 +165,6 @@ object Vectors {
         }
       }
       .toDF("id_a", "id_b", "cos_r")
-      .orderBy(col("id_a"), col("id_b"))
   }
 
   /** IVF-style ANN (non-oracle; recall property-tested vs brute force):
@@ -350,14 +373,9 @@ object Vectors {
         |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
     "q_embed_neardup" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
-        |  FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        | round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_r
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.35
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $nearDupPairCte
+         |SELECT id_a, id_b, round(cos, 4) AS cos_r FROM p
+         |ORDER BY id_a, id_b""".stripMargin,
     "q_multimodal_join" ->
       """SELECT d.doc_id, d.lang, d.n_chars,
         | CAST(len(e.embedding) AS BIGINT) AS n_dim,

@@ -19,8 +19,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * force × step), so a 1000-executor cluster reads 1000 files concurrently
   * with zero coordination.
   *
-  * Usage: `spark.read.format("graft.sources.StrainDataSource")
-  *   .option("path", dir).load()` → rows
+  * Usage: `spark.read.format("strain").option("path", dir).load()` (the
+  * `DataSourceRegister` short name; the FQCN works too) → rows
   * (force INT, step INT, param INT, spec INT, igll INT, value DOUBLE) with
   * the R14 tensor reconstruction applied inline during the scan.
   *
@@ -35,7 +35,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * scan stay Catalyst's job. Record-marker validation lives in
   * [[Fortran.readRecords]].
   */
-class StrainDataSource extends TableProvider {
+class StrainDataSource extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "strain"
+
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     StrainDataSource.schema
 

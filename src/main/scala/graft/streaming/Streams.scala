@@ -124,7 +124,16 @@ object Streams {
           val buf = mutable.ArrayBuffer.empty[(Double, Long)]
           prev.topVals.zip(prev.topIds).foreach { case (v, id) => buf += ((v, id)) }
           rows.foreach { case (_, id, v) => n += 1; buf += ((v, id)) }
-          val top = buf.sortBy { case (v, id) => (-v, id) }.take(k)
+          // order EXACTLY like Spark's SortOrder(value DESC, id ASC): -0.0
+          // ties with 0.0 (falling through to the id tiebreaker) and NaN
+          // sorts greatest, i.e. first under DESC — Scala's default
+          // Ordering[Double] disagrees on both and would diverge from the
+          // batch operator at whatever scale first produces such values
+          def norm(x: Double): Double = if (x == 0.0) 0.0 else x
+          val top = buf.sortWith { case ((va, ia), (vb, ib)) =>
+            val c = java.lang.Double.compare(norm(va), norm(vb))
+            if (c != 0) c > 0 else ia < ib
+          }.take(k)
           val next = TopKSnapshot(key, n, top.map(_._2).toSeq, top.map(_._1).toSeq)
           state.update(next)
           Iterator(next)

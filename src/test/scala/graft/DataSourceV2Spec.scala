@@ -12,6 +12,10 @@ class DataSourceV2Spec extends AnyFunSuite {
     val v2 = spark.read.format(classOf[StrainDataSource].getName)
       .option("path", dir).load()
     assert(v2.schema == StrainDataSource.schema)
+    // the DataSourceRegister short name resolves to the same table
+    val byName = spark.read.format("strain").option("path", dir).load()
+    assert(byName.schema == StrainDataSource.schema)
+    assert(byName.count() == v2.count())
     val cols = Seq("force", "step", "param", "spec", "igll", "value").map(col)
     val a = v2.select(cols: _*).orderBy(cols: _*).collect().toSeq
     val b = SeisPipeline.readStrain(spark, dir)

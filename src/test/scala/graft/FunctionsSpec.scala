@@ -93,7 +93,7 @@ class FunctionsSpec extends AnyFunSuite {
 
   test("q_quantile_sketch rank error is within the GK bound of the exact quantiles") {
     val spark = TestSpark.spark
-    val accuracy = 10000
+    val accuracy = operators.Relational.QuantileAccuracy
     val got = operators.Relational.quantileSketch(spark, TestSpark.sf0001)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), r.getSeq[Double](2))).toMap
@@ -129,7 +129,10 @@ class FunctionsSpec extends AnyFunSuite {
     val df = e.crossJoin(probe).select(
       CosineSimExpr.vec_cosine(col("v"), col("pv")).as("fused"),
       (d(col("v"), col("pv")) / (sqrt(d(col("v"), col("v"))) * sqrt(d(col("pv"), col("pv"))))).as("composed"))
-    df.collect().foreach(r => assert(r.getDouble(0) == r.getDouble(1), r))
+    // bit-compare, not ==: a zero-norm vector makes BOTH sides NaN, which
+    // must count as agreement
+    df.collect().foreach(r =>
+      assert(java.lang.Double.compare(r.getDouble(0), r.getDouble(1)) == 0, r))
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("vec_cosine"), plan)
     // NULL semantics mirror vec_dot

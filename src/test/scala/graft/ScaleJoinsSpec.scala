@@ -45,7 +45,10 @@ class ScaleJoinsSpec extends AnyFunSuite {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }.get
     assert(scan.metrics("numPartitions").value == 1, scan.metrics("numPartitions").value)
-    assert(scan.metrics("numFiles").value == 1, scan.metrics("numFiles").value)
+    // range repartitioning bounds files per directory at the shuffle
+    // parallelism (not one per input task, not all in one task)
+    val shufflePartitions = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    assert(scan.metrics("numFiles").value <= shufflePartitions, scan.metrics("numFiles").value)
   }
 
   test("bucketed tables join without a shuffle Exchange") {

@@ -1,0 +1,36 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-dialect parity: the oracle corpus is written in ANSI SQL so DuckDB
+  * can replay it, which means the ANSI subset must ALSO run verbatim on
+  * `spark.sql` over [[Tables.registerViews]] — same text, two engines, equal
+  * results, and both equal to the DataFrame implementation. This is the
+  * engine-switch contract a reference user cares about: their SQL keeps
+  * working.
+  *
+  * Keys using DuckDB-only functions (epoch(), list_*, string_split_regex,
+  * IGNORE NULLS spelling differences, recursive CTEs against Spark's
+  * unsupported recursion) are excluded — those are exactly the queries whose
+  * Spark form is the DataFrame/Dataset API.
+  */
+class SqlParitySpec extends AnyFunSuite {
+
+  private val portable = Seq(
+    "q_scan_project_filter", "q_pricing_summary", "q_join_inner",
+    "q_join_multiway", "q_join_left", "q_join_semi", "q_join_anti",
+    "q_join_range", "q_agg_distinct")
+
+  test("ANSI oracle SQL runs verbatim on spark.sql with identical results") {
+    val spark = TestSpark.spark
+    Tables.registerViews(spark, TestSpark.sf0001)
+    portable.foreach { key =>
+      val viaSql = spark.sql(SparkEntry.oracleSql(key)).collect().toSeq
+      val viaDf = SparkEntry.queries(key)(spark, TestSpark.sf0001).collect().toSeq
+      // q_join_anti is legitimately empty at this scale (every customer has
+      // orders) — the equality below still pins it
+      if (key != "q_join_anti") assert(viaSql.nonEmpty, s"$key: empty result")
+      assert(viaSql == viaDf, s"$key: spark.sql(oracle) != DataFrame result")
+    }
+  }
+}
