@@ -32,5 +32,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (exprs: Seq[Expression]) => CosineSimExpr.build(exprs)))
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
     ext.injectOptimizerRule(_ => graft.plans.VectorizeDotProduct)
+    ext.injectOptimizerRule(_ => graft.plans.WindowTopKToHeap)
   }
 }

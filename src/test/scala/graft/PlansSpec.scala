@@ -101,6 +101,59 @@ class PlansSpec extends AnyFunSuite {
     assert(joined.where(col("da") =!= col("db")).isEmpty)
   }
 
+  test("WindowTopKToHeap rewrites the row_number filter spelling into the heap operator") {
+    val spark = TestSpark.spark
+    graft.plans.WindowTopKToHeap.install(spark)
+    val cust = Tables.customer(spark, TestSpark.sf0001)
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    def spelled = cust.withColumn("rn", row_number().over(w)).where(col("rn") <= 3)
+    val p = spelled.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroup"), p.take(2500))
+    assert(!p.contains("Window"), p.take(2500))
+    // identical rows AND schema (rn stays the window's INT) vs the genuine
+    // Window plan, obtained by disabling the rewrite
+    val got = spelled.orderBy(col("c_nationkey"), col("rn"), col("c_custkey")).collect().toSeq
+    assert(spelled.schema("rn").dataType == org.apache.spark.sql.types.IntegerType)
+    spark.conf.set("spark.graft.windowTopK.enabled", "false")
+    val want =
+      try {
+        val ref = spelled
+        assert(ref.queryExecution.executedPlan.toString.contains("Window"))
+        ref.orderBy(col("c_nationkey"), col("rn"), col("c_custkey")).collect().toSeq
+      } finally spark.conf.set("spark.graft.windowTopK.enabled", "true")
+    assert(got == want)
+  }
+
+  test("WindowTopKToHeap handles k=1 dedup, residual predicates, and leaves ineligible shapes alone") {
+    val spark = TestSpark.spark
+    graft.plans.WindowTopKToHeap.install(spark)
+    val cust = Tables.customer(spark, TestSpark.sf0001)
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    // keep-first (rn = 1): the q_stateful_dedup spelling
+    val first = cust.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+    assert(first.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    assert(first.count() == cust.select(col("c_nationkey")).distinct().count())
+    // compound filter: rank bound is consumed, the rest survives as a Filter
+    val mixed = cust.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 2 && col("c_acctbal") > 0)
+    val mp = mixed.queryExecution.executedPlan.toString
+    assert(mp.contains("TopKPerGroup") && !mp.contains("Window"), mp.take(2500))
+    spark.conf.set("spark.graft.windowTopK.enabled", "false")
+    val wantMixed =
+      try mixed.orderBy(col("c_nationkey"), col("rn")).collect().toSeq
+      finally spark.conf.set("spark.graft.windowTopK.enabled", "true")
+    assert(mixed.orderBy(col("c_nationkey"), col("rn")).collect().toSeq == wantMixed)
+    // rank() has different tie semantics — must stay a Window
+    val ranked = cust.withColumn("rk", rank().over(w)).where(col("rk") <= 3)
+    assert(ranked.queryExecution.executedPlan.toString.contains("Window"))
+    // pagination (lower bound) — must stay a Window
+    val page = cust.withColumn("rn", row_number().over(w))
+      .where(col("rn") >= 2 && col("rn") <= 4)
+    assert(page.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("GraftSession.install puts the full surface on a live session") {
     val spark = TestSpark.spark
     GraftSession.install(spark)
