@@ -152,6 +152,20 @@ class PlansSpec extends AnyFunSuite {
     val page = cust.withColumn("rn", row_number().over(w))
       .where(col("rn") >= 2 && col("rn") <= 4)
     assert(page.queryExecution.executedPlan.toString.contains("Window"))
+    // the rewrite reaches SQL-text queries too — optimizer rules see the
+    // same logical plan regardless of the front end
+    Tables.registerViews(spark, TestSpark.sf0001)
+    val viaSql = spark.sql(
+      """SELECT * FROM (
+        |  SELECT c_nationkey, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_nationkey
+        |                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer) t
+        |WHERE rn <= 3""".stripMargin)
+    assert(viaSql.queryExecution.executedPlan.toString.contains("TopKPerGroup"))
+    val expected = TopKPerGroup.topK(cust, Seq("c_nationkey"),
+      Seq("c_acctbal" -> false, "c_custkey" -> true), 3).count()
+    assert(viaSql.count() == expected)
   }
 
   test("GraftSession.install puts the full surface on a live session") {
