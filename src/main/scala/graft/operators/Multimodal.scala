@@ -98,10 +98,12 @@ object Multimodal {
   }
 
   /** Feature extraction: media payload → fixed-size dense vector (8-bin
-    * normalized byte histogram standing in for a CNN embedding). The output
-    * column is similarity-ready — `vec_dot`/cosine over it composes with the
-    * Vectors operators. Non-oracle (stub kernel); MultimodalSpec pins the
-    * kernel's determinism and the distribution-sum invariant. */
+    * normalized byte histogram standing in for a CNN embedding). Internally
+    * the kernel produces the similarity-ready array (`vec_dot`/cosine over it
+    * composes with the Vectors operators); the driver-checked output flattens
+    * it to scalar `b0..b7` columns — array columns break the driver's pandas
+    * row hasher. Non-oracle (stub kernel); MultimodalSpec pins the kernel's
+    * determinism and the distribution-sum invariant. */
   val multimodalFeatures: Q = (s, d) => {
     val spark = s
     import spark.implicits._
@@ -119,9 +121,9 @@ object Multimodal {
             b += 1
           }
         }
-        (id, hist)
+        (id, hist(0), hist(1), hist(2), hist(3), hist(4), hist(5), hist(6), hist(7))
       }
-      .toDF("doc_id", "feat")
+      .toDF("doc_id", "b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7")
       .orderBy(col("doc_id"))
   }
 
