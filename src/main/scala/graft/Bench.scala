@@ -33,13 +33,25 @@ object Bench {
     }
     Try(Tables.events(spark, sfDir).foreach(_ => ()))
 
+    // key isolation: a query's persist/localCheckpoint blocks must not
+    // survive into its alphabetical neighbor's timing (round-2 lesson:
+    // q_doc_fingerprint inherited q_dedup_clusters*' BlockManager pressure
+    // in both passes). Cached plans and persisted RDDs are dropped between
+    // keys so every number reflects that query alone.
+    def isolate(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+
     // a query that throws is marked, not silently folded into the numbers:
     // its per-query time is negated and it's excluded from the total
     def timedPass(): Seq[(String, Double, Boolean)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
-        (name, (System.nanoTime() - t0) / 1e9, ok)
+        val dt = (System.nanoTime() - t0) / 1e9
+        isolate()
+        (name, dt, ok)
       }
     // two full timed passes, per-query minimum: environment noise (CPU
     // steal, GC/JIT pauses) lands multi-second spikes on arbitrary queries
@@ -51,12 +63,16 @@ object Bench {
     val results = pass1.zip(pass2).map { case ((k, v1, ok1), (_, v2, ok2)) =>
       (k, math.min(v1, v2), ok1 && ok2)
     }
-    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + (if (ok) v else -v) }
+    // millisecond resolution keeps the JSON line short enough for tail-
+    // bounded log capture to hold the whole line (full-precision doubles
+    // pushed it past the capture window in rounds 2-3 → unparseable bench)
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + fmt(if (ok) v else -v) }
       .mkString("{", ",", "}")
     val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

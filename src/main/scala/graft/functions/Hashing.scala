@@ -102,18 +102,45 @@ object Hashing {
 
   /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03): k-gram
     * rolling hashes, keep the rightmost minimum of each sliding window of
-    * size w; returns distinct selected hashes. */
+    * size w; returns distinct selected hashes.
+    *
+    * O(n) end to end: the k-gram hashes roll (one multiply-add in, one
+    * multiply-subtract out, splitmix64 avalanche on top — no substring
+    * allocation per position, which was O(n·k) work and the round-2
+    * q_doc_fingerprint hot spot), and window minima come from a monotonic
+    * index deque instead of a rescan per window. */
   def winnow(text: String, k: Int, w: Int): Array[Long] = {
     val n = text.length - k + 1
     if (n <= 0) return Array.empty
-    val grams = Array.tabulate(n)(i => fnv64(text.substring(i, i + k)))
+    val B = 0x100000001b3L
+    var bk = 1L // B^(k-1), the factor of the outgoing code unit
+    var j = 1
+    while (j < k) { bk *= B; j += 1 }
+    val grams = new Array[Long](n)
+    var h = 0L
+    var i = 0
+    while (i < k) { h = h * B + text.charAt(i); i += 1 }
+    grams(0) = mix64(h)
+    i = 1
+    while (i < n) {
+      h = (h - text.charAt(i - 1) * bk) * B + text.charAt(i + k - 1)
+      grams(i) = mix64(h)
+      i += 1
+    }
     if (n <= w) return grams.distinct.sorted
+    // monotonic deque of candidate indices; popping on >= keeps the
+    // RIGHTMOST index among equal minima, matching the winnowing tie rule
     val picked = scala.collection.mutable.LinkedHashSet.empty[Long]
-    for (start <- 0 to n - w) {
-      var mi = start
-      var i = start + 1
-      while (i < start + w) { if (grams(i) <= grams(mi)) mi = i; i += 1 }
-      picked += grams(mi)
+    val dq = new Array[Int](n)
+    var head = 0
+    var tail = 0
+    i = 0
+    while (i < n) {
+      while (tail > head && grams(dq(tail - 1)) >= grams(i)) tail -= 1
+      dq(tail) = i; tail += 1
+      if (dq(head) <= i - w) head += 1
+      if (i >= w - 1) picked += grams(dq(head))
+      i += 1
     }
     picked.toArray.sorted
   }

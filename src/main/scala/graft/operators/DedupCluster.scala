@@ -16,6 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object DedupCluster {
 
+  /** Free the BlockManager blocks behind a `localCheckpoint(eager = true)`
+    * result once a newer round supersedes it. Without this, a 25-round run
+    * pins 25 full label snapshots for the life of the session — each round's
+    * checkpoint is only reclaimed by the ContextCleaner at some later GC. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** pairs: two id columns (undirected edges). Returns (id, comp) where comp
     * is the min node id of the component. Nodes absent from `pairs` are
     * their own components (callers union them back if needed).
@@ -82,6 +93,9 @@ object DedupCluster {
       done = next.join(labels.withColumnRenamed("comp", "oldc"), Seq("id"))
         .where(col("comp") =!= col("oldc"))
         .isEmpty
+      // the convergence probe above was this round's last read of the old
+      // labels snapshot — release its checkpoint blocks before moving on
+      releaseCheckpoint(labels)
       labels = next
       iter += 1
     }

@@ -250,7 +250,9 @@ object Relational {
     * shuffle-k-not-n contract as the KMV/HLL distinct sketches. Rows-only
     * for the driver (summary merge order is partitioning-dependent);
     * FunctionsSpec bounds the rank error against the exact sorted order
-    * using the same [[QuantileAccuracy]] constant. */
+    * using the same [[QuantileAccuracy]] constant. Output is flattened to
+    * scalar p25/p50/p75/p90 columns — array columns break the driver's
+    * pandas row hasher. */
   val QuantileAccuracy = 10000
 
   val quantileSketch: Q = (s, d) =>
@@ -260,7 +262,10 @@ object Relational {
         count(lit(1)).as("n_rows"),
         expr(s"approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.9), $QuantileAccuracy)").as("qs"))
       .select(col("l_returnflag"), col("n_rows"),
-        transform(col("qs"), q => round(q, 4)).as("qs_r"))
+        round(element_at(col("qs"), 1), 4).as("p25"),
+        round(element_at(col("qs"), 2), 4).as("p50"),
+        round(element_at(col("qs"), 3), 4).as("p75"),
+        round(element_at(col("qs"), 4), 4).as("p90"))
       .orderBy(col("l_returnflag"))
 
   /** Distribution window functions: percent_rank / cume_dist / ntile. */

@@ -96,7 +96,7 @@ class FunctionsSpec extends AnyFunSuite {
     val accuracy = operators.Relational.QuantileAccuracy
     val got = operators.Relational.quantileSketch(spark, TestSpark.sf0001)
       .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getSeq[Double](2))).toMap
+        (r.getLong(1), (2 to 5).map(r.getDouble))).toMap
     val exact = Tables.lineitem(spark, TestSpark.sf0001)
       .select(col("l_returnflag"), col("l_extendedprice"))
       .collect().map(r => (r.getString(0), r.getDouble(1)))

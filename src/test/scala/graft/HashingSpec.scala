@@ -49,5 +49,10 @@ class HashingSpec extends AnyFunSuite {
     // shared prefix keeps shared fingerprints
     val fp3 = Hashing.winnow(doc + " with a different tail entirely", 8, 4)
     assert(fp1.intersect(fp3).length > fp1.length / 2)
+    // w=1 selects every k-gram: the winnowed set must be a subset of it,
+    // and strictly sparser (the deque actually prunes)
+    val all = Hashing.winnow(doc, 8, 1)
+    assert(fp1.forall(all.contains))
+    assert(fp1.length < all.length)
   }
 }

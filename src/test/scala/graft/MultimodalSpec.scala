@@ -27,7 +27,8 @@ class MultimodalSpec extends AnyFunSuite {
     val spark = TestSpark.spark
     val row = Multimodal.multimodalFeatures(spark, TestSpark.sf0001)
       .where(col("doc_id") === 0).head()
-    val feat = row.getSeq[Double](1)
+    // flattened schema: doc_id, b0..b7 — read the eight scalar columns
+    val feat = (1 to 8).map(row.getDouble)
     assert(feat.length == 8)
     assert(math.abs(feat.sum - 1.0) < 8e-4, s"sum=${feat.sum}")
     // ASCII word-salad docs: all mass in bins 1 (space/digits) and 3 (a-z)
