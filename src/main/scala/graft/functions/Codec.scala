@@ -137,39 +137,45 @@ case class SeisSample(gll: Long, force: Int, param: Int, step: Int, value: Doubl
 
 /** Typed Aggregator fusing R17–R22: per-key (GLL point) series gather in
   * fixed (force, param, step) order → encoded blob. Used via
-  * `ds.groupByKey(_.gll).agg(SeriesEncoder.agg)`.
+  * `ds.groupByKey(_.gll).agg(new SeriesEncoderAgg(bits).toColumn)`; `bits`
+  * is the reference's `_encoding_level` (`DDBbase.py:22`, `DSGT.py:149-152`
+  * — uint8 default, uint16 for higher fidelity).
   *
   * Scale note: the buffer holds one point's full retained series (the same
   * working set the reference keeps per point, `DSGT.py:131-135`), so task
   * memory is bounded by series length, not partition size; the groupBy
   * shuffle replaces the reference's dense RAM buffer (SURVEY §3).
   */
-object SeriesEncoder extends Aggregator[SeisSample, List[SeisSample], EncodedBlob] {
+class SeriesEncoderAgg(bits: Int)
+    extends Aggregator[SeisSample, List[SeisSample], EncodedBlob] {
   override def zero: List[SeisSample] = Nil
   override def reduce(b: List[SeisSample], a: SeisSample): List[SeisSample] = a :: b
   override def merge(b1: List[SeisSample], b2: List[SeisSample]): List[SeisSample] = b1 ::: b2
   override def finish(b: List[SeisSample]): EncodedBlob = {
     // (force, param)-major, step-minor — SGT series order (DSGT.py:131-135)
     val ordered = b.sortBy(s => (s.force, s.param, s.step)).map(_.value).toArray
-    Codec.encodeSeries(ordered)
+    Codec.encodeSeries(ordered, bits)
   }
   override def bufferEncoder: Encoder[List[SeisSample]] = Encoders.kryo[List[SeisSample]]
   override def outputEncoder: Encoder[EncodedBlob] = Encoders.product[EncodedBlob]
 }
+
+/** Default-level (uint8) instance. */
+object SeriesEncoder extends SeriesEncoderAgg(8)
 
 /** Encode + decode-verify stats per point: what the golden test and the
   * flagship pipeline assert (max_err < scale/255, SURVEY §5 item 2). */
 case class EncodedPointStats(n: Int, offset: Double, scale: Double,
     payloadLen: Int, crc: Long, maxErr: Double)
 
-object SeriesEncodeStats
+class SeriesEncodeStatsAgg(bits: Int)
     extends Aggregator[SeisSample, List[SeisSample], EncodedPointStats] {
   override def zero: List[SeisSample] = Nil
   override def reduce(b: List[SeisSample], a: SeisSample): List[SeisSample] = a :: b
   override def merge(b1: List[SeisSample], b2: List[SeisSample]): List[SeisSample] = b1 ::: b2
   override def finish(b: List[SeisSample]): EncodedPointStats = {
     val ordered = b.sortBy(s => (s.force, s.param, s.step)).map(_.value).toArray
-    val blob = Codec.encodeSeries(ordered)
+    val blob = Codec.encodeSeries(ordered, bits)
     val decoded = Codec.decodeSeries(blob)
     val maxErr =
       if (ordered.isEmpty) 0.0
@@ -180,3 +186,6 @@ object SeriesEncodeStats
   override def bufferEncoder: Encoder[List[SeisSample]] = Encoders.kryo[List[SeisSample]]
   override def outputEncoder: Encoder[EncodedPointStats] = Encoders.product[EncodedPointStats]
 }
+
+/** Default-level (uint8) instance. */
+object SeriesEncodeStats extends SeriesEncodeStatsAgg(8)

@@ -41,7 +41,7 @@ object Hashing {
   }
 
   /** splitmix64 avalanche — full-period mixer. */
-  @inline private def mix64(z0: Long): Long = {
+  @inline def mix64(z0: Long): Long = {
     var z = z0
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
     z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
@@ -99,6 +99,49 @@ object Hashing {
   }
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Sign-random-projection (SRP) signature (Charikar, STOC'02): bit i is
+    * the sign of v·h_i for a deterministic Rademacher (±1-component)
+    * hyperplane h_i derived from (seed, i, j) — no hyperplane matrix is
+    * stored or shipped; every executor regenerates the same planes from the
+    * seed. Per-bit collision probability for vectors at angle θ is 1 − θ/π,
+    * which is what makes banded SRP sound ONLY for near-1 cosine thresholds
+    * (see [[graft.operators.Vectors]] for the quantitative envelope). */
+  def srpSig(v: Array[Double], nBits: Int, seed: Long): Array[Long] = {
+    val dim = v.length
+    val sig = new Array[Long]((nBits + 63) >> 6)
+    var b = 0
+    while (b < nBits) {
+      val base = seed + b.toLong * 0x9e3779b97f4a7c15L
+      var acc = 0.0
+      var j = 0
+      while (j < dim) {
+        val h = mix64(base + j.toLong * 0xc2b2ae3d27d4eb4fL)
+        acc += (if ((h & 1L) == 0L) v(j) else -v(j))
+        j += 1
+      }
+      if (acc > 0) sig(b >> 6) |= 1L << (b & 63)
+      b += 1
+    }
+    sig
+  }
+
+  /** LSH band keys over a packed SRP signature: band k's key is its `rows`
+    * raw sign bits (rows ≤ 32, so the key space is 2^rows per band — keys
+    * are compared only within a band, the join is on (band, key)). */
+  def srpBandKeys(sig: Array[Long], bands: Int, rows: Int): Array[Long] = {
+    require(rows <= 32, s"srp band rows must be <= 32, got $rows")
+    Array.tabulate(bands) { k =>
+      var key = 0L
+      var r = 0
+      while (r < rows) {
+        val bit = k * rows + r
+        key = (key << 1) | ((sig(bit >> 6) >>> (bit & 63)) & 1L)
+        r += 1
+      }
+      key
+    }
+  }
 
   /** Winnowing document fingerprint (Schleimer et al., SIGMOD'03): k-gram
     * rolling hashes, keep the rightmost minimum of each sliding window of

@@ -225,6 +225,28 @@ object RefOps {
       .orderBy(col("pos"))
   }
 
+  /** R24/R25 full cycle as a driver-visible query: build a 16-bit SGT
+    * database, read it back through the consumer API ([[graft.sources
+    * .SeisPipeline.readSgtDb]]), and report per-point decode stats — sample
+    * count, the `step × dt` derived time span the stored `dt` enables, and
+    * whether every decoded sample is inside the uint16 quantization bound.
+    * Non-oracle (zlib payloads are engine-specific; SinkSpec pins the
+    * value-level round trip). */
+  val refDbRoundtrip: Q = (s, _) => {
+    val dir = graft.sources.SeisFixture.ensure()
+    val out = graft.sources.SeisFixture.defaultDir + "_dbrt"
+    graft.sources.SeisPipeline.createSgtDb(s, dir, out, "CI", "RT", bits = 16)
+    val blobs = s.read.parquet(out).select(col("gll"), col("scale"))
+    graft.sources.SeisPipeline.readSgtDb(s, out)
+      .join(blobs, Seq("gll"))
+      .groupBy(col("gll"))
+      .agg(count(lit(1)).as("n_samples"),
+        round(max(col("t_sec")), 4).as("t_max"),
+        max(col("step")).cast("long").as("step_max"),
+        (max(abs(col("value"))) <= max(col("scale")) + abs(min(col("value")))).as("sane"))
+      .orderBy(col("gll"))
+  }
+
   /** R12: valid-step scan over the fixture's 3 force dirs (non-oracle). */
   val refValidSteps: Q = (s, _) => {
     val dir = graft.sources.SeisFixture.ensure()
@@ -262,6 +284,7 @@ object RefOps {
     "ref_fortran_scan"       -> refFortranScan,
     "ref_sgt_pipeline"       -> refSgtPipeline,
     "ref_dgf_pipeline"       -> refDgfPipeline,
+    "ref_db_roundtrip"       -> refDbRoundtrip,
     "ref_element_lookup"     -> refElementLookup,
     "ref_valid_steps"        -> refValidSteps,
     "ref_approx_distinct"    -> refApproxDistinct,

@@ -106,6 +106,12 @@ object SeisFixture {
   val Forces = Seq("N", "E", "Z")
   val Proc = "proc000000"
 
+  /** Nominal solver timestep in seconds. The reference reads the SPECFEM dt
+    * and stores it in the DB header (`DSGT.py:190`); the fixture pins a
+    * constant so the `_meta` sidecar and derived `step*dt` timestamps are
+    * testable end to end. */
+  val Dt = 0.05
+
   /** 27-of-125 spatial subsample index — same constant as the reference
     * (`/root/reference/seisdb/DSEM_Utils/__init__.py:6-8`): the 3×3×3
     * corner/edge/center lattice of the 5×5×5 GLL cube (indices 0,2,4 per

@@ -83,8 +83,16 @@ object SeisPipeline {
   }
 
   /** Displacement snapshot scan (R13): one record, shape (nGLL, 3) →
-    * (force, step, comp, gll, value). */
-  def readDisp(spark: SparkSession, dir: String): DataFrame = {
+    * (force, step, comp, gll, value). Reads through the [[DispDataSource]]
+    * DSv2 source, so the DGF build path gets planning-time stride/force
+    * file pruning like the strain path (one task per file, pruned files
+    * never planned). */
+  def readDisp(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("disp").option("path", dir).load()
+
+  /** The pre-DSv2 `binaryFile`+flatMap displacement reader — kept as the
+    * independent implementation DataSourceV2Spec checks the source against. */
+  private[graft] def readDispViaBinaryFile(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val pat = ".*force_([NEZ])/.*_disp_Step_(\\d+)\\.bin$".r
     spark.read.format("binaryFile")
@@ -200,7 +208,8 @@ object SeisPipeline {
     * bookkeeping (stats ride with the payload; row-group stats give
     * point-lookup pruning). Returns the written row count. */
   def createSgtDb(spark: SparkSession, fixtureDir: String, outDir: String,
-      network: String, station: String, procIdx: Int = 0): Long = {
+      network: String, station: String, procIdx: Int = 0,
+      bits: Int = 8, dt: Double = SeisFixture.Dt): Long = {
     import spark.implicits._
     val index = broadcast(subsampledIndex(spark, fixtureDir))
     val gathered = readStrain(spark, fixtureDir)
@@ -208,7 +217,7 @@ object SeisPipeline {
       .select(col("gll"), col("force"), col("param"), col("step"), col("value"))
       .as[SeisSample]
     val blobs = gathered.groupByKey(_.gll)
-      .agg(graft.functions.SeriesEncoder.toColumn.name("enc"))
+      .agg(new graft.functions.SeriesEncoderAgg(bits).toColumn.name("enc"))
       .toDF("gll", "enc")
       .select(col("gll"), col("enc.n").as("n"), col("enc.offset").as("offset"),
         col("enc.scale").as("scale"), col("enc.payload").as("payload"),
@@ -222,7 +231,8 @@ object SeisPipeline {
     val written = spark.read.parquet(outDir).count()
     writeDbMeta(spark, fixtureDir, outDir, dbType = "SGT", forder = "NEZ",
       nGll = written, nForce = 3, nParas = 6, kind = "strain_field",
-      withGlobal = false) // DSGT.py:179-194 attrs (no nGLL_global for SGT)
+      withGlobal = false, // DSGT.py:179-194 attrs (no nGLL_global for SGT)
+      bits = bits, dt = dt)
     written
   }
 
@@ -230,24 +240,95 @@ object SeisPipeline {
     * (`DSGT.py:179-194`, `DDGF.py:172-188`) as a one-row parquet under
     * `outDir/_meta`; the underscore prefix keeps it invisible to a plain
     * `spark.read.parquet(outDir)` of the blob table. start/length/offset/
-    * scale datasets are parquet-managed (they ride with each blob row);
-    * `dt` is not modeled by the fixture and is omitted. */
+    * scale datasets are parquet-managed (they ride with each blob row).
+    * `bits` is the written `_encoding_level`, `dt` the solver timestep
+    * (`DSGT.py:190` — what turns `step × dt` into a timestamp), and
+    * step0/dstep pin the retained step grid so a reader can map a blob's
+    * i-th sample back to an absolute solver step. */
   private def writeDbMeta(spark: SparkSession, fixtureDir: String, outDir: String,
       dbType: String, forder: String, nGll: Long, nForce: Int, nParas: Int,
-      kind: String, withGlobal: Boolean): Unit = {
+      kind: String, withGlobal: Boolean, bits: Int, dt: Double): Unit = {
     import spark.implicits._
-    val nStep = listSnapshots(spark, fixtureDir, kind)
-      .select(col("step")).distinct().count()
+    val steps = listSnapshots(spark, fixtureDir, kind)
+      .select(col("step")).distinct().orderBy(col("step"))
+      .as[Int].collect() // bounded: one value per retained snapshot step
+    val nStep = steps.length.toLong
+    val step0 = steps.headOption.getOrElse(0).toLong
+    val dstep = if (steps.length > 1) (steps(1) - steps(0)).toLong else 1L
     val mesh = readIbool(spark, fixtureDir)
       .agg(max(col("spec")).as("max_spec"), max(col("gll")).as("max_gll")).head()
     val nSpec = mesh.getAs[Int]("max_spec") + 1L
     val nGllGlobal = if (withGlobal) mesh.getAs[Long]("max_gll") + 1L else -1L
     Seq((dbType, forder, nGll, nStep, nForce.toLong, nParas.toLong, nSpec,
-      nGllGlobal, "0.1.0"))
+      nGllGlobal, bits.toLong, dt, step0, dstep, "0.1.0"))
       .toDF("db_type", "forder", "ngll", "nstep", "nforce", "nparas", "nspec",
-        "ngll_global", "version")
+        "ngll_global", "bits", "dt", "step0", "dstep", "version")
       .coalesce(1).write.mode("overwrite").parquet(outDir + "/_meta")
   }
+
+  /** Typed view of the `_meta` sidecar (the R23 header read path). */
+  case class DbMeta(dbType: String, forder: String, nGll: Long, nStep: Long,
+      nForce: Long, nParas: Long, nSpec: Long, nGllGlobal: Long,
+      bits: Long, dt: Double, step0: Long, dstep: Long, version: String)
+
+  def readDbMeta(spark: SparkSession, dbDir: String): DbMeta = {
+    val r = spark.read.parquet(dbDir + "/_meta").head()
+    DbMeta(r.getAs[String]("db_type"), r.getAs[String]("forder"),
+      r.getAs[Long]("ngll"), r.getAs[Long]("nstep"), r.getAs[Long]("nforce"),
+      r.getAs[Long]("nparas"), r.getAs[Long]("nspec"),
+      r.getAs[Long]("ngll_global"), r.getAs[Long]("bits"),
+      r.getAs[Double]("dt"), r.getAs[Long]("step0"), r.getAs[Long]("dstep"),
+      r.getAs[String]("version"))
+  }
+
+  /** R24 as a first-class consumer API: read a built database back to long
+    * form, dequantizing each blob at ITS OWN stored width (`bits` rides with
+    * every row; `DSGT.py:149-152`'s uint8/uint16 branch on the read side).
+    * Emits one row per sample with the series position decomposed back to
+    * (major, minor, step) via the `_meta` geometry, the absolute solver step
+    * (`step0 + idx·dstep`), and the derived time `t_sec = step × dt` — the
+    * reference's reason for storing `dt` at all. For an SGT db major=force,
+    * minor=param; for a DGF db major=comp, minor=force (`DDGF.py:128-132`).
+    * Scale shape: one task per blob row group, no shuffle — decode is a
+    * scan-parallel map. */
+  def readSeisDb(spark: SparkSession, dbDir: String): DataFrame = {
+    import spark.implicits._
+    val meta = readDbMeta(spark, dbDir)
+    // SGT nests (force, param, step); DGF nests (comp, force, step) — the
+    // minor axis is params for SGT, forces for DGF
+    val nMinor =
+      if (meta.dbType == "DGF") meta.nForce.toInt else meta.nParas.toInt
+    val nStep = meta.nStep.toInt
+    val (step0, dstep, dt) = (meta.step0, meta.dstep, meta.dt)
+    spark.read.parquet(dbDir)
+      .select(col("gll"), col("n"), col("offset"), col("scale"),
+        col("payload"), col("bits"))
+      .as[(Long, Int, Double, Double, Array[Byte], Int)]
+      .flatMap { case (gll, n, off, sc, payload, bits) =>
+        val vals = Codec.dequantize(Codec.inflate(payload), bits, off, sc)
+        require(vals.length == n,
+          s"blob gll=$gll decoded ${vals.length} samples, header says $n")
+        vals.iterator.zipWithIndex.map { case (v, i) =>
+          val major = i / (nMinor * nStep)
+          val minor = (i / nStep) % nMinor
+          val stepIdx = i % nStep
+          val step = step0 + stepIdx * dstep
+          (gll, major, minor, step, step * dt, v)
+        }
+      }
+      .toDF("gll", "major", "minor", "step", "t_sec", "value")
+  }
+
+  /** SGT-named columns over [[readSeisDb]] (forder=NEZ: major is force). */
+  def readSgtDb(spark: SparkSession, dbDir: String): DataFrame =
+    readSeisDb(spark, dbDir)
+      .withColumnRenamed("major", "force").withColumnRenamed("minor", "param")
+
+  /** DGF-named columns over [[readSeisDb]] (comp-major then force,
+    * `DDGF.py:128-132`). */
+  def readDgfDb(spark: SparkSession, dbDir: String): DataFrame =
+    readSeisDb(spark, dbDir)
+      .withColumnRenamed("major", "comp").withColumnRenamed("minor", "force")
 
   /** E2 as a *database build* (the `DDGFdb.create_db` equivalent,
     * `DDGF.py:100-190`): per-point encoded displacement blobs (comp-major,
@@ -256,7 +337,8 @@ object SeisPipeline {
     * `nGLL_global` and force order `'ENZ'` (`DDGF.py:185-187` — the two
     * attrs that distinguish a DGF header from an SGT one). */
   def createDgfDb(spark: SparkSession, fixtureDir: String, outDir: String,
-      network: String, station: String, procIdx: Int = 0): Long = {
+      network: String, station: String, procIdx: Int = 0,
+      bits: Int = 8, dt: Double = SeisFixture.Dt): Long = {
     import spark.implicits._
     val names = broadcast(subsampledIndex(spark, fixtureDir).select("gll").distinct())
     val gathered = readDisp(spark, fixtureDir)
@@ -265,7 +347,7 @@ object SeisPipeline {
       .as[SeisSample]
       .map(s => s.copy(force = s.param, param = s.force)) // comp-major, then force
     val blobs = gathered.groupByKey(_.gll)
-      .agg(graft.functions.SeriesEncoder.toColumn.name("enc"))
+      .agg(new graft.functions.SeriesEncoderAgg(bits).toColumn.name("enc"))
       .toDF("gll", "enc")
       .select(col("gll"), col("enc.n").as("n"), col("enc.offset").as("offset"),
         col("enc.scale").as("scale"), col("enc.payload").as("payload"),
@@ -278,7 +360,8 @@ object SeisPipeline {
       .parquet(outDir)
     val written = spark.read.parquet(outDir).count()
     writeDbMeta(spark, fixtureDir, outDir, dbType = "DGF", forder = "ENZ",
-      nGll = written, nForce = 3, nParas = 3, kind = "disp", withGlobal = true)
+      nGll = written, nForce = 3, nParas = 3, kind = "disp", withGlobal = true,
+      bits = bits, dt = dt)
     written
   }
 

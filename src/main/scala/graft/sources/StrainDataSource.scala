@@ -59,13 +59,16 @@ object StrainDataSource {
   private[sources] val pathPattern =
     ".*force_([NEZ])/.*_strain_field_Step_(\\d+)\\.bin$".r
 
-  def listFiles(dir: String): Seq[String] = {
+  def listFiles(dir: String): Seq[String] = listMatching(dir, pathPattern)
+
+  private[sources] def listMatching(dir: String,
+      pat: scala.util.matching.Regex): Seq[String] = {
     def walk(f: java.io.File): Seq[java.io.File] =
       if (f.isDirectory) f.listFiles().toSeq.sortBy(_.getName).flatMap(walk)
       else Seq(f)
     walk(new java.io.File(dir))
       .map(_.getPath)
-      .filter(p => pathPattern.findFirstIn(p).isDefined)
+      .filter(p => pat.findFirstIn(p).isDefined)
   }
 
   private[sources] def parse(path: String): Option[(String, Int)] = path match {
@@ -86,9 +89,11 @@ object StrainDataSource {
         step1.forall(step < _)
 
     /** Full filter over a listing: range/force filter, then stride from the
-      * anchor. */
-    def prune(paths: Seq[String]): Seq[String] = {
-      val inRange = paths.flatMap(p => parse(p).collect {
+      * anchor. `parsePath` extracts (force, step) — defaults to the strain
+      * naming; the displacement source passes its own pattern. */
+    def prune(paths: Seq[String],
+        parsePath: String => Option[(String, Int)] = parse): Seq[String] = {
+      val inRange = paths.flatMap(p => parsePath(p).collect {
         case (force, step) if keepsRange(force, step) => (p, step)
       })
       val anchor = step0.orElse(inRange.map(_._2).minOption).getOrElse(0)

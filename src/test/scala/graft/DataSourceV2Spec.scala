@@ -113,6 +113,32 @@ class DataSourceV2Spec extends AnyFunSuite {
       "job commit must rename temps into place")
   }
 
+  test("DSv2 disp source equals the binaryFile+flatMap reader; short name resolves") {
+    val spark = TestSpark.spark
+    val dir = SeisFixture.ensure()
+    val v2 = spark.read.format("disp").option("path", dir).load()
+    assert(v2.schema == graft.sources.DispDataSource.schema)
+    val cols = Seq("force", "step", "comp", "gll", "value").map(col)
+    val a = v2.select(cols: _*).orderBy(cols: _*).collect().toSeq
+    val b = SeisPipeline.readDispViaBinaryFile(spark, dir)
+      .select(cols: _*).orderBy(cols: _*).collect().toSeq
+    assert(a.size == b.size && a == b)
+  }
+
+  test("disp source prunes files at planning time (stride + force subset)") {
+    val spark = TestSpark.spark
+    val dir = SeisFixture.ensure()
+    val full = spark.read.format("disp").option("path", dir).load()
+    assert(full.rdd.getNumPartitions == 3 * SeisFixture.Steps.length)
+    // stride 20 over steps 0..100 → 6 steps; one force of three → 6 files
+    val pruned = spark.read.format("disp").option("path", dir)
+      .option("step0", "0").option("step1", "101").option("dstep", "20")
+      .option("forces", "Z").load()
+    assert(pruned.rdd.getNumPartitions == 6)
+    assert(pruned.select("step").distinct().count() == 6)
+    assert(pruned.select("force").distinct().collect().map(_.getInt(0)).toSeq == Seq(2))
+  }
+
   test("filters compose on top of the scan (Catalyst handles post-scan pruning)") {
     val spark = TestSpark.spark
     val dir = SeisFixture.ensure()

@@ -96,4 +96,48 @@ class SinkSpec extends AnyFunSuite {
     assert(meta(0).getAs[Long]("ngll_global") == SeisFixture.nGllGlobal.toLong)
     assert(meta(0).getAs[Long]("nparas") == 3L)
   }
+
+  test("16-bit level: write→read→decode round trip, scale/65535 bound, dt readback") {
+    val spark = TestSpark.spark
+    val dir = SeisFixture.ensure()
+    val out = Files.createTempDirectory("sgtdb16").toString
+    val n = SeisPipeline.createSgtDb(spark, dir, out, "CI", "T16", bits = 16)
+    assert(n > 0)
+    val meta = SeisPipeline.readDbMeta(spark, out)
+    assert(meta.bits == 16L && meta.dt == SeisFixture.Dt)
+    assert(meta.step0 == 0L && meta.dstep == 10L) // fixture's retained grid
+    val decoded = SeisPipeline.readSgtDb(spark, out)
+    // dt is what makes step×dt a timestamp — the derived time rides along
+    assert(decoded.where(abs(col("t_sec") - col("step") * SeisFixture.Dt) > lit(1e-12)).isEmpty)
+    // decode error vs the original gathered samples, bounded per blob by
+    // scale/65535 — a uint8 payload could not pass this
+    val expected = SeisPipeline.readStrain(spark, dir)
+      .join(SeisPipeline.subsampledIndex(spark, dir), Seq("spec", "igll"))
+      .select(col("gll"), col("force"), col("param"), col("step"), col("value").as("truth"))
+    assert(decoded.count() == expected.count())
+    val errByGll = decoded.join(expected, Seq("gll", "force", "param", "step"))
+      .groupBy(col("gll")).agg(max(abs(col("value") - col("truth"))).as("err"),
+        count(lit(1)).as("n_joined"))
+    val scales = spark.read.parquet(out).select(col("gll"), col("scale"), col("n"))
+    val joined = errByGll.join(scales, Seq("gll"))
+    // every decoded sample found its original (the index decomposition is right)
+    assert(joined.where(col("n_joined") =!= col("n")).isEmpty)
+    assert(joined.where(col("err") > col("scale") / 65535.0 + lit(1e-12)).isEmpty)
+  }
+
+  test("readDgfDb maps indices back to (comp, force, step) comp-major") {
+    val spark = TestSpark.spark
+    val dir = SeisFixture.ensure()
+    val out = Files.createTempDirectory("dgfdb8").toString
+    SeisPipeline.createDgfDb(spark, dir, out, "CI", "TST")
+    val decoded = SeisPipeline.readDgfDb(spark, out)
+    val expected = SeisPipeline.readDisp(spark, dir)
+      .join(SeisPipeline.subsampledIndex(spark, dir).select("gll").distinct(), Seq("gll"))
+      .select(col("gll"), col("comp"), col("force"), col("step"), col("value").as("truth"))
+    assert(decoded.count() == expected.count())
+    val bad = decoded.join(expected, Seq("gll", "comp", "force", "step"))
+      .join(spark.read.parquet(out).select(col("gll"), col("scale")), Seq("gll"))
+      .where(abs(col("value") - col("truth")) > col("scale") / 255.0 + lit(1e-12))
+    assert(bad.isEmpty)
+  }
 }
