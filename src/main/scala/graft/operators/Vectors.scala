@@ -167,6 +167,106 @@ object Vectors {
       .toDF("id_a", "id_b", "cos_r")
   }
 
+  /** SRP-LSH near-duplicate detection, operated in the regime where banded
+    * sign-random-projection is actually sound — near-1 cosine, the real
+    * "same document re-embedded / re-encoded" dedup case.
+    *
+    * Why this does NOT prefilter [[embedNeardup]]'s 0.35-threshold kernel
+    * (measured on the fixture, and it generalizes): SRP's per-bit collision
+    * probability is 1 − θ/π, i.e. 0.614 at cos 0.35 vs 0.5 at cos 0 — a
+    * 0.11 gap that needs thousands of signature bits to separate, and with
+    * practical banding (e.g. 64 bands × 4 rows) a cos≈0 pair still collides
+    * in ≥1 band with p ≈ 0.98. Block-level pruning is just as dead: the
+    * fixture's 32-cluster spherical k-means radii are ~74°, bigger than
+    * arccos(0.35) = 69.5°, so the angular triangle inequality can never
+    * exclude a block pair. Low-threshold exactness keeps the blocked
+    * matrix-multiply kernel; LSH earns its keep here, at ≥0.99.
+    *
+    * At b=12 bands × r=12 rows (144 bits): a true pair at cos 0.996 misses
+    * all bands with p ≈ 5e-7, while a background pair at the fixture's max
+    * off-diagonal cos (0.51) collides somewhere with p ≈ 9.5% and a
+    * typical cos≈0 pair with p ≈ 0.3% — ~50-100× candidate pruning with
+    * deterministic (seeded) planes. The demo corpus is the fixture
+    * embeddings plus one planted near-duplicate per vector (deterministic
+    * perturbation at cos ≈ 0.996, ids offset by [[SrpPlantOffset]]);
+    * VectorSpec asserts exact recall of every planted pair and the pruning
+    * ratio. Rows-only for the driver (the planted corpus is engine-side).
+    */
+  val SrpBands = 12
+  val SrpRows = 12
+  val SrpSeed = 0x5eed5eedL
+  val SrpThreshold = 0.99
+  val SrpPlantOffset = 1000000L
+
+  /** Deterministic unit-norm perturbation of `v` at cos ≈ 0.996: add a
+    * seeded uniform[-eps,eps] direction and renormalize. */
+  private[operators] def perturbUnit(id: Long, v: Array[Double], eps: Double): Array[Double] = {
+    val out = new Array[Double](v.length)
+    var ss = 0.0
+    var j = 0
+    while (j < v.length) {
+      val h = Hashing.mix64(id * 0x9e3779b97f4a7c15L + j)
+      out(j) = v(j) + eps * (h.toDouble / Long.MaxValue.toDouble)
+      ss += out(j) * out(j)
+      j += 1
+    }
+    val inv = if (ss == 0.0) 0.0 else 1.0 / math.sqrt(ss)
+    j = 0
+    while (j < v.length) { out(j) *= inv; j += 1 }
+    out
+  }
+
+  /** Fixture embeddings (unit-norm) plus one planted near-dup per vector. */
+  private[operators] def srpCorpus(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[(Long, Array[Double])] = {
+    val spark = s
+    import spark.implicits._
+    val base = Tables.embeddings(s, d)
+      .select(col("vec_id"), vec.as("v")).as[(Long, Array[Double])]
+    base.union(base.map { case (id, v) =>
+      (id + SrpPlantOffset, perturbUnit(id, v, eps = 0.02))
+    })
+  }
+
+  /** Candidate pairs from the banded SRP join: ids only, deduped while each
+    * row is two longs (same pair-stage discipline as [[minhashLsh]]). */
+  private[graft] def srpCandidates(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val banded = srpCorpus(s, d)
+      .map { case (id, v) =>
+        (id, Hashing.srpBandKeys(Hashing.srpSig(v, SrpBands * SrpRows, SrpSeed),
+          SrpBands, SrpRows))
+      }
+      .toDF("vec_id", "keys")
+      .select(col("vec_id"), posexplode(col("keys")).as(Seq("band", "key")))
+    banded.select(col("vec_id").as("id_a"), col("band"), col("key"))
+      .join(banded.select(col("vec_id").as("id_b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** The full LSH near-dup plan: banded candidates → exact fused-cosine
+    * verify at [[SrpThreshold]]. One banding shuffle + one distinct + two
+    * hash re-joins against the (re-derived) corpus — no pair ever carries a
+    * vector through the dedup, and the exact kernel touches only surviving
+    * candidates. */
+  val embedNeardupSrp: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val vecs = srpCorpus(s, d).toDF("vec_id", "v")
+    srpCandidates(s, d)
+      .join(vecs.select(col("vec_id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(vecs.select(col("vec_id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        CosineSimExpr.vec_cosine(col("va"), col("vb")).as("cos"))
+      .where(col("cos") >= SrpThreshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos_r"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** IVF-style ANN (non-oracle; recall property-tested vs brute force):
     * train a 16-centroid spherical k-means codebook on a bounded sample,
     * coarse-quantize every vector to its nearest centroid, probe the query
@@ -347,6 +447,7 @@ object Vectors {
     "q_cosine_topk"     -> cosineTopk,
     "q_knn_join_sample" -> knnJoinSample,
     "q_embed_neardup"   -> embedNeardup,
+    "q_embed_neardup_srp" -> embedNeardupSrp,
     "q_ann_ivf"         -> annIvf,
     "q_minhash_lsh"     -> minhashLsh,
     "q_simhash_dedup"   -> simhashDedup,

@@ -31,4 +31,25 @@ class VectorSpec extends AnyFunSuite {
     val nCand = Vectors.annIvf(spark, TestSpark.sf0001).count()
     assert(nCand == 10)
   }
+
+  test("SRP near-dup: exact recall of every planted pair, nothing else") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val nBase = Tables.embeddings(spark, TestSpark.sf0001).count()
+    val got = Vectors.embedNeardupSrp(spark, TestSpark.sf0001)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val want = (0L until nBase).map(id => (id, id + Vectors.SrpPlantOffset)).toSet
+    assert(got == want,
+      s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("SRP banding prunes: candidate pairs well under the full pair count") {
+    val spark = TestSpark.spark
+    val n = 2 * Tables.embeddings(spark, TestSpark.sf0001).count()
+    val nCand = Vectors.srpCandidates(spark, TestSpark.sf0001).count()
+    val total = n * (n - 1) / 2
+    assert(nCand < total / 5, s"$nCand candidates of $total pairs — banding is vacuous")
+    // and candidates still cover every planted pair (recall comes from here)
+    assert(nCand >= Tables.embeddings(spark, TestSpark.sf0001).count())
+  }
 }
