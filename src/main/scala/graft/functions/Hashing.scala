@@ -199,5 +199,9 @@ object Hashing {
     spark.udf.register("simhash64", (ts: Seq[String]) => simhash(ts))
     spark.udf.register("hamming64", (a: Long, b: Long) => hamming64(a, b))
     spark.udf.register("winnow_fp", (s: String, k: Int, w: Int) => winnow(s, k, w))
+    spark.udf.register("srp_sig",
+      (v: Seq[Double], nBits: Int, seed: Long) => srpSig(v.toArray, nBits, seed))
+    spark.udf.register("srp_band_keys",
+      (sig: Seq[Long], bands: Int, rows: Int) => srpBandKeys(sig.toArray, bands, rows))
   }
 }

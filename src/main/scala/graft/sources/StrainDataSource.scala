@@ -101,12 +101,15 @@ object StrainDataSource {
     }
   }
 
-  private[sources] def pruningFrom(options: CaseInsensitiveStringMap): Pruning =
+  private[sources] def pruningFrom(options: CaseInsensitiveStringMap): Pruning = {
+    val dstep = Option(options.get("dstep")).map(_.toInt).getOrElse(1)
+    require(dstep >= 1, s"option 'dstep' must be a positive stride, got $dstep")
     Pruning(
       Option(options.get("step0")).map(_.toInt),
       Option(options.get("step1")).map(_.toInt),
-      Option(options.get("dstep")).map(_.toInt).getOrElse(1),
+      dstep,
       Option(options.get("forces")).map(_.split(",").map(_.trim).toSet))
+  }
 }
 
 class StrainTable(path: String) extends Table with SupportsRead with SupportsWrite {
