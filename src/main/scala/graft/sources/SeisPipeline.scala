@@ -291,7 +291,8 @@ object SeisPipeline {
     * minor=param; for a DGF db major=comp, minor=force (`DDGF.py:128-132`).
     * Scale shape: one task per blob row group, no shuffle — decode is a
     * scan-parallel map. */
-  def readSeisDb(spark: SparkSession, dbDir: String): DataFrame = {
+  def readSeisDb(spark: SparkSession, dbDir: String,
+      where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     import spark.implicits._
     val meta = readDbMeta(spark, dbDir)
     // SGT nests (force, param, step); DGF nests (comp, force, step) — the
@@ -300,7 +301,12 @@ object SeisPipeline {
       if (meta.dbType == "DGF") meta.nForce.toInt else meta.nParas.toInt
     val nStep = meta.nStep.toInt
     val (step0, dstep, dt) = (meta.step0, meta.dstep, meta.dt)
-    spark.read.parquet(dbDir)
+    val scan = spark.read.parquet(dbDir)
+    // the predicate sits directly on the scan, BEFORE the decode flatMap,
+    // so Catalyst pushes it into the parquet reader (PushedFilters +
+    // row-group stats): a point query reads the row group holding that
+    // blob, not the database
+    where.fold(scan)(scan.where)
       .select(col("gll"), col("n"), col("offset"), col("scale"),
         col("payload"), col("bits"))
       .as[(Long, Int, Double, Double, Array[Byte], Int)]
@@ -329,6 +335,17 @@ object SeisPipeline {
   def readDgfDb(spark: SparkSession, dbDir: String): DataFrame =
     readSeisDb(spark, dbDir)
       .withColumnRenamed("major", "comp").withColumnRenamed("minor", "force")
+
+  /** Point read — the seisgen-style consumer entry: decode exactly ONE GLL
+    * point's series (the read pattern the reference's whole offset/length
+    * bookkeeping existed to serve). The gll equality predicate is pushed
+    * into the parquet scan, so the query touches the row group holding
+    * that blob; with the database written `partitionBy(network, station,
+    * proc)` and row-group stats on `gll`, a point read is O(one blob) at
+    * any database size. */
+  def readSgtPoint(spark: SparkSession, dbDir: String, gll: Long): DataFrame =
+    readSeisDb(spark, dbDir, Some(col("gll") === gll))
+      .withColumnRenamed("major", "force").withColumnRenamed("minor", "param")
 
   /** E2 as a *database build* (the `DDGFdb.create_db` equivalent,
     * `DDGF.py:100-190`): per-point encoded displacement blobs (comp-major,

@@ -125,6 +125,24 @@ class SinkSpec extends AnyFunSuite {
     assert(joined.where(col("err") > col("scale") / 65535.0 + lit(1e-12)).isEmpty)
   }
 
+  test("point read: gll predicate pushed to the parquet scan, same decode") {
+    val spark = TestSpark.spark
+    val out = Files.createTempDirectory("sgtpt").toString
+    SeisPipeline.createSgtDb(spark, SeisFixture.ensure(), out, "CI", "PT")
+    val pick = spark.read.parquet(out).select("gll")
+      .orderBy(col("gll").desc).head().getLong(0)
+    val one = SeisPipeline.readSgtPoint(spark, out, pick)
+    // evidence the predicate reached the scan, not the post-decode filter
+    val plan = one.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(gll), EqualTo(gll,"), plan)
+    val got = one.select("force", "param", "step", "value").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val full = SeisPipeline.readSgtDb(spark, out).where(col("gll") === pick)
+      .select("force", "param", "step", "value").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == full && got.nonEmpty)
+  }
+
   test("readDgfDb maps indices back to (comp, force, step) comp-major") {
     val spark = TestSpark.spark
     val dir = SeisFixture.ensure()
