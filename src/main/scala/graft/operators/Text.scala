@@ -200,6 +200,96 @@ object Text {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Incremental near-dup classification — the standard ingestion shape at
+    * 100 TB: a NEW batch of documents (here the 50 highest doc_ids) is
+    * classified against the EXISTING corpus by token-set Jaccard ≥
+    * [[SimJoinThreshold]], without ever forming the new×old cross product.
+    *
+    * The pruning is prefix filtering (Chaudhuri et al. SSJoin / Bayardo et
+    * al. All-Pairs / ppjoin): order every document's tokens by ascending
+    * global document frequency, keep only the first |ws| − ⌈t·|ws|⌉ + 1
+    * tokens (the "prefix"), and join new-side prefixes to old-side prefixes
+    * on the token. Soundness: J(x,y) ≥ t forces an overlap ≥ ⌈t·|x|⌉, so a
+    * shared token must appear inside both prefixes — every true pair
+    * survives; rare-token prefixes keep posting lists short, so candidate
+    * volume tracks true-pair volume, not the cross product. Candidates are
+    * then verified exactly (array_intersect) and aggregated per new doc.
+    *
+    * Shuffles: token df count, the prefix equi-join on token, and the
+    * verify re-joins — all keyed, all on (id, token)-sized rows; document
+    * text never moves. Output columns are derivable from the ≥t pair set
+    * alone (never from dropped sub-threshold pairs), which is what makes
+    * the prefix filter lossless for this query.
+    *
+    * Pruning power is data-dependent: it comes from rare tokens, so it
+    * needs a Zipfian vocabulary (any real corpus). The fixture's word-salad
+    * documents draw from a deliberately tiny shared vocabulary — measured
+    * candidates are ~22.4k of the 22.5k cross pairs at sf0.001 because
+    * ~70-82%% of ALL pairs are genuinely ≥ t-similar and even "rare" tokens
+    * have dense postings. SimJoinSpec therefore proves the pruning on a
+    * synthetic Zipfian corpus (unique-token tails) where the same code
+    * prunes >97%% of the cross product, and proves soundness + exact
+    * equality with the brute-force definition on the fixture. */
+  val SimJoinThreshold = 0.5
+
+  /** The prefix-filter core over a pre-tokenized corpus: docs = (doc_id,
+    * ws ARRAY<STRING>), bounds = one-row (split); returns candidate
+    * (new_id, old_id) pairs — every pair with J ≥ t survives. */
+  private[graft] def prefixCandidates(docs: DataFrame, bounds: DataFrame,
+      t: Double): DataFrame = {
+    val dfCounts = docs.select(explode(col("ws")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // per-doc prefix: tokens sorted by (df, token), first |ws|-ceil(t*|ws|)+1
+    val prefixes = docs
+      .select(col("doc_id"), explode(col("ws")).as("tok"), size(col("ws")).as("sz"))
+      .join(dfCounts, Seq("tok"))
+      .groupBy(col("doc_id"), col("sz"))
+      .agg(array_sort(collect_list(struct(col("cnt"), col("tok")))).as("ordered"))
+      .select(col("doc_id"),
+        explode(slice(col("ordered"), lit(1),
+          (col("sz") - ceil(col("sz") * t) + 1).cast("int"))).as("pt"))
+      .select(col("doc_id"), col("pt.tok").as("tok"))
+      .crossJoin(broadcast(bounds))
+    prefixes.where(col("doc_id") >= col("split"))
+      .select(col("doc_id").as("new_id"), col("tok"))
+      .join(prefixes.where(col("doc_id") < col("split"))
+        .select(col("doc_id").as("old_id"), col("tok")), Seq("tok"))
+      .select(col("new_id"), col("old_id"))
+      .distinct()
+  }
+
+  /** Prefix-filtered candidate pairs (new_id, old_id) on the fixture split —
+    * exposed for the spec's soundness assertions. */
+  private[graft] def incrementalCandidates(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(toks(col("text"))).as("ws"))
+    val bounds = docs.agg((max(col("doc_id")) - 49).as("split"))
+    prefixCandidates(docs, bounds, SimJoinThreshold)
+  }
+
+  val dedupIncremental: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), array_distinct(toks(col("text"))).as("ws"))
+    val bounds = docs.agg((max(col("doc_id")) - 49).as("split"))
+    val neu = docs.crossJoin(broadcast(bounds)).where(col("doc_id") >= col("split"))
+    val inter = size(array_intersect(col("wa"), col("wb"))).cast("double")
+    val jac = inter / (size(col("wa")) + size(col("wb")) - inter)
+    val dups = incrementalCandidates(s, d)
+      .join(docs.select(col("doc_id").as("new_id"), col("ws").as("wa")), Seq("new_id"))
+      .join(docs.select(col("doc_id").as("old_id"), col("ws").as("wb")), Seq("old_id"))
+      .select(col("new_id"), jac.as("jac"))
+      .where(col("jac") >= SimJoinThreshold)
+      .groupBy(col("new_id"))
+      .agg(count(lit(1)).as("n_dups"), max(col("jac")).as("best"))
+    neu.select(col("doc_id"))
+      .join(dups.withColumnRenamed("new_id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_dups"), lit(0L)).cast("long").as("n_dups"),
+        when(col("n_dups").isNotNull, 1L).otherwise(0L).as("is_dup"),
+        round(coalesce(col("best"), lit(0.0)), 4).as("best_dup_jac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Winnowing fingerprints (non-oracle; property-tested): fingerprint
     * count + min/max hash per doc. */
   val docFingerprint: Q = (s, d) => {
@@ -226,6 +316,7 @@ object Text {
     "q_quality_score"   -> qualityScore,
     "q_lang_id"         -> langId,
     "q_jaccard_ngram"   -> jaccardNgram,
+    "q_dedup_incremental" -> dedupIncremental,
     "q_doc_fingerprint" -> docFingerprint,
   )
 
@@ -334,6 +425,29 @@ object Text {
         |  FROM c)
         |SELECT lang, guess, count(*) AS n_docs FROM g
         |GROUP BY lang, guess ORDER BY lang, guess""".stripMargin,
+    // brute-force definition: the Spark side's prefix filter is a pure
+    // optimization and must be invisible in the result
+    "q_dedup_incremental" ->
+      s"""WITH w AS (
+        |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS ws
+        |  FROM documents),
+        |b AS (SELECT max(doc_id) - 49 AS split FROM documents),
+        |neu AS (SELECT doc_id, ws FROM w, b WHERE doc_id >= b.split),
+        |old AS (SELECT doc_id, ws FROM w, b WHERE doc_id < b.split),
+        |p AS (
+        |  SELECT n.doc_id,
+        |    CAST(len(list_intersect(n.ws, o.ws)) AS DOUBLE) /
+        |      (len(n.ws) + len(o.ws) - len(list_intersect(n.ws, o.ws))) AS jac
+        |  FROM neu n JOIN old o ON true),
+        |d AS (
+        |  SELECT doc_id, count(*) AS n_dups, max(jac) AS best
+        |  FROM p WHERE jac >= ${SimJoinThreshold} GROUP BY doc_id)
+        |SELECT n.doc_id,
+        |  CAST(coalesce(d.n_dups, 0) AS BIGINT) AS n_dups,
+        |  CAST(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup,
+        |  round(coalesce(d.best, 0), 4) AS best_dup_jac
+        |FROM neu n LEFT JOIN d ON n.doc_id = d.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
     "q_jaccard_ngram" ->
       """WITH w AS (
         |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ws
