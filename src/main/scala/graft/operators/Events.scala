@@ -88,12 +88,70 @@ object Events {
       .orderBy(col("user_id"), col("event_type"))
   }
 
+  /** Ordered-funnel analysis (view → click → purchase, each stage strictly
+    * after the previous): per user, the earliest view, the earliest click
+    * after it, the earliest purchase after that. Expressed as three chained
+    * filter→groupBy(user).min stages instead of a per-user event-sequence
+    * sort: every stage is map-side partial-aggregable and all joins are
+    * keyed on user_id (co-partitioned after the first shuffle), so no
+    * per-user event list is ever materialized — the funnel shape that
+    * survives a 100 TB event log with power-law users.
+    *
+    * Timestamps are compared and emitted as epoch MICROseconds: the fixture
+    * carries nanosecond timestamps, Spark reads them at microsecond
+    * precision, so µs is the finest grain both the engine and the DuckDB
+    * oracle agree on (a strict `>` at nanosecond grain could admit a pair
+    * Spark cannot distinguish). */
+  val eventFunnel: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    val s1 = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+    val s2 = ev.where(col("event_type") === "click").join(s1, Seq("user_id"))
+      .where(col("us") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+    val s3 = ev.where(col("event_type") === "purchase").join(s2, Seq("user_id"))
+      .where(col("us") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .select(col("user_id"),
+        col("t1").as("view_us"),
+        coalesce(col("t2"), lit(-1L)).as("click_us"),
+        coalesce(col("t3"), lit(-1L)).as("purchase_us"),
+        (lit(1) + when(col("t2").isNotNull, 1).otherwise(0)
+          + when(col("t3").isNotNull, 1).otherwise(0)).cast("long").as("stage"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Cohort retention: users grouped by signup day, counted once per
+    * (cohort day, day offset) they were active on. Two keyed aggregations
+    * (cohort min per user, distinct user-day activity) and one user-keyed
+    * join — the distinct is the only row-expander and is bounded by
+    * users × days. */
+  val cohortRetention: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val cohort = ev.where(col("event_type") === "signup")
+      .groupBy(col("user_id"))
+      .agg(epochS(date_trunc("day", min(col("ts")))).as("d0"))
+    val active = ev
+      .select(col("user_id"), epochS(date_trunc("day", col("ts"))).as("da"))
+      .distinct()
+    cohort.join(active, Seq("user_id"))
+      .where(col("da") >= col("d0"))
+      .groupBy(col("d0").as("cohort_day"),
+        ((col("da") - col("d0")) / 86400).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_tumbling_window"  -> tumblingWindow,
     "q_sliding_window"   -> slidingWindow,
     "q_session_window"   -> sessionWindow,
     "q_late_data_policy" -> lateDataPolicy,
     "q_stateful_dedup"   -> statefulDedup,
+    "q_event_funnel"     -> eventFunnel,
+    "q_cohort_retention" -> cohortRetention,
   )
 
   val oracles: Map[String, String] = Map(
@@ -131,6 +189,32 @@ object Events {
         | count(*) FILTER (NOT is_late) AS n_ok,
         | round(sum(value) FILTER (NOT is_late), 4) AS sum_ok
         |FROM x GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.us) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.us > s1.t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.us) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.us > s2.t2 GROUP BY e.user_id)
+        |SELECT s1.user_id, s1.t1 AS view_us,
+        |  coalesce(s2.t2, -1) AS click_us,
+        |  coalesce(s3.t3, -1) AS purchase_us,
+        |  CAST(1 + CASE WHEN s2.user_id IS NOT NULL THEN 1 ELSE 0 END
+        |         + CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin,
+    "q_cohort_retention" ->
+      """WITH c AS (
+        |  SELECT user_id, CAST(floor(epoch(date_trunc('day', min(ts)))) AS BIGINT) AS d0
+        |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+        |a AS (SELECT DISTINCT user_id,
+        |        CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS da
+        |      FROM events)
+        |SELECT c.d0 AS cohort_day, (a.da - c.d0) // 86400 AS day_offset,
+        |  count(DISTINCT c.user_id) AS n_users
+        |FROM c JOIN a USING (user_id) WHERE a.da >= c.d0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_stateful_dedup" ->
       """SELECT user_id, event_type, first_event_id, first_ts, first_value FROM (
         |  SELECT user_id, event_type, event_id AS first_event_id,
