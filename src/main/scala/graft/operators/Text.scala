@@ -290,6 +290,68 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Shared per-document token statistics for the repetition / quality-rule
+    * family: (doc_id, n_tokens, n_distinct, top_cnt, mwl, dup_bigram_frac).
+    *
+    * Token stats come from one explode → (doc, term) partial-agg →
+    * (doc) agg chain — two keyed shuffles whose rows are (id, term)-sized,
+    * text never shuffled; the bigram duplicate fraction is a pure
+    * per-row expression (sequence + slice like [[ngramShingles]]). At
+    * 100 TB both sides are scan-parallel with map-side combine.
+    */
+  private def docTokenStats(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val ws = toks(col("text"))
+    val termAgg = docs.select(col("doc_id"), explode(ws).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_cnt"),
+        (sum(length(col("term")) * col("c")).cast("double") / sum(col("c"))).as("mwl"))
+    val bigrams = transform(
+      sequence(lit(1), greatest(size(ws) - 1, lit(0))),
+      i => concat_ws(" ", slice(ws, i, lit(2))))
+    val bigramFrac = docs.select(col("doc_id"),
+      when(size(ws) >= 2,
+        lit(1.0) - size(array_distinct(bigrams)).cast("double") / size(bigrams))
+        .otherwise(0.0).as("dup_bigram_frac"))
+    termAgg.join(bigramFrac, Seq("doc_id"))
+  }
+
+  /** Per-document repetition signals — the Gopher/C4-style "is this document
+    * degenerate boilerplate" measurements every LLM data pipeline runs before
+    * training: distinct-token ratio, most-frequent-term mass fraction, and
+    * the fraction of duplicated word bigrams. */
+  val repetitionStats: Q = (s, d) =>
+    docTokenStats(s, d).select(col("doc_id"),
+      col("n_tokens"),
+      round(col("n_distinct").cast("double") / col("n_tokens"), 4).as("distinct_ratio_r"),
+      round(col("top_cnt").cast("double") / col("n_tokens"), 4).as("top_term_frac_r"),
+      round(col("dup_bigram_frac"), 4).as("dup_bigram_frac_r"))
+      .orderBy(col("doc_id"))
+
+  /** Gopher-style rule filter: per-document keep/drop flags (1/0) for the
+    * standard cheap quality gates — token-count bounds, mean-word-length
+    * bounds, top-term concentration, distinct-token ratio — and the combined
+    * `keep` decision. Thresholds are calibrated to the fixture so both
+    * branches of every rule occur (rule thresholds in a real pipeline are
+    * corpus config, not engine semantics). All comparisons are on doubles
+    * derived from identical integer arithmetic in Spark and DuckDB, so the
+    * boundary behavior is deterministic across engines. */
+  val gopherRules: Q = (s, d) => {
+    val fLen = (col("n_tokens") >= 30 && col("n_tokens") <= 5000).cast("long")
+    val fMwl = (col("mwl") >= 4.0 && col("mwl") <= 10.0).cast("long")
+    val fRep = (col("top_cnt").cast("double") / col("n_tokens") <= 0.10).cast("long")
+    val fDr  = (col("n_distinct").cast("double") / col("n_tokens") >= 0.45).cast("long")
+    docTokenStats(s, d).select(col("doc_id"), col("n_tokens"),
+        round(col("mwl"), 4).as("mwl_r"),
+        fLen.as("f_len"), fMwl.as("f_mwl"), fRep.as("f_rep"), fDr.as("f_dr"),
+        (fLen * fMwl * fRep * fDr).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Winnowing fingerprints (non-oracle; property-tested): fingerprint
     * count + min/max hash per doc. */
   val docFingerprint: Q = (s, d) => {
@@ -317,8 +379,30 @@ object Text {
     "q_lang_id"         -> langId,
     "q_jaccard_ngram"   -> jaccardNgram,
     "q_dedup_incremental" -> dedupIncremental,
+    "q_repetition_stats" -> repetitionStats,
+    "q_gopher_rules"    -> gopherRules,
     "q_doc_fingerprint" -> docFingerprint,
   )
+
+  /** Shared oracle CTE mirroring [[docTokenStats]] exactly (term counts +
+    * bigram duplicate fraction) so the two rule queries cannot diverge from
+    * their statistics source. */
+  private val docTokenStatsCte: String =
+    """w AS (
+      |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+      |t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+      |tc AS (SELECT doc_id, term, count(*) AS c FROM t GROUP BY doc_id, term),
+      |ta AS (
+      |  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct, max(c) AS top_cnt,
+      |    CAST(sum(len(term) * c) AS DOUBLE) / sum(c) AS mwl
+      |  FROM tc GROUP BY doc_id),
+      |bg AS (
+      |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b
+      |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w) x),
+      |ba AS (SELECT doc_id, count(*) AS nb, count(DISTINCT b) AS nd FROM bg GROUP BY doc_id),
+      |st AS (
+      |  SELECT ta.*, coalesce(1.0 - CAST(ba.nd AS DOUBLE) / ba.nb, 0.0) AS dup_bigram_frac
+      |  FROM ta LEFT JOIN ba USING (doc_id))""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_exact_dedup" ->
@@ -448,6 +532,26 @@ object Text {
         |  round(coalesce(d.best, 0), 4) AS best_dup_jac
         |FROM neu n LEFT JOIN d ON n.doc_id = d.doc_id
         |ORDER BY n.doc_id""".stripMargin,
+    "q_repetition_stats" ->
+      s"""WITH $docTokenStatsCte
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        | round(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS distinct_ratio_r,
+        | round(CAST(top_cnt AS DOUBLE) / n_tokens, 4) AS top_term_frac_r,
+        | round(dup_bigram_frac, 4) AS dup_bigram_frac_r
+        |FROM st ORDER BY doc_id""".stripMargin,
+    "q_gopher_rules" ->
+      s"""WITH $docTokenStatsCte,
+        |f AS (
+        |  SELECT doc_id, n_tokens, mwl,
+        |    CAST(n_tokens >= 30 AND n_tokens <= 5000 AS BIGINT) AS f_len,
+        |    CAST(mwl >= 4.0 AND mwl <= 10.0 AS BIGINT) AS f_mwl,
+        |    CAST(CAST(top_cnt AS DOUBLE) / n_tokens <= 0.10 AS BIGINT) AS f_rep,
+        |    CAST(CAST(n_distinct AS DOUBLE) / n_tokens >= 0.45 AS BIGINT) AS f_dr
+        |  FROM st)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, round(mwl, 4) AS mwl_r,
+        | f_len, f_mwl, f_rep, f_dr,
+        | f_len * f_mwl * f_rep * f_dr AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
     "q_jaccard_ngram" ->
       """WITH w AS (
         |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ws

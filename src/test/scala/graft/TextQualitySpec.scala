@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Text
+
+/** Invariants of the repetition / Gopher-rule quality family on the
+  * sf0.001 fixture (the oracle checks exact values at sf0.01; these pin the
+  * semantic envelope and that the rule thresholds genuinely split the
+  * corpus — an all-pass or all-drop rule set would be vacuous).
+  */
+class TextQualitySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("repetition stats are well-formed ratios") {
+    val rows = Text.repetitionStats(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val distinct = r.getAs[Double]("distinct_ratio_r")
+      val top = r.getAs[Double]("top_term_frac_r")
+      val dupBg = r.getAs[Double]("dup_bigram_frac_r")
+      assert(distinct > 0.0 && distinct <= 1.0)
+      assert(top > 0.0 && top <= 1.0)
+      assert(dupBg >= 0.0 && dupBg < 1.0)
+      // the most frequent term can never exceed the non-distinct mass
+      // both sides carry 4-decimal rounding, so allow 1e-4 slack
+      assert(top <= 1.0 - distinct + 1.0 / r.getAs[Long]("n_tokens") + 2e-4)
+    }
+  }
+
+  test("gopher rules: keep equals the conjunction and both branches occur") {
+    val rows = Text.gopherRules(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flags = Seq("f_len", "f_mwl", "f_rep", "f_dr").map(r.getAs[Long])
+      assert(flags.forall(f => f == 0L || f == 1L))
+      assert(r.getAs[Long]("keep") == flags.product)
+    }
+    val kept = rows.count(_.getAs[Long]("keep") == 1L)
+    assert(kept > 0 && kept < rows.length,
+      s"rule thresholds must split the corpus (kept $kept of ${rows.length})")
+  }
+}
