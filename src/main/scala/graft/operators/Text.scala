@@ -88,13 +88,18 @@ object Text {
       .orderBy(col("doc_id"), col("rn"))
   }
 
+  /** Word 3-gram shingle array of a token array — shared by the shingle
+    * stats, source-overlap and contamination operators (and mirrored
+    * verbatim in their oracle CTEs). */
+  private def shingleArr(ws: Column): Column = transform(
+    sequence(lit(1), greatest(size(ws) - 2, lit(0))),
+    i => concat_ws(" ", slice(ws, i, lit(3))))
+
   /** Word 3-gram shingle sets per document (near-dup groundwork): token
     * count + distinct shingle count, UDF-free via sequence+transform. */
   val ngramShingles: Q = (s, d) => {
     val ws = toks(col("text"))
-    val shingles = transform(
-      sequence(lit(1), greatest(size(ws) - 2, lit(0))),
-      i => concat_ws(" ", slice(ws, i, lit(3))))
+    val shingles = shingleArr(ws)
     Tables.documents(s, d)
       .select(col("doc_id"), size(ws).cast("long").as("n_tokens"),
         when(size(ws) >= 3, size(array_distinct(shingles)))
@@ -290,6 +295,60 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Cross-source overlap matrix at the 3-gram shingle level — "how much
+    * content do two corpus slices share", the source-level contamination /
+    * provenance question of a training-data pipeline. Computed through the
+    * inverted index, never doc×doc: distinct (source, shingle) postings
+    * self-join on the shingle key, so per-shingle work is |sources
+    * containing it|² (≤ S², S = #sources) and the doc-pair cross product
+    * never exists. Shuffles are keyed by shingle / source pair; text never
+    * moves. At 100 TB the only hot keys are shingles present in nearly all
+    * sources — bounded by S² per shingle, and a stopword-shingle filter
+    * (drop shingles above a df ceiling) is the standard mitigation when S
+    * itself is large. */
+  val sourceOverlap: Q = (s, d) => {
+    val sh = Tables.documents(s, d)
+      .select(col("source"), explode(shingleArr(toks(col("text")))).as("sh"))
+      .distinct()
+    val n = sh.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+    sh.select(col("source").as("source_a"), col("sh"))
+      .join(sh.select(col("source").as("source_b"), col("sh")), Seq("sh"))
+      .where(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(n.select(col("source").as("source_a"), col("n_sh").as("na"))), Seq("source_a"))
+      .join(broadcast(n.select(col("source").as("source_b"), col("n_sh").as("nb"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        round(col("n_shared").cast("double") / (col("na") + col("nb") - col("n_shared")), 4)
+          .as("jaccard_r"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  /** Benchmark-contamination scan: treating one source (`src0`) as the
+    * held-out benchmark, report for every other document the fraction of its
+    * distinct 3-gram shingles that appear anywhere in the benchmark — the
+    * n-gram-overlap decontamination check LLM training pipelines run against
+    * eval sets. One semi-join keyed by shingle (the benchmark side is the
+    * small one and broadcasts at real scale); per-doc counts are two keyed
+    * aggregations. `contaminated` flags docs with ≥ 10% shingle overlap. */
+  val contamination: Q = (s, d) => {
+    val docSh = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), explode(shingleArr(toks(col("text")))).as("sh"))
+      .distinct()
+    val bench = docSh.where(col("source") === "src0").select(col("sh")).distinct()
+    val rest = docSh.where(col("source") =!= "src0")
+    val hits = rest.join(bench, Seq("sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("hits"))
+    val frac = coalesce(col("hits"), lit(0L)).cast("double") / col("n_sh")
+    rest.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("hits"), lit(0L)).as("n_hit"),
+        round(frac, 4).as("hit_frac_r"),
+        (frac >= 0.1).cast("long").as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Shared per-document token statistics for the repetition / quality-rule
     * family: (doc_id, n_tokens, n_distinct, top_cnt, mwl, dup_bigram_frac).
     *
@@ -381,6 +440,8 @@ object Text {
     "q_dedup_incremental" -> dedupIncremental,
     "q_repetition_stats" -> repetitionStats,
     "q_gopher_rules"    -> gopherRules,
+    "q_source_overlap"  -> sourceOverlap,
+    "q_contamination"   -> contamination,
     "q_doc_fingerprint" -> docFingerprint,
   )
 
@@ -552,6 +613,37 @@ object Text {
         | f_len, f_mwl, f_rep, f_dr,
         | f_len * f_mwl * f_rep * f_dr AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+    "q_source_overlap" ->
+      """WITH w AS (
+        |  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |s AS (
+        |  SELECT DISTINCT source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+        |  FROM (SELECT source, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w) t),
+        |n AS (SELECT source, count(*) AS n_sh FROM s GROUP BY source),
+        |p AS (
+        |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+        |  FROM s a JOIN s b ON a.sh = b.sh AND a.source < b.source GROUP BY 1, 2)
+        |SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared,
+        | round(CAST(n_shared AS DOUBLE) / (na.n_sh + nb.n_sh - n_shared), 4) AS jaccard_r
+        |FROM p JOIN n na ON source_a = na.source JOIN n nb ON source_b = nb.source
+        |ORDER BY source_a, source_b""".stripMargin,
+    "q_contamination" ->
+      """WITH w AS (
+        |  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |ds AS (
+        |  SELECT DISTINCT doc_id, source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+        |  FROM (SELECT doc_id, source, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w) t),
+        |bench AS (SELECT DISTINCT sh FROM ds WHERE source = 'src0'),
+        |r AS (SELECT doc_id, count(*) AS n_sh FROM ds WHERE source <> 'src0' GROUP BY doc_id),
+        |h AS (
+        |  SELECT doc_id, count(*) AS hits FROM ds
+        |  WHERE source <> 'src0' AND sh IN (SELECT sh FROM bench) GROUP BY doc_id)
+        |SELECT r.doc_id, CAST(r.n_sh AS BIGINT) AS n_sh,
+        | CAST(coalesce(h.hits, 0) AS BIGINT) AS n_hit,
+        | round(CAST(coalesce(h.hits, 0) AS DOUBLE) / r.n_sh, 4) AS hit_frac_r,
+        | CAST(CAST(coalesce(h.hits, 0) AS DOUBLE) / r.n_sh >= 0.1 AS BIGINT) AS contaminated
+        |FROM r LEFT JOIN h ON r.doc_id = h.doc_id
+        |ORDER BY r.doc_id""".stripMargin,
     "q_jaccard_ngram" ->
       """WITH w AS (
         |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ws

@@ -39,4 +39,31 @@ class TextQualitySpec extends AnyFunSuite {
     assert(kept > 0 && kept < rows.length,
       s"rule thresholds must split the corpus (kept $kept of ${rows.length})")
   }
+
+  test("source overlap emits one row per unordered source pair, bounded jaccard") {
+    val rows = Text.sourceOverlap(spark, TestSpark.sf0001).collect()
+    val sources = rows.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct.length
+    // every row is an ordered pair; with shared vocabulary all pairs overlap
+    assert(rows.length == sources * (sources - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      val j = r.getAs[Double]("jaccard_r")
+      assert(j > 0.0 && j < 1.0)
+    }
+  }
+
+  test("contamination: hits bounded by shingle count, flag matches fraction") {
+    val rows = Text.contamination(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nSh = r.getAs[Long]("n_sh"); val nHit = r.getAs[Long]("n_hit")
+      assert(nHit >= 0 && nHit <= nSh)
+      val frac = r.getAs[Double]("hit_frac_r")
+      val flagged = r.getAs[Long]("contaminated") == 1L
+      // 4-decimal rounding can't move a value across the 0.1 boundary unless
+      // it sits within 5e-5 of it; allow that sliver
+      if (frac > 0.1 + 1e-4) assert(flagged)
+      if (frac < 0.1 - 1e-4) assert(!flagged)
+    }
+  }
 }
