@@ -295,6 +295,38 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** BM25 ranking for a fixed query term set — the retrieval-scoring
+    * companion to [[tfidf]] (Robertson/Spärck Jones; the Lucene idf
+    * variant ln((N−df+0.5)/(df+0.5)+1)). Per-doc work is one tokenizer
+    * pass filtered to query terms, so tf rows are |query|-bounded per doc;
+    * df (|query| rows) and the (avgdl, N) scalars broadcast; the final
+    * top-10 is TakeOrdered. No sort, no cross product — the 100 TB shape
+    * is scan → tiny keyed agg → broadcast-joined scoring → per-partition
+    * top-k. Constant arithmetic is spelled identically in Spark and the
+    * oracle so both engines derive bit-identical doubles before the
+    * 4-decimal round. */
+  val bm25: Q = (s, d) => {
+    val qterms = Seq("spark", "query", "window")
+    val docs = Tables.documents(s, d)
+    val dl = docs.select(col("doc_id"), size(toks(col("text"))).cast("double").as("dl"))
+    val stats = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))
+    val tf = docs.select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .where(col("term").isin(qterms: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).cast("double").as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val contrib = idf * (col("tf") * (lit(1.2) + lit(1.0))) /
+      (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfT), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), contrib.as("contrib"))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("contrib")), 4).as("bm25_r"), count(lit(1)).as("n_terms"))
+      .orderBy(col("bm25_r").desc, col("doc_id"))
+      .limit(10)
+  }
+
   /** Cross-source overlap matrix at the 3-gram shingle level — "how much
     * content do two corpus slices share", the source-level contamination /
     * provenance question of a training-data pipeline. Computed through the
@@ -442,6 +474,7 @@ object Text {
     "q_gopher_rules"    -> gopherRules,
     "q_source_overlap"  -> sourceOverlap,
     "q_contamination"   -> contamination,
+    "q_bm25"            -> bm25,
     "q_doc_fingerprint" -> docFingerprint,
   )
 
@@ -613,6 +646,24 @@ object Text {
         | f_len, f_mwl, f_rep, f_dr,
         | f_len * f_mwl * f_rep * f_dr AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+    "q_bm25" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM w),
+        |st AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+        |t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM t
+        |  WHERE term IN ('spark', 'query', 'window') GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+        |sc AS (
+        |  SELECT tf.doc_id,
+        |    ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+        |      (tf.tf * (1.2 + 1.0)) /
+        |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS contrib
+        |  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN st)
+        |SELECT doc_id, round(sum(contrib), 4) AS bm25_r, count(*) AS n_terms
+        |FROM sc GROUP BY doc_id ORDER BY bm25_r DESC, doc_id LIMIT 10""".stripMargin,
     "q_source_overlap" ->
       """WITH w AS (
         |  SELECT source, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
