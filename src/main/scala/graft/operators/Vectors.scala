@@ -443,8 +443,38 @@ object Vectors {
         round(norm(vec), 4).as("emb_norm"))
       .orderBy(col("doc_id"))
 
+  /** Per-label centroid of the embedding corpus via the typed
+    * [[graft.functions.VectorMeanAgg]] Aggregator — class prototypes /
+    * codebook seeds as a first-class query. Partial aggregation ships ONE
+    * 64-double buffer per partition per label through the shuffle (the
+    * `posexplode → groupBy(label, dim)` spelling re-shuffles the whole
+    * corpus as n·d scalar rows); the centroid norm runs on the fused
+    * [[DotProductExpr]] kernel. Emits count, norm and the first four
+    * centroid components, rounded — scalar columns so the driver check
+    * hashes them (SURVEY §7.4). */
+  val embedCentroid: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val agg = new graft.functions.VectorMeanAgg
+    Tables.embeddings(s, d)
+      .select(col("label").cast("int"), vec).as[(Int, Array[Double])]
+      .groupByKey(_._1)
+      .agg(agg.toColumn.name("out"))
+      .toDF("label", "out")
+      .select(col("label").cast("long").as("label_l"),
+        col("out._1").as("n"), col("out._2").as("c"))
+      .select(col("label_l"), col("n"),
+        round(sqrt(dot(col("c"), col("c"))), 4).as("norm_r"),
+        round(element_at(col("c"), 1), 4).as("c0_r"),
+        round(element_at(col("c"), 2), 4).as("c1_r"),
+        round(element_at(col("c"), 3), 4).as("c2_r"),
+        round(element_at(col("c"), 4), 4).as("c3_r"))
+      .orderBy(col("label_l"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_cosine_topk"     -> cosineTopk,
+    "q_embed_centroid"  -> embedCentroid,
     "q_knn_join_sample" -> knnJoinSample,
     "q_embed_neardup"   -> embedNeardup,
     "q_embed_neardup_srp" -> embedNeardupSrp,
@@ -455,6 +485,27 @@ object Vectors {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_embed_centroid" ->
+      """WITH e AS (
+        |  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (
+        |  SELECT label, generate_subscripts(v, 1) AS idx, unnest(v) AS x FROM e),
+        |c AS (SELECT label, idx, avg(x) AS m FROM u GROUP BY label, idx),
+        |n AS (SELECT label, count(*) AS n FROM e GROUP BY label),
+        |nr AS (SELECT label, sqrt(sum(m * m)) AS nrm FROM c GROUP BY label),
+        |d AS (
+        |  SELECT label,
+        |    max(CASE WHEN idx = 1 THEN m END) AS c0,
+        |    max(CASE WHEN idx = 2 THEN m END) AS c1,
+        |    max(CASE WHEN idx = 3 THEN m END) AS c2,
+        |    max(CASE WHEN idx = 4 THEN m END) AS c3
+        |  FROM c GROUP BY label)
+        |SELECT CAST(n.label AS BIGINT) AS label_l, CAST(n.n AS BIGINT) AS n,
+        | round(nr.nrm, 4) AS norm_r,
+        | round(d.c0, 4) AS c0_r, round(d.c1, 4) AS c1_r,
+        | round(d.c2, 4) AS c2_r, round(d.c3, 4) AS c3_r
+        |FROM n JOIN nr ON n.label = nr.label JOIN d ON n.label = d.label
+        |ORDER BY label_l""".stripMargin,
     "q_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |p AS (SELECT v AS pv FROM e WHERE vec_id = 0)

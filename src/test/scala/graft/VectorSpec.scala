@@ -52,4 +52,20 @@ class VectorSpec extends AnyFunSuite {
     // and candidates still cover every planted pair (recall comes from here)
     assert(nCand >= Tables.embeddings(spark, TestSpark.sf0001).count())
   }
+
+  test("VectorMeanAgg centroid equals the exact mean regardless of partitioning") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val vecs = Seq(
+      (0, Array(1.0, 2.0, 3.0)), (0, Array(3.0, 0.0, -1.0)), (0, Array(2.0, 4.0, 1.0)),
+      (1, Array(-1.0, -2.0, 0.5)), (1, Array(1.0, 2.0, -0.5)))
+    // 5 rows across 4 partitions forces non-trivial reduce+merge paths
+    val ds = spark.createDataset(vecs).repartition(4).as[(Int, Array[Double])]
+    val agg = new graft.functions.VectorMeanAgg
+    val out = ds.groupByKey(_._1).agg(agg.toColumn.name("out"))
+      .collect().toMap
+    assert(out(0)._1 == 3L && out(1)._1 == 2L)
+    assert(out(0)._2.toSeq == Seq(2.0, 2.0, 1.0))
+    assert(out(1)._2.toSeq == Seq(0.0, 0.0, 0.0))
+  }
 }
