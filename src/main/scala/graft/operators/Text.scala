@@ -295,6 +295,33 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact heavy hitters (terms with ≥ 1% corpus frequency) via the
+    * two-pass sketch-then-verify pattern: pass 1 aggregates a
+    * [[graft.functions.MisraGries]] sketch (≤ k counters per partition
+    * buffer, map-side mergeable) whose guarantee — no item with true
+    * frequency > N/(k+1) is ever dropped — makes its candidate set a
+    * superset of every ≥1% term at k=200; pass 2 recounts ONLY the
+    * candidates exactly (broadcast semi-filter → keyed agg) and applies the
+    * threshold as integer arithmetic (cnt·100 ≥ N). The sketch is a pure
+    * optimization, invisible in the result — the oracle is the plain exact
+    * definition. At 100 TB pass 1 shuffles one ≤k-entry sketch per
+    * partition and pass 2 shuffles only candidate-term rows, vs the full
+    * (term → count) shuffle of the naive plan. */
+  val heavyHitters: Q = (s, d) => {
+    val tokens = Tables.documents(s, d).select(explode(toks(col("text"))).as("term"))
+    val cands = tokens
+      .agg(graft.functions.MisraGries.misra_gries(col("term"), 200).as("cand"))
+      .select(explode(col("cand")).as("term"))
+    val n = tokens.agg(count(lit(1)).as("n_total"))
+    tokens.join(broadcast(cands), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(n))
+      .where(col("cnt") * 100 >= col("n_total"))
+      .select(col("term"), col("cnt"),
+        round(col("cnt").cast("double") / col("n_total"), 4).as("frac_r"))
+      .orderBy(col("cnt").desc, col("term"))
+  }
+
   /** BM25 ranking for a fixed query term set — the retrieval-scoring
     * companion to [[tfidf]] (Robertson/Spärck Jones; the Lucene idf
     * variant ln((N−df+0.5)/(df+0.5)+1)). Per-doc work is one tokenizer
@@ -475,6 +502,7 @@ object Text {
     "q_source_overlap"  -> sourceOverlap,
     "q_contamination"   -> contamination,
     "q_bm25"            -> bm25,
+    "q_heavy_hitters"   -> heavyHitters,
     "q_doc_fingerprint" -> docFingerprint,
   )
 
@@ -646,6 +674,16 @@ object Text {
         | f_len, f_mwl, f_rep, f_dr,
         | f_len * f_mwl * f_rep * f_dr AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+    // exact definition — the MG sketch on the Spark side must be invisible
+    "q_heavy_hitters" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split_regex(lower(trim(text)), '\s+')) AS term FROM documents),
+        |c AS (SELECT term, count(*) AS cnt FROM t GROUP BY term),
+        |n AS (SELECT count(*) AS n_total FROM t)
+        |SELECT term, CAST(cnt AS BIGINT) AS cnt,
+        | round(CAST(cnt AS DOUBLE) / n.n_total, 4) AS frac_r
+        |FROM c, n WHERE cnt * 100 >= n.n_total
+        |ORDER BY cnt DESC, term""".stripMargin,
     "q_bm25" ->
       """WITH w AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
