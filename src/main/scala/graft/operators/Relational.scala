@@ -189,6 +189,26 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Brand revenue through [[ScaleJoins.saltedJoin]] — the skew-mitigation
+    * utility exercised as an oracle-checked query: lineitem (big, salted by
+    * a deterministic whole-row hash) ⋈ part (small, exploded `salt` ways)
+    * on (partkey, salt), then the usual keyed aggregate. Salting splits any
+    * hot key across `salt` reducers; because the salt derives from the row,
+    * not `rand()`, retried tasks emit identical output (exactly-once
+    * sinks). The oracle is the plain unsalted join — the salt must be
+    * invisible in the result. */
+  val joinSkewSalted: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+    val pt = Tables.part(s, d)
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    ScaleJoins.saltedJoin(li, pt, "l_partkey", 8)
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("p_brand"))
+  }
+
   /** Exact multi-distinct aggregation. Scale note: COUNT(DISTINCT) expands to
     * a two-phase aggregate (expand + two shuffles); for 100 TB dashboards the
     * library also exposes approx_count_distinct (see RefOps.approxDistinct). */
@@ -492,6 +512,7 @@ object Relational {
     "q_join_anti"           -> joinAnti,
     "q_join_range"          -> joinRange,
     "q_join_asof"           -> joinAsof,
+    "q_join_skew_salted"    -> joinSkewSalted,
     "q_agg_distinct"        -> aggDistinct,
     "q_agg_stats"           -> aggStats,
     "q_quantile_sketch"     -> quantileSketch,
@@ -590,6 +611,12 @@ object Relational {
         |  coalesce(CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prior_view_ts)) AS BIGINT), -1) AS gap_sec
         |FROM ev WHERE event_type = 'purchase'
         |ORDER BY event_id""".stripMargin,
+    // plain unsalted join — the Spark side's salt must be invisible
+    "q_join_skew_salted" ->
+      """SELECT p_brand, count(*) AS n_items,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "q_agg_distinct" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
