@@ -472,9 +472,36 @@ object Vectors {
       .orderBy(col("label_l"))
   }
 
+  /** kNN majority-vote classification: label each probe vector (vec_id <
+    * 10) by the modal label of its 5 nearest labeled neighbors. Two
+    * compositions of the custom heap [[graft.plans.TopKPerGroup]] operator —
+    * neighbor selection per probe (never sorts the corpus) and the vote
+    * argmax per probe — over the fused [[CosineSimExpr]] scoring scan. The
+    * probe side is broadcast, so the corpus is scanned once with no shuffle
+    * until the k-bounded heaps; ties break deterministically on
+    * (cos desc, vec_id) and (votes desc, label). */
+  val knnClassify: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), vec.as("v"), col("label").cast("long").as("lbl"))
+    val probes = broadcast(e.where(col("vec_id") < 10)
+      .select(col("vec_id").as("probe_id"), col("v").as("pv")))
+    val scored = e.where(col("vec_id") >= 10)
+      .crossJoin(probes)
+      .select(col("probe_id"), col("vec_id"), col("lbl"),
+        CosineSimExpr.vec_cosine(col("v"), col("pv")).as("cos"))
+    val nn = graft.plans.TopKPerGroup
+      .topK(scored, Seq("probe_id"), Seq("cos" -> false, "vec_id" -> true), 5)
+    val votes = nn.groupBy(col("probe_id"), col("lbl")).agg(count(lit(1)).as("votes"))
+    graft.plans.TopKPerGroup
+      .topK(votes, Seq("probe_id"), Seq("votes" -> false, "lbl" -> true), 1)
+      .select(col("probe_id"), col("lbl").as("pred_label"), col("votes"))
+      .orderBy(col("probe_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_cosine_topk"     -> cosineTopk,
     "q_embed_centroid"  -> embedCentroid,
+    "q_knn_classify"    -> knnClassify,
     "q_knn_join_sample" -> knnJoinSample,
     "q_embed_neardup"   -> embedNeardup,
     "q_embed_neardup_srp" -> embedNeardupSrp,
@@ -506,6 +533,29 @@ object Vectors {
         | round(d.c2, 4) AS c2_r, round(d.c3, 4) AS c3_r
         |FROM n JOIN nr ON n.label = nr.label JOIN d ON n.label = d.label
         |ORDER BY label_l""".stripMargin,
+    "q_knn_classify" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, CAST(label AS BIGINT) AS lbl
+        |  FROM embeddings),
+        |p AS (SELECT vec_id AS probe_id, v AS pv FROM e WHERE vec_id < 10),
+        |sc AS (
+        |  SELECT p.probe_id, e.vec_id, e.lbl,
+        |    list_dot_product(e.v, p.pv) /
+        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(p.pv, p.pv))) AS cos
+        |  FROM e, p WHERE e.vec_id >= 10),
+        |nn AS (
+        |  SELECT probe_id, lbl,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY cos DESC, vec_id) AS rn
+        |  FROM sc),
+        |v AS (
+        |  SELECT probe_id, lbl, count(*) AS votes FROM nn WHERE rn <= 5
+        |  GROUP BY probe_id, lbl),
+        |t AS (
+        |  SELECT probe_id, lbl, votes,
+        |    row_number() OVER (PARTITION BY probe_id ORDER BY votes DESC, lbl) AS rn
+        |  FROM v)
+        |SELECT probe_id, lbl AS pred_label, CAST(votes AS BIGINT) AS votes
+        |FROM t WHERE rn = 1 ORDER BY probe_id""".stripMargin,
     "q_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |p AS (SELECT v AS pv FROM e WHERE vec_id = 0)
