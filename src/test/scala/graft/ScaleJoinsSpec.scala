@@ -51,6 +51,53 @@ class ScaleJoinsSpec extends AnyFunSuite {
     assert(scan.metrics("numFiles").value <= shufflePartitions, scan.metrics("numFiles").value)
   }
 
+  test("zValue interleaves bits (a even, b odd)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (65535L, 65535L))
+      .toDF("a", "b")
+      .select(ScaleJoins.zValue(col("a"), col("b")))
+      .collect().map(_.getLong(0)).toSeq
+    // 3=011 at even bits -> 5; 5=101 at odd bits -> 34; 5|34 = 39
+    assert(got == Seq(0L, 1L, 2L, 39L, (1L << 32) - 1))
+  }
+
+  test("z-ordered layout prunes row groups on the SECOND dimension too") {
+    val spark = TestSpark.spark
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    val zDir = java.nio.file.Files.createTempDirectory("zorder").toString
+    val linDir = java.nio.file.Files.createTempDirectory("linear").toString
+    ScaleJoins.writeZOrdered(li, zDir, "l_partkey", "l_suppkey", files = 16)
+    // baseline: single-column sort — files are tight in l_partkey only
+    li.repartitionByRange(16, col("l_partkey"))
+      .sortWithinPartitions(col("l_partkey"))
+      .write.mode("overwrite").parquet(linDir)
+
+    val supHi = li.agg(max(col("l_suppkey"))).collect()(0).getLong(0) / 4
+    def scanRows(dir: String): (Long, Long) = {
+      val q = spark.read.parquet(dir).where(col("l_suppkey") <= supHi)
+      // execute THIS queryExecution so its scan metrics populate
+      val n = q.collect().length.toLong
+      val agg = q.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val scan = agg.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.get
+      (scan.metrics("numOutputRows").value, n)
+    }
+    val (zRead, zMatch) = scanRows(zDir)
+    val (linRead, linMatch) = scanRows(linDir)
+    assert(zMatch == linMatch) // layout must not change results
+    assert(zMatch == li.where(col("l_suppkey") <= supHi).count())
+    // the linear layout decodes every row (suppkey unsorted in every file);
+    // the z-ordered layout's footer stats skip non-overlapping files
+    assert(linRead == li.count(), s"baseline unexpectedly pruned: $linRead")
+    assert(zRead < (linRead * 6) / 10, s"z layout read $zRead of $linRead rows")
+  }
+
   test("bucketed tables join without a shuffle Exchange") {
     val spark = TestSpark.spark
     val o = Tables.orders(spark, TestSpark.sf0001)
