@@ -39,6 +39,8 @@ case class MisraGries(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.HashMap[String, Long]] {
 
+  require(k > 0, s"misra_gries needs k > 0 counters, got $k")
+
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StringType, containsNull = false)

@@ -25,6 +25,8 @@ class VectorMeanAgg
   override def reduce(b: VecSumBuf, a: (Int, Array[Double])): VecSumBuf = {
     val v = a._2
     if (b.sum == null) { b.sum = v.clone(); b.n = 1L; return b }
+    require(v.length == b.sum.length,
+      s"mixed vector dimensions in one group: ${v.length} vs ${b.sum.length}")
     var i = 0
     while (i < v.length) { b.sum(i) += v(i); i += 1 }
     b.n += 1L
@@ -34,6 +36,8 @@ class VectorMeanAgg
   override def merge(a: VecSumBuf, c: VecSumBuf): VecSumBuf = {
     if (a.sum == null) return c
     if (c.sum == null) return a
+    require(a.sum.length == c.sum.length,
+      s"mixed vector dimensions in one group: ${a.sum.length} vs ${c.sum.length}")
     var i = 0
     while (i < a.sum.length) { a.sum(i) += c.sum(i); i += 1 }
     a.n += c.n

@@ -89,9 +89,12 @@ object ScaleJoins {
       .withColumn("__z", zValue(
         code(col(colA), col("__alo"), col("__ahi")),
         code(col(colB), col("__blo"), col("__bhi"))))
+      // shed the constant bounds columns BEFORE the range shuffle — only
+      // __z rides along, and it is dropped after placement
+      .drop("__alo", "__ahi", "__blo", "__bhi")
       .repartitionByRange(files, col("__z"))
       .sortWithinPartitions(col("__z"))
-      .drop("__z", "__alo", "__ahi", "__blo", "__bhi")
+      .drop("__z")
       .write.mode("overwrite").parquet(path)
   }
 

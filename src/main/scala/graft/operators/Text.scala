@@ -95,14 +95,30 @@ object Text {
     sequence(lit(1), greatest(size(ws) - 2, lit(0))),
     i => concat_ws(" ", slice(ws, i, lit(3))))
 
+  /** JVM-side replica of the shared `toks` column expression, exact to the
+    * edge cases: Spark's `trim` strips ASCII SPACE only (Java `String.trim`
+    * also strips tabs/newlines — NOT equivalent), and Spark's `split` keeps
+    * trailing empty strings (Java's default drops them). A document like
+    * "\talpha beta" must tokenize to ["", "alpha", "beta"] in both worlds
+    * or the typed operators diverge from their oracles.
+    * TextQualitySpec pins this equality on adversarial strings. */
+  private[graft] def tokenize(text: String): Array[String] = {
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
+    var b = 0
+    var e = lower.length
+    while (b < e && lower.charAt(b) == ' ') b += 1
+    while (e > b && lower.charAt(e - 1) == ' ') e -= 1
+    lower.substring(b, e).split("\\s+", -1)
+  }
+
   /** Exploded (doc_id, source, shingle) rows via ONE typed tokenizer pass.
     * Semantically identical to `explode(shingleArr(toks(text)))` but
     * compiled: the declarative spelling is three nested higher-order
     * functions (sequence → transform → slice/concat_ws), all
     * CodegenFallback — interpreted per shingle with a fresh array copy per
     * position. Same lesson as lang-id: one typed pass over the tokens,
-    * allocation-bounded, ~6× faster at sf0.1. Tokenization matches the
-    * shared `toks` definition (lower → trim → split on whitespace). */
+    * allocation-bounded, ~6× faster at sf0.1. Tokenization is [[tokenize]],
+    * the exact replica of the shared `toks` definition. */
   private def shingleRows(s: SparkSession, d: String): DataFrame = {
     val spark = s
     import spark.implicits._
@@ -110,7 +126,7 @@ object Text {
       .select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
       .flatMap { case (id, src, text) =>
-        val ts = text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+")
+        val ts = tokenize(text)
         if (ts.length < 3) Iterator.empty
         else (0 to ts.length - 3).iterator.map { i =>
           (id, src, ts(i) + " " + ts(i + 1) + " " + ts(i + 2))
@@ -166,8 +182,8 @@ object Text {
     * a single split + hash-map lookup per token. (The declarative form —
     * five `size(filter(ws, isin(...)))` higher-order calls — is
     * CodegenFallback and re-evaluates the split per call: 13.6 s → sub-second
-    * at sf0.1.) Tokenization matches the shared `toks` definition: marker
-    * counts are unaffected by the empty tokens the two trims differ on. */
+    * at sf0.1.) Tokenization is [[tokenize]], the exact replica of the
+    * shared `toks` definition. */
   val langId: Q = (s, d) => {
     val spark = s
     import spark.implicits._
@@ -182,7 +198,7 @@ object Text {
       .select(col("lang"), col("text")).as[(String, String)]
       .map { case (lang, text) =>
         val counts = new Array[Long](5)
-        text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").foreach { t =>
+        tokenize(text).foreach { t =>
           markerLang.get(t).foreach(i => counts(i) += 1)
         }
         var best = 0L; var bi = -1
@@ -333,13 +349,14 @@ object Text {
     * (term → count) shuffle of the naive plan. */
   val heavyHitters: Q = (s, d) => {
     val tokens = Tables.documents(s, d).select(explode(toks(col("text"))).as("term"))
+    // sketch and corpus total N come out of the SAME single-row aggregate —
+    // exactly two corpus scans end to end (sketch pass, recount pass)
     val cands = tokens
-      .agg(graft.functions.MisraGries.misra_gries(col("term"), 200).as("cand"))
-      .select(explode(col("cand")).as("term"))
-    val n = tokens.agg(count(lit(1)).as("n_total"))
-    tokens.join(broadcast(cands), Seq("term"), "left_semi")
-      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(n))
+      .agg(graft.functions.MisraGries.misra_gries(col("term"), 200).as("cand"),
+        count(lit(1)).as("n_total"))
+      .select(explode(col("cand")).as("term"), col("n_total"))
+    tokens.join(broadcast(cands), Seq("term"))
+      .groupBy(col("term"), col("n_total")).agg(count(lit(1)).as("cnt"))
       .where(col("cnt") * 100 >= col("n_total"))
       .select(col("term"), col("cnt"),
         round(col("cnt").cast("double") / col("n_total"), 4).as("frac_r"))
@@ -393,30 +410,36 @@ object Text {
     // ONE shuffle keyed by shingle builds the posting set per shingle
     // (collect_set dedups in the aggregate — no separate distinct pass);
     // source pairs are then expanded from each ≤S-element sorted set by a
-    // pure expression inside the map stage, so the pair stream hits partial
-    // aggregation before any further exchange. This replaced a
-    // distinct → self-join-on-shingle plan that materialized the per-shingle
-    // S² pair rows through a hash join and re-read the explode subtree three
-    // times: 4.5 s → sub-second at sf0.1.
+    // compiled flatMap, so the pair stream hits partial aggregation before
+    // any further exchange. This replaced a distinct → self-join-on-shingle
+    // plan that materialized the per-shingle S² pair rows through a hash
+    // join and re-read the explode subtree three times: 4.5 s →
+    // sub-second at sf0.1.
+    val spark = s
+    import spark.implicits._
     val sets = shingleRows(s, d)
       .groupBy(col("sh"))
       .agg(sort_array(collect_set(col("source"))).as("ss"))
-    val n = sets.select(explode(col("ss")).as("source"))
-      .groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
-    val spark = s
-    import spark.implicits._
-    sets.select(col("ss")).as[Seq[String]]
+    // the expansion includes the DIAGONAL (x, x): its count is exactly the
+    // per-source distinct-shingle total, so totals and pair counts fall out
+    // of ONE aggregate over ONE shingle pass — no second scan for `n`. The
+    // ≤ S²+S-row result is persisted so the totals and pair branches below
+    // share it (Bench/Verify clearCache between keys releases it).
+    val counts = sets.select(col("ss")).as[Seq[String]]
       .flatMap { ss =>
-        // ordered pairs from the sorted posting set, compiled (the nested
-        // transform/slice HOF spelling interprets per pair)
-        for { i <- (0 until ss.length - 1).iterator; j <- i + 1 until ss.length }
+        for { i <- ss.indices.iterator; j <- i until ss.length }
           yield (ss(i), ss(j))
       }
       .toDF("source_a", "source_b")
       .groupBy(col("source_a"), col("source_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .join(broadcast(n.select(col("source").as("source_a"), col("n_sh").as("na"))), Seq("source_a"))
-      .join(broadcast(n.select(col("source").as("source_b"), col("n_sh").as("nb"))), Seq("source_b"))
+      .agg(count(lit(1)).as("cnt"))
+      .persist()
+    val n = counts.where(col("source_a") === col("source_b"))
+      .select(col("source_a").as("src"), col("cnt").as("n_sh"))
+    counts.where(col("source_a") < col("source_b"))
+      .withColumnRenamed("cnt", "n_shared")
+      .join(broadcast(n.select(col("src").as("source_a"), col("n_sh").as("na"))), Seq("source_a"))
+      .join(broadcast(n.select(col("src").as("source_b"), col("n_sh").as("nb"))), Seq("source_b"))
       .select(col("source_a"), col("source_b"), col("n_shared"),
         round(col("n_shared").cast("double") / (col("na") + col("nb") - col("n_shared")), 4)
           .as("jaccard_r"))

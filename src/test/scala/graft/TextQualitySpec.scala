@@ -40,6 +40,22 @@ class TextQualitySpec extends AnyFunSuite {
       s"rule thresholds must split the corpus (kept $kept of ${rows.length})")
   }
 
+  test("typed tokenize replicates the toks column expression exactly") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    // adversarial edges: Spark trim strips SPACE only; Spark split keeps
+    // trailing empties — Java String.trim / default split do neither
+    val nasty = Seq(
+      "\talpha beta gamma", "alpha beta\n", "  alpha  beta  ", "",
+      " ", "\t", "a b c", "ALPHA Beta\tGAMMA delta")
+    val declarative = nasty.toDF("text")
+      .select(split(lower(trim(col("text"))), "\\s+").as("ws"))
+      .collect().map(_.getSeq[String](0).toList)
+    val typed = nasty.map(Text.tokenize(_).toList)
+    assert(typed.toSeq == declarative.toSeq)
+  }
+
   test("source overlap emits one row per unordered source pair, bounded jaccard") {
     val rows = Text.sourceOverlap(spark, TestSpark.sf0001).collect()
     val sources = rows.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct.length
