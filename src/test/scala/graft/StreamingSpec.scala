@@ -119,4 +119,23 @@ class StreamingSpec extends AnyFunSuite {
       .orderBy(col("userId")).collect().toSeq
     assert(got == want)
   }
+
+  test("streaming funnel keyed state matches the batch ordered funnel") {
+    val spark = TestSpark.spark
+    val stream = Streams.eventsStream(spark, TestSpark.sf0001)
+    val updates = Streams.runToCompletion(
+      Streams.streamingFunnel(spark, stream).toDF(), "t_funnel", "update")
+    // latest snapshot per user = max nUpd
+    val got = updates.groupBy(col("userId"))
+      .agg(max(struct(col("nUpd"), col("viewUs"), col("clickUs"),
+        col("purchaseUs"), col("stage"))).as("s"))
+      .select(col("userId"), col("s.viewUs"), col("s.clickUs"),
+        col("s.purchaseUs"), col("s.stage"))
+      .orderBy(col("userId")).collect().toSeq
+    val want = operators.Events.eventFunnel(spark, TestSpark.sf0001)
+      .select(col("user_id"), col("view_us"), col("click_us"),
+        col("purchase_us"), col("stage"))
+      .orderBy(col("user_id")).collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
 }
