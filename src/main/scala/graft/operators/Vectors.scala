@@ -274,37 +274,35 @@ object Vectors {
     * driver-side sample is the standard IVF recipe (the sample is bounded,
     * never the corpus); at 100 TB the cluster-id becomes the shuffle/bucket
     * key and each query touches nProbe/16 of the data. */
-  val annIvf: Q = (s, d) => {
-    val spark = s
-    import spark.implicits._
-    val e = Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
-      .as[(Long, Array[Double])]
-    def dotA(a: Array[Double], b: Array[Double]): Double = {
-      var i = 0; var acc = 0.0
-      while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+  private[operators] def dotA(a: Array[Double], b: Array[Double]): Double = {
+    var i = 0; var acc = 0.0
+    while (i < a.length) { acc += a(i) * b(i); i += 1 }; acc
+  }
+  private[operators] def normA(a: Array[Double]): Double = math.sqrt(dotA(a, a))
+
+  /** Nearest centroid by cosine (tie → lower centroid index). */
+  private[operators] def nearest(cs: Array[Array[Double]], cn: Array[Double],
+      v: Array[Double], vn: Double): Int = {
+    var best = -2.0; var bi = 0
+    var c = 0
+    while (c < cs.length) {
+      val sim = dotA(v, cs(c)) / (vn * cn(c))
+      if (sim > best) { best = sim; bi = c }
+      c += 1
     }
-    def normA(a: Array[Double]): Double = math.sqrt(dotA(a, a))
-    val k = 16
-    // deterministic bounded sample (256 vectors) for codebook training +
-    // the probe vector; this is codebook metadata, not table data
-    val sample = e.filter(_._1 < 256).collect().sortBy(_._1)
-    val probeV = sample.find(_._1 == 0L).get._2
-    val dim = probeV.length
-    // spherical k-means, 5 Lloyd iterations: assign by cosine (tie → lower
-    // centroid index), re-center on the assigned mean; empty clusters keep
-    // their previous centroid so k stays fixed
+    bi
+  }
+
+  /** Spherical k-means over a bounded driver-side sample (codebook
+    * metadata, not table data): assign by cosine, re-center on the assigned
+    * mean; empty clusters keep their previous centroid so k stays fixed.
+    * Deterministic: seeded by the first k sample vectors. Shared by the
+    * in-query [[annIvf]] and the persisted [[writeIvfIndex]]. */
+  private[operators] def trainCodebook(sample: Array[(Long, Array[Double])],
+      k: Int, iters: Int): Array[Array[Double]] = {
+    val dim = sample.head._2.length
     var cents: Array[Array[Double]] = sample.take(k).map(_._2.clone())
-    def nearest(cs: Array[Array[Double]], cn: Array[Double], v: Array[Double], vn: Double): Int = {
-      var best = -2.0; var bi = 0
-      var c = 0
-      while (c < cs.length) {
-        val sim = dotA(v, cs(c)) / (vn * cn(c))
-        if (sim > best) { best = sim; bi = c }
-        c += 1
-      }
-      bi
-    }
-    for (_ <- 0 until 5) {
+    for (_ <- 0 until iters) {
       val cn = cents.map(normA)
       val sums = Array.fill(k)(new Array[Double](dim))
       val counts = new Array[Int](k)
@@ -319,6 +317,20 @@ object Vectors {
         else { val m = sums(c); var i = 0; while (i < dim) { m(i) /= counts(c); i += 1 }; m }
       }
     }
+    cents
+  }
+
+  val annIvf: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val e = Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
+      .as[(Long, Array[Double])]
+    val k = 16
+    // deterministic bounded sample (256 vectors) for codebook training +
+    // the probe vector; this is codebook metadata, not table data
+    val sample = e.filter(_._1 < 256).collect().sortBy(_._1)
+    val probeV = sample.find(_._1 == 0L).get._2
+    val cents = trainCodebook(sample, k, iters = 5)
     val centNorms = cents.map(normA)
     val probeN = normA(probeV)
     val probeClusters = (0 until k)
@@ -344,6 +356,63 @@ object Vectors {
     }
       .toDF("vec_id", "cos")
       .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      .select(col("vec_id"), round(col("cos"), 4).as("cos_r"))
+  }
+
+  /** Build a PERSISTED IVF index — the at-rest form of [[annIvf]], and the
+    * layout a 100 TB similarity-search service actually queries: train the
+    * codebook on a bounded sample, assign every vector to its nearest
+    * centroid in one scan, write hive-partitioned by `cluster` with the
+    * codebook in a `_codebook` sidecar (underscore-prefixed → invisible to
+    * the data listing, like the seisdb `_meta` precedent). Queries then
+    * read ONLY the probed clusters' directories — planning-time partition
+    * pruning, no index structure in memory. */
+  def writeIvfIndex(s: SparkSession, d: String, outDir: String, k: Int = 16): Unit = {
+    val spark = s
+    import spark.implicits._
+    val e = Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
+      .as[(Long, Array[Double])]
+    val sample = e.filter(_._1 < 256).collect().sortBy(_._1)
+    val cents = trainCodebook(sample, k, iters = 5)
+    val centNorms = cents.map(normA)
+    val bc = spark.sparkContext.broadcast((cents, centNorms))
+    e.map { case (id, v) =>
+      val (cs, cn) = bc.value
+      (nearest(cs, cn, v, normA(v)), id, v)
+    }
+      .toDF("cluster", "vec_id", "v")
+      .write.mode("overwrite").partitionBy("cluster").parquet(outDir)
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+      .write.mode("overwrite").parquet(s"$outDir/_codebook")
+  }
+
+  /** Query a persisted IVF index: rank centroids against the probe from the
+    * k-row codebook (bounded metadata read), then scan ONLY the top
+    * `nProbe` cluster directories (the `cluster` IN-filter lands in
+    * PartitionFilters — at any index size the scan lists nProbe/k of the
+    * data) and brute-force the survivors with the fused [[CosineSimExpr]]
+    * under a TakeOrdered top-k. */
+  def queryIvfIndex(s: SparkSession, indexDir: String, probe: Array[Double],
+      topK: Int = 10, nProbe: Int = 4): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val codebook = spark.read.parquet(s"$indexDir/_codebook")
+      .as[(Int, Seq[Double])].collect()
+    val pn = normA(probe)
+    val chosen = codebook
+      .map { case (c, cent) =>
+        val ca = cent.toArray
+        (c, dotA(probe, ca) / (pn * normA(ca)))
+      }
+      .sortBy { case (c, sim) => (-sim, c) }
+      .take(nProbe).map(_._1).toSeq
+    spark.read.parquet(indexDir)
+      .where(col("cluster").isin(chosen: _*))
+      .select(col("vec_id"),
+        CosineSimExpr.vec_cosine(col("v"), typedLit(probe.toSeq)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(topK)
       .select(col("vec_id"), round(col("cos"), 4).as("cos_r"))
   }
 

@@ -347,6 +347,12 @@ object SeisPipeline {
     readSeisDb(spark, dbDir, Some(col("gll") === gll))
       .withColumnRenamed("major", "force").withColumnRenamed("minor", "param")
 
+  /** DGF twin of [[readSgtPoint]] — same pushed-down one-blob read, DGF
+    * axis naming (comp-major then force, `DDGF.py:128-132`). */
+  def readDgfPoint(spark: SparkSession, dbDir: String, gll: Long): DataFrame =
+    readSeisDb(spark, dbDir, Some(col("gll") === gll))
+      .withColumnRenamed("major", "comp").withColumnRenamed("minor", "force")
+
   /** E2 as a *database build* (the `DDGFdb.create_db` equivalent,
     * `DDGF.py:100-190`): per-point encoded displacement blobs (comp-major,
     * then force — `DDGF.py:128-132`) sunk hive-partitioned by

@@ -157,5 +157,17 @@ class SinkSpec extends AnyFunSuite {
       .join(spark.read.parquet(out).select(col("gll"), col("scale")), Seq("gll"))
       .where(abs(col("value") - col("truth")) > col("scale") / 255.0 + lit(1e-12))
     assert(bad.isEmpty)
+    // DGF point read: pushed predicate, identical decode for one gll
+    val pick = spark.read.parquet(out).select("gll")
+      .orderBy(col("gll").desc).head().getLong(0)
+    val one = SeisPipeline.readDgfPoint(spark, out, pick)
+    assert(one.queryExecution.executedPlan.toString
+      .contains("PushedFilters: [IsNotNull(gll), EqualTo(gll,"))
+    val got = one.select("comp", "force", "step", "value").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val full = decoded.where(col("gll") === pick)
+      .select("comp", "force", "step", "value").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == full && got.nonEmpty)
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
 import graft.operators.Vectors
 
 class VectorSpec extends AnyFunSuite {
@@ -51,6 +52,38 @@ class VectorSpec extends AnyFunSuite {
     assert(nCand < total / 5, s"$nCand candidates of $total pairs — banding is vacuous")
     // and candidates still cover every planted pair (recall comes from here)
     assert(nCand >= Tables.embeddings(spark, TestSpark.sf0001).count())
+  }
+
+  test("persisted IVF index: partition-pruned query matches the in-query ANN recall") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    Vectors.writeIvfIndex(spark, TestSpark.sf0001, idx, k = 16)
+    val probe = Tables.embeddings(spark, TestSpark.sf0001)
+      .where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).as[Array[Double]].head()
+    val q = Vectors.queryIvfIndex(spark, idx, probe, topK = 11, nProbe = 4)
+    // ONE execution: its rows feed the recall check, its metrics the
+    // pruning check (a second collect would re-execute with the lazily
+    // cached listing and report zeroed driver metrics)
+    val got = q.collect()
+    // the probe itself lives in the index; drop it like annIvf does
+    val ids = got.map(_.getLong(0)).filter(_ != 0L).take(10).toSet
+    assert(ids.size == 10)
+    // recall vs brute force — same bar as the in-query ANN test
+    val exact = Vectors.cosineTopk(spark, TestSpark.sf0001)
+      .collect().map(_.getLong(0)).toSet
+    assert(exact.intersect(ids).size.toDouble / exact.size >= 0.5)
+    // pruning evidence: the cluster IN-filter is a partition filter and the
+    // executed scan listed only the probed directories
+    val exec = q.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = exec.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.metrics("numPartitions").value == 4, scan.metrics("numPartitions").value)
   }
 
   test("VectorMeanAgg centroid equals the exact mean regardless of partitioning") {
