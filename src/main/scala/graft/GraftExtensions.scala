@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimExpr, DotProductExpr, FnvHash64Expr}
+import graft.functions.{CosineSimExpr, DotProductExpr, FnvHash64Expr, KmvDistinct, MisraGries}
 import graft.plans.TopKPerGroupStrategy
 
 /** Cluster-deploy packaging of the engine's native Catalyst expressions:
@@ -30,6 +30,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("vec_cosine"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, "vec_cosine"),
       (exprs: Seq[Expression]) => CosineSimExpr.build(exprs)))
+    // the sketch aggregates, so SQL users get mergeable approximate
+    // distinct counts and heavy hitters without the typed API
+    ext.injectFunction((
+      FunctionIdentifier("kmv_distinct"),
+      new ExpressionInfo(classOf[KmvDistinct].getName, "kmv_distinct"),
+      (exprs: Seq[Expression]) => KmvDistinct.build(exprs)))
+    ext.injectFunction((
+      FunctionIdentifier("misra_gries"),
+      new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
+      (exprs: Seq[Expression]) => MisraGries.build(exprs)))
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
     ext.injectOptimizerRule(_ => graft.plans.VectorizeDotProduct)
     ext.injectOptimizerRule(_ => graft.plans.WindowTopKToHeap)

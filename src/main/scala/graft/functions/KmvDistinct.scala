@@ -103,4 +103,14 @@ object KmvDistinct {
   def kmv_distinct(c: Column, k: Int = 256): Column =
     GraftBridge.column(
       KmvDistinct(GraftBridge.expression(c), k).toAggregateExpression())
+
+  /** SQL builder: `kmv_distinct(col [, k])`, k a literal integer. */
+  def build(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(c) => KmvDistinct(c, 256)
+    case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, org.apache.spark.sql.types.IntegerType)) =>
+      KmvDistinct(c, k)
+    case _ =>
+      throw new IllegalArgumentException(
+        "kmv_distinct(column[, k]) needs a column and an optional literal integer k")
+  }
 }

@@ -148,4 +148,13 @@ object MisraGries {
   def misra_gries(c: Column, k: Int): Column =
     GraftBridge.column(
       MisraGries(GraftBridge.expression(c), k).toAggregateExpression())
+
+  /** SQL builder: `misra_gries(col, k)` with a literal integer k. */
+  def build(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(c, org.apache.spark.sql.catalyst.expressions.Literal(k: Int, org.apache.spark.sql.types.IntegerType)) =>
+      MisraGries(c, k)
+    case _ =>
+      throw new IllegalArgumentException(
+        "misra_gries(column, k) needs a column and a literal integer k")
+  }
 }

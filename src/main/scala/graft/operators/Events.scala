@@ -144,7 +144,34 @@ object Events {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Clickstream transition matrix (first-order Markov estimate): counts
+    * and conditional probabilities of consecutive event-type pairs within
+    * each user's time-ordered stream. ONE window pass partitioned by
+    * user_id — high-cardinality partitions, so the sort parallelizes (the
+    * anti-pattern is partitioning a window by event_type, see
+    * q_late_data_policy's history) — then the S² transition aggregate is
+    * map-side partial. Event order is (µs, event_id): microseconds is the
+    * finest grain Spark and the nanosecond-timestamp oracle agree on, and
+    * the id tiebreak makes the sequence — not just the output — engine-
+    * independent. */
+  val eventTransitions: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("us"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type").as("to_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("from_type", lag(col("to_type"), 1).over(w))
+      .where(col("from_type").isNotNull)
+    val counts = pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_type")).agg(sum(col("n")).as("n_from"))
+    counts.join(broadcast(totals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n").cast("double") / col("n_from"), 4).as("p_r"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_event_transitions" -> eventTransitions,
     "q_tumbling_window"  -> tumblingWindow,
     "q_sliding_window"   -> slidingWindow,
     "q_session_window"   -> sessionWindow,
@@ -155,6 +182,20 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_event_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type AS to_type, epoch_us(ts) AS us FROM events),
+        |p AS (
+        |  SELECT lag(to_type) OVER (PARTITION BY user_id ORDER BY us, event_id) AS from_type,
+        |    to_type
+        |  FROM e),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n FROM p
+        |  WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, sum(n) AS n_from FROM c GROUP BY 1)
+        |SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+        | round(CAST(c.n AS DOUBLE) / t.n_from, 4) AS p_r
+        |FROM c JOIN t USING (from_type) ORDER BY from_type, to_type""".stripMargin,
     "q_tumbling_window" ->
       """SELECT CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS w_start, event_type,
         | count(*) AS n, round(sum(value), 4) AS sum_v

@@ -45,6 +45,26 @@ class FunctionsSpec extends AnyFunSuite {
     assert(got == Hashing.fnv64("via extensions"))
   }
 
+  test("sketch aggregates are SQL functions through the extensions hook") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftBridge.applyFunctionExtensions(ext, spark)
+    // 37 uniform items + one hot item above N/(k+1): the MG guarantee must
+    // surface it, and 38 distinct < both KMV k's → exact counts
+    ((1 to 400).map(i => s"u${i % 37}") ++ Seq.fill(100)("hot"))
+      .toDF("u").createOrReplaceTempView("sketch_in")
+    val row = spark.sql(
+      "SELECT kmv_distinct(u) AS kd, kmv_distinct(u, 64) AS kd64, misra_gries(u, 10) AS mg FROM sketch_in")
+      .head()
+    assert(row.getLong(0) == 38L && row.getLong(1) == 38L)
+    val mg = row.getSeq[String](2)
+    assert(mg.contains("hot") && mg.size <= 10)
+    val err = intercept[Exception](spark.sql("SELECT misra_gries(u) FROM sketch_in").head())
+    assert(err.getMessage.contains("misra_gries"))
+  }
+
   test("native fnv_hash64 expression: codegen result equals Scala impl, stays in codegen plan") {
     val spark = TestSpark.spark
     FnvHash64Expr.register(spark)
