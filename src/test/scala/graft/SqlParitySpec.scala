@@ -19,7 +19,7 @@ class SqlParitySpec extends AnyFunSuite {
   private val portable = Seq(
     "q_scan_project_filter", "q_pricing_summary", "q_join_inner",
     "q_join_multiway", "q_join_left", "q_join_semi", "q_join_anti",
-    "q_join_range", "q_agg_distinct")
+    "q_join_range", "q_agg_distinct", "q_join_skew_salted")
 
   test("ANSI oracle SQL runs verbatim on spark.sql with identical results") {
     val spark = TestSpark.spark
