@@ -31,6 +31,11 @@ case class KmvDistinct(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[java.util.TreeSet[Long]] {
 
+  // k = 1 would make the estimator (k-1)/u(k) identically zero, and k <= 0
+  // crashes put()'s buf.last() on an empty set — fail at construction, which
+  // the SQL builder surfaces as an analysis-time error
+  require(k >= 2, s"kmv_distinct needs k >= 2 minimum values, got $k")
+
   private lazy val hasher = XxHash64(Seq(child), 42L)
 
   override def children: Seq[Expression] = Seq(child)

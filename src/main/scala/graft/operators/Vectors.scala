@@ -300,6 +300,8 @@ object Vectors {
     * in-query [[annIvf]] and the persisted [[writeIvfIndex]]. */
   private[operators] def trainCodebook(sample: Array[(Long, Array[Double])],
       k: Int, iters: Int): Array[Array[Double]] = {
+    require(sample.length >= k,
+      s"codebook of $k centroids needs at least $k sample vectors, got ${sample.length}")
     val dim = sample.head._2.length
     var cents: Array[Array[Double]] = sample.take(k).map(_._2.clone())
     for (_ <- 0 until iters) {
@@ -320,18 +322,27 @@ object Vectors {
     cents
   }
 
+  /** The single site for the codebook sample rule (deterministic bounded
+    * sample, vec_id < 256 — codebook metadata, not table data) and the
+    * Lloyd iteration count, shared by the in-query [[annIvf]] and the
+    * persisted [[writeIvfIndex]] so the two paths can never train on
+    * different codebooks. */
+  private[operators] def sampleAndTrain(
+      e: org.apache.spark.sql.Dataset[(Long, Array[Double])], k: Int)
+      : (Array[(Long, Array[Double])], Array[Array[Double]], Array[Double]) = {
+    val sample = e.filter(_._1 < 256).collect().sortBy(_._1)
+    val cents = trainCodebook(sample, k, iters = 5)
+    (sample, cents, cents.map(normA))
+  }
+
   val annIvf: Q = (s, d) => {
     val spark = s
     import spark.implicits._
     val e = Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
       .as[(Long, Array[Double])]
     val k = 16
-    // deterministic bounded sample (256 vectors) for codebook training +
-    // the probe vector; this is codebook metadata, not table data
-    val sample = e.filter(_._1 < 256).collect().sortBy(_._1)
+    val (sample, cents, centNorms) = sampleAndTrain(e, k)
     val probeV = sample.find(_._1 == 0L).get._2
-    val cents = trainCodebook(sample, k, iters = 5)
-    val centNorms = cents.map(normA)
     val probeN = normA(probeV)
     val probeClusters = (0 until k)
       .map(c => (c, dotA(probeV, cents(c)) / (probeN * centNorms(c))))
@@ -372,9 +383,7 @@ object Vectors {
     import spark.implicits._
     val e = Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
       .as[(Long, Array[Double])]
-    val sample = e.filter(_._1 < 256).collect().sortBy(_._1)
-    val cents = trainCodebook(sample, k, iters = 5)
-    val centNorms = cents.map(normA)
+    val (_, cents, centNorms) = sampleAndTrain(e, k)
     val bc = spark.sparkContext.broadcast((cents, centNorms))
     e.map { case (id, v) =>
       val (cs, cn) = bc.value
@@ -394,7 +403,7 @@ object Vectors {
     * data) and brute-force the survivors with the fused [[CosineSimExpr]]
     * under a TakeOrdered top-k. */
   def queryIvfIndex(s: SparkSession, indexDir: String, probe: Array[Double],
-      topK: Int = 10, nProbe: Int = 4): DataFrame = {
+      topK: Int = 10, nProbe: Int = 4, excludeId: Option[Long] = None): DataFrame = {
     val spark = s
     import spark.implicits._
     val codebook = spark.read.parquet(s"$indexDir/_codebook")
@@ -407,8 +416,11 @@ object Vectors {
       }
       .sortBy { case (c, sim) => (-sim, c) }
       .take(nProbe).map(_._1).toSeq
-    spark.read.parquet(indexDir)
+    val scan = spark.read.parquet(indexDir)
       .where(col("cluster").isin(chosen: _*))
+    // "more like this" queries probe with an indexed vector — excludeId
+    // drops it so topK means topK real neighbors, matching annIvf/cosineTopk
+    excludeId.fold(scan)(id => scan.where(col("vec_id") =!= id))
       .select(col("vec_id"),
         CosineSimExpr.vec_cosine(col("v"), typedLit(probe.toSeq)).as("cos"))
       .orderBy(col("cos").desc, col("vec_id"))

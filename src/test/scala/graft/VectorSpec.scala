@@ -62,14 +62,14 @@ class VectorSpec extends AnyFunSuite {
     val probe = Tables.embeddings(spark, TestSpark.sf0001)
       .where(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).as[Array[Double]].head()
-    val q = Vectors.queryIvfIndex(spark, idx, probe, topK = 11, nProbe = 4)
+    val q = Vectors.queryIvfIndex(spark, idx, probe, topK = 10, nProbe = 4,
+      excludeId = Some(0L))
     // ONE execution: its rows feed the recall check, its metrics the
     // pruning check (a second collect would re-execute with the lazily
     // cached listing and report zeroed driver metrics)
     val got = q.collect()
-    // the probe itself lives in the index; drop it like annIvf does
-    val ids = got.map(_.getLong(0)).filter(_ != 0L).take(10).toSet
-    assert(ids.size == 10)
+    val ids = got.map(_.getLong(0)).toSet
+    assert(ids.size == 10 && !ids.contains(0L))
     // recall vs brute force — same bar as the in-query ANN test
     val exact = Vectors.cosineTopk(spark, TestSpark.sf0001)
       .collect().map(_.getLong(0)).toSet
