@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimExpr, DotProductExpr, FnvHash64Expr, KmvDistinct, MisraGries}
+import graft.functions.{CosineSimExpr, DotProductExpr, FnvHash64Expr, KmvDistinct, MisraGries, ShingleGenExpr}
 import graft.plans.TopKPerGroupStrategy
 
 /** Cluster-deploy packaging of the engine's native Catalyst expressions:
@@ -40,6 +40,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("misra_gries"),
       new ExpressionInfo(classOf[MisraGries].getName, "misra_gries"),
       (exprs: Seq[Expression]) => MisraGries.build(exprs)))
+    // the UDTF surface: a native Generator usable like explode
+    ext.injectFunction((
+      FunctionIdentifier("shingle_gen"),
+      new ExpressionInfo(classOf[ShingleGenExpr].getName, "shingle_gen"),
+      (exprs: Seq[Expression]) => ShingleGenExpr.build(exprs)))
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
     ext.injectOptimizerRule(_ => graft.plans.VectorizeDotProduct)
     ext.injectOptimizerRule(_ => graft.plans.WindowTopKToHeap)

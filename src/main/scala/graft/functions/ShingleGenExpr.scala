@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, Generator, Literal}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shared JVM tokenizer — the exact replica of the engine's declarative
+  * `split(lower(trim(text)), "\\s+")` column spelling (Spark `trim` strips
+  * ASCII SPACE only; Spark `split` keeps trailing empty strings — Java's
+  * `String.trim`/default `split` do neither). One definition under every
+  * typed text kernel AND the [[ShingleGenExpr]] SQL generator.
+  */
+object Tok {
+  def tokenize(text: String): Array[String] = {
+    val lower = text.toLowerCase(java.util.Locale.ROOT)
+    var b = 0
+    var e = lower.length
+    while (b < e && lower.charAt(b) == ' ') b += 1
+    while (e > b && lower.charAt(e - 1) == ' ') e -= 1
+    lower.substring(b, e).split("\\s+", -1)
+  }
+}
+
+/** `shingle_gen(text[, n])` — a native Catalyst `Generator` (UDTF surface):
+  * one row per word n-gram shingle of the tokenized text, usable anywhere
+  * `explode` is (SELECT clause, LATERAL VIEW). This is the row-expanding
+  * extension point the engine's typed `flatMap` kernels use internally,
+  * exposed to SQL so "switch engines, keep your SQL" covers shingling too.
+  * Per-row work is one tokenizer pass; the GenerateExec operator handles
+  * the fan-out exactly as it does for `explode`.
+  */
+case class ShingleGenExpr(child: Expression, n: Int)
+  extends Expression with Generator with CodegenFallback {
+
+  require(n > 0, s"shingle_gen needs n > 0, got $n")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def elementSchema: StructType =
+    StructType(Seq(StructField("sh", StringType, nullable = false)))
+  override def prettyName: String = "shingle_gen"
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = child.eval(input)
+    if (t == null) Iterator.empty
+    else {
+      val ts = Tok.tokenize(t.toString)
+      if (ts.length < n) Iterator.empty
+      else (0 to ts.length - n).iterator.map { i =>
+        val sb = new java.lang.StringBuilder(ts(i))
+        var j = 1
+        while (j < n) { sb.append(' ').append(ts(i + j)); j += 1 }
+        InternalRow(UTF8String.fromString(sb.toString))
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): ShingleGenExpr =
+    copy(child = c.head)
+}
+
+object ShingleGenExpr {
+  /** SQL builder: `shingle_gen(text[, n])`, n a literal integer (default 3). */
+  def build(exprs: Seq[Expression]): Expression = exprs match {
+    case Seq(c) => ShingleGenExpr(c, 3)
+    case Seq(c, Literal(n: Int, IntegerType)) => ShingleGenExpr(c, n)
+    case _ =>
+      throw new IllegalArgumentException(
+        "shingle_gen(text[, n]) needs a string column and an optional literal integer n")
+  }
+}

@@ -95,21 +95,12 @@ object Text {
     sequence(lit(1), greatest(size(ws) - 2, lit(0))),
     i => concat_ws(" ", slice(ws, i, lit(3))))
 
-  /** JVM-side replica of the shared `toks` column expression, exact to the
-    * edge cases: Spark's `trim` strips ASCII SPACE only (Java `String.trim`
-    * also strips tabs/newlines — NOT equivalent), and Spark's `split` keeps
-    * trailing empty strings (Java's default drops them). A document like
-    * "\talpha beta" must tokenize to ["", "alpha", "beta"] in both worlds
-    * or the typed operators diverge from their oracles.
-    * TextQualitySpec pins this equality on adversarial strings. */
-  private[graft] def tokenize(text: String): Array[String] = {
-    val lower = text.toLowerCase(java.util.Locale.ROOT)
-    var b = 0
-    var e = lower.length
-    while (b < e && lower.charAt(b) == ' ') b += 1
-    while (e > b && lower.charAt(e - 1) == ' ') e -= 1
-    lower.substring(b, e).split("\\s+", -1)
-  }
+  /** JVM-side replica of the shared `toks` column expression (see
+    * [[graft.functions.Tok]] for the exactness notes — Spark trim/split
+    * edge cases). TextQualitySpec pins the equality on adversarial
+    * strings. */
+  private[graft] def tokenize(text: String): Array[String] =
+    graft.functions.Tok.tokenize(text)
 
   /** Exploded (doc_id, source, shingle) rows via ONE typed tokenizer pass.
     * Semantically identical to `explode(shingleArr(toks(text)))` but

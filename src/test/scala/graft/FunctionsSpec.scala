@@ -65,6 +65,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(err.getMessage.contains("misra_gries"))
   }
 
+  test("shingle_gen generator matches the declarative shingle expression") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions._
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftBridge.applyFunctionExtensions(ext, spark)
+    Tables.registerViews(spark, TestSpark.sf0001)
+    val viaGen = spark.sql(
+      "SELECT sh, count(*) AS n FROM documents LATERAL VIEW shingle_gen(text, 3) g GROUP BY sh")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // the declarative spelling every oracle CTE mirrors
+    val ws = split(lower(trim(col("text"))), "\\s+")
+    val decl = transform(sequence(lit(1), greatest(size(ws) - 2, lit(0))),
+      i => concat_ws(" ", slice(ws, i, lit(3))))
+    val viaDecl = Tables.documents(spark, TestSpark.sf0001)
+      .select(explode(decl).as("sh")).groupBy(col("sh")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(viaGen == viaDecl && viaGen.nonEmpty)
+    // default n and the select-clause generator position both work
+    assert(spark.sql("SELECT shingle_gen('a b c d') AS sh").count() == 2)
+  }
+
   test("native fnv_hash64 expression: codegen result equals Scala impl, stays in codegen plan") {
     val spark = TestSpark.spark
     FnvHash64Expr.register(spark)
