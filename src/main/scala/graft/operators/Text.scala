@@ -218,6 +218,30 @@ object Text {
       .orderBy(col("lang"), col("rn"))
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis A-Res,
+    * IPL 2006): per language, keep the k docs with the largest
+    * u^(1/weight), u a per-doc uniform draw — selection probability
+    * proportional to weight (here `n_chars`, i.e. longer docs more likely
+    * in the eval set). The draw is a Knuth multiplicative hash of doc_id —
+    * pure integer arithmetic both engines compute bit-identically, so the
+    * "random" sample is fully deterministic and oracle-checked (the
+    * companion to [[samplePerGroup]]'s unweighted md5-order sampling).
+    * Runs on the heap [[graft.plans.TopKPerGroup]] operator: one scan, ≤k
+    * rows per group per partition through the shuffle, no per-group
+    * sort — the same plan shape at any corpus size. */
+  val weightedSample: Q = (s, d) => {
+    val u = ((col("doc_id") * lit(2654435761L)) % lit(4294967296L) + 1).cast("double") /
+      lit(4294967297.0)
+    val key = pow(u, lit(1.0) / col("n_chars").cast("double"))
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"), key.as("k"))
+    graft.plans.TopKPerGroup
+      .topK(scored, Seq("lang"), Seq("k" -> false, "doc_id" -> true), 3)
+      .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"),
+        round(col("k"), 6).as("key_r"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
   /** Token-set (1-gram) Jaccard similarity join on a bounded sample
     * (doc_id < 50, J ≥ 0.5). Exact set arithmetic via array_intersect on
     * distinct token arrays; the full-corpus scalable path is
@@ -561,6 +585,7 @@ object Text {
     "q_contamination"   -> contamination,
     "q_bm25"            -> bm25,
     "q_heavy_hitters"   -> heavyHitters,
+    "q_weighted_sample" -> weightedSample,
     "q_doc_fingerprint" -> docFingerprint,
   )
 
@@ -732,6 +757,18 @@ object Text {
         | f_len, f_mwl, f_rep, f_dr,
         | f_len * f_mwl * f_rep * f_dr AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+    "q_weighted_sample" ->
+      """WITH s AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    pow(((doc_id * 2654435761) % 4294967296 + 1) / 4294967297.0,
+        |        1.0 / n_chars) AS k
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, n_chars, k,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS BIGINT) AS rn
+        |  FROM s)
+        |SELECT lang, rn, doc_id, CAST(n_chars AS BIGINT) AS n_chars, round(k, 6) AS key_r
+        |FROM r WHERE rn <= 3 ORDER BY lang, rn""".stripMargin,
     // exact definition — the MG sketch on the Spark side must be invisible
     "q_heavy_hitters" ->
       """WITH t AS (
