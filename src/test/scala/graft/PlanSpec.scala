@@ -108,6 +108,56 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed sort-merge join at runtime (skew=true in the final plan)") {
+    // the engine's answer to hot keys the static planner can't see
+    // (GraftSession ships adaptive.skewJoin.enabled=true): a 95%-hot-key
+    // build is split across reducers by OptimizeSkewedJoin. Fixture scale
+    // is below the default 256 MB thresholds, so pin them down to prove
+    // the config surface produces the runtime re-plan — the same move the
+    // bloom-filter test above makes.
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, when}
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    val saved = keys.map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      // shuffle blocks are lz4-compressed, so thresholds are on COMPRESSED
+      // bytes — keep them tiny and the payload pseudo-random so the hot
+      // partition clears them
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      // 95% of the big side shares one key — one reducer would take ~all rows
+      val big = spark.range(200000)
+        .select((when(col("id") % 20 =!= 0, 7L).otherwise(col("id"))).as("k"),
+          (col("id") * 2654435761L % 1000000007L).as("payload"))
+      val small = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      // note: a downstream groupBy(k) would REUSE the join's partitioning,
+      // so splitting the skewed partition would add a shuffle and the rule
+      // (correctly) declines; a global aggregate has no such requirement
+      val joined = big.join(small, "k")
+        .agg(org.apache.spark.sql.functions.count(col("payload")).as("n"))
+      val rows = joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(plan.contains("skew=true"), plan.take(2000))
+      // and the split must not change results: every hot-key row joined once
+      assert(rows.head.getLong(0) == 190050L)
+    } finally {
+      saved.foreach { case (k, v) =>
+        v.fold(conf.unset(k))(x => conf.set(k, x))
+      }
+    }
+  }
+
   test("cosine top-k runs on the fused native vec_cosine, no interpreted higher-order fold") {
     val p = plan(Vectors.cosineTopk)
     assert(p.contains("vec_cosine"), p)
