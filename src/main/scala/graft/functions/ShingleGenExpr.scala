@@ -21,6 +21,17 @@ object Tok {
     while (e > b && lower.charAt(e - 1) == ' ') e -= 1
     lower.substring(b, e).split("\\s+", -1)
   }
+
+  /** Space-joined width-n shingles of a token array — the one shingle
+    * assembly under both the typed kernels and the SQL generator. */
+  def shingles(ts: Array[String], n: Int): Iterator[String] =
+    if (ts.length < n) Iterator.empty
+    else (0 to ts.length - n).iterator.map { i =>
+      val sb = new java.lang.StringBuilder(ts(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(ts(i + j)); j += 1 }
+      sb.toString
+    }
 }
 
 /** `shingle_gen(text[, n])` — a native Catalyst `Generator` (UDTF surface):
@@ -41,19 +52,19 @@ case class ShingleGenExpr(child: Expression, n: Int)
     StructType(Seq(StructField("sh", StringType, nullable = false)))
   override def prettyName: String = "shingle_gen"
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"shingle_gen needs a STRING input, got ${child.dataType.catalogString}")
+
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val t = child.eval(input)
     if (t == null) Iterator.empty
-    else {
-      val ts = Tok.tokenize(t.toString)
-      if (ts.length < n) Iterator.empty
-      else (0 to ts.length - n).iterator.map { i =>
-        val sb = new java.lang.StringBuilder(ts(i))
-        var j = 1
-        while (j < n) { sb.append(' ').append(ts(i + j)); j += 1 }
-        InternalRow(UTF8String.fromString(sb.toString))
-      }
-    }
+    else
+      Tok.shingles(Tok.tokenize(t.toString), n)
+        .map(sh => InternalRow(UTF8String.fromString(sh)))
   }
 
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): ShingleGenExpr =

@@ -117,11 +117,7 @@ object Text {
       .select(col("doc_id"), col("source"), col("text"))
       .as[(Long, String, String)]
       .flatMap { case (id, src, text) =>
-        val ts = tokenize(text)
-        if (ts.length < 3) Iterator.empty
-        else (0 to ts.length - 3).iterator.map { i =>
-          (id, src, ts(i) + " " + ts(i + 1) + " " + ts(i + 2))
-        }
+        graft.functions.Tok.shingles(tokenize(text), 3).map((id, src, _))
       }
       .toDF("doc_id", "source", "sh")
   }
@@ -222,16 +218,26 @@ object Text {
     * IPL 2006): per language, keep the k docs with the largest
     * u^(1/weight), u a per-doc uniform draw — selection probability
     * proportional to weight (here `n_chars`, i.e. longer docs more likely
-    * in the eval set). The draw is a Knuth multiplicative hash of doc_id —
-    * pure integer arithmetic both engines compute bit-identically, so the
-    * "random" sample is fully deterministic and oracle-checked (the
-    * companion to [[samplePerGroup]]'s unweighted md5-order sampling).
-    * Runs on the heap [[graft.plans.TopKPerGroup]] operator: one scan, ≤k
-    * rows per group per partition through the shuffle, no per-group
-    * sort — the same plan shape at any corpus size. */
+    * in the eval set). The draw is two rounds of 16-bit Knuth
+    * multiplicative hashing in 32-bit space — every intermediate fits in
+    * int64 for ANY int64 doc_id (a single 32-bit-constant multiply would
+    * overflow past doc_id ≈ 3.5e9: silent wraparound on Spark, a hard
+    * error in the oracle), and pure integer arithmetic makes the draw
+    * bit-identical across engines. The ranking key u^(1/w) then goes
+    * through libm `pow` (1-ulp spec on both engines, not correctly
+    * rounded) — the same accepted last-ulp tie risk as the cosine
+    * orderings; the deterministic (k, doc_id) tiebreak bounds the damage
+    * to genuinely-tied keys. Companion to [[samplePerGroup]]'s unweighted
+    * md5-order sampling; runs on the heap [[graft.plans.TopKPerGroup]]
+    * operator: one scan, ≤k rows per group per partition through the
+    * shuffle, no per-group sort — the same plan shape at any corpus
+    * size. */
   val weightedSample: Q = (s, d) => {
-    val u = ((col("doc_id") * lit(2654435761L)) % lit(4294967296L) + 1).cast("double") /
-      lit(4294967297.0)
+    val m32 = lit(4294967296L)
+    val h1 = col("doc_id") % m32
+    val h2 = (h1 * lit(40503L)) % m32
+    val h3 = (h2 * lit(40503L)) % m32
+    val u = (h3 + 1).cast("double") / lit(4294967297.0)
     val key = pow(u, lit(1.0) / col("n_chars").cast("double"))
     val scored = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"), key.as("k"))
@@ -760,7 +766,8 @@ object Text {
     "q_weighted_sample" ->
       """WITH s AS (
         |  SELECT lang, doc_id, n_chars,
-        |    pow(((doc_id * 2654435761) % 4294967296 + 1) / 4294967297.0,
+        |    pow(((doc_id % 4294967296 * 40503 % 4294967296 * 40503 % 4294967296) + 1)
+        |          / 4294967297.0,
         |        1.0 / n_chars) AS k
         |  FROM documents),
         |r AS (
