@@ -214,6 +214,43 @@ object Text {
       .orderBy(col("lang"), col("rn"))
   }
 
+  /** Corpus-trained bigram language-model scoring — the CCNet/KenML-style
+    * "perplexity filter" of LLM data pipelines, self-trained here: token
+    * bigram counts over the corpus give add-one-smoothed conditional
+    * probabilities P(w₂|w₁) = (c₁₂+1)/(c₁+V) (prefix count c₁ derived from
+    * the bigram table itself, V = distinct-token vocabulary), and each
+    * document scores the mean ln P over its bigrams — low scores = text
+    * the corpus finds surprising (the drop signal). Model build is two
+    * keyed partial aggregates; scoring joins the doc-bigram stream to the
+    * model on the bigram key (broadcast when the vocabulary allows, hash
+    * join otherwise) — text never shuffles, and everything downstream of
+    * the tokenizer is exact integer counts + ln, so the whole pipeline is
+    * oracle-checked. */
+  val lmScore: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val docBg = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        graft.functions.Tok.shingles(graft.functions.Tok.tokenize(text), 2).map((id, _))
+      }
+      .toDF("doc_id", "bg")
+    val c12 = docBg.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = Tables.documents(s, d)
+      .select(explode(toks(col("text"))).as("t")).agg(countDistinct(col("t")).as("v"))
+    val lnP = log((col("c12") + 1.0) / (col("c1") + col("v")))
+    docBg
+      .join(c12, Seq("bg"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"), lnP.as("lp"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 4).as("mean_lnp_r"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-Res,
     * IPL 2006): per language, keep the k docs with the largest
     * u^(1/weight), u a per-doc uniform draw — selection probability
@@ -592,6 +629,7 @@ object Text {
     "q_bm25"            -> bm25,
     "q_heavy_hitters"   -> heavyHitters,
     "q_weighted_sample" -> weightedSample,
+    "q_lm_score"        -> lmScore,
     "q_doc_fingerprint" -> docFingerprint,
   )
 
@@ -763,6 +801,23 @@ object Text {
         | f_len, f_mwl, f_rep, f_dr,
         | f_len * f_mwl * f_rep * f_dr AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+    "q_lm_score" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |db AS (
+        |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w) t),
+        |c12 AS (
+        |  SELECT bg, count(*) AS c12, split_part(bg, ' ', 1) AS w1 FROM db GROUP BY bg),
+        |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+        |v AS (
+        |  SELECT count(DISTINCT t) AS v
+        |  FROM (SELECT unnest(ws) AS t FROM w) u),
+        |sc AS (
+        |  SELECT db.doc_id, ln((c12.c12 + 1.0) / (c1.c1 + v.v)) AS lp
+        |  FROM db JOIN c12 USING (bg) JOIN c1 USING (w1) CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS mean_lnp_r
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_weighted_sample" ->
       """WITH s AS (
         |  SELECT lang, doc_id, n_chars,
