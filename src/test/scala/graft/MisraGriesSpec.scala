@@ -55,6 +55,38 @@ class MisraGriesSpec extends AnyFunSuite {
     }
   }
 
+  test("guarantee holds across randomized distributions, k values and groups") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    // three shapes: uniform, zipf-ish, bursty (one item = half the stream)
+    val streams: Seq[(String, Seq[String])] = Seq(
+      "uniform" -> Seq.fill(4000)(s"u${rnd.nextInt(500)}"),
+      "zipf" -> Seq.fill(4000) { val r = 1 + rnd.nextInt(1000); s"z${4000 / r}" },
+      "bursty" -> rnd.shuffle(
+        Seq.fill(2000)("hot") ++ Seq.tabulate(2000)(i => s"b$i")))
+    for ((label, stream) <- streams; k <- Seq(10, 47, 128)) {
+      val n = stream.length
+      val bound = n.toDouble / (k + 1)
+      val mustKeep = stream.groupBy(identity).collect {
+        case (t, xs) if xs.length > bound => t
+      }.toSet
+      // grouped aggregation: the same stream under two group keys exercises
+      // the per-group buffer path (each group sees every item once)
+      val df = stream.flatMap(t => Seq(("g1", t), ("g2", t)))
+        .toDF("g", "term").repartition(5)
+      val rows = df.groupBy(col("g")).agg(misra_gries(col("term"), k).as("cand"))
+        .collect()
+      assert(rows.length == 2)
+      rows.foreach { r =>
+        val cands = r.getSeq[String](1).toSet
+        assert(cands.size <= k, s"$label k=$k group=${r.getString(0)}")
+        val missed = mustKeep -- cands
+        assert(missed.isEmpty,
+          s"$label k=$k group=${r.getString(0)}: missed $missed above bound $bound")
+      }
+    }
+  }
+
   test("q_heavy_hitters equals the sketch-free exact definition") {
     val got = Text.heavyHitters(spark, TestSpark.sf0001).collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
