@@ -7,17 +7,21 @@ import graft.functions.Hashing
 
 /** Text-analysis + deduplication operators over the `documents` table
   * (north-star LLM-pipeline extension): exact dedup, token/term statistics,
-  * shingling, quality scoring, language-ID heuristic, winnowing
-  * fingerprints.
+  * shingling, tf-idf/BM25 ranking, quality scoring (plus the Gopher-rule
+  * and repetition filters), language-ID heuristic, bigram-LM perplexity
+  * scoring, prefix-filtered incremental dedup, cross-source overlap and
+  * contamination scans, Misra-Gries heavy hitters, deterministic (plain and
+  * weighted) sampling, winnowing fingerprints.
   *
   * Tokenization is a single shared definition (split on whitespace of the
-  * lower-cased, trimmed text) expressed identically in Spark and DuckDB so
-  * the oracle hashes match.
+  * lower-cased, trimmed text) expressed identically in Spark, in DuckDB
+  * oracle SQL, and in the typed kernels ([[graft.functions.Tok]]) so the
+  * oracle hashes match.
   *
-  * Scale: all of these are embarrassingly parallel scans + one groupBy;
-  * term-frequency's explode is the only row-expander and is bounded by token
-  * count, with map-side partial aggregation keeping the shuffle at
-  * #distinct (lang, term).
+  * Scale: scans + keyed aggregations throughout; the explodes (terms,
+  * shingles, bigrams) are the only row-expanders and are bounded by token
+  * count, with map-side partial aggregation keeping shuffles at #distinct
+  * keys; document text itself never shuffles.
   */
 object Text {
   type Q = (SparkSession, String) => DataFrame
