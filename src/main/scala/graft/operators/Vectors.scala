@@ -322,27 +322,60 @@ object Vectors {
     cents
   }
 
-  /** The single site for the codebook sample rule (deterministic bounded
-    * sample, vec_id < 256 — codebook metadata, not table data) and the
-    * Lloyd iteration count, shared by the in-query [[annIvf]] and the
-    * persisted [[writeIvfIndex]] so the two paths can never train on
-    * different codebooks. */
-  private[operators] def sampleAndTrain(
-      e: org.apache.spark.sql.Dataset[(Long, Array[Double])], k: Int)
+  /** Codebook sample size — bounded driver-side metadata (256 vectors),
+    * never a function of corpus size. */
+  private[operators] val CodebookSampleSize = 256
+
+  /** The single site for the codebook sample rule and the Lloyd iteration
+    * count, shared by the in-query [[annIvf]] and the persisted
+    * [[writeIvfIndex]] so the two paths can never train on different
+    * codebooks.
+    *
+    * The sample is the bottom-[[CodebookSampleSize]] vectors by
+    * `hash(vec_id)` (KMV-style): deterministic across runs (Murmur3 with
+    * Spark's fixed seed, ties broken by vec_id), UNBIASED at any corpus
+    * size (every vector equally likely — first-N-by-id skews the codebook
+    * toward early ids and silently degrades recall when ids correlate with
+    * insertion time), and bounded (the plan is a TakeOrderedAndProject:
+    * 256-row map-side heaps over a 2-column pruned scan, 256 rows to the
+    * driver — never a typed-lambda filter that deserializes the corpus).
+    * A pushable id-range predicate and an unbiased sample are mutually
+    * exclusive (parquet can't evaluate hash); we keep the scan narrow and
+    * the transfer bounded instead. `df` must have (vec_id, v) columns. */
+  private[operators] def sampleAndTrain(df: DataFrame, k: Int)
       : (Array[(Long, Array[Double])], Array[Array[Double]], Array[Double]) = {
-    val sample = e.filter(_._1 < 256).collect().sortBy(_._1)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sample = df
+      .orderBy(hash(col("vec_id")), col("vec_id"))
+      .limit(CodebookSampleSize)
+      .select(col("vec_id"), col("v"))
+      .as[(Long, Array[Double])]
+      .collect().sortBy(_._1)
     val cents = trainCodebook(sample, k, iters = 5)
     (sample, cents, cents.map(normA))
   }
 
+  /** The codebook sampling plan by itself (exposed for plan-shape specs:
+    * TakeOrderedAndProject over a pruned 2-column scan). */
+  private[graft] def codebookSamplePlan(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
+      .orderBy(hash(col("vec_id")), col("vec_id"))
+      .limit(CodebookSampleSize)
+      .select(col("vec_id"), col("v"))
+
   val annIvf: Q = (s, d) => {
     val spark = s
     import spark.implicits._
-    val e = Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
-      .as[(Long, Array[Double])]
+    val edf = Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
+    val e = edf.as[(Long, Array[Double])]
     val k = 16
-    val (sample, cents, centNorms) = sampleAndTrain(e, k)
-    val probeV = sample.find(_._1 == 0L).get._2
+    val (_, cents, centNorms) = sampleAndTrain(edf, k)
+    // probe = vec_id 0, fetched by a pushed-down point read (PushedFilters
+    // on the parquet scan), not fished out of the training sample — the
+    // hash sample is not guaranteed to contain any particular id
+    val probeV = edf.where(col("vec_id") === 0)
+      .select(col("v")).as[Array[Double]].head()
     val probeN = normA(probeV)
     val probeClusters = (0 until k)
       .map(c => (c, dotA(probeV, cents(c)) / (probeN * centNorms(c))))
@@ -381,9 +414,9 @@ object Vectors {
   def writeIvfIndex(s: SparkSession, d: String, outDir: String, k: Int = 16): Unit = {
     val spark = s
     import spark.implicits._
-    val e = Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
-      .as[(Long, Array[Double])]
-    val (_, cents, centNorms) = sampleAndTrain(e, k)
+    val edf = Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
+    val e = edf.as[(Long, Array[Double])]
+    val (_, cents, centNorms) = sampleAndTrain(edf, k)
     val bc = spark.sparkContext.broadcast((cents, centNorms))
     e.map { case (id, v) =>
       val (cs, cn) = bc.value

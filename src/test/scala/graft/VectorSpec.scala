@@ -33,6 +33,39 @@ class VectorSpec extends AnyFunSuite {
     assert(nCand == 10)
   }
 
+  test("codebook sampling is bounded, pruned, unbiased, and deterministic") {
+    val spark = TestSpark.spark
+    val plan = Vectors.codebookSamplePlan(spark, TestSpark.sf0001)
+    val physical = plan.queryExecution.executedPlan.toString
+    // bounded: a TakeOrdered top-k (256-row map-side heaps), NOT a full
+    // collect behind a typed-lambda filter
+    assert(physical.contains("TakeOrderedAndProject"), physical)
+    // pruned: the scan reads only the two needed columns
+    val formatted = plan.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val readSchema = formatted.linesIterator.find(_.contains("ReadSchema")).get
+    assert(readSchema.contains("vec_id") && readSchema.contains("embedding"))
+    assert(!readSchema.contains("doc_id"), readSchema)
+    // deterministic: two runs produce the identical sample
+    val a = plan.collect().map(_.getLong(0)).toSeq
+    val b = Vectors.codebookSamplePlan(spark, TestSpark.sf0001)
+      .collect().map(_.getLong(0)).toSeq
+    assert(a == b && a.length == math.min(256, a.length))
+    // unbiased: the hash sample is not the first-256-by-id prefix
+    assert(a.sorted != (0L until a.length.toLong).toSeq, "sample degenerated to an id prefix")
+  }
+
+  test("ANN probe vector read is a pushed-down point read") {
+    val spark = TestSpark.spark
+    val probe = Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("vec_id"), col("embedding"))
+      .where(col("vec_id") === 0)
+    val formatted = probe.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = formatted.linesIterator.find(_.contains("PushedFilters")).get
+    assert(pushed.contains("EqualTo(vec_id,0)"), pushed)
+  }
+
   test("SRP near-dup: exact recall of every planted pair, nothing else") {
     val spark = TestSpark.spark
     import spark.implicits._
