@@ -13,8 +13,32 @@ import org.apache.spark.unsafe.types.UTF8String
   * typed text kernel AND the [[ShingleGenExpr]] SQL generator.
   */
 object Tok {
+  /** Spark's `lower` (UTF8String.toLowerCase) bytewise-lowercases pure-ASCII
+    * strings and falls back to DEFAULT-LOCALE String.toLowerCase the moment
+    * any non-ASCII byte appears. Replicating both branches (instead of
+    * Locale.ROOT everywhere) keeps the typed kernels bit-identical to the
+    * declarative `toks` under ANY default JVM locale — e.g. Turkish, where
+    * ROOT('I')='i' but the default-locale slow path gives 'ı' for a string
+    * that also carries a non-ASCII char. TextQualitySpec pins parity on
+    * 'I'/'İ' mixes. */
+  private def sparkLower(s: String): String = {
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) > 127) return s.toLowerCase() // Spark's slow path
+      i += 1
+    }
+    val arr = new Array[Char](s.length)
+    var j = 0
+    while (j < s.length) {
+      val c = s.charAt(j)
+      arr(j) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+      j += 1
+    }
+    new String(arr)
+  }
+
   def tokenize(text: String): Array[String] = {
-    val lower = text.toLowerCase(java.util.Locale.ROOT)
+    val lower = sparkLower(text)
     var b = 0
     var e = lower.length
     while (b < e && lower.charAt(b) == ' ') b += 1

@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** The flagship corpus-curation pipeline — the north star's LLM half in ONE
+  * oracle-checked query, the way [[graft.SparkEntry.entry]] is the
+  * reference's seismic half in one plan: raw `documents` → scored, deduped,
+  * decontaminated, sampled training set.
+  *
+  * Stages (every kernel is the SAME operator the standalone query keys run,
+  * so the composition can't drift from the verified parts):
+  *
+  *  A. exact dedup           — keep the min-doc_id representative per
+  *                             md5(text) group ([[Text.exactDedup]])
+  *  B. near-dup clustering   — exact cosine ≥ [[Vectors.NearDupThreshold]]
+  *                             edges over the linked embeddings
+  *                             (doc_id = vec_id, the q_multimodal_join key)
+  *                             → connected components → drop every member
+  *                             but the min-id representative
+  *                             ([[Vectors.embedNeardupPairs]] +
+  *                             [[DedupCluster.connectedComponents]])
+  *  C. quality gate          — Gopher-style rule conjunction must pass
+  *                             ([[Text.gopherRules]] keep = 1)
+  *  D. contamination screen  — src0 is the held-out benchmark: its docs are
+  *                             excluded, and any doc with ≥ 10% distinct-
+  *                             shingle overlap against it is dropped
+  *                             ([[Text.contamination]] contaminated = 0)
+  *  E. LM scoring            — bigram-LM mean ln-probability, model trained
+  *                             on the FULL corpus (corpus statistics, not
+  *                             survivor statistics — matching q_lm_score
+  *                             exactly) ([[Text.lmScore]])
+  *  F. weighted sample       — Efraimidis–Spirakis A-Res, weight n_chars,
+  *                             top-3 per language over the survivors, on
+  *                             the heap [[graft.plans.TopKPerGroup]]
+  *                             operator ([[Text.aresKey]])
+  *
+  * Scale shape: stages A–E each produce an id-keyed filter column or score;
+  * the composition is semi/anti/inner joins on doc_id — hash-partitioned,
+  * text never moves after each stage's own scan, and the per-stage plans
+  * keep their individually-audited shapes (hash-shuffle dedup, banded-free
+  * exact edges + adaptive CC, one shared token-stats chain, broadcast
+  * benchmark side, bigram-keyed scoring join, heap top-k). The final
+  * output is k rows per language.
+  */
+object CorpusCurate {
+  type Q = (SparkSession, String) => DataFrame
+
+  val curate: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    // A: one representative per distinct text
+    val exactKeep = Text.exactDedup(s, d)
+      .select(col("keep_doc_id").as("doc_id"))
+    // B: min-label CC over exact near-dup edges; the component label IS the
+    // min member id, so "not the representative" is one comparison
+    val nearDupDrop = DedupCluster
+      .connectedComponents(Vectors.embedNeardupPairs(s, d))
+      .where(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+    // C: Gopher rule conjunction
+    val gopherKeep = Text.gopherRules(s, d)
+      .where(col("keep") === 1).select(col("doc_id"))
+    // D: benchmark-clean docs (src0 itself never appears in the output)
+    val clean = Text.contamination(s, d)
+      .where(col("contaminated") === 0).select(col("doc_id"))
+    // E: full-corpus LM scores
+    val lm = Text.lmScore(s, d).select(col("doc_id"), col("mean_lnp_r"))
+    val survivors = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(exactKeep, Seq("doc_id"), "left_semi")
+      .join(nearDupDrop, Seq("doc_id"), "left_anti")
+      .join(gopherKeep, Seq("doc_id"), "left_semi")
+      .join(clean, Seq("doc_id"), "left_semi")
+      .join(lm, Seq("doc_id"))
+    // F: A-Res weighted sample, top-3 per language
+    val scored = survivors.withColumn("k", Text.aresKey)
+    graft.plans.TopKPerGroup
+      .topK(scored, Seq("lang"), Seq("k" -> false, "doc_id" -> true), 3)
+      .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"),
+        col("mean_lnp_r"), round(col("k"), 6).as("key_r"))
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  val queries: Map[String, Q] = Map("q_corpus_curate" -> curate)
+
+  /** One DuckDB definition of the whole pipeline, stitched from the SAME
+    * fragments the per-stage oracles use ([[Vectors.nearDupPairCte]] for
+    * the near-dup edges, [[Text.docTokenStatsCte]] for the token-stats
+    * chain that feeds both the Gopher gate and — via its `bg`/`t` CTEs —
+    * the bigram LM), so each stage's SQL description is literally shared
+    * with its standalone verification. */
+  val oracles: Map[String, String] = Map(
+    "q_corpus_curate" ->
+      s"""WITH RECURSIVE ${Vectors.nearDupPairCte},
+        |ed AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+        |nn AS (SELECT DISTINCT src AS id FROM ed),
+        |reach(id, root) AS (
+        |  SELECT id, id FROM nn
+        |  UNION
+        |  SELECT ed.dst, r.root FROM reach r JOIN ed ON ed.src = r.id),
+        |comp0 AS (SELECT id, min(root) AS comp FROM reach GROUP BY id),
+        |nddrop AS (SELECT id AS doc_id FROM comp0 WHERE id <> comp),
+        |xk AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |${Text.docTokenStatsCte},
+        |gk AS (
+        |  SELECT doc_id FROM st
+        |  WHERE n_tokens >= 30 AND n_tokens <= 5000
+        |    AND mwl >= 4.0 AND mwl <= 10.0
+        |    AND CAST(top_cnt AS DOUBLE) / n_tokens <= 0.10
+        |    AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.45),
+        |cw AS (
+        |  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS ws
+        |  FROM documents),
+        |cds AS (
+        |  SELECT DISTINCT doc_id, source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+        |  FROM (SELECT doc_id, source, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+        |        FROM cw) cx),
+        |cbench AS (SELECT DISTINCT sh FROM cds WHERE source = 'src0'),
+        |cr AS (SELECT doc_id, count(*) AS n_sh FROM cds WHERE source <> 'src0' GROUP BY doc_id),
+        |ch AS (
+        |  SELECT doc_id, count(*) AS hits FROM cds
+        |  WHERE source <> 'src0' AND sh IN (SELECT sh FROM cbench) GROUP BY doc_id),
+        |clean AS (
+        |  SELECT cr.doc_id FROM cr LEFT JOIN ch USING (doc_id)
+        |  WHERE CAST(coalesce(ch.hits, 0) AS DOUBLE) / cr.n_sh < 0.1),
+        |c12 AS (SELECT b, count(*) AS c12, split_part(b, ' ', 1) AS w1 FROM bg GROUP BY b),
+        |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+        |vv AS (SELECT count(DISTINCT term) AS v FROM t),
+        |lsc AS (
+        |  SELECT bg.doc_id, ln((c12.c12 + 1.0) / (c1.c1 + vv.v)) AS lp
+        |  FROM bg JOIN c12 USING (b) JOIN c1 USING (w1) CROSS JOIN vv),
+        |lm AS (SELECT doc_id, round(avg(lp), 4) AS mean_lnp_r FROM lsc GROUP BY doc_id),
+        |surv AS (
+        |  SELECT d.doc_id, d.lang, d.n_chars, lm.mean_lnp_r
+        |  FROM documents d
+        |  JOIN xk ON d.doc_id = xk.doc_id
+        |  LEFT JOIN nddrop nd ON d.doc_id = nd.doc_id
+        |  JOIN gk ON d.doc_id = gk.doc_id
+        |  JOIN clean cl ON d.doc_id = cl.doc_id
+        |  JOIN lm ON d.doc_id = lm.doc_id
+        |  WHERE nd.doc_id IS NULL),
+        |sk AS (
+        |  SELECT lang, doc_id, n_chars, mean_lnp_r,
+        |    pow(((doc_id % 4294967296 * 40503 % 4294967296 * 40503 % 4294967296) + 1)
+        |          / 4294967297.0,
+        |        1.0 / n_chars) AS k
+        |  FROM surv),
+        |rr AS (
+        |  SELECT lang, doc_id, n_chars, mean_lnp_r, k,
+        |    CAST(row_number() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS BIGINT) AS rn
+        |  FROM sk)
+        |SELECT lang, rn, doc_id, CAST(n_chars AS BIGINT) AS n_chars, mean_lnp_r,
+        | round(k, 6) AS key_r
+        |FROM rr WHERE rn <= 3 ORDER BY lang, rn""".stripMargin,
+  )
+}

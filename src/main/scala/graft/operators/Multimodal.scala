@@ -44,7 +44,13 @@ object Multimodal {
     * "frame"; per-frame rows carry (idx, offset, fake feature). The explode
     * pattern — one row per sampled frame, partition-parallel over media
     * blobs — is exactly the 100 TB video-pipeline shape (blob-sized tasks,
-    * no driver involvement). Non-oracle (stub decode). */
+    * no driver involvement).
+    *
+    * Oracle-checked: the stub kernel is pure byte arithmetic, so DuckDB can
+    * replay it per byte. `frame_mean` is fixed-point — floor(sum*1e4/cnt)
+    * in LONG arithmetic, then one exact integer÷10000.0 — so both engines
+    * compute the identical double (a float mean hits round-half ties that
+    * rint and SQL round() break differently). */
   val multimodalFrames: Q = (s, d) => {
     val spark = s
     import spark.implicits._
@@ -59,10 +65,10 @@ object Multimodal {
         (0 until math.max(1, bytes.length / stride)).iterator.map { f =>
           val off = f * stride
           val end = math.min(bytes.length, off + stride)
-          var j = off; var sum = 0.0
+          var j = off; var sum = 0L
           while (j < end) { sum += (bytes(j) & 0xff); j += 1 }
-          val mean = if (end == off) 0.0 else sum / (end - off)
-          (id, f.toLong, off.toLong, w, h, math.rint(mean * 10000) / 10000)
+          val mean = if (end == off) 0.0 else (sum * 10000L / (end - off)).toDouble / 10000.0
+          (id, f.toLong, off.toLong, w.toLong, h.toLong, mean)
         }
       }
       .toDF("doc_id", "frame_idx", "byte_off", "width", "height", "frame_mean")
@@ -102,7 +108,10 @@ object Multimodal {
     * the kernel produces the similarity-ready array (`vec_dot`/cosine over it
     * composes with the Vectors operators); the driver-checked output flattens
     * it to scalar `b0..b7` columns — array columns break the driver's pandas
-    * row hasher. Non-oracle (stub kernel); MultimodalSpec pins the kernel's
+    * row hasher.
+    *
+    * Oracle-checked (byte-replay oracle, same fixed-point contract as
+    * [[multimodalFrames]]); MultimodalSpec additionally pins the kernel's
     * determinism and the distribution-sum invariant. */
   val multimodalFeatures: Q = (s, d) => {
     val spark = s
@@ -111,17 +120,18 @@ object Multimodal {
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         val bytes = text.getBytes("UTF-8")
-        val hist = new Array[Double](8)
+        val hist = new Array[Long](8)
         var i = 0
-        while (i < bytes.length) { hist((bytes(i) & 0xff) >> 5) += 1.0; i += 1 }
+        while (i < bytes.length) { hist((bytes(i) & 0xff) >> 5) += 1L; i += 1 }
+        val out = new Array[Double](8)
         if (bytes.length > 0) {
           var b = 0
           while (b < 8) {
-            hist(b) = math.rint(hist(b) / bytes.length * 10000) / 10000
+            out(b) = (hist(b) * 10000L / bytes.length).toDouble / 10000.0
             b += 1
           }
         }
-        (id, hist(0), hist(1), hist(2), hist(3), hist(4), hist(5), hist(6), hist(7))
+        (id, out(0), out(1), out(2), out(3), out(4), out(5), out(6), out(7))
       }
       .toDF("doc_id", "b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7")
       .orderBy(col("doc_id"))
@@ -152,5 +162,58 @@ object Multimodal {
         | (640 + n % 640) // 2 AS new_width, (360 + n % 360) // 2 AS new_height,
         | (n + 3) // 4 AS n_bytes_out
         |FROM t ORDER BY doc_id""".stripMargin,
+    // byte-replay oracles: the stub kernels are deterministic byte
+    // arithmetic, so DuckDB re-runs them per byte via ascii(substr(...)).
+    // Valid because the corpus is ASCII (octet == char; MultimodalSpec
+    // pins the assumption); frame_mean/b_i are fixed-point longs divided
+    // by 10000.0, IEEE-identical on both engines.
+    "q_multimodal_frames" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
+        |f AS (
+        |  SELECT doc_id, text, n,
+        |    unnest(range(0, greatest(n // 64, 1))) AS frame_idx FROM t),
+        |i AS (
+        |  SELECT doc_id, n, frame_idx,
+        |    ascii(substr(text,
+        |      CAST(unnest(range(frame_idx * 64, least(n, frame_idx * 64 + 64))) + 1 AS INT),
+        |      1)) AS b
+        |  FROM f),
+        |a AS (
+        |  SELECT doc_id, frame_idx, CAST(sum(b) AS BIGINT) AS s, count(*) AS c
+        |  FROM i GROUP BY doc_id, frame_idx)
+        |SELECT a.doc_id, a.frame_idx, a.frame_idx * 64 AS byte_off,
+        |  640 + t.n % 640 AS width, 360 + t.n % 360 AS height,
+        |  CAST(a.s * 10000 // a.c AS DOUBLE) / 10000.0 AS frame_mean
+        |FROM a JOIN t USING (doc_id)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_multimodal_features" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
+        |i AS (
+        |  SELECT doc_id, n,
+        |    ascii(substr(text, CAST(unnest(range(0, n)) + 1 AS INT), 1)) // 32 AS bin
+        |  FROM t),
+        |h AS (
+        |  SELECT doc_id, max(n) AS n,
+        |    CAST(sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |    CAST(sum(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    CAST(sum(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |    CAST(sum(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+        |    CAST(sum(CASE WHEN bin = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+        |    CAST(sum(CASE WHEN bin = 5 THEN 1 ELSE 0 END) AS BIGINT) AS c5,
+        |    CAST(sum(CASE WHEN bin = 6 THEN 1 ELSE 0 END) AS BIGINT) AS c6,
+        |    CAST(sum(CASE WHEN bin = 7 THEN 1 ELSE 0 END) AS BIGINT) AS c7
+        |  FROM i GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(c0 * 10000 // n AS DOUBLE) / 10000.0 AS b0,
+        |  CAST(c1 * 10000 // n AS DOUBLE) / 10000.0 AS b1,
+        |  CAST(c2 * 10000 // n AS DOUBLE) / 10000.0 AS b2,
+        |  CAST(c3 * 10000 // n AS DOUBLE) / 10000.0 AS b3,
+        |  CAST(c4 * 10000 // n AS DOUBLE) / 10000.0 AS b4,
+        |  CAST(c5 * 10000 // n AS DOUBLE) / 10000.0 AS b5,
+        |  CAST(c6 * 10000 // n AS DOUBLE) / 10000.0 AS b6,
+        |  CAST(c7 * 10000 // n AS DOUBLE) / 10000.0 AS b7
+        |FROM h ORDER BY doc_id""".stripMargin,
   )
 }

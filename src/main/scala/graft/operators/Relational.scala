@@ -288,6 +288,26 @@ object Relational {
         round(element_at(col("qs"), 4), 4).as("p90"))
       .orderBy(col("l_returnflag"))
 
+  /** Exact sibling of [[quantileSketch]]: identical output shape
+    * (n_rows, p25/p50/p75/p90 per return flag) computed by the exact
+    * `percentile` aggregate, so the sketch has an oracle-checked companion
+    * the driver hashes against DuckDB's `quantile_cont` (the same
+    * linear-interpolation definition). This is the pay-the-sort baseline
+    * the GK sketch trades rank error against; FunctionsSpec bounds the
+    * sketch's error vs exactly this query. */
+  val quantileExact: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.9))").as("qs"))
+      .select(col("l_returnflag"), col("n_rows"),
+        round(element_at(col("qs"), 1), 4).as("p25"),
+        round(element_at(col("qs"), 2), 4).as("p50"),
+        round(element_at(col("qs"), 3), 4).as("p75"),
+        round(element_at(col("qs"), 4), 4).as("p90"))
+      .orderBy(col("l_returnflag"))
+
   /** Distribution window functions: percent_rank / cume_dist / ntile. */
   val windowPct: Q = (s, d) => {
     val w = Window.partitionBy(col("c_nationkey")).orderBy(col("c_acctbal").desc, col("c_custkey"))
@@ -516,6 +536,7 @@ object Relational {
     "q_agg_distinct"        -> aggDistinct,
     "q_agg_stats"           -> aggStats,
     "q_quantile_sketch"     -> quantileSketch,
+    "q_quantile_exact"      -> quantileExact,
     "q_window_pct"          -> windowPct,
     "q_agg_rollup"          -> aggRollup,
     "q_agg_cube"            -> aggCube,
@@ -629,6 +650,13 @@ object Relational {
         | round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
         | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_quantile_exact" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_window_pct" ->
       """SELECT c_nationkey, c_custkey,

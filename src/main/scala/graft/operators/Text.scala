@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Hashing
@@ -92,9 +93,14 @@ object Text {
       .orderBy(col("doc_id"), col("rn"))
   }
 
-  /** Word 3-gram shingle array of a token array — shared by the shingle
-    * stats, source-overlap and contamination operators (and mirrored
-    * verbatim in their oracle CTEs). */
+  /** Word 3-gram shingle array of a token array, used by [[ngramShingles]]
+    * (the high-throughput shingle consumers — source overlap, contamination
+    * — use the typed [[shingleRows]] pass instead; their oracle CTEs mirror
+    * this definition).
+    *
+    * CALLER CONTRACT: only valid under a `size(ws) >= 3` guard. For shorter
+    * inputs `sequence(1, greatest(size-2, 0))` is the DESCENDING sequence
+    * [1, 0], and `slice(ws, 0, 3)` throws at runtime (slice is 1-based). */
   private def shingleArr(ws: Column): Column = transform(
     sequence(lit(1), greatest(size(ws) - 2, lit(0))),
     i => concat_ws(" ", slice(ws, i, lit(3))))
@@ -251,6 +257,15 @@ object Text {
       .crossJoin(broadcast(vocab))
       .select(col("doc_id"), lnP.as("lp"))
       .groupBy(col("doc_id"))
+      // ACCEPTED RISK (same class as the pow last-ulp ties): avg() over
+      // irrational ln terms sums in partition order on Spark but storage
+      // order in DuckDB; a last-ulp difference could in principle flip the
+      // 4-decimal round when a mean lands exactly on a .00005 boundary.
+      // Unlike bm25's integer-valued avgdl this is not provably exact —
+      // per-doc bigram counts are small (≤ ~500 terms), keeping the
+      // accumulated error ≪ the rounding quantum in practice; a canonical
+      // summation order would cost a per-doc sort for a risk that has
+      // never materialized across rounds.
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 4).as("mean_lnp_r"))
       .orderBy(col("doc_id"))
   }
@@ -273,15 +288,22 @@ object Text {
     * operator: one scan, ≤k rows per group per partition through the
     * shuffle, no per-group sort — the same plan shape at any corpus
     * size. */
-  val weightedSample: Q = (s, d) => {
+  /** The A-Res ranking key u^(1/n_chars) as a column expression over
+    * (doc_id, n_chars) — ONE definition under [[weightedSample]] and the
+    * [[CorpusCurate]] flagship's final sampling stage (and mirrored in both
+    * oracles), so the engine-portable integer draw can never fork. */
+  private[operators] def aresKey: Column = {
     val m32 = lit(4294967296L)
     val h1 = col("doc_id") % m32
     val h2 = (h1 * lit(40503L)) % m32
     val h3 = (h2 * lit(40503L)) % m32
     val u = (h3 + 1).cast("double") / lit(4294967297.0)
-    val key = pow(u, lit(1.0) / col("n_chars").cast("double"))
+    pow(u, lit(1.0) / col("n_chars").cast("double"))
+  }
+
+  val weightedSample: Q = (s, d) => {
     val scored = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"), col("n_chars"), key.as("k"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), aresKey.as("k"))
     graft.plans.TopKPerGroup
       .topK(scored, Seq("lang"), Seq("k" -> false, "doc_id" -> true), 3)
       .select(col("lang"), col("rn"), col("doc_id"), col("n_chars"),
@@ -468,7 +490,19 @@ object Text {
     * nearly all sources — bounded by S² per shingle, and a stopword-shingle
     * filter (drop shingles above a df ceiling) is the standard mitigation
     * when S itself is large. */
-  val sourceOverlap: Q = (s, d) => {
+  val sourceOverlap: Q = (s, d) => sourceOverlapWith(s, d, dfCeiling = None)
+
+  /** [[sourceOverlap]] with the scale knobs exposed.
+    *
+    * `dfCeiling`: drop shingles whose posting set spans more than this many
+    * sources BEFORE the S² pair expansion — the stopword-shingle mitigation
+    * for many-source corpora, where ubiquitous shingles ("in the", boilerplate
+    * headers) each cost S² expanded rows while carrying no provenance signal.
+    * None = exact (the oracle-checked default); at thousand-source scale a
+    * ceiling around 0.5–0.9·S bounds per-shingle work without touching any
+    * discriminative shingle. TextQualitySpec pins that a generous ceiling
+    * leaves the answer bit-identical and a tight one actually prunes. */
+  def sourceOverlapWith(s: SparkSession, d: String, dfCeiling: Option[Int]): DataFrame = {
     // ONE shuffle keyed by shingle builds the posting set per shingle
     // (collect_set dedups in the aggregate — no separate distinct pass);
     // source pairs are then expanded from each ≤S-element sorted set by a
@@ -479,14 +513,13 @@ object Text {
     // sub-second at sf0.1.
     val spark = s
     import spark.implicits._
-    val sets = shingleRows(s, d)
+    val setsAll = shingleRows(s, d)
       .groupBy(col("sh"))
       .agg(sort_array(collect_set(col("source"))).as("ss"))
+    val sets = dfCeiling.fold(setsAll)(c => setsAll.where(size(col("ss")) <= c))
     // the expansion includes the DIAGONAL (x, x): its count is exactly the
     // per-source distinct-shingle total, so totals and pair counts fall out
-    // of ONE aggregate over ONE shingle pass — no second scan for `n`. The
-    // ≤ S²+S-row result is persisted so the totals and pair branches below
-    // share it (Bench/Verify clearCache between keys releases it).
+    // of ONE aggregate over ONE shingle pass — no second scan for `n`.
     val counts = sets.select(col("ss")).as[Seq[String]]
       .flatMap { ss =>
         for { i <- ss.indices.iterator; j <- i until ss.length }
@@ -495,15 +528,20 @@ object Text {
       .toDF("source_a", "source_b")
       .groupBy(col("source_a"), col("source_b"))
       .agg(count(lit(1)).as("cnt"))
-      .persist()
-    val n = counts.where(col("source_a") === col("source_b"))
-      .select(col("source_a").as("src"), col("cnt").as("n_sh"))
-    counts.where(col("source_a") < col("source_b"))
-      .withColumnRenamed("cnt", "n_shared")
-      .join(broadcast(n.select(col("src").as("source_a"), col("n_sh").as("na"))), Seq("source_a"))
-      .join(broadcast(n.select(col("src").as("source_b"), col("n_sh").as("nb"))), Seq("source_b"))
-      .select(col("source_a"), col("source_b"), col("n_shared"),
-        round(col("n_shared").cast("double") / (col("na") + col("nb") - col("n_shared")), 4)
+    // per-source totals come back out of the SAME ≤S²+S-row aggregate by
+    // window lookup: pairs are emitted with source_a <= source_b, so the
+    // diagonal row (x, x) is present in both the partition-by-source_a
+    // group of x's left pairs and the partition-by-source_b group of its
+    // right pairs. One linear plan, counts consumed exactly once — no
+    // persist to leak in a long-lived session (the r4 hygiene finding),
+    // and the windows only touch the tiny pair matrix, never shingles.
+    val diag = when(col("source_a") === col("source_b"), col("cnt"))
+    counts
+      .withColumn("na", max(diag).over(Window.partitionBy(col("source_a"))))
+      .withColumn("nb", max(diag).over(Window.partitionBy(col("source_b"))))
+      .where(col("source_a") < col("source_b"))
+      .select(col("source_a"), col("source_b"), col("cnt").as("n_shared"),
+        round(col("cnt").cast("double") / (col("na") + col("nb") - col("cnt")), 4)
           .as("jaccard_r"))
       .orderBy(col("source_a"), col("source_b"))
   }
@@ -640,7 +678,7 @@ object Text {
   /** Shared oracle CTE mirroring [[docTokenStats]] exactly (term counts +
     * bigram duplicate fraction) so the two rule queries cannot diverge from
     * their statistics source. */
-  private val docTokenStatsCte: String =
+  private[operators] val docTokenStatsCte: String =
     """w AS (
       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
       |t AS (SELECT doc_id, unnest(ws) AS term FROM w),

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{CorpusCurate, DedupCluster, Text, Vectors}
+
+/** The flagship curation pipeline: its output must be exactly the
+  * composition of its already-verified stages (the DuckDB CTE oracle is the
+  * cross-engine check; this spec pins the stage algebra within Spark). */
+class CorpusCurateSpec extends AnyFunSuite {
+
+  test("curate output is consistent with every stage's standalone verdict") {
+    val spark = TestSpark.spark
+    val d = TestSpark.sf0001
+    val out = CorpusCurate.curate(spark, d).collect()
+    assert(out.nonEmpty)
+    val ids = out.map(_.getLong(2)).toSet
+
+    // every sampled doc survives each stage's standalone filter
+    val exactKeep = Text.exactDedup(spark, d)
+      .select(col("keep_doc_id")).collect().map(_.getLong(0)).toSet
+    val ndDrop = DedupCluster
+      .connectedComponents(Vectors.embedNeardupPairs(spark, d))
+      .where(col("id") =!= col("comp"))
+      .collect().map(_.getLong(0)).toSet
+    val gopherKeep = Text.gopherRules(spark, d).where(col("keep") === 1)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val clean = Text.contamination(spark, d).where(col("contaminated") === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(exactKeep), s"exact-dup leak: ${ids -- exactKeep}")
+    assert(ids.intersect(ndDrop).isEmpty, s"near-dup leak: ${ids.intersect(ndDrop)}")
+    assert(ids.subsetOf(gopherKeep), s"gopher leak: ${ids -- gopherKeep}")
+    assert(ids.subsetOf(clean), s"contamination leak: ${ids -- clean}")
+
+    // per-language rank sequences are 1..k and the sample is capped at 3
+    out.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      val rns = rows.map(_.getLong(1)).sorted.toSeq
+      assert(rns == (1L to rns.length), s"$lang ranks: $rns")
+      assert(rns.length <= 3)
+    }
+
+    // LM scores come from the full-corpus model (stage E joins, not refits)
+    val lmAll = Text.lmScore(spark, d)
+      .select(col("doc_id"), col("mean_lnp_r")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    out.foreach { r =>
+      assert(r.getDouble(4) == lmAll(r.getLong(2)),
+        s"doc ${r.getLong(2)} score drifted from q_lm_score")
+    }
+  }
+}

@@ -48,7 +48,11 @@ class TextQualitySpec extends AnyFunSuite {
     // trailing empties — Java String.trim / default split do neither
     val nasty = Seq(
       "\talpha beta gamma", "alpha beta\n", "  alpha  beta  ", "",
-      " ", "\t", "a b c", "ALPHA Beta\tGAMMA delta")
+      " ", "\t", "a b c", "ALPHA Beta\tGAMMA delta",
+      // non-ASCII rows exercise Spark lower()'s slow path (default-locale
+      // String.toLowerCase); Tok.tokenize replicates the fast/slow branch
+      // split, so 'I'-with-'İ' mixes stay in parity under ANY JVM locale
+      "İSTANBUL CITY", "PURE ASCII I", "MIXED İ AND I", "ÇOK GÜZEL İyi")
     val declarative = nasty.toDF("text")
       .select(split(lower(trim(col("text"))), "\\s+").as("ws"))
       .collect().map(_.getSeq[String](0).toList)
@@ -66,6 +70,25 @@ class TextQualitySpec extends AnyFunSuite {
       val j = r.getAs[Double]("jaccard_r")
       assert(j > 0.0 && j < 1.0)
     }
+  }
+
+  test("source overlap: generous df ceiling is answer-invariant, tight one prunes, no cache leak") {
+    val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
+    val exact = Text.sourceOverlap(spark, TestSpark.sf0001).collect().toSeq
+    // a ceiling at S (every posting set is <= S sources by construction)
+    // must be bit-identical to the exact answer — the knob only exists to
+    // shed ubiquitous shingles when S is large
+    val nSources = exact.flatMap(r => Seq(r.getString(0), r.getString(1))).distinct.length
+    val ceiled = Text.sourceOverlapWith(spark, TestSpark.sf0001, Some(nSources))
+      .collect().toSeq
+    assert(ceiled == exact)
+    // ceiling 1 keeps only single-source shingles: zero cross-source pairs
+    val tight = Text.sourceOverlapWith(spark, TestSpark.sf0001, Some(1)).collect()
+    assert(tight.isEmpty)
+    // hygiene: the operator must not leave cached blocks behind in a plain
+    // session (the totals reuse is a window over one plan, not a persist)
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+    assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
   }
 
   test("contamination: hits bounded by shingle count, flag matches fraction") {
