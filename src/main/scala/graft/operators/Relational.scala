@@ -79,6 +79,45 @@ object Relational {
       .orderBy(col("n_name"))
   }
 
+  /** [[joinMultiway]] with the big-big lineitem⋈orders leg running on a
+    * BUCKETED-at-rest layout ([[ScaleJoins.writeBucketed]], both facts
+    * bucketed 8 ways on their order key): the bucket metadata makes the
+    * fact join co-located — NO Exchange on either fact side, the shuffle
+    * paid once at write time and amortized over every downstream join,
+    * which is the 100 TB answer to re-shuffling the fact table per query.
+    * The query includes the (idempotent) bucketed build so the suite
+    * exercises the utility end to end; the oracle is the plain multiway
+    * join — bucketing must be invisible in the result. PlanSpec pins the
+    * Exchange-free fact join. */
+  val joinMultiwayBucketed: Q = (s, d) => {
+    ScaleJoins.writeBucketed(
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+      "bq_lineitem", "l_orderkey", 8)
+    ScaleJoins.writeBucketed(
+      Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+      "bq_orders", "o_orderkey", 8)
+    bucketedMultiwayJoin(s, d)
+  }
+
+  /** The read side of [[joinMultiwayBucketed]] after the bucketed tables
+    * exist — split out so PlanSpec can assert the Exchange-free fact join
+    * on exactly the plan the query runs. */
+  private[graft] def bucketedMultiwayJoin(s: SparkSession, d: String): DataFrame = {
+    val c  = Tables.customer(s, d)
+    val n  = broadcast(Tables.nation(s, d))
+    val r  = broadcast(Tables.region(s, d).where(col("r_name") === "ASIA"))
+    s.table("bq_lineitem")
+      .join(s.table("bq_orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("n_name"))
+  }
+
   /** Left outer join + aggregate: customers keep their row with zero orders. */
   val joinLeft: Q = (s, d) =>
     Tables.customer(s, d)
@@ -527,6 +566,7 @@ object Relational {
     "q_pricing_summary"     -> pricingSummary,
     "q_join_inner"          -> joinInner,
     "q_join_multiway"       -> joinMultiway,
+    "q_join_multiway_bucketed" -> joinMultiwayBucketed,
     "q_join_left"           -> joinLeft,
     "q_join_semi"           -> joinSemi,
     "q_join_anti"           -> joinAnti,
@@ -583,6 +623,20 @@ object Relational {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_orderkey""".stripMargin,
     "q_join_multiway" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN nation ON c_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    // identical to q_join_multiway — the bucketed layout is a pure
+    // physical-plan optimization and must be invisible in the result
+    "q_join_multiway_bucketed" ->
       """SELECT n_name,
         | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
         | count(*) AS n_items

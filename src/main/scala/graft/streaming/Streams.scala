@@ -183,6 +183,109 @@ object Streams {
       }
   }
 
+  /** documents schema for the file-source replay of the incremental-dedup
+    * stream. */
+  val docsRawSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  case class IncDedupSnap(docId: Long, nUpd: Long, dupIds: Seq[Long],
+      nDups: Long, isDup: Long, bestJac: Double)
+
+  /** Streaming twin of the batch prefix-filtered incremental dedup
+    * ([[graft.operators.Text.dedupIncremental]]): NEW documents arrive as a
+    * stream and are classified against the STATIC already-ingested corpus
+    * by token-set Jaccard ≥ t — the ingestion-time shape of the 100 TB
+    * dedup story.
+    *
+    * Plan: both sides keep only their ppjoin PREFIX tokens (first
+    * |ws| − ⌈t·|ws|⌉ + 1 under one shared total token order — here
+    * ascending corpus df, ties by token). The corpus prefix index is a
+    * static DataFrame; the stream's prefix rows hit it with a stream-static
+    * LEFT equi-join on the token (left so zero-candidate documents still
+    * emit their n_dups = 0 verdict), each surviving candidate is verified
+    * EXACTLY by set intersection at row level (stateless), and ONE
+    * `flatMapGroupsWithState` keyed by the new doc folds candidates into
+    * the per-doc state: the matched duplicate-id set + best Jaccard —
+    * state bounded by each doc's true duplicate count, never by candidate
+    * or stream volume.
+    *
+    * Replay equality with the batch operator is exact, not approximate:
+    * the prefix filter is LOSSLESS for pairs ≥ t under ANY shared total
+    * order, so although the batch side orders tokens by global df
+    * (old + new) and the stream can only know corpus df, both candidate
+    * sets contain every true pair, and the exact verify reduces both to
+    * the same answer (StreamingSpec asserts it row for row).
+    *
+    * Scale note: the corpus df map rides a broadcast here (vocabulary-
+    * sized, fine up to ~10⁸ tokens); past that the prefix selection moves
+    * into the same stream-static join used for the candidate probe, at the
+    * price of a per-micro-batch shuffle. */
+  def incrementalDedupStream(spark: SparkSession, sfDir: String, split: Long,
+      t: Double = graft.operators.Text.SimJoinThreshold): Dataset[IncDedupSnap] = {
+    import spark.implicits._
+    import graft.functions.Tok
+    // static side: the ingested corpus, tokenized with the one shared
+    // tokenizer; df counts define the shared prefix order
+    val corpus = graft.Tables.documents(spark, sfDir)
+      .where(col("doc_id") < split)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => (id, Tok.tokenize(text).distinct.toSeq) }
+      .toDF("doc_id", "ws")
+    val dfMap = corpus.select(explode(col("ws")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .as[(String, Long)].collect().toMap
+    val bcDf = spark.sparkContext.broadcast(dfMap)
+    // one prefix rule for BOTH sides: tokens absent from the corpus rank
+    // rarest (df 0) — any consistent total order preserves losslessness
+    def prefixToks(ws: Seq[String]): Seq[String] = {
+      val keep = ws.length - math.ceil(t * ws.length).toInt + 1
+      ws.sortBy(w => (bcDf.value.getOrElse(w, 0L), w)).take(math.max(keep, 0))
+    }
+    val corpusIndex = corpus.as[(Long, Seq[String])]
+      .flatMap { case (id, ws) => prefixToks(ws).map(tok => (tok, id, ws)) }
+      .toDF("tok", "old_id", "wb")
+    // stream side: file replay of the documents table, new docs only
+    val newDocs = spark.readStream.schema(docsRawSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+      .where(col("doc_id") >= split)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => (id, Tok.tokenize(text).distinct.toSeq) }
+    val candidates = newDocs
+      .flatMap { case (id, ws) => prefixToks(ws).map(tok => (id, tok, ws)) }
+      .toDF("new_id", "tok", "wa")
+      .join(corpusIndex, Seq("tok"), "left")
+    // exact verify per candidate row — stateless, before any state op
+    val verified = candidates
+      .select(col("new_id"), col("wa"), col("old_id"), col("wb"))
+      .as[(Long, Seq[String], Option[Long], Option[Seq[String]])]
+      .map { case (nid, wa, oid, wb) =>
+        val jac = wb.fold(-1.0) { b =>
+          val inter = wa.toSet.intersect(b.toSet).size.toDouble
+          inter / (wa.size + b.size - inter)
+        }
+        (nid, oid.getOrElse(-1L), jac)
+      }
+    verified.groupByKey(_._1)
+      .flatMapGroupsWithState[IncDedupSnap, IncDedupSnap](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Long, Double)], state: GroupState[IncDedupSnap]) =>
+          val prev = state.getOption.getOrElse(
+            IncDedupSnap(key, 0L, Nil, 0L, 0L, 0.0))
+          val dups = mutable.SortedSet.empty[Long] ++ prev.dupIds
+          var best = prev.bestJac
+          rows.foreach { case (_, oid, jac) =>
+            if (oid >= 0 && jac >= t) { dups += oid; if (jac > best) best = jac }
+          }
+          val next = IncDedupSnap(key, prev.nUpd + 1, dups.toSeq,
+            dups.size.toLong, if (dups.nonEmpty) 1L else 0L, best)
+          state.update(next)
+          Iterator(next)
+      }
+  }
+
   /** Run a streaming DataFrame to completion against the replayed file
     * source and return the final result table (memory sink, complete or
     * update mode depending on the query). Used by tests and demos. */

@@ -24,6 +24,37 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("bucketed multiway fact join has NO Exchange on the fact keys") {
+    val spark = TestSpark.spark
+    // full query once: builds the bucketed tables AND must match the
+    // unbucketed answer (the oracle also pins this cross-engine)
+    val got = Relational.joinMultiwayBucketed(spark, TestSpark.sf0001).collect().toSeq
+    val want = Relational.joinMultiway(spark, TestSpark.sf0001).collect().toSeq
+    assert(got == want)
+    // plan of the read side with broadcast off (at 100 TB both facts are
+    // broadcast-ineligible — that's when bucketing earns its keep): the
+    // lineitem⋈orders leg must be a co-located SortMergeJoin with NO
+    // Exchange on either fact key; the only hash Exchange allowed is the
+    // one under the n_name groupBy
+    val prev = spark.conf.getOption("spark.sql.autoBroadcastJoinThreshold")
+    val prevA = spark.conf.getOption("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      val p = Relational.bucketedMultiwayJoin(spark, TestSpark.sf0001)
+        .queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin [l_orderkey"), p)
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey"), p)
+      assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p)
+      assert(p.contains("Bucketed: true"), p)
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", _))
+      prevA.fold(spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold"))(
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", _))
+    }
+  }
+
   test("semi/anti joins plan as LeftSemi/LeftAnti hash joins") {
     assert(plan(Relational.joinSemi).contains("LeftSemi"))
     assert(plan(Relational.joinAnti).contains("LeftAnti"))

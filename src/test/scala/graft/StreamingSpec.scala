@@ -48,6 +48,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("streaming incremental dedup replays to batch q_dedup_incremental exactly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // the batch operator's fixture split: the 50 highest doc_ids are "new"
+    val split = Tables.documents(spark, TestSpark.sf0001)
+      .agg(max(col("doc_id")) - 49).head().getLong(0)
+    val snaps = Streams.runToCompletion(
+      Streams.incrementalDedupStream(spark, TestSpark.sf0001, split).toDF(),
+      "t_incdedup", "update")
+    // last snapshot per doc (single-batch replay emits one, but keep the
+    // reduction correct for multi-batch sources)
+    val got = snaps.groupBy(col("docId"))
+      .agg(max(struct(col("nUpd"), col("nDups"), col("isDup"), col("bestJac"))).as("s"))
+      .select(col("docId").as("doc_id"), col("s.nDups").as("n_dups"),
+        col("s.isDup").as("is_dup"), round(col("s.bestJac"), 4).as("best_dup_jac"))
+      .orderBy(col("doc_id"))
+      .collect().toSeq
+    val want = operators.Text.dedupIncremental(spark, TestSpark.sf0001)
+      .collect().toSeq
+    assert(got.length == want.length, s"${got.length} vs ${want.length} rows")
+    got.zip(want).foreach { case (g, w) => assert(g == w, s"stream $g vs batch $w") }
+  }
+
   test("dropDuplicatesWithinWatermark keeps one row per event_id") {
     val spark = TestSpark.spark
     val stream = Streams.eventsStream(spark, TestSpark.sf0001)
