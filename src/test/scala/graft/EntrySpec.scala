@@ -13,9 +13,9 @@ class EntrySpec extends AnyFunSuite {
 
   test("every query key with oracle SQL exists in queries") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    // 90 keys (72 oracle-checked) as of round 4 — a drop means a key was
+    // 94 keys (78 oracle-checked) as of round 5 — a drop means a key was
     // accidentally unwired, not that this floor is stale
-    assert(SparkEntry.queries.size >= 90)
-    assert(SparkEntry.oracleSql.size >= 72)
+    assert(SparkEntry.queries.size >= 94)
+    assert(SparkEntry.oracleSql.size >= 78)
   }
 }
