@@ -637,8 +637,16 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
-  /** Winnowing fingerprints (non-oracle; property-tested): fingerprint
-    * count + min/max hash per doc. */
+  /** Winnowing fingerprints: fingerprint count + min/max hash per doc.
+    *
+    * Oracle-checked (round 5): the winnow's OUTPUT is the sorted distinct
+    * set of window-minimum VALUES — the rightmost-tie rule only decides
+    * which index is picked, never the value — so DuckDB replays the whole
+    * kernel per byte: the k-gram polynomial hash directly (Σ c_j·B^(k-1-j)
+    * mod 2⁶⁴, algebraically identical to the rolling form), splitmix64 in
+    * staged CTE columns (64×64→mod-2⁶⁴ multiplies as 32-bit split products
+    * so INT128 never overflows; each stage materialized once — nested
+    * macros expand exponentially), then a 4-row window MIN + DISTINCT. */
   val docFingerprint: Q = (s, d) => {
     val spark = s
     import spark.implicits._
@@ -932,6 +940,82 @@ object Text {
         | CAST(CAST(coalesce(h.hits, 0) AS DOUBLE) / r.n_sh >= 0.1 AS BIGINT) AS contaminated
         |FROM r LEFT JOIN h ON r.doc_id = h.doc_id
         |ORDER BY r.doc_id""".stripMargin,
+    // byte-replay of the winnowing kernel (see docFingerprint notes): the
+    // k-gram polynomial hash mod 2^64 via HUGEINT split-multiplies, the
+    // splitmix64 avalanche in staged columns, window-min + DISTINCT. xor()
+    // on BIGINT two's complement equals xor on the unsigned bits; u // 2^s
+    // on the unsigned HUGEINT is the logical right shift.
+    "q_doc_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) - 8 + 1 AS n FROM documents),
+        |g AS (
+        |  SELECT doc_id, n, unnest(range(0, n)) AS pos, text FROM t WHERE n > 0),
+        |h0 AS (
+        |  SELECT doc_id, n, pos,
+        |    (CAST(ascii(substr(text, CAST(pos + 1 AS INT), 1)) AS HUGEINT) * 14218562807570617051::HUGEINT
+        |     + CAST(ascii(substr(text, CAST(pos + 2 AS INT), 1)) AS HUGEINT) * 15895002104753931833::HUGEINT
+        |     + CAST(ascii(substr(text, CAST(pos + 3 AS INT), 1)) AS HUGEINT) * 913917546033277539::HUGEINT
+        |     + CAST(ascii(substr(text, CAST(pos + 4 AS INT), 1)) AS HUGEINT) * 11527715348014283921::HUGEINT
+        |     + CAST(ascii(substr(text, CAST(pos + 5 AS INT), 1)) AS HUGEINT) * 624165263380053675::HUGEINT
+        |     + CAST(ascii(substr(text, CAST(pos + 6 AS INT), 1)) AS HUGEINT) * 956575116354345::HUGEINT
+        |     + CAST(ascii(substr(text, CAST(pos + 7 AS INT), 1)) AS HUGEINT) * 1099511628211::HUGEINT
+        |     + CAST(ascii(substr(text, CAST(pos + 8 AS INT), 1)) AS HUGEINT)
+        |    ) % 18446744073709551616::HUGEINT AS u0 FROM g),
+        |x1 AS (
+        |  SELECT doc_id, n, pos,
+        |    CASE WHEN s1 < 0 THEN CAST(s1 AS HUGEINT) + 18446744073709551616::HUGEINT
+        |         ELSE CAST(s1 AS HUGEINT) END AS a1
+        |  FROM (
+        |    SELECT doc_id, n, pos,
+        |      xor(CAST(CASE WHEN u0 >= 9223372036854775808::HUGEINT
+        |               THEN u0 - 18446744073709551616::HUGEINT ELSE u0 END AS BIGINT),
+        |          CAST(u0 // 1073741824::HUGEINT AS BIGINT)) AS s1
+        |    FROM h0) q1),
+        |u1 AS (
+        |  SELECT doc_id, n, pos,
+        |    ((a1 % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT
+        |     + ((a1 // 4294967296::HUGEINT * 484763065::HUGEINT) % 4294967296::HUGEINT)
+        |       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS u1
+        |  FROM x1),
+        |x2 AS (
+        |  SELECT doc_id, n, pos,
+        |    CASE WHEN s2 < 0 THEN CAST(s2 AS HUGEINT) + 18446744073709551616::HUGEINT
+        |         ELSE CAST(s2 AS HUGEINT) END AS a2
+        |  FROM (
+        |    SELECT doc_id, n, pos,
+        |      xor(CAST(CASE WHEN u1 >= 9223372036854775808::HUGEINT
+        |               THEN u1 - 18446744073709551616::HUGEINT ELSE u1 END AS BIGINT),
+        |          CAST(u1 // 134217728::HUGEINT AS BIGINT)) AS s2
+        |    FROM u1) q2),
+        |u2 AS (
+        |  SELECT doc_id, n, pos,
+        |    ((a2 % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT
+        |     + ((a2 // 4294967296::HUGEINT * 321982955::HUGEINT) % 4294967296::HUGEINT)
+        |       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS u2
+        |  FROM x2),
+        |hh AS (
+        |  SELECT doc_id, n, pos,
+        |    xor(CAST(CASE WHEN u2 >= 9223372036854775808::HUGEINT
+        |             THEN u2 - 18446744073709551616::HUGEINT ELSE u2 END AS BIGINT),
+        |        CAST(u2 // 2147483648::HUGEINT AS BIGINT)) AS gram
+        |  FROM u2),
+        |wm AS (
+        |  SELECT doc_id, n, pos,
+        |    min(gram) OVER (PARTITION BY doc_id ORDER BY pos
+        |                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin
+        |  FROM hh),
+        |pick AS (
+        |  SELECT doc_id, wmin AS fp FROM wm WHERE n > 4 AND pos >= 3
+        |  UNION
+        |  SELECT doc_id, gram AS fp FROM hh WHERE n <= 4),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+        |    min(fp) AS min_fp, max(fp) AS max_fp
+        |  FROM pick GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(a.n_fingerprints, 0) AS n_fingerprints,
+        |  coalesce(a.min_fp, 0) AS min_fp, coalesce(a.max_fp, 0) AS max_fp
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "q_jaccard_ngram" ->
       """WITH w AS (
         |  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS ws
