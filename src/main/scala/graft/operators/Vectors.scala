@@ -462,7 +462,9 @@ object Vectors {
   }
 
   /** MinHash + LSH banded near-dup candidates over document 3-gram shingles
-    * (non-oracle; property: exact-dup docs always collide). 32 hashes,
+    * (oracle-checked since round 5 — the kernel is deterministic integer
+    * arithmetic, replayed per shingle byte by the DuckDB recursive-CTE
+    * oracle; VectorSpec keeps the exact-dup collision property). 32 hashes,
     * 8 bands × 4 rows. The band explode is the scalable trick: candidates
     * come from an equi-join on (band, key) — never a cross join.
     *
@@ -516,10 +518,17 @@ object Vectors {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** SimHash near-dup candidates (non-oracle): 64-bit token simhash,
-    * pairs within Hamming distance 12 on a bounded sample. At scale the
+  /** SimHash near-dup candidates: 64-bit token simhash, pairs within
+    * Hamming distance 12 that also share a pigeonhole block. At scale the
     * pair search uses the pigeonhole trick (split 64 bits into d+1 blocks,
-    * equi-join per block) — demonstrated here with 4 16-bit block keys. */
+    * equi-join per block) — demonstrated here with 4 16-bit block keys.
+    *
+    * Oracle-checked (round 5): the whole kernel is deterministic integer
+    * arithmetic, so DuckDB replays it — FNV-1a per distinct token via a
+    * recursive CTE, per-bit majority votes over the token multiset, and
+    * the exact "Hamming ≤ 12 AND shares a block" output condition (the
+    * blocking is part of the operator's contract and is reproduced, not
+    * approximated away). */
   val simhashDedup: Q = (s, d) => {
     val spark = s
     import spark.implicits._
@@ -692,6 +701,148 @@ object Vectors {
       s"""WITH $nearDupPairCte
          |SELECT id_a, id_b, round(cos, 4) AS cos_r FROM p
          |ORDER BY id_a, id_b""".stripMargin,
+    // full replay of the MinHash-LSH kernel (round 5): FNV-1a per
+    // distinct shingle via a recursive CTE, the 32 splitmix64-remixed
+    // permutations in staged columns, SIGNED per-permutation minima
+    // (matching the Long.MaxValue-init kernel), the exact FNV band-key
+    // chain over each 4-long signature slice (hash collisions and all),
+    // the band equi-join, and agreement/32 rounded half-up. The
+    // candidate-generation contract — not a brute-force pair join — is
+    // what the operator promises, so the oracle reproduces it.
+    "q_minhash_lsh" ->
+      """WITH RECURSIVE
+        |w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |ds AS (
+        |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w
+        |        WHERE len(ws) >= 3) x
+        |  UNION
+        |  SELECT DISTINCT doc_id, unnest(ws) AS sh FROM w WHERE len(ws) < 3),
+        |vocab AS (SELECT DISTINCT sh FROM ds),
+        |fnv(sh, i, h) AS (
+        |  SELECT sh, 0, 14695981039346656037::HUGEINT FROM vocab
+        |  UNION ALL
+        |  SELECT sh, i + 1,
+        |    (((CASE WHEN xor(CAST(CASE WHEN h >= 9223372036854775808::HUGEINT THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT), CAST(ascii(substr(sh, CAST(i + 1 AS INT), 1)) AS BIGINT)) < 0 THEN CAST(xor(CAST(CASE WHEN h >= 9223372036854775808::HUGEINT THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT), CAST(ascii(substr(sh, CAST(i + 1 AS INT), 1)) AS BIGINT)) AS HUGEINT) + 18446744073709551616::HUGEINT ELSE CAST(xor(CAST(CASE WHEN h >= 9223372036854775808::HUGEINT THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT), CAST(ascii(substr(sh, CAST(i + 1 AS INT), 1)) AS BIGINT)) AS HUGEINT) END) % 4294967296::HUGEINT) * 1099511628211::HUGEINT
+        |     + (((CASE WHEN xor(CAST(CASE WHEN h >= 9223372036854775808::HUGEINT THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT), CAST(ascii(substr(sh, CAST(i + 1 AS INT), 1)) AS BIGINT)) < 0 THEN CAST(xor(CAST(CASE WHEN h >= 9223372036854775808::HUGEINT THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT), CAST(ascii(substr(sh, CAST(i + 1 AS INT), 1)) AS BIGINT)) AS HUGEINT) + 18446744073709551616::HUGEINT ELSE CAST(xor(CAST(CASE WHEN h >= 9223372036854775808::HUGEINT THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT), CAST(ascii(substr(sh, CAST(i + 1 AS INT), 1)) AS BIGINT)) AS HUGEINT) END) // 4294967296::HUGEINT * 435::HUGEINT) % 4294967296::HUGEINT)
+        |       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT
+        |  FROM fnv WHERE i < len(sh)),
+        |base AS (SELECT sh, h FROM fnv WHERE i = len(sh)),
+        |perm AS (SELECT unnest(range(1, 33)) AS p),
+        |p0 AS (SELECT sh, p, (h + (p::HUGEINT * 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT) % 18446744073709551616::HUGEINT AS u0
+        |       FROM base, perm),
+        |p1 AS (SELECT sh, p,
+        |  (((CASE WHEN xor(CAST(CASE WHEN u0 >= 9223372036854775808::HUGEINT THEN u0 - 18446744073709551616::HUGEINT ELSE u0 END AS BIGINT), CAST(u0 // 1073741824::HUGEINT AS BIGINT)) < 0 THEN CAST(xor(CAST(CASE WHEN u0 >= 9223372036854775808::HUGEINT THEN u0 - 18446744073709551616::HUGEINT ELSE u0 END AS BIGINT), CAST(u0 // 1073741824::HUGEINT AS BIGINT)) AS HUGEINT) + 18446744073709551616::HUGEINT ELSE CAST(xor(CAST(CASE WHEN u0 >= 9223372036854775808::HUGEINT THEN u0 - 18446744073709551616::HUGEINT ELSE u0 END AS BIGINT), CAST(u0 // 1073741824::HUGEINT AS BIGINT)) AS HUGEINT) END) % 4294967296::HUGEINT) * 13787848793156543929::HUGEINT
+        |     + (((CASE WHEN xor(CAST(CASE WHEN u0 >= 9223372036854775808::HUGEINT THEN u0 - 18446744073709551616::HUGEINT ELSE u0 END AS BIGINT), CAST(u0 // 1073741824::HUGEINT AS BIGINT)) < 0 THEN CAST(xor(CAST(CASE WHEN u0 >= 9223372036854775808::HUGEINT THEN u0 - 18446744073709551616::HUGEINT ELSE u0 END AS BIGINT), CAST(u0 // 1073741824::HUGEINT AS BIGINT)) AS HUGEINT) + 18446744073709551616::HUGEINT ELSE CAST(xor(CAST(CASE WHEN u0 >= 9223372036854775808::HUGEINT THEN u0 - 18446744073709551616::HUGEINT ELSE u0 END AS BIGINT), CAST(u0 // 1073741824::HUGEINT AS BIGINT)) AS HUGEINT) END) // 4294967296::HUGEINT * 484763065::HUGEINT) % 4294967296::HUGEINT)
+        |       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS u1 FROM p0),
+        |p2 AS (SELECT sh, p,
+        |  (((CASE WHEN xor(CAST(CASE WHEN u1 >= 9223372036854775808::HUGEINT THEN u1 - 18446744073709551616::HUGEINT ELSE u1 END AS BIGINT), CAST(u1 // 134217728::HUGEINT AS BIGINT)) < 0 THEN CAST(xor(CAST(CASE WHEN u1 >= 9223372036854775808::HUGEINT THEN u1 - 18446744073709551616::HUGEINT ELSE u1 END AS BIGINT), CAST(u1 // 134217728::HUGEINT AS BIGINT)) AS HUGEINT) + 18446744073709551616::HUGEINT ELSE CAST(xor(CAST(CASE WHEN u1 >= 9223372036854775808::HUGEINT THEN u1 - 18446744073709551616::HUGEINT ELSE u1 END AS BIGINT), CAST(u1 // 134217728::HUGEINT AS BIGINT)) AS HUGEINT) END) % 4294967296::HUGEINT) * 10723151780598845931::HUGEINT
+        |     + (((CASE WHEN xor(CAST(CASE WHEN u1 >= 9223372036854775808::HUGEINT THEN u1 - 18446744073709551616::HUGEINT ELSE u1 END AS BIGINT), CAST(u1 // 134217728::HUGEINT AS BIGINT)) < 0 THEN CAST(xor(CAST(CASE WHEN u1 >= 9223372036854775808::HUGEINT THEN u1 - 18446744073709551616::HUGEINT ELSE u1 END AS BIGINT), CAST(u1 // 134217728::HUGEINT AS BIGINT)) AS HUGEINT) + 18446744073709551616::HUGEINT ELSE CAST(xor(CAST(CASE WHEN u1 >= 9223372036854775808::HUGEINT THEN u1 - 18446744073709551616::HUGEINT ELSE u1 END AS BIGINT), CAST(u1 // 134217728::HUGEINT AS BIGINT)) AS HUGEINT) END) // 4294967296::HUGEINT * 321982955::HUGEINT) % 4294967296::HUGEINT)
+        |       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS u2 FROM p1),
+        |p3 AS (SELECT sh, p, xor(CAST(CASE WHEN u2 >= 9223372036854775808::HUGEINT THEN u2 - 18446744073709551616::HUGEINT ELSE u2 END AS BIGINT), CAST(u2 // 2147483648::HUGEINT AS BIGINT)) AS g FROM p2),
+        |sigs AS (
+        |  SELECT d.doc_id, m.p, min(m.g) AS sig
+        |  FROM ds d JOIN p3 m USING (sh) GROUP BY d.doc_id, m.p),
+        |sp AS (SELECT doc_id, CAST((p - 1) // 4 AS BIGINT) AS b, (p - 1) % 4 AS r, sig FROM sigs),
+        |piv AS (
+        |  SELECT doc_id, b,
+        |    max(CASE WHEN r = 0 THEN sig END) AS s0, max(CASE WHEN r = 1 THEN sig END) AS s1,
+        |    max(CASE WHEN r = 2 THEN sig END) AS s2, max(CASE WHEN r = 3 THEN sig END) AS s3
+        |  FROM sp GROUP BY doc_id, b),
+        |k1 AS (SELECT doc_id, b, s1, s2, s3,
+        |  (((CASE WHEN xor(xor(-3750763034362895579, b), s0) < 0 THEN CAST(xor(xor(-3750763034362895579, b), s0) AS HUGEINT) + 18446744073709551616::HUGEINT ELSE CAST(xor(xor(-3750763034362895579, b), s0) AS HUGEINT) END) % 4294967296::HUGEINT) * 1099511628211::HUGEINT
+        |     + (((CASE WHEN xor(xor(-3750763034362895579, b), s0) < 0 THEN CAST(xor(xor(-3750763034362895579, b), s0) AS HUGEINT) + 18446744073709551616::HUGEINT ELSE CAST(xor(xor(-3750763034362895579, b), s0) AS HUGEINT) END) // 4294967296::HUGEINT * 435::HUGEINT) % 4294967296::HUGEINT)
+        |       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS h1 FROM piv),
+        |k2 AS (SELECT doc_id, b, s2, s3,
+        |  (((CASE WHEN xor(CAST(CASE WHEN h1 >= 9223372036854775808::HUGEINT THEN h1 - 18446744073709551616::HUGEINT ELSE h1 END AS BIGINT), s1) < 0 THEN CAST(xor(CAST(CASE WHEN h1 >= 9223372036854775808::HUGEINT THEN h1 - 18446744073709551616::HUGEINT ELSE h1 END AS BIGINT), s1) AS HUGEINT) + 18446744073709551616::HUGEINT ELSE CAST(xor(CAST(CASE WHEN h1 >= 9223372036854775808::HUGEINT THEN h1 - 18446744073709551616::HUGEINT ELSE h1 END AS BIGINT), s1) AS HUGEINT) END) % 4294967296::HUGEINT) * 1099511628211::HUGEINT
+        |     + (((CASE WHEN xor(CAST(CASE WHEN h1 >= 9223372036854775808::HUGEINT THEN h1 - 18446744073709551616::HUGEINT ELSE h1 END AS BIGINT), s1) < 0 THEN CAST(xor(CAST(CASE WHEN h1 >= 9223372036854775808::HUGEINT THEN h1 - 18446744073709551616::HUGEINT ELSE h1 END AS BIGINT), s1) AS HUGEINT) + 18446744073709551616::HUGEINT ELSE CAST(xor(CAST(CASE WHEN h1 >= 9223372036854775808::HUGEINT THEN h1 - 18446744073709551616::HUGEINT ELSE h1 END AS BIGINT), s1) AS HUGEINT) END) // 4294967296::HUGEINT * 435::HUGEINT) % 4294967296::HUGEINT)
+        |       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS h2 FROM k1),
+        |k3 AS (SELECT doc_id, b, s3,
+        |  (((CASE WHEN xor(CAST(CASE WHEN h2 >= 9223372036854775808::HUGEINT THEN h2 - 18446744073709551616::HUGEINT ELSE h2 END AS BIGINT), s2) < 0 THEN CAST(xor(CAST(CASE WHEN h2 >= 9223372036854775808::HUGEINT THEN h2 - 18446744073709551616::HUGEINT ELSE h2 END AS BIGINT), s2) AS HUGEINT) + 18446744073709551616::HUGEINT ELSE CAST(xor(CAST(CASE WHEN h2 >= 9223372036854775808::HUGEINT THEN h2 - 18446744073709551616::HUGEINT ELSE h2 END AS BIGINT), s2) AS HUGEINT) END) % 4294967296::HUGEINT) * 1099511628211::HUGEINT
+        |     + (((CASE WHEN xor(CAST(CASE WHEN h2 >= 9223372036854775808::HUGEINT THEN h2 - 18446744073709551616::HUGEINT ELSE h2 END AS BIGINT), s2) < 0 THEN CAST(xor(CAST(CASE WHEN h2 >= 9223372036854775808::HUGEINT THEN h2 - 18446744073709551616::HUGEINT ELSE h2 END AS BIGINT), s2) AS HUGEINT) + 18446744073709551616::HUGEINT ELSE CAST(xor(CAST(CASE WHEN h2 >= 9223372036854775808::HUGEINT THEN h2 - 18446744073709551616::HUGEINT ELSE h2 END AS BIGINT), s2) AS HUGEINT) END) // 4294967296::HUGEINT * 435::HUGEINT) % 4294967296::HUGEINT)
+        |       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS h3 FROM k2),
+        |k4 AS (SELECT doc_id, b,
+        |  (((CASE WHEN xor(CAST(CASE WHEN h3 >= 9223372036854775808::HUGEINT THEN h3 - 18446744073709551616::HUGEINT ELSE h3 END AS BIGINT), s3) < 0 THEN CAST(xor(CAST(CASE WHEN h3 >= 9223372036854775808::HUGEINT THEN h3 - 18446744073709551616::HUGEINT ELSE h3 END AS BIGINT), s3) AS HUGEINT) + 18446744073709551616::HUGEINT ELSE CAST(xor(CAST(CASE WHEN h3 >= 9223372036854775808::HUGEINT THEN h3 - 18446744073709551616::HUGEINT ELSE h3 END AS BIGINT), s3) AS HUGEINT) END) % 4294967296::HUGEINT) * 1099511628211::HUGEINT
+        |     + (((CASE WHEN xor(CAST(CASE WHEN h3 >= 9223372036854775808::HUGEINT THEN h3 - 18446744073709551616::HUGEINT ELSE h3 END AS BIGINT), s3) < 0 THEN CAST(xor(CAST(CASE WHEN h3 >= 9223372036854775808::HUGEINT THEN h3 - 18446744073709551616::HUGEINT ELSE h3 END AS BIGINT), s3) AS HUGEINT) + 18446744073709551616::HUGEINT ELSE CAST(xor(CAST(CASE WHEN h3 >= 9223372036854775808::HUGEINT THEN h3 - 18446744073709551616::HUGEINT ELSE h3 END AS BIGINT), s3) AS HUGEINT) END) // 4294967296::HUGEINT * 435::HUGEINT) % 4294967296::HUGEINT)
+        |       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT AS kb FROM k3),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM k4 a JOIN k4 c ON a.b = c.b AND a.kb = c.kb AND a.doc_id < c.doc_id),
+        |agree AS (
+        |  SELECT cand.id_a, cand.id_b,
+        |    sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS m
+        |  FROM cand
+        |  JOIN sigs sa ON sa.doc_id = cand.id_a
+        |  JOIN sigs sb ON sb.doc_id = cand.id_b AND sb.p = sa.p
+        |  GROUP BY cand.id_a, cand.id_b)
+        |SELECT id_a, id_b, round(m / 32.0, 4) AS est_jaccard
+        |FROM agree ORDER BY id_a, id_b""".stripMargin,
+    // full replay of the simhash kernel (round 5 — the query is
+    // deterministic, not sampled): FNV-1a per DISTINCT token via a
+    // recursive CTE on unsigned HUGEINTs (64×64 multiply as 32-bit split
+    // products; low-32 of the FNV prime = 435), per-bit majority votes
+    // over the token MULTISET, then the exact output condition — Hamming
+    // ≤ 12 AND a shared 16-bit pigeonhole block (the blocking is part of
+    // the operator's contract, so the oracle reproduces it rather than
+    // brute-forcing all pairs).
+    "q_simhash_dedup" ->
+      """WITH RECURSIVE
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |vocab AS (SELECT DISTINCT tok FROM toks WHERE len(tok) > 0),
+        |fnv(tok, i, h) AS (
+        |  SELECT tok, 0, 14695981039346656037::HUGEINT FROM vocab
+        |  UNION ALL
+        |  SELECT tok, i + 1,
+        |    (((CASE WHEN xh < 0 THEN CAST(xh AS HUGEINT) + 18446744073709551616::HUGEINT
+        |            ELSE CAST(xh AS HUGEINT) END)
+        |      % 4294967296::HUGEINT) * 1099511628211::HUGEINT
+        |     + (((CASE WHEN xh < 0 THEN CAST(xh AS HUGEINT) + 18446744073709551616::HUGEINT
+        |             ELSE CAST(xh AS HUGEINT) END)
+        |         // 4294967296::HUGEINT * 435::HUGEINT) % 4294967296::HUGEINT)
+        |       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT
+        |  FROM (
+        |    SELECT tok, i, h,
+        |      xor(CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |               THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT),
+        |          CAST(ascii(substr(tok, CAST(i + 1 AS INT), 1)) AS BIGINT)) AS xh
+        |    FROM fnv WHERE i < len(tok)) q),
+        |th AS (SELECT tok, h FROM fnv WHERE i = len(tok)),
+        |bits AS (SELECT unnest(range(0, 64)) AS j),
+        |tb AS (
+        |  SELECT tok, j,
+        |    CASE WHEN (h // CAST(power(2::HUGEINT, CAST(j AS INT)) AS HUGEINT))
+        |              % 2::HUGEINT = 1::HUGEINT
+        |         THEN 1 ELSE -1 END AS sgn
+        |  FROM th, bits),
+        |tc AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok),
+        |db AS (
+        |  SELECT tc.doc_id, tb.j,
+        |    CASE WHEN sum(tc.cnt * tb.sgn) > 0 THEN 1 ELSE 0 END AS bit
+        |  FROM tc JOIN tb USING (tok) GROUP BY tc.doc_id, tb.j),
+        |su AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CAST(bit AS HUGEINT)
+        |             * CAST(power(2::HUGEINT, CAST(j AS INT)) AS HUGEINT)) AS HUGEINT) AS usim
+        |  FROM db GROUP BY doc_id),
+        |sim AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN usim >= 9223372036854775808::HUGEINT
+        |         THEN usim - 18446744073709551616::HUGEINT ELSE usim END AS BIGINT) AS sim,
+        |    usim
+        |  FROM su)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sim, b.sim)) <= 12
+        |  AND (a.usim % 65536::HUGEINT = b.usim % 65536::HUGEINT
+        |    OR a.usim // 65536::HUGEINT % 65536::HUGEINT
+        |       = b.usim // 65536::HUGEINT % 65536::HUGEINT
+        |    OR a.usim // 4294967296::HUGEINT % 65536::HUGEINT
+        |       = b.usim // 4294967296::HUGEINT % 65536::HUGEINT
+        |    OR a.usim // 281474976710656::HUGEINT = b.usim // 281474976710656::HUGEINT)
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_multimodal_join" ->
       """SELECT d.doc_id, d.lang, d.n_chars,
         | CAST(len(e.embedding) AS BIGINT) AS n_dim,
