@@ -461,6 +461,206 @@ object Vectors {
       .select(col("vec_id"), round(col("cos"), 4).as("cos_r"))
   }
 
+  // ---------------------------------------------------------------------
+  // Product quantization (Jégou, Douze, Schmid, TPAMI 2011) — the
+  // industry-standard compressed at-rest ANN representation: split the
+  // d-dim vector into M subspaces, k-means each subspace independently,
+  // store one byte-sized sub-centroid code per subspace. 64 float64s
+  // become M=8 codes = 32× less I/O per scanned vector, which at 100 TB
+  // is the difference between scanning the corpus and scanning 3 TB.
+  // ---------------------------------------------------------------------
+
+  private[operators] val PqM = 8          // subspaces (64-dim → 8×8)
+  private[operators] val PqK = 16         // sub-centroids per subspace
+  private[operators] val PqCand = 50      // ADC candidates refined exactly
+
+  /** Nearest sub-centroid by EUCLIDEAN distance (PQ quantizes residual
+    * geometry inside a subspace — cosine is meaningless on subvectors);
+    * tie → lower index. */
+  private def nearestL2(cs: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = Double.MaxValue; var bi = 0
+    var c = 0
+    while (c < cs.length) {
+      var d2 = 0.0; var i = 0
+      val cc = cs(c)
+      while (i < v.length) { val t = v(i) - cc(i); d2 += t * t; i += 1 }
+      if (d2 < best) { best = d2; bi = c }
+      c += 1
+    }
+    bi
+  }
+
+  /** Euclidean Lloyd for a PQ subspace (the cosine [[trainCodebook]] is the
+    * wrong objective on subvectors); same determinism contract — seeded by
+    * the first k sample subvectors, empty clusters keep their centroid. */
+  private def trainSubCodebook(sample: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
+    require(sample.length >= k, s"PQ subspace needs >= $k samples")
+    val dim = sample.head.length
+    var cents = sample.take(k).map(_.clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val c = nearestL2(cents, v)
+        counts(c) += 1
+        var i = 0
+        while (i < dim) { sums(c)(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else { val m = sums(c); var i = 0; while (i < dim) { m(i) /= counts(c); i += 1 }; m }
+      }
+    }
+    cents
+  }
+
+  /** Train the M per-subspace codebooks on the SAME bounded hash sample as
+    * the IVF codebook ([[sampleAndTrain]]'s rule) — one sampling contract
+    * across the whole ANN family. Returns cb(m)(k)(subDim). */
+  private[operators] def trainPq(sample: Array[(Long, Array[Double])])
+      : Array[Array[Array[Double]]] = {
+    val dim = sample.head._2.length
+    require(dim % PqM == 0, s"dim $dim not divisible into $PqM subspaces")
+    val sub = dim / PqM
+    Array.tabulate(PqM) { m =>
+      trainSubCodebook(
+        sample.map { case (_, v) => java.util.Arrays.copyOfRange(v, m * sub, (m + 1) * sub) },
+        PqK, iters = 5)
+    }
+  }
+
+  /** PQ-encode one vector: the M nearest-sub-centroid codes. */
+  private[operators] def pqEncode(cb: Array[Array[Array[Double]]],
+      v: Array[Double]): Array[Int] = {
+    val sub = v.length / cb.length
+    Array.tabulate(cb.length) { m =>
+      nearestL2(cb(m), java.util.Arrays.copyOfRange(v, m * sub, (m + 1) * sub))
+    }
+  }
+
+  /** ADC lookup tables for a probe: table(m)(k) = <q_m, c_{m,k}> — the
+    * approximate dot of q with any encoded vector is M table lookups. */
+  private def adcTables(cb: Array[Array[Array[Double]]], q: Array[Double])
+      : Array[Array[Double]] = {
+    val sub = q.length / cb.length
+    Array.tabulate(cb.length) { m =>
+      val qm = java.util.Arrays.copyOfRange(q, m * sub, (m + 1) * sub)
+      Array.tabulate(cb(m).length)(k => dotA(qm, cb(m)(k)))
+    }
+  }
+
+  /** In-query PQ ANN: train on the bounded sample, encode the corpus in one
+    * scan (vectors never leave their partition), ADC-score the CODES (M
+    * byte-lookups per row — the compressed scan), keep the top-[[PqCand]]
+    * candidates, then refine EXACTLY against the true vectors of just those
+    * candidates. Two-stage search is the standard PQ deployment shape: the
+    * approximate stage touches only codes, the exact stage touches
+    * candidate-count vectors. Rows-only (k-means assignment is FP-order
+    * sensitive across engines); VectorSpec pins recall@10 vs the exact
+    * [[cosineTopk]] and determinism across runs. */
+  val annPq: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val edf = Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
+    val e = edf.as[(Long, Array[Double])]
+    val (sample, _, _) = sampleAndTrain(edf, k = 16)
+    val cb = trainPq(sample)
+    val probeV = edf.where(col("vec_id") === 0)
+      .select(col("v")).as[Array[Double]].head()
+    val probeN = normA(probeV)
+    val bc = spark.sparkContext.broadcast((cb, adcTables(cb, probeV)))
+    // stage 1: ADC over codes — one compressed scan, heap top-PqCand
+    val cands = e.mapPartitions { iter =>
+      val (cbv, tables) = bc.value
+      iter.flatMap { case (id, v) =>
+        if (id == 0L) None
+        else {
+          val codes = pqEncode(cbv, v)
+          var m = 0; var score = 0.0
+          while (m < codes.length) { score += tables(m)(codes(m)); m += 1 }
+          Some((id, score))
+        }
+      }
+    }
+      .toDF("vec_id", "adc")
+      .orderBy(col("adc").desc, col("vec_id")).limit(PqCand)
+    // stage 2: exact refine of the candidate ids only (id semi-join keeps
+    // the true-vector read candidate-sized)
+    val bcP = spark.sparkContext.broadcast((probeV, probeN))
+    edf.join(cands.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val (pv, pn) = bcP.value
+        (id, dotA(v, pv) / (normA(v) * pn))
+      }
+      .toDF("vec_id", "cos")
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      .select(col("vec_id"), round(col("cos"), 4).as("cos_r"))
+  }
+
+  /** Build a PERSISTED PQ index: codes table (vec_id + M byte codes — the
+    * 32×-compressed scan body) and a `_pq_codebook` sidecar (m, k,
+    * centroid), optionally alongside the full vectors for exact refinement.
+    * The at-rest twin of [[annPq]], like [[writeIvfIndex]] is of
+    * [[annIvf]]. */
+  def writePqIndex(s: SparkSession, d: String, outDir: String): Unit = {
+    val spark = s
+    import spark.implicits._
+    val edf = Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
+    val (sample, _, _) = sampleAndTrain(edf, k = 16)
+    val cb = trainPq(sample)
+    val bc = spark.sparkContext.broadcast(cb)
+    edf.as[(Long, Array[Double])]
+      .map { case (id, v) => (id, pqEncode(bc.value, v).map(_.toByte)) }
+      .toDF("vec_id", "codes")
+      .write.mode("overwrite").parquet(s"$outDir/codes")
+    cb.zipWithIndex.flatMap { case (sub, m) =>
+      sub.zipWithIndex.map { case (cent, k) => (m, k, cent.toSeq) }
+    }.toSeq.toDF("m", "k", "centroid")
+      .write.mode("overwrite").parquet(s"$outDir/_pq_codebook")
+  }
+
+  /** Query a persisted PQ index: ADC over the compact codes table (the
+    * only full scan — M bytes per row), then exact refinement reads ONLY
+    * the candidate ids from the full-vector table via a pushed-down IN
+    * filter. */
+  def queryPqIndex(s: SparkSession, d: String, indexDir: String,
+      probe: Array[Double], topK: Int = 10,
+      excludeId: Option[Long] = None): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val cbRows = spark.read.parquet(s"$indexDir/_pq_codebook")
+      .as[(Int, Int, Seq[Double])].collect()
+    val cb = Array.tabulate(PqM) { m =>
+      cbRows.filter(_._1 == m).sortBy(_._2).map(_._3.toArray)
+    }
+    val tables = adcTables(cb, probe)
+    val bcT = spark.sparkContext.broadcast(tables)
+    val codes = spark.read.parquet(s"$indexDir/codes")
+      .as[(Long, Array[Byte])]
+    val scored = excludeId.fold(codes)(id => codes.filter(_._1 != id))
+      .map { case (id, cs) =>
+        val t = bcT.value
+        var m = 0; var score = 0.0
+        while (m < cs.length) { score += t(m)(cs(m) & 0xff); m += 1 }
+        (id, score)
+      }
+      .toDF("vec_id", "adc")
+      .orderBy(col("adc").desc, col("vec_id")).limit(PqCand)
+    val candIds = scored.select(col("vec_id")).as[Long].collect().toSeq
+    val pn = normA(probe)
+    // candidate point-reads: the IN filter lands in PushedFilters, so the
+    // refine stage reads candidate-count rows at any corpus size
+    Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
+      .where(col("vec_id").isin(candIds: _*))
+      .select(col("vec_id"),
+        CosineSimExpr.vec_cosine(col("v"), typedLit(probe.toSeq)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(topK)
+      .select(col("vec_id"), round(col("cos"), 4).as("cos_r"))
+  }
+
   /** MinHash + LSH banded near-dup candidates over document 3-gram shingles
     * (oracle-checked since round 5 — the kernel is deterministic integer
     * arithmetic, replayed per shingle byte by the DuckDB recursive-CTE
@@ -629,6 +829,7 @@ object Vectors {
     "q_embed_neardup"   -> embedNeardup,
     "q_embed_neardup_srp" -> embedNeardupSrp,
     "q_ann_ivf"         -> annIvf,
+    "q_ann_pq"          -> annPq,
     "q_minhash_lsh"     -> minhashLsh,
     "q_simhash_dedup"   -> simhashDedup,
     "q_multimodal_join" -> multimodalJoin,

@@ -66,6 +66,55 @@ class VectorSpec extends AnyFunSuite {
     assert(pushed.contains("EqualTo(vec_id,0)"), pushed)
   }
 
+  test("PQ ANN recall vs brute force (8x8 codes, ADC + exact refine)") {
+    val spark = TestSpark.spark
+    val exact = Vectors.cosineTopk(spark, TestSpark.sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Vectors.annPq(spark, TestSpark.sf0001).collect()
+    assert(approx.length == 10)
+    val ids = approx.map(_.getLong(0)).toSet
+    assert(!ids.contains(0L))
+    val recall = exact.intersect(ids).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall; exact=$exact approx=$ids")
+    // the refined scores are TRUE cosines: every reported pair must carry
+    // the same cos_r the exact query reports for that id
+    val exactScores = Vectors.cosineTopk(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    approx.filter(r => exactScores.contains(r.getLong(0)))
+      .foreach(r => assert(r.getDouble(1) == exactScores(r.getLong(0))))
+    // determinism across runs (fixed sample, seeded Lloyd, total orders)
+    val again = Vectors.annPq(spark, TestSpark.sf0001)
+      .collect().map(_.getLong(0)).toSeq
+    assert(again == approx.map(_.getLong(0)).toSeq)
+  }
+
+  test("persisted PQ index: compact codes, pushed-down refine, same answer as in-query") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("pqidx").toString
+    Vectors.writePqIndex(spark, TestSpark.sf0001, idx)
+    // codes are M bytes per vector — the 32x-compressed scan body
+    val codes = spark.read.parquet(s"$idx/codes")
+    assert(codes.count() == Tables.embeddings(spark, TestSpark.sf0001).count())
+    assert(codes.select(org.apache.spark.sql.functions.octet_length(col("codes")))
+      .as[Int].head() == 8)
+    val probe = Tables.embeddings(spark, TestSpark.sf0001)
+      .where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).as[Array[Double]].head()
+    val q = Vectors.queryPqIndex(spark, TestSpark.sf0001, idx, probe,
+      topK = 10, excludeId = Some(0L))
+    // the refine stage's IN filter reaches the parquet scan
+    val formatted = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = formatted.linesIterator.find(_.contains("PushedFilters")).get
+    assert(pushed.contains("In(vec_id"), pushed)
+    // identical result to the in-query path (same sample rule + codebooks)
+    val got = q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Vectors.annPq(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want)
+  }
+
   test("SRP near-dup: exact recall of every planted pair, nothing else") {
     val spark = TestSpark.spark
     import spark.implicits._
