@@ -637,6 +637,57 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Token budget per packed training sequence — fixture-sized (a real
+    * pretraining pipeline uses the model context, e.g. 2048/8192); shared
+    * by the operator and its oracle. */
+  val PackCapacity = 256L
+
+  /** Sequence packing for pretraining (concatenate-and-chunk): documents in
+    * doc_id order form one token stream that is split every
+    * [[PackCapacity]] tokens — the standard way training examples are
+    * assembled from a curated corpus. Per doc: its global stream offset,
+    * the chunks it lands in, and how many it spans.
+    *
+    * The global running offset is a TWO-PHASE DISTRIBUTED PREFIX SUM (the
+    * [[RefOps.monotoneDedup]] idiom): range-partition by doc_id, one long
+    * per partition (its token total) to the driver, exclusive-prefix
+    * broadcast back, then each partition computes exact global offsets
+    * locally — no `Window.orderBy` funnel serializing the corpus through
+    * one task. Oracle: the window-cumsum definition in DuckDB. */
+  val tokenPack: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val C = PackCapacity
+    val n = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val parted = Tables.documents(s, d)
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tokens"))
+      .repartitionByRange(n, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .as[(Long, Long)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val totals = parted.rdd
+      .mapPartitionsWithIndex { (i, it) =>
+        var sum = 0L; it.foreach(sum += _._2); Iterator((i, sum))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    val prefix = totals.scanLeft(0L)(_ + _).dropRight(1)
+    val bc = spark.sparkContext.broadcast(prefix)
+    val packed = parted.rdd.mapPartitionsWithIndex { (i, it) =>
+      var off = bc.value(i)
+      it.map { case (id, nt) =>
+        val start = off; off += nt
+        val first = start / C
+        val last = (start + math.max(nt, 1L) - 1L) / C
+        (id, nt, start, first, last, last - first + 1L)
+      }
+    }
+    val out = spark.createDataset(packed)
+      .toDF("doc_id", "n_tokens", "start_off", "chunk_first", "chunk_last", "n_chunks")
+      .orderBy(col("doc_id"))
+    parted.unpersist(blocking = false)
+    out
+  }
+
   /** Winnowing fingerprints: fingerprint count + min/max hash per doc.
     *
     * Oracle-checked (round 5): the winnow's OUTPUT is the sorted distinct
@@ -681,6 +732,7 @@ object Text {
     "q_weighted_sample" -> weightedSample,
     "q_lm_score"        -> lmScore,
     "q_doc_fingerprint" -> docFingerprint,
+    "q_token_pack"      -> tokenPack,
   )
 
   /** Shared oracle CTE mirroring [[docTokenStats]] exactly (term counts +
@@ -940,6 +992,24 @@ object Text {
         | CAST(CAST(coalesce(h.hits, 0) AS DOUBLE) / r.n_sh >= 0.1 AS BIGINT) AS contaminated
         |FROM r LEFT JOIN h ON r.doc_id = h.doc_id
         |ORDER BY r.doc_id""".stripMargin,
+    // the window-cumsum definition of concatenate-and-chunk packing — the
+    // Spark side's two-phase prefix sum must be invisible in the result
+    "q_token_pack" ->
+      s"""WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_off
+        |  FROM t)
+        |SELECT doc_id, n_tokens, start_off,
+        |  start_off // ${PackCapacity} AS chunk_first,
+        |  (start_off + greatest(n_tokens, 1) - 1) // ${PackCapacity} AS chunk_last,
+        |  (start_off + greatest(n_tokens, 1) - 1) // ${PackCapacity}
+        |    - start_off // ${PackCapacity} + 1 AS n_chunks
+        |FROM c ORDER BY doc_id""".stripMargin,
     // byte-replay of the winnowing kernel (see docFingerprint notes): the
     // k-gram polynomial hash mod 2^64 via HUGEINT split-multiplies, the
     // splitmix64 avalanche in staged columns, window-min + DISTINCT. xor()

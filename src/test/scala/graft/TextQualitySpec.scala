@@ -91,6 +91,43 @@ class TextQualitySpec extends AnyFunSuite {
     assert(leaked.isEmpty, s"leaked cached RDDs: $leaked")
   }
 
+  test("token packing: distributed prefix sum equals the window definition, stream is contiguous") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rows = Text.tokenPack(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    // contiguity: each doc starts exactly where the previous one ended —
+    // the packed stream has no gaps and no overlaps
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(2) + a.getLong(1) == b.getLong(2),
+          s"gap between ${a.getLong(0)} and ${b.getLong(0)}")
+      case _ =>
+    }
+    // span arithmetic: n_chunks matches the chunk bounds, fill never
+    // exceeds capacity within a single-chunk doc
+    rows.foreach { r =>
+      assert(r.getLong(5) == r.getLong(4) - r.getLong(3) + 1)
+      if (r.getLong(5) == 1)
+        assert(r.getLong(2) % Text.PackCapacity + r.getLong(1) <= Text.PackCapacity)
+    }
+    // equals the serial window-cumsum reference (the oracle's definition)
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n_tokens"))
+    val w = Window.orderBy(col("doc_id")).rowsBetween(Window.unboundedPreceding, -1)
+    val C = Text.PackCapacity
+    val start = coalesce(sum(col("n_tokens")).over(w), lit(0L))
+    val ref = docs.select(col("doc_id"), col("n_tokens"), start.as("start_off"))
+      .withColumn("chunk_first", (col("start_off") / C).cast("long"))
+      .withColumn("chunk_last",
+        ((col("start_off") + greatest(col("n_tokens"), lit(1L)) - 1) / C).cast("long"))
+      .withColumn("n_chunks", col("chunk_last") - col("chunk_first") + 1)
+      .orderBy(col("doc_id"))
+      .collect()
+    assert(rows.toSeq == ref.toSeq)
+  }
+
   test("contamination: hits bounded by shingle count, flag matches fraction") {
     val rows = Text.contamination(spark, TestSpark.sf0001).collect()
     assert(rows.nonEmpty)
