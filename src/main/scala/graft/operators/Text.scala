@@ -224,6 +224,27 @@ object Text {
       .orderBy(col("lang"), col("rn"))
   }
 
+  /** Domain-mixture balancing: downsample EVERY source to the smallest
+    * source's doc count (the equal-share mixture), selecting each source's
+    * survivors by deterministic md5 order — the "rebalance the domains
+    * before training" op that sits between curation and packing in an LLM
+    * pipeline. The per-source target is one count per source (config-sized
+    * metadata; the driver read is bounded by the domain count, never data),
+    * and selection runs on the heap [[graft.plans.TopKPerGroup]] operator —
+    * no low-cardinality window funnel, ≤k rows per source per map task
+    * through the shuffle. */
+  val sourceMix: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val k = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n"))).head().getLong(0).toInt
+    val scored = docs.select(col("source"), col("doc_id"),
+      md5(col("doc_id").cast("string")).as("h"))
+    graft.plans.TopKPerGroup
+      .topK(scored, Seq("source"), Seq("h" -> true, "doc_id" -> true), k)
+      .select(col("source"), col("rn"), col("doc_id"), col("h"))
+      .orderBy(col("source"), col("rn"))
+  }
+
   /** Corpus-trained bigram language-model scoring — the CCNet/KenML-style
     * "perplexity filter" of LLM data pipelines, self-trained here: token
     * bigram counts over the corpus give add-one-smoothed conditional
@@ -733,6 +754,7 @@ object Text {
     "q_lm_score"        -> lmScore,
     "q_doc_fingerprint" -> docFingerprint,
     "q_token_pack"      -> tokenPack,
+    "q_source_mix"      -> sourceMix,
   )
 
   /** Shared oracle CTE mirroring [[docTokenStats]] exactly (term counts +
@@ -992,6 +1014,19 @@ object Text {
         | CAST(CAST(coalesce(h.hits, 0) AS DOUBLE) / r.n_sh >= 0.1 AS BIGINT) AS contaminated
         |FROM r LEFT JOIN h ON r.doc_id = h.doc_id
         |ORDER BY r.doc_id""".stripMargin,
+    // equal-share mixture: every source downsampled to the smallest
+    // source's count, md5-ordered — the data-dependent k is a plain
+    // subquery here (the Spark side reads it as one bounded metadata row)
+    "q_source_mix" ->
+      """WITH n AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |k AS (SELECT min(n) AS k FROM n),
+        |s AS (SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |r AS (
+        |  SELECT source, doc_id, h,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rn
+        |  FROM s)
+        |SELECT source, rn, doc_id, h FROM r, k WHERE rn <= k.k
+        |ORDER BY source, rn""".stripMargin,
     // the window-cumsum definition of concatenate-and-chunk packing — the
     // Spark side's two-phase prefix sum must be invisible in the result
     "q_token_pack" ->

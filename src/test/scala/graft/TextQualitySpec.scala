@@ -128,6 +128,22 @@ class TextQualitySpec extends AnyFunSuite {
     assert(rows.toSeq == ref.toSeq)
   }
 
+  test("source mix: every source balanced to the smallest source's count") {
+    import org.apache.spark.sql.functions._
+    val rows = Text.sourceMix(spark, TestSpark.sf0001).collect()
+    val perSource = rows.groupBy(_.getString(0)).view.mapValues(_.length).toMap
+    val allSources = Tables.documents(spark, TestSpark.sf0001)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k = allSources.values.min
+    // every source present, each contributing exactly min-count docs
+    assert(perSource.keySet == allSources.keySet)
+    assert(perSource.values.forall(_ == k), s"$perSource vs k=$k")
+    // deterministic: re-running selects the same docs
+    val again = Text.sourceMix(spark, TestSpark.sf0001).collect()
+    assert(again.toSeq == rows.toSeq)
+  }
+
   test("contamination: hits bounded by shingle count, flag matches fraction") {
     val rows = Text.contamination(spark, TestSpark.sf0001).collect()
     assert(rows.nonEmpty)
