@@ -13,9 +13,9 @@ class EntrySpec extends AnyFunSuite {
 
   test("every query key with oracle SQL exists in queries") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    // 94 keys (78 oracle-checked) as of round 5 — a drop means a key was
+    // 97 keys (83 oracle-checked) as of round 5 — a drop means a key was
     // accidentally unwired, not that this floor is stale
-    assert(SparkEntry.queries.size >= 94)
-    assert(SparkEntry.oracleSql.size >= 78)
+    assert(SparkEntry.queries.size >= 97)
+    assert(SparkEntry.oracleSql.size >= 83)
   }
 }
