@@ -342,16 +342,19 @@ object Vectors {
     * A pushable id-range predicate and an unbiased sample are mutually
     * exclusive (parquet can't evaluate hash); we keep the scan narrow and
     * the transfer bounded instead. `df` must have (vec_id, v) columns. */
-  private[operators] def sampleAndTrain(df: DataFrame, k: Int)
-      : (Array[(Long, Array[Double])], Array[Array[Double]], Array[Double]) = {
+  private[operators] def codebookSample(df: DataFrame): Array[(Long, Array[Double])] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sample = df
-      .orderBy(hash(col("vec_id")), col("vec_id"))
+    df.orderBy(hash(col("vec_id")), col("vec_id"))
       .limit(CodebookSampleSize)
       .select(col("vec_id"), col("v"))
       .as[(Long, Array[Double])]
       .collect().sortBy(_._1)
+  }
+
+  private[operators] def sampleAndTrain(df: DataFrame, k: Int)
+      : (Array[(Long, Array[Double])], Array[Array[Double]], Array[Double]) = {
+    val sample = codebookSample(df)
     val cents = trainCodebook(sample, k, iters = 5)
     (sample, cents, cents.map(normA))
   }
@@ -516,8 +519,8 @@ object Vectors {
   }
 
   /** Train the M per-subspace codebooks on the SAME bounded hash sample as
-    * the IVF codebook ([[sampleAndTrain]]'s rule) — one sampling contract
-    * across the whole ANN family. Returns cb(m)(k)(subDim). */
+    * the IVF codebook ([[codebookSample]] — one sampling contract across
+    * the whole ANN family). Returns cb(m)(k)(subDim). */
   private[operators] def trainPq(sample: Array[(Long, Array[Double])])
       : Array[Array[Array[Double]]] = {
     val dim = sample.head._2.length
@@ -564,8 +567,7 @@ object Vectors {
     import spark.implicits._
     val edf = Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
     val e = edf.as[(Long, Array[Double])]
-    val (sample, _, _) = sampleAndTrain(edf, k = 16)
-    val cb = trainPq(sample)
+    val cb = trainPq(codebookSample(edf))
     val probeV = edf.where(col("vec_id") === 0)
       .select(col("v")).as[Array[Double]].head()
     val probeN = normA(probeV)
@@ -608,8 +610,7 @@ object Vectors {
     val spark = s
     import spark.implicits._
     val edf = Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
-    val (sample, _, _) = sampleAndTrain(edf, k = 16)
-    val cb = trainPq(sample)
+    val cb = trainPq(codebookSample(edf))
     val bc = spark.sparkContext.broadcast(cb)
     edf.as[(Long, Array[Double])]
       .map { case (id, v) => (id, pqEncode(bc.value, v).map(_.toByte)) }
