@@ -84,11 +84,13 @@ object CorpusCurate {
   val queries: Map[String, Q] = Map("q_corpus_curate" -> curate)
 
   /** One DuckDB definition of the whole pipeline, stitched from the SAME
-    * fragments the per-stage oracles use ([[Vectors.nearDupPairCte]] for
-    * the near-dup edges, [[Text.docTokenStatsCte]] for the token-stats
-    * chain that feeds both the Gopher gate and — via its `bg`/`t` CTEs —
-    * the bigram LM), so each stage's SQL description is literally shared
-    * with its standalone verification. */
+    * fragments and constants the per-stage oracles use
+    * ([[Vectors.nearDupPairCte]] for the near-dup edges,
+    * [[Text.docTokenStatsCte]] + the Gopher threshold constants for the
+    * quality gate, [[Text.contaminationCte]] + the contamination threshold
+    * for the clean gate, [[Text.lmScoreCte]] for the bigram LM), so each
+    * stage's SQL description is LITERALLY shared with its standalone
+    * verification — a threshold or smoothing change edits one definition. */
   val oracles: Map[String, String] = Map(
     "q_corpus_curate" ->
       s"""WITH RECURSIVE ${Vectors.nearDupPairCte},
@@ -104,31 +106,15 @@ object CorpusCurate {
         |${Text.docTokenStatsCte},
         |gk AS (
         |  SELECT doc_id FROM st
-        |  WHERE n_tokens >= 30 AND n_tokens <= 5000
-        |    AND mwl >= 4.0 AND mwl <= 10.0
-        |    AND CAST(top_cnt AS DOUBLE) / n_tokens <= 0.10
-        |    AND CAST(n_distinct AS DOUBLE) / n_tokens >= 0.45),
-        |cw AS (
-        |  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\\s+') AS ws
-        |  FROM documents),
-        |cds AS (
-        |  SELECT DISTINCT doc_id, source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
-        |  FROM (SELECT doc_id, source, ws, unnest(generate_series(1, len(ws) - 2)) AS i
-        |        FROM cw) cx),
-        |cbench AS (SELECT DISTINCT sh FROM cds WHERE source = 'src0'),
-        |cr AS (SELECT doc_id, count(*) AS n_sh FROM cds WHERE source <> 'src0' GROUP BY doc_id),
-        |ch AS (
-        |  SELECT doc_id, count(*) AS hits FROM cds
-        |  WHERE source <> 'src0' AND sh IN (SELECT sh FROM cbench) GROUP BY doc_id),
+        |  WHERE n_tokens >= ${Text.GopherMinTokens} AND n_tokens <= ${Text.GopherMaxTokens}
+        |    AND mwl >= ${Text.GopherMinMwl} AND mwl <= ${Text.GopherMaxMwl}
+        |    AND CAST(top_cnt AS DOUBLE) / n_tokens <= ${Text.GopherMaxTopFrac}
+        |    AND CAST(n_distinct AS DOUBLE) / n_tokens >= ${Text.GopherMinDistinctRatio}),
+        |${Text.contaminationCte},
         |clean AS (
         |  SELECT cr.doc_id FROM cr LEFT JOIN ch USING (doc_id)
-        |  WHERE CAST(coalesce(ch.hits, 0) AS DOUBLE) / cr.n_sh < 0.1),
-        |c12 AS (SELECT b, count(*) AS c12, split_part(b, ' ', 1) AS w1 FROM bg GROUP BY b),
-        |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
-        |vv AS (SELECT count(DISTINCT term) AS v FROM t),
-        |lsc AS (
-        |  SELECT bg.doc_id, ln((c12.c12 + 1.0) / (c1.c1 + vv.v)) AS lp
-        |  FROM bg JOIN c12 USING (b) JOIN c1 USING (w1) CROSS JOIN vv),
+        |  WHERE CAST(coalesce(ch.hits, 0) AS DOUBLE) / cr.n_sh < ${Text.ContaminationThreshold}),
+        |${Text.lmScoreCte},
         |lm AS (SELECT doc_id, round(avg(lp), 4) AS mean_lnp_r FROM lsc GROUP BY doc_id),
         |surv AS (
         |  SELECT d.doc_id, d.lang, d.n_chars, lm.mean_lnp_r

@@ -164,6 +164,10 @@ object Multimodal {
         |FROM t ORDER BY doc_id""".stripMargin,
     // byte-replay oracles: the stub kernels are deterministic byte
     // arithmetic, so DuckDB re-runs them per byte via ascii(substr(...)).
+    // Empty-text documents are handled explicitly (the frames kernel emits
+    // one zero frame, the features kernel an all-zero row — the per-byte
+    // CTEs produce no rows for them, so a UNION ALL / LEFT JOIN restores
+    // the rows rather than silently dropping the doc).
     // Valid because the corpus is ASCII (octet == char; MultimodalSpec
     // pins the assumption); frame_mean/b_i are fixed-point longs divided
     // by 10000.0, IEEE-identical on both engines.
@@ -186,6 +190,9 @@ object Multimodal {
         |  640 + t.n % 640 AS width, 360 + t.n % 360 AS height,
         |  CAST(a.s * 10000 // a.c AS DOUBLE) / 10000.0 AS frame_mean
         |FROM a JOIN t USING (doc_id)
+        |UNION ALL
+        |SELECT doc_id, 0, 0, 640 + n % 640, 360 + n % 360, 0.0
+        |FROM t WHERE n = 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
     "q_multimodal_features" ->
       """WITH t AS (
@@ -205,15 +212,16 @@ object Multimodal {
         |    CAST(sum(CASE WHEN bin = 6 THEN 1 ELSE 0 END) AS BIGINT) AS c6,
         |    CAST(sum(CASE WHEN bin = 7 THEN 1 ELSE 0 END) AS BIGINT) AS c7
         |  FROM i GROUP BY doc_id)
-        |SELECT doc_id,
-        |  CAST(c0 * 10000 // n AS DOUBLE) / 10000.0 AS b0,
-        |  CAST(c1 * 10000 // n AS DOUBLE) / 10000.0 AS b1,
-        |  CAST(c2 * 10000 // n AS DOUBLE) / 10000.0 AS b2,
-        |  CAST(c3 * 10000 // n AS DOUBLE) / 10000.0 AS b3,
-        |  CAST(c4 * 10000 // n AS DOUBLE) / 10000.0 AS b4,
-        |  CAST(c5 * 10000 // n AS DOUBLE) / 10000.0 AS b5,
-        |  CAST(c6 * 10000 // n AS DOUBLE) / 10000.0 AS b6,
-        |  CAST(c7 * 10000 // n AS DOUBLE) / 10000.0 AS b7
-        |FROM h ORDER BY doc_id""".stripMargin,
+        |SELECT t.doc_id,
+        |  coalesce(CAST(c0 * 10000 // h.n AS DOUBLE) / 10000.0, 0.0) AS b0,
+        |  coalesce(CAST(c1 * 10000 // h.n AS DOUBLE) / 10000.0, 0.0) AS b1,
+        |  coalesce(CAST(c2 * 10000 // h.n AS DOUBLE) / 10000.0, 0.0) AS b2,
+        |  coalesce(CAST(c3 * 10000 // h.n AS DOUBLE) / 10000.0, 0.0) AS b3,
+        |  coalesce(CAST(c4 * 10000 // h.n AS DOUBLE) / 10000.0, 0.0) AS b4,
+        |  coalesce(CAST(c5 * 10000 // h.n AS DOUBLE) / 10000.0, 0.0) AS b5,
+        |  coalesce(CAST(c6 * 10000 // h.n AS DOUBLE) / 10000.0, 0.0) AS b6,
+        |  coalesce(CAST(c7 * 10000 // h.n AS DOUBLE) / 10000.0, 0.0) AS b7
+        |FROM t LEFT JOIN h ON t.doc_id = h.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
   )
 }

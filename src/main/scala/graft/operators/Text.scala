@@ -291,6 +291,19 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** The A-Res ranking key u^(1/n_chars) as a column expression over
+    * (doc_id, n_chars) — ONE definition under [[weightedSample]] and the
+    * [[CorpusCurate]] flagship's final sampling stage (and mirrored in both
+    * oracles), so the engine-portable integer draw can never fork. */
+  private[operators] def aresKey: Column = {
+    val m32 = lit(4294967296L)
+    val h1 = col("doc_id") % m32
+    val h2 = (h1 * lit(40503L)) % m32
+    val h3 = (h2 * lit(40503L)) % m32
+    val u = (h3 + 1).cast("double") / lit(4294967297.0)
+    pow(u, lit(1.0) / col("n_chars").cast("double"))
+  }
+
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-Res,
     * IPL 2006): per language, keep the k docs with the largest
     * u^(1/weight), u a per-doc uniform draw — selection probability
@@ -309,19 +322,6 @@ object Text {
     * operator: one scan, ≤k rows per group per partition through the
     * shuffle, no per-group sort — the same plan shape at any corpus
     * size. */
-  /** The A-Res ranking key u^(1/n_chars) as a column expression over
-    * (doc_id, n_chars) — ONE definition under [[weightedSample]] and the
-    * [[CorpusCurate]] flagship's final sampling stage (and mirrored in both
-    * oracles), so the engine-portable integer draw can never fork. */
-  private[operators] def aresKey: Column = {
-    val m32 = lit(4294967296L)
-    val h1 = col("doc_id") % m32
-    val h2 = (h1 * lit(40503L)) % m32
-    val h3 = (h2 * lit(40503L)) % m32
-    val u = (h3 + 1).cast("double") / lit(4294967297.0)
-    pow(u, lit(1.0) / col("n_chars").cast("double"))
-  }
-
   val weightedSample: Q = (s, d) => {
     val scored = Tables.documents(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"), aresKey.as("k"))
@@ -574,6 +574,10 @@ object Text {
     * eval sets. One semi-join keyed by shingle (the benchmark side is the
     * small one and broadcasts at real scale); per-doc counts are two keyed
     * aggregations. `contaminated` flags docs with ≥ 10% shingle overlap. */
+  /** Contamination cutoff — shared by the Scala flag, the q_contamination
+    * oracle and the corpus-curate clean gate. */
+  private[operators] val ContaminationThreshold = 0.1
+
   val contamination: Q = (s, d) => {
     // distinct per-doc shingles once; the benchmark side is ONLY src0's
     // documents re-shingled (a tiny filtered scan, broadcast), and hit/total
@@ -592,7 +596,7 @@ object Text {
       .agg(count(lit(1)).as("n_sh"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
       .select(col("doc_id"), col("n_sh"), col("n_hit"),
         round(frac, 4).as("hit_frac_r"),
-        (frac >= 0.1).cast("long").as("contaminated"))
+        (frac >= ContaminationThreshold).cast("long").as("contaminated"))
       .orderBy(col("doc_id"))
   }
 
@@ -646,11 +650,22 @@ object Text {
     * corpus config, not engine semantics). All comparisons are on doubles
     * derived from identical integer arithmetic in Spark and DuckDB, so the
     * boundary behavior is deterministic across engines. */
+  /** Gopher rule thresholds — ONE definition under the Scala rule columns,
+    * the q_gopher_rules oracle and the corpus-curate quality gate, so the
+    * three descriptions of the gate cannot silently fork. */
+  private[operators] val GopherMinTokens = 30
+  private[operators] val GopherMaxTokens = 5000
+  private[operators] val GopherMinMwl = 4.0
+  private[operators] val GopherMaxMwl = 10.0
+  private[operators] val GopherMaxTopFrac = 0.10
+  private[operators] val GopherMinDistinctRatio = 0.45
+
   val gopherRules: Q = (s, d) => {
-    val fLen = (col("n_tokens") >= 30 && col("n_tokens") <= 5000).cast("long")
-    val fMwl = (col("mwl") >= 4.0 && col("mwl") <= 10.0).cast("long")
-    val fRep = (col("top_cnt").cast("double") / col("n_tokens") <= 0.10).cast("long")
-    val fDr  = (col("n_distinct").cast("double") / col("n_tokens") >= 0.45).cast("long")
+    val fLen = (col("n_tokens") >= GopherMinTokens &&
+      col("n_tokens") <= GopherMaxTokens).cast("long")
+    val fMwl = (col("mwl") >= GopherMinMwl && col("mwl") <= GopherMaxMwl).cast("long")
+    val fRep = (col("top_cnt").cast("double") / col("n_tokens") <= GopherMaxTopFrac).cast("long")
+    val fDr  = (col("n_distinct").cast("double") / col("n_tokens") >= GopherMinDistinctRatio).cast("long")
     docTokenStats(s, d).select(col("doc_id"), col("n_tokens"),
         round(col("mwl"), 4).as("mwl_r"),
         fLen.as("f_len"), fMwl.as("f_mwl"), fRep.as("f_rep"), fDr.as("f_dr"),
@@ -680,12 +695,16 @@ object Text {
     import spark.implicits._
     val C = PackCapacity
     val n = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    // NOT persisted: Dataset.rdd is a lazy val, so the totals pass and the
+    // offsets pass below share ONE planned RDD — identical range boundaries
+    // and partition order by construction — and the offsets job reuses the
+    // totals job's shuffle files (skipped map stage), so a cache would buy
+    // nothing and leak blocks into the caller's session
     val parted = Tables.documents(s, d)
       .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tokens"))
       .repartitionByRange(n, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .as[(Long, Long)]
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = parted.rdd
       .mapPartitionsWithIndex { (i, it) =>
         var sum = 0L; it.foreach(sum += _._2); Iterator((i, sum))
@@ -702,11 +721,9 @@ object Text {
         (id, nt, start, first, last, last - first + 1L)
       }
     }
-    val out = spark.createDataset(packed)
+    spark.createDataset(packed)
       .toDF("doc_id", "n_tokens", "start_off", "chunk_first", "chunk_last", "n_chunks")
       .orderBy(col("doc_id"))
-    parted.unpersist(blocking = false)
-    out
   }
 
   /** Winnowing fingerprints: fingerprint count + min/max hash per doc.
@@ -776,6 +793,35 @@ object Text {
       |st AS (
       |  SELECT ta.*, coalesce(1.0 - CAST(ba.nd AS DOUBLE) / ba.nb, 0.0) AS dup_bigram_frac
       |  FROM ta LEFT JOIN ba USING (doc_id))""".stripMargin
+
+  /** Contamination-screen CTE fragment (cw → cds → cbench/cr/ch): distinct
+    * per-doc shingles, src0 as the held-out benchmark, per-doc totals and
+    * benchmark hits. ONE definition under the q_contamination oracle and the
+    * corpus-curate clean gate. */
+  private[operators] val contaminationCte: String =
+    """cw AS (
+      |  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS ws
+      |  FROM documents),
+      |cds AS (
+      |  SELECT DISTINCT doc_id, source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+      |  FROM (SELECT doc_id, source, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+      |        FROM cw) cx),
+      |cbench AS (SELECT DISTINCT sh FROM cds WHERE source = 'src0'),
+      |cr AS (SELECT doc_id, count(*) AS n_sh FROM cds WHERE source <> 'src0' GROUP BY doc_id),
+      |ch AS (
+      |  SELECT doc_id, count(*) AS hits FROM cds
+      |  WHERE source <> 'src0' AND sh IN (SELECT sh FROM cbench) GROUP BY doc_id)""".stripMargin
+
+  /** Bigram-LM scoring CTE fragment (c12/c1/vv/lsc) over [[docTokenStatsCte]]'s
+    * `bg` (bigram rows) and `t` (token rows). ONE definition under the
+    * q_lm_score oracle and the corpus-curate scoring stage. */
+  private[operators] val lmScoreCte: String =
+    """c12 AS (SELECT b, count(*) AS c12, split_part(b, ' ', 1) AS w1 FROM bg GROUP BY b),
+      |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
+      |vv AS (SELECT count(DISTINCT term) AS v FROM t),
+      |lsc AS (
+      |  SELECT bg.doc_id, ln((c12.c12 + 1.0) / (c1.c1 + vv.v)) AS lp
+      |  FROM bg JOIN c12 USING (b) JOIN c1 USING (w1) CROSS JOIN vv)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_exact_dedup" ->
@@ -916,32 +962,22 @@ object Text {
       s"""WITH $docTokenStatsCte,
         |f AS (
         |  SELECT doc_id, n_tokens, mwl,
-        |    CAST(n_tokens >= 30 AND n_tokens <= 5000 AS BIGINT) AS f_len,
-        |    CAST(mwl >= 4.0 AND mwl <= 10.0 AS BIGINT) AS f_mwl,
-        |    CAST(CAST(top_cnt AS DOUBLE) / n_tokens <= 0.10 AS BIGINT) AS f_rep,
-        |    CAST(CAST(n_distinct AS DOUBLE) / n_tokens >= 0.45 AS BIGINT) AS f_dr
+        |    CAST(n_tokens >= $GopherMinTokens AND n_tokens <= $GopherMaxTokens AS BIGINT) AS f_len,
+        |    CAST(mwl >= $GopherMinMwl AND mwl <= $GopherMaxMwl AS BIGINT) AS f_mwl,
+        |    CAST(CAST(top_cnt AS DOUBLE) / n_tokens <= $GopherMaxTopFrac AS BIGINT) AS f_rep,
+        |    CAST(CAST(n_distinct AS DOUBLE) / n_tokens >= $GopherMinDistinctRatio AS BIGINT) AS f_dr
         |  FROM st)
         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, round(mwl, 4) AS mwl_r,
         | f_len, f_mwl, f_rep, f_dr,
         | f_len * f_mwl * f_rep * f_dr AS keep
         |FROM f ORDER BY doc_id""".stripMargin,
+    // built on the SAME shared fragments as the corpus-curate oracle
+    // (docTokenStatsCte's bigram/token rows + lmScoreCte)
     "q_lm_score" ->
-      """WITH w AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
-        |db AS (
-        |  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS bg
-        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM w) t),
-        |c12 AS (
-        |  SELECT bg, count(*) AS c12, split_part(bg, ' ', 1) AS w1 FROM db GROUP BY bg),
-        |c1 AS (SELECT w1, sum(c12) AS c1 FROM c12 GROUP BY w1),
-        |v AS (
-        |  SELECT count(DISTINCT t) AS v
-        |  FROM (SELECT unnest(ws) AS t FROM w) u),
-        |sc AS (
-        |  SELECT db.doc_id, ln((c12.c12 + 1.0) / (c1.c1 + v.v)) AS lp
-        |  FROM db JOIN c12 USING (bg) JOIN c1 USING (w1) CROSS JOIN v)
+      s"""WITH $docTokenStatsCte,
+        |$lmScoreCte
         |SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS mean_lnp_r
-        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |FROM lsc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_weighted_sample" ->
       """WITH s AS (
         |  SELECT lang, doc_id, n_chars,
@@ -997,23 +1033,15 @@ object Text {
         | round(CAST(n_shared AS DOUBLE) / (na.n_sh + nb.n_sh - n_shared), 4) AS jaccard_r
         |FROM p JOIN n na ON source_a = na.source JOIN n nb ON source_b = nb.source
         |ORDER BY source_a, source_b""".stripMargin,
+    // built on the SAME shared fragment as the corpus-curate oracle
     "q_contamination" ->
-      """WITH w AS (
-        |  SELECT doc_id, source, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
-        |ds AS (
-        |  SELECT DISTINCT doc_id, source, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
-        |  FROM (SELECT doc_id, source, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w) t),
-        |bench AS (SELECT DISTINCT sh FROM ds WHERE source = 'src0'),
-        |r AS (SELECT doc_id, count(*) AS n_sh FROM ds WHERE source <> 'src0' GROUP BY doc_id),
-        |h AS (
-        |  SELECT doc_id, count(*) AS hits FROM ds
-        |  WHERE source <> 'src0' AND sh IN (SELECT sh FROM bench) GROUP BY doc_id)
-        |SELECT r.doc_id, CAST(r.n_sh AS BIGINT) AS n_sh,
-        | CAST(coalesce(h.hits, 0) AS BIGINT) AS n_hit,
-        | round(CAST(coalesce(h.hits, 0) AS DOUBLE) / r.n_sh, 4) AS hit_frac_r,
-        | CAST(CAST(coalesce(h.hits, 0) AS DOUBLE) / r.n_sh >= 0.1 AS BIGINT) AS contaminated
-        |FROM r LEFT JOIN h ON r.doc_id = h.doc_id
-        |ORDER BY r.doc_id""".stripMargin,
+      s"""WITH $contaminationCte
+        |SELECT cr.doc_id, CAST(cr.n_sh AS BIGINT) AS n_sh,
+        | CAST(coalesce(ch.hits, 0) AS BIGINT) AS n_hit,
+        | round(CAST(coalesce(ch.hits, 0) AS DOUBLE) / cr.n_sh, 4) AS hit_frac_r,
+        | CAST(CAST(coalesce(ch.hits, 0) AS DOUBLE) / cr.n_sh >= $ContaminationThreshold AS BIGINT) AS contaminated
+        |FROM cr LEFT JOIN ch ON cr.doc_id = ch.doc_id
+        |ORDER BY cr.doc_id""".stripMargin,
     // equal-share mixture: every source downsampled to the smallest
     // source's count, md5-ordered — the data-dependent k is a plain
     // subquery here (the Spark side reads it as one bounded metadata row)

@@ -353,10 +353,9 @@ object Vectors {
   }
 
   private[operators] def sampleAndTrain(df: DataFrame, k: Int)
-      : (Array[(Long, Array[Double])], Array[Array[Double]], Array[Double]) = {
-    val sample = codebookSample(df)
-    val cents = trainCodebook(sample, k, iters = 5)
-    (sample, cents, cents.map(normA))
+      : (Array[Array[Double]], Array[Double]) = {
+    val cents = trainCodebook(codebookSample(df), k, iters = 5)
+    (cents, cents.map(normA))
   }
 
   /** The codebook sampling plan by itself (exposed for plan-shape specs:
@@ -373,7 +372,7 @@ object Vectors {
     val edf = Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
     val e = edf.as[(Long, Array[Double])]
     val k = 16
-    val (_, cents, centNorms) = sampleAndTrain(edf, k)
+    val (cents, centNorms) = sampleAndTrain(edf, k)
     // probe = vec_id 0, fetched by a pushed-down point read (PushedFilters
     // on the parquet scan), not fished out of the training sample — the
     // hash sample is not guaranteed to contain any particular id
@@ -419,7 +418,7 @@ object Vectors {
     import spark.implicits._
     val edf = Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
     val e = edf.as[(Long, Array[Double])]
-    val (_, cents, centNorms) = sampleAndTrain(edf, k)
+    val (cents, centNorms) = sampleAndTrain(edf, k)
     val bc = spark.sparkContext.broadcast((cents, centNorms))
     e.map { case (id, v) =>
       val (cs, cn) = bc.value
@@ -681,7 +680,11 @@ object Vectors {
     val sigs = Tables.documents(s, d)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val toks = text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").toSeq
+        // the ONE shared tokenizer (Tok replicates Spark/SQL trim+lower+
+        // split exactly), so the byte-replay oracle can never diverge from
+        // the kernel on edge whitespace the way an ad-hoc Java
+        // trim/split would (Java trim strips \n/\t; SQL trim does not)
+        val toks = graft.functions.Tok.tokenize(text).toSeq
         val shingles =
           if (toks.length < 3) toks
           else toks.sliding(3).map(_.mkString(" ")).toSeq
@@ -736,7 +739,8 @@ object Vectors {
     val hashed = Tables.documents(s, d)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val h = Hashing.simhash(text.toLowerCase(java.util.Locale.ROOT).trim.split("\\s+").toSeq)
+        // shared tokenizer — same oracle-parity rationale as minhashLsh
+        val h = Hashing.simhash(graft.functions.Tok.tokenize(text).toSeq)
         (id, h, Array.tabulate(4)(b => (b.toLong << 32) | ((h >>> (b * 16)) & 0xffffL)))
       }
       .toDF("doc_id", "sim", "blocks")
@@ -992,7 +996,7 @@ object Vectors {
         |toks AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
         |  FROM documents),
-        |vocab AS (SELECT DISTINCT tok FROM toks WHERE len(tok) > 0),
+        |vocab AS (SELECT DISTINCT tok FROM toks),
         |fnv(tok, i, h) AS (
         |  SELECT tok, 0, 14695981039346656037::HUGEINT FROM vocab
         |  UNION ALL

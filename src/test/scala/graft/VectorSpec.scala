@@ -50,7 +50,8 @@ class VectorSpec extends AnyFunSuite {
     val a = plan.collect().map(_.getLong(0)).toSeq
     val b = Vectors.codebookSamplePlan(spark, TestSpark.sf0001)
       .collect().map(_.getLong(0)).toSeq
-    assert(a == b && a.length == math.min(256, a.length))
+    val corpus = Tables.embeddings(spark, TestSpark.sf0001).count()
+    assert(a == b && a.length == math.min(256L, corpus))
     // unbiased: the hash sample is not the first-256-by-id prefix
     assert(a.sorted != (0L until a.length.toLong).toSeq, "sample degenerated to an id prefix")
   }
