@@ -29,7 +29,9 @@ object SparkEntry {
         "q_dedup_clusters" ->
           ((s: SparkSession, d: String) => operators.DedupCluster.clusters(s, d, 0.5)),
         "q_dedup_clusters_exact" ->
-          ((s: SparkSession, d: String) => operators.DedupCluster.clustersExact(s, d)))
+          ((s: SparkSession, d: String) => operators.DedupCluster.clustersExact(s, d)),
+        "q_simhash_dedup_reps" ->
+          ((s: SparkSession, d: String) => operators.DedupCluster.simhashReps(s, d)))
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */

@@ -9,6 +9,25 @@ object Verify {
     val spark = GraftSession.create(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Targeted precondition for the byte-replay oracle family (multimodal
+    // frames/features, doc_fingerprint, minhash, simhash + their reps
+    // composition): their DuckDB replays address text one byte at a time
+    // via ascii(substr(text, i, 1)) and equate kernel byte-width with
+    // oracle char-width — valid only on a pure-ASCII corpus. Check THE
+    // dataset about to be hash-checked (not just the unit-test fixture) so
+    // a non-ASCII doc surfaces as this named diagnostic, not as an opaque
+    // hash mismatch. Diagnostic, not fatal: the rest of the suite verifies
+    // regardless, and the driver's per-key compare still records exactly
+    // which keys disagree.
+    locally {
+      import org.apache.spark.sql.functions.{col, length, octet_length}
+      val nonAscii = spark.read.parquet(s"$sfDir/documents.parquet")
+        .where(octet_length(col("text")) =!= length(col("text"))).count()
+      if (nonAscii > 0) System.err.println(
+        s"[verify] WARNING: $nonAscii non-ASCII documents in $sfDir — the " +
+          "byte-replay oracles (multimodal/fingerprint/minhash/simhash) " +
+          "assume ASCII and WILL hash-mismatch on those keys")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -47,7 +47,17 @@ import graft.Tables
 object CorpusCurate {
   type Q = (SparkSession, String) => DataFrame
 
-  val curate: Q = (s, d) => {
+  val curate: Q = (s, d) => curateWith(s, d, piiGate = false)
+
+  /** [[curate]] with an OPTIONAL PII gate (stage D½): docs whose enriched
+    * text still carries any email/phone after [[Text.piiScrub]]'s counting
+    * pass are dropped before sampling — the "no contact info in the
+    * training set" policy knob. Off by default (the canonical flagship and
+    * its oracle are the 6-stage pipeline); CorpusCurateSpec pins the
+    * gated variant's consistency against q_pii_scrub's verified counts.
+    * Like every other stage it contributes an id-keyed semi-join — text
+    * never moves. */
+  def curateWith(s: SparkSession, d: String, piiGate: Boolean): DataFrame = {
     val docs = Tables.documents(s, d)
     // A: one representative per distinct text
     val exactKeep = Text.exactDedup(s, d)
@@ -66,12 +76,19 @@ object CorpusCurate {
       .where(col("contaminated") === 0).select(col("doc_id"))
     // E: full-corpus LM scores
     val lm = Text.lmScore(s, d).select(col("doc_id"), col("mean_lnp_r"))
-    val survivors = docs.select(col("doc_id"), col("lang"), col("n_chars"))
+    val base = docs.select(col("doc_id"), col("lang"), col("n_chars"))
       .join(exactKeep, Seq("doc_id"), "left_semi")
       .join(nearDupDrop, Seq("doc_id"), "left_anti")
       .join(gopherKeep, Seq("doc_id"), "left_semi")
       .join(clean, Seq("doc_id"), "left_semi")
-      .join(lm, Seq("doc_id"))
+    // D½ (optional): PII-free docs only, via the verified scrub counts
+    val gated =
+      if (!piiGate) base
+      else base.join(
+        Text.piiScrub(s, d)
+          .where(col("n_emails") + col("n_phones") === 0).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+    val survivors = gated.join(lm, Seq("doc_id"))
     // F: A-Res weighted sample, top-3 per language
     val scored = survivors.withColumn("k", Text.aresKey)
     graft.plans.TopKPerGroup

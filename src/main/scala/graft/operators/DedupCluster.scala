@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables
 
 /** Dedup clustering: near-dup candidate pairs → connected components →
   * one representative per cluster. The step after MinHash-LSH / SimHash in a
@@ -127,9 +128,46 @@ object DedupCluster {
       .agg(count(lit(1)).as("cluster_size"), min(col("id")).as("keep_doc_id"))
       .orderBy(col("comp"))
 
-  /** The pair CTE is [[Vectors.nearDupPairCte]] — the SAME fragment (and
-    * threshold constant) the q_embed_neardup oracle uses, so the clustering
-    * oracle always tests the edge set the kernel actually produces. */
+  /** Bounded-output near-dup VERDICT over simhash candidates — the
+    * production dedup surface for a dup-dense corpus, and the round-6
+    * answer to the measured pair-list blowup (q_simhash_dedup at sf1:
+    * 101.6× output rows for 10× docs, because a dup family of f docs emits
+    * f·(f−1)/2 pairs; a 100 TB crawl's boilerplate families have
+    * thousands of members, so the PAIR LIST itself is the scale-killer no
+    * matter how good its plan is — PERF.md).
+    *
+    * Pipeline: simhash candidate edges ([[Vectors.simhashPairs]] — the
+    * same kernel the oracle-checked q_simhash_dedup presents, unsorted) →
+    * [[connectedComponents]] → one verdict row PER DOCUMENT:
+    * (doc_id, cluster_rep, n_dups, is_dup). The component label is the
+    * family's min doc_id, so cluster_rep doubles as the "keep this one"
+    * pointer and is_dup is one comparison. Output is Θ(docs) at ANY dup
+    * density; the quadratic candidate stream exists only transiently
+    * inside the shuffle feeding CC, never as a materialized result.
+    * Singleton docs (no candidate edge) are their own representatives via
+    * the left join + coalesce — the output covers the whole corpus, which
+    * is what a downstream "keep WHERE is_dup = 0" filter needs.
+    *
+    * Fully oracle-checked: the candidate edges replay via the SHARED
+    * [[Vectors.simhashPairCte]] and the clustering via the same
+    * recursive-CTE transitive closure q_dedup_clusters_exact pins. */
+  def simhashReps(s: SparkSession, d: String): DataFrame = {
+    val pairs = Vectors.simhashPairs(s, d).select(col("id_a"), col("id_b"))
+    val comps = connectedComponents(pairs)
+    val labeled = Tables.documents(s, d).select(col("doc_id"))
+      .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_rep"))
+    val sizes = labeled.groupBy(col("cluster_rep")).agg(count(lit(1)).as("n_dups"))
+    labeled.join(sizes, Seq("cluster_rep"))
+      .select(col("doc_id"), col("cluster_rep"), col("n_dups"),
+        (col("doc_id") =!= col("cluster_rep")).cast("int").as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The pair CTEs are [[Vectors.nearDupPairCte]] / [[Vectors.simhashPairCte]]
+    * — the SAME fragments (and threshold constants) the q_embed_neardup /
+    * q_simhash_dedup oracles use, so each clustering oracle always tests
+    * the edge set its kernel actually produces. */
   val oracles: Map[String, String] = Map(
     "q_dedup_clusters_exact" ->
       s"""WITH RECURSIVE ${Vectors.nearDupPairCte},
@@ -142,5 +180,22 @@ object DedupCluster {
         |comp0 AS (SELECT id, min(root) AS comp FROM reach GROUP BY id)
         |SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size, min(id) AS keep_doc_id
         |FROM comp0 GROUP BY comp ORDER BY comp""".stripMargin,
+    "q_simhash_dedup_reps" ->
+      s"""WITH RECURSIVE ${Vectors.simhashPairCte},
+        |e2 AS (SELECT id_a AS src, id_b AS dst FROM sp UNION SELECT id_b, id_a FROM sp),
+        |n2 AS (SELECT DISTINCT src AS id FROM e2),
+        |reach2(id, root) AS (
+        |  SELECT id, id FROM n2
+        |  UNION
+        |  SELECT e2.dst, r.root FROM reach2 r JOIN e2 ON e2.src = r.id),
+        |comp2 AS (SELECT id, min(root) AS comp FROM reach2 GROUP BY id),
+        |lab AS (
+        |  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_rep
+        |  FROM documents d LEFT JOIN comp2 c ON c.id = d.doc_id),
+        |sz AS (SELECT cluster_rep, CAST(count(*) AS BIGINT) AS n_dups
+        |       FROM lab GROUP BY cluster_rep)
+        |SELECT lab.doc_id, lab.cluster_rep, sz.n_dups,
+        |  CAST(CASE WHEN lab.doc_id <> lab.cluster_rep THEN 1 ELSE 0 END AS INT) AS is_dup
+        |FROM lab JOIN sz USING (cluster_rep) ORDER BY doc_id""".stripMargin,
   )
 }

@@ -232,11 +232,21 @@ object Text {
     * metadata; the driver read is bounded by the domain count, never data),
     * and selection runs on the heap [[graft.plans.TopKPerGroup]] operator —
     * no low-cardinality window funnel, ≤k rows per source per map task
-    * through the shuffle. */
+    * through the shuffle.
+    *
+    * CONTRACT: unlike the other query builders this one runs an EAGER
+    * driver job at construction time — the per-source target k is data
+    * (the smallest source's count), so the plan cannot be built without
+    * one bounded aggregate (source-cardinality rows → 1 row). */
   val sourceMix: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val k = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
-      .agg(min(col("n"))).head().getLong(0).toInt
+    val kRow = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n"))).head()
+    // min() over zero groups is NULL — fail with the real reason instead of
+    // an opaque NPE from getLong
+    require(!kRow.isNullAt(0),
+      "sourceMix: documents table is empty — no per-source target to balance to")
+    val k = kRow.getLong(0).toInt
     val scored = docs.select(col("source"), col("doc_id"),
       md5(col("doc_id").cast("string")).as("h"))
     graft.plans.TopKPerGroup
@@ -749,6 +759,86 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------------------------------------
+  // PII scrubbing + URL canonicalization — the two standard curation
+  // stages (redact contact info; dedup by canonical URL) that were absent
+  // from the round-5 surface. The synthetic corpus carries no emails,
+  // phones, digits or URLs, so each operator runs over a DETERMINISTIC
+  // fixture-enrichment column derived from table values (the same honest
+  // stand-in pattern as the multimodal kernels: the enrichment is part of
+  // the query and replayed verbatim by the oracle; the scrub/canonicalize
+  // kernels are the real, reusable operators).
+  // ---------------------------------------------------------------------
+
+  /** Email/phone patterns shared by the Spark kernels and (interpolated
+    * verbatim) their oracles — the RE2 ∩ java.util.regex portable subset:
+    * character classes and bounded repetition only, no lookaround, no
+    * backrefs, so both engines match identically. */
+  private[operators] val EmailRe = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+  private[operators] val PhoneRe = """\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"""
+
+  /** text + injected PII for doc_id ≡ 0 (mod 3): an email, (mod 5): a
+    * phone — every combination of none/either/both occurs in the fixture. */
+  private def piiEnriched: Column =
+    concat(col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact "), col("source"), col("doc_id").cast("string"),
+          lit("@mail.example.com"))).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" call +1-555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"))).otherwise(lit("")))
+
+  /** PII redaction: count + replace emails/phones with [EMAIL]/[PHONE]
+    * markers, emit per-doc counts and the md5 of the scrubbed text (pins
+    * the exact replacement behavior, not just the counts). Pure codegen'd
+    * regexp built-ins over one narrow projection — no UDF, no shuffle
+    * before the presentation sort; at 100 TB this is a map-only stage that
+    * rides whatever partitioning the corpus already has. */
+  val piiScrub: Q = (s, d) => {
+    val t = piiEnriched
+    val scrub = regexp_replace(regexp_replace(t, EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]")
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"),
+      length(scrub).cast("long").as("n_chars_scrub"),
+      md5(scrub).as("scrub_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Synthetic URL per doc, with every canonicalization hazard injected
+    * deterministically: http/https split, WWW. prefix, mixed-case host,
+    * trailing slash, utm_* tracking query, fragment. */
+  private def urlEnriched: Column =
+    concat(
+      when(col("doc_id") % 2 === 0, lit("https")).otherwise(lit("http")), lit("://"),
+      when(col("doc_id") % 4 === 0, lit("WWW.")).otherwise(lit("")),
+      col("source"), lit(".Example.COM/"), col("lang"), lit("/p/"),
+      (col("doc_id") % 40).cast("string"),
+      when(col("doc_id") % 3 === 0, lit("/")).otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit("?utm_source=feed&uid="), col("doc_id").cast("string")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit("")))
+
+  /** URL canonicalization + dedup: normalize scheme, lowercase the host,
+    * strip www. / query / fragment / trailing slash, then keep one doc per
+    * canonical URL (count + min-id representative) — crawl-side dedup
+    * BEFORE any content hashing. regexp_extract/replace built-ins only;
+    * the groupBy shuffles one short string + one long per doc. */
+  val urlCanonicalize: Q = (s, d) => {
+    val url = urlEnriched
+    val host = regexp_replace(
+      lower(regexp_extract(url, "^[a-z]+://([^/?#]+)", 1)), "^www\\.", "")
+    val path = regexp_replace(
+      regexp_extract(url, "^[a-z]+://[^/?#]+([^?#]*)", 1), "/$", "")
+    Tables.documents(s, d)
+      .select(col("doc_id"), concat(lit("https://"), host, path).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))
+      .orderBy(col("canonical_url"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_exact_dedup"     -> exactDedup,
     "q_text_stats"      -> textStats,
@@ -772,6 +862,8 @@ object Text {
     "q_doc_fingerprint" -> docFingerprint,
     "q_token_pack"      -> tokenPack,
     "q_source_mix"      -> sourceMix,
+    "q_pii_scrub"       -> piiScrub,
+    "q_url_canonicalize" -> urlCanonicalize,
   )
 
   /** Shared oracle CTE mirroring [[docTokenStats]] exactly (term counts +
@@ -824,6 +916,53 @@ object Text {
       |  FROM bg JOIN c12 USING (b) JOIN c1 USING (w1) CROSS JOIN vv)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the enrichment CASEs are replayed verbatim; the regex constants are
+    // interpolated from the SAME [[EmailRe]]/[[PhoneRe]] the Spark kernel
+    // compiles, so kernel and oracle can never match different patterns.
+    // DuckDB regexp_replace needs the explicit 'g' flag (Spark's is global).
+    "q_pii_scrub" ->
+      s"""WITH pe AS (
+        |  SELECT doc_id,
+        |    text
+        |    || CASE WHEN doc_id % 3 = 0
+        |            THEN ' contact ' || source || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+        |            ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0
+        |            THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |            ELSE '' END AS t
+        |  FROM documents),
+        |sc AS (
+        |  SELECT doc_id, t,
+        |    regexp_replace(regexp_replace(t, '$EmailRe', '[EMAIL]', 'g'),
+        |                   '$PhoneRe', '[PHONE]', 'g') AS scrub
+        |  FROM pe)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t, '$EmailRe')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '$PhoneRe')) AS BIGINT) AS n_phones,
+        |  CAST(len(scrub) AS BIGINT) AS n_chars_scrub,
+        |  md5(scrub) AS scrub_md5
+        |FROM sc ORDER BY doc_id""".stripMargin,
+    "q_url_canonicalize" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'http' END) || '://'
+        |    || (CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END)
+        |    || source || '.Example.COM/' || lang || '/p/' || CAST(doc_id % 40 AS VARCHAR)
+        |    || (CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END)
+        |    || (CASE WHEN doc_id % 5 = 0
+        |             THEN '?utm_source=feed&uid=' || CAST(doc_id AS VARCHAR) ELSE '' END)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id,
+        |    'https://'
+        |    || regexp_replace(lower(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1)),
+        |                      '^www\.', '')
+        |    || regexp_replace(regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1),
+        |                      '/$', '') AS canonical_url
+        |  FROM u)
+        |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_doc_id
+        |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
     "q_exact_dedup" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keep_doc_id
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,

@@ -661,6 +661,61 @@ object Vectors {
       .select(col("vec_id"), round(col("cos"), 4).as("cos_r"))
   }
 
+  /** The shared probe read: vec_id 0's vector via a pushed-down parquet
+    * point read (PushedFilters), used by every ANN query form. */
+  private def probeVector(s: SparkSession, d: String): Array[Double] = {
+    val spark = s
+    import spark.implicits._
+    Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
+      .where(col("vec_id") === 0)
+      .select(col("v")).as[Array[Double]].head()
+  }
+
+  /** Memoized per-(session, dataset) index builds for the AT-REST ANN
+    * suite keys: a 100 TB similarity-search service builds its index once
+    * and serves queries against it, so the suite models exactly that —
+    * the first invocation per dataset builds under the session warehouse
+    * dir, every later one (bench pass 2, repeated verify) only queries.
+    * Same build-once contract as the bucketed join tables
+    * ([[Relational]]). */
+  private val indexBuiltAt =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
+
+  private def ensureIndex(s: SparkSession, kind: String, d: String)
+      (build: String => Unit): String = {
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val path = s"$wh/graft_index/${kind}_" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+    val key = (System.identityHashCode(s), path)
+    if (!indexBuiltAt.contains(key))
+      indexBuiltAt.synchronized {
+        if (!indexBuiltAt.contains(key)) { build(path); indexBuiltAt.add(key) }
+      }
+    path
+  }
+
+  /** AT-REST IVF serving path as a suite key: query the persisted
+    * [[writeIvfIndex]] layout (partition-pruned cluster dirs + `_codebook`
+    * sidecar) for vec_id 0's neighbors. This is what the driver artifacts
+    * were missing in round 5 — [[queryIvfIndex]] was spec-only; now the
+    * bench times the index-SCAN cost (nProbe/k of the data, no training,
+    * no full scan) and correctness covers the path a service actually
+    * runs. Rows-only by the same declaration as q_ann_ivf (FP-order
+    * k-means); VectorSpec pins persisted ≡ in-query. */
+  val annIvfAtRest: Q = (s, d) => {
+    val idx = ensureIndex(s, "ivf", d)(p => writeIvfIndex(s, d, p))
+    queryIvfIndex(s, idx, probeVector(s, d), excludeId = Some(0L))
+  }
+
+  /** AT-REST PQ serving path as a suite key: ADC over the persisted 8-byte
+    * codes table (the 32×-compressed scan), exact refine through the
+    * pushed-down candidate IN-filter — the [[queryPqIndex]] twin of
+    * [[annIvfAtRest]], timed on index-scan cost only after the memoized
+    * first build. */
+  val annPqAtRest: Q = (s, d) => {
+    val idx = ensureIndex(s, "pq", d)(p => writePqIndex(s, d, p))
+    queryPqIndex(s, d, idx, probeVector(s, d), excludeId = Some(0L))
+  }
+
   /** MinHash + LSH banded near-dup candidates over document 3-gram shingles
     * (oracle-checked since round 5 — the kernel is deterministic integer
     * arithmetic, replayed per shingle byte by the DuckDB recursive-CTE
@@ -732,8 +787,26 @@ object Vectors {
     * recursive CTE, per-bit majority votes over the token multiset, and
     * the exact "Hamming ≤ 12 AND shares a block" output condition (the
     * blocking is part of the operator's contract and is reproduced, not
-    * approximated away). */
-  val simhashDedup: Q = (s, d) => {
+    * approximated away).
+    *
+    * SCALE CONTRACT (round 6): this pair list is the CANDIDATE stage of
+    * the dedup pipeline, Θ(Σ family²) rows on a dup-dense corpus (measured
+    * 101.6× pair growth for 10× docs at sf1 — PERF.md). The bounded
+    * production surface is [[DedupCluster.simhashReps]] (q_simhash_dedup_reps),
+    * which consumes these edges WITHOUT materializing them as output and
+    * emits one verdict row per document. Use the pair form for candidate
+    * inspection/debugging; use the reps form as the pipeline stage. */
+  val simhashDedup: Q = (s, d) => simhashPairs(s, d).orderBy(col("id_a"), col("id_b"))
+
+  /** The simhash candidate-pair kernel WITHOUT the presentation sort
+    * (mirrors [[embedNeardupPairs]]): consumers that re-shuffle the edges
+    * anyway — connected components — skip the global orderBy. The Hamming
+    * filter runs BEFORE the pair distinct, so the dedup of multi-block
+    * collisions processes only surviving (id, id, hamming) triples — on a
+    * dup-dense corpus most collision rows fail the ≤ 12 cut or collide in
+    * all 4 blocks, and filtering first keeps the distinct's shuffle input
+    * minimal. Output is identical (hamming is a function of the pair). */
+  def simhashPairs(s: SparkSession, d: String): DataFrame = {
     val spark = s
     import spark.implicits._
     val hashed = Tables.documents(s, d)
@@ -747,17 +820,14 @@ object Vectors {
     val exploded = hashed.select(col("doc_id"), col("sim"), explode(col("blocks")).as("blk"))
     val a = exploded.select(col("doc_id").as("id_a"), col("sim").as("sim_a"), col("blk"))
     val b = exploded.select(col("doc_id").as("id_b"), col("sim").as("sim_b"), col("blk"))
-    // dedup multi-block collisions BEFORE scoring, and score with the
-    // codegen built-in bit_count(a ^ b) — the round-1 Scala UDF broke
-    // whole-stage codegen in the pair filter
+    // score with the codegen built-in bit_count(a ^ b) — the round-1 Scala
+    // UDF broke whole-stage codegen in the pair filter
     a.join(b, Seq("blk"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sim_a"), col("sim_b"))
-      .distinct()
       .select(col("id_a"), col("id_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .where(col("hamming") <= 12)
-      .orderBy(col("id_a"), col("id_b"))
+      .distinct()
   }
 
   /** documents ⋈ embeddings on id — the multimodal star join (text +
@@ -835,6 +905,8 @@ object Vectors {
     "q_embed_neardup_srp" -> embedNeardupSrp,
     "q_ann_ivf"         -> annIvf,
     "q_ann_pq"          -> annPq,
+    "q_ann_ivf_at_rest" -> annIvfAtRest,
+    "q_ann_pq_at_rest"  -> annPqAtRest,
     "q_minhash_lsh"     -> minhashLsh,
     "q_simhash_dedup"   -> simhashDedup,
     "q_multimodal_join" -> multimodalJoin,
@@ -984,16 +1056,36 @@ object Vectors {
         |SELECT id_a, id_b, round(m / 32.0, 4) AS est_jaccard
         |FROM agree ORDER BY id_a, id_b""".stripMargin,
     // full replay of the simhash kernel (round 5 — the query is
-    // deterministic, not sampled): FNV-1a per DISTINCT token via a
-    // recursive CTE on unsigned HUGEINTs (64×64 multiply as 32-bit split
-    // products; low-32 of the FNV prime = 435), per-bit majority votes
-    // over the token MULTISET, then the exact output condition — Hamming
-    // ≤ 12 AND a shared 16-bit pigeonhole block (the blocking is part of
-    // the operator's contract, so the oracle reproduces it rather than
-    // brute-forcing all pairs).
+    // deterministic, not sampled): see [[simhashPairCte]]. The pair CTE is
+    // SHARED with the bounded-output clustering oracle
+    // (q_simhash_dedup_reps in [[DedupCluster.oracles]]) so both describe
+    // the same edge set by construction.
     "q_simhash_dedup" ->
-      """WITH RECURSIVE
-        |toks AS (
+      s"""WITH RECURSIVE $simhashPairCte
+        |SELECT id_a, id_b, hamming FROM sp ORDER BY id_a, id_b""".stripMargin,
+    "q_multimodal_join" ->
+      """SELECT d.doc_id, d.lang, d.n_chars,
+        | CAST(len(e.embedding) AS BIGINT) AS n_dim,
+        | CAST(e.label AS BIGINT) AS label_l,
+        | round(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))), 4) AS emb_norm
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |ORDER BY d.doc_id""".stripMargin,
+  )
+
+  /** Full DuckDB replay of the simhash candidate kernel as a CTE fragment
+    * ending in `sp(id_a, id_b, hamming)` — FNV-1a per DISTINCT token via a
+    * recursive CTE on unsigned HUGEINTs (64×64 multiply as 32-bit split
+    * products; low-32 of the FNV prime = 435), per-bit majority votes
+    * over the token MULTISET, then the exact output condition — Hamming
+    * ≤ 12 AND a shared 16-bit pigeonhole block (the blocking is part of
+    * the operator's contract, so the oracle reproduces it rather than
+    * brute-forcing all pairs). Shared by the q_simhash_dedup pair oracle
+    * and the q_simhash_dedup_reps clustering oracle, like
+    * [[nearDupPairCte]] is for the exact-cosine edge family.
+    * (`lazy` because the `oracles` map above initializes first and embeds
+    * this fragment — a plain val would still be null at that point.) */
+  private[operators] lazy val simhashPairCte: String =
+      """toks AS (
         |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
         |  FROM documents),
         |vocab AS (SELECT DISTINCT tok FROM toks),
@@ -1037,24 +1129,16 @@ object Vectors {
         |    CAST(CASE WHEN usim >= 9223372036854775808::HUGEINT
         |         THEN usim - 18446744073709551616::HUGEINT ELSE usim END AS BIGINT) AS sim,
         |    usim
-        |  FROM su)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
-        |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.sim, b.sim)) <= 12
-        |  AND (a.usim % 65536::HUGEINT = b.usim % 65536::HUGEINT
-        |    OR a.usim // 65536::HUGEINT % 65536::HUGEINT
-        |       = b.usim // 65536::HUGEINT % 65536::HUGEINT
-        |    OR a.usim // 4294967296::HUGEINT % 65536::HUGEINT
-        |       = b.usim // 4294967296::HUGEINT % 65536::HUGEINT
-        |    OR a.usim // 281474976710656::HUGEINT = b.usim // 281474976710656::HUGEINT)
-        |ORDER BY id_a, id_b""".stripMargin,
-    "q_multimodal_join" ->
-      """SELECT d.doc_id, d.lang, d.n_chars,
-        | CAST(len(e.embedding) AS BIGINT) AS n_dim,
-        | CAST(e.label AS BIGINT) AS label_l,
-        | round(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))), 4) AS emb_norm
-        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
-        |ORDER BY d.doc_id""".stripMargin,
-  )
+        |  FROM su),
+        |sp AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+        |  FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.sim, b.sim)) <= 12
+        |    AND (a.usim % 65536::HUGEINT = b.usim % 65536::HUGEINT
+        |      OR a.usim // 65536::HUGEINT % 65536::HUGEINT
+        |         = b.usim // 65536::HUGEINT % 65536::HUGEINT
+        |      OR a.usim // 4294967296::HUGEINT % 65536::HUGEINT
+        |         = b.usim // 4294967296::HUGEINT % 65536::HUGEINT
+        |      OR a.usim // 281474976710656::HUGEINT = b.usim // 281474976710656::HUGEINT))""".stripMargin
 }

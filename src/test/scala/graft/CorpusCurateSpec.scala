@@ -49,4 +49,23 @@ class CorpusCurateSpec extends AnyFunSuite {
         s"doc ${r.getLong(2)} score drifted from q_lm_score")
     }
   }
+
+  test("optional PII gate drops exactly the docs q_pii_scrub counts as carrying PII") {
+    val spark = TestSpark.spark
+    val d = TestSpark.sf0001
+    val gated = CorpusCurate.curateWith(spark, d, piiGate = true).collect()
+    assert(gated.nonEmpty)
+    val piiFree = Text.piiScrub(spark, d)
+      .where(col("n_emails") + col("n_phones") === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    // no sampled doc carries PII, and the gate only removes docs — every
+    // ungated survivor that is PII-free and ranked high enough reappears
+    val gatedIds = gated.map(_.getLong(2)).toSet
+    assert(gatedIds.subsetOf(piiFree), s"PII leak: ${gatedIds -- piiFree}")
+    val ungated = CorpusCurate.curate(spark, d).collect()
+    val ungatedPiiFree = ungated.filter(r => piiFree(r.getLong(2)))
+      .map(_.getLong(2)).toSet
+    assert(ungatedPiiFree.subsetOf(gatedIds),
+      s"gate dropped PII-free survivors: ${ungatedPiiFree -- gatedIds}")
+  }
 }

@@ -67,6 +67,35 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("simhash reps verdict is consistent with the simhash pair list") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    val reps = DedupCluster.simhashReps(spark, TestSpark.sf0001).collect()
+    val nDocs = Tables.documents(spark, TestSpark.sf0001).count()
+    // bounded-output contract: exactly one verdict row per document
+    assert(reps.length.toLong == nDocs)
+    val rep = reps.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val size = reps.map(r => r.getLong(1) -> r.getLong(2)).toMap
+    reps.foreach { r =>
+      val (id, cr, n, isDup) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
+      assert(cr <= id, s"rep $cr must be the min member, got doc $id")
+      assert(rep(cr) == cr, s"representative $cr must represent itself")
+      assert((isDup == 1) == (id != cr))
+      assert(size(cr) == n, s"n_dups must be the family size at every member")
+    }
+    // every candidate pair must land in the same family, and family sizes
+    // must be exactly the component sizes of the pair graph (plus singletons)
+    val pairs = graft.operators.Vectors.simhashPairs(spark, TestSpark.sf0001)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(rep(a) == rep(b), s"pair ($a,$b) split across families")
+    }
+    val families = reps.map(_.getLong(1)).groupBy(identity).view.mapValues(_.length)
+    families.foreach { case (cr, n) => assert(size(cr) == n.toLong) }
+  }
+
   test("document clusters from LSH candidates have sane shape") {
     val spark = TestSpark.spark
     val cl = DedupCluster.clusters(spark, TestSpark.sf0001, minJac = 0.5).collect()

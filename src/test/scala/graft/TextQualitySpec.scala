@@ -144,6 +144,50 @@ class TextQualitySpec extends AnyFunSuite {
     assert(again.toSeq == rows.toSeq)
   }
 
+  test("PII scrub: counts match the injection schedule and redaction is total") {
+    import org.apache.spark.sql.functions.col
+    val rows = Text.piiScrub(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // the deterministic enrichment: one email iff id%3==0, one phone iff id%5==0
+      assert(r.getAs[Long]("n_emails") == (if (id % 3 == 0) 1L else 0L), s"doc $id")
+      assert(r.getAs[Long]("n_phones") == (if (id % 5 == 0) 1L else 0L), s"doc $id")
+    }
+    // redaction arithmetic: the scrubbed length must be the raw text plus
+    // the unredacted injection residue (" contact " = 9, "[EMAIL]" = 7;
+    // " call " = 6, "[PHONE]" = 7) — any accidental extra match or partial
+    // redaction breaks this equality (md5 pins exact bytes cross-engine)
+    import org.apache.spark.sql.functions.length
+    val rawLen = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), length(col("text")).cast("long").as("lt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val want = rawLen(id) + (if (id % 3 == 0) 16L else 0L) + (if (id % 5 == 0) 13L else 0L)
+      assert(r.getAs[Long]("n_chars_scrub") == want, s"doc $id")
+    }
+    assert(rows.length == rawLen.size)
+  }
+
+  test("URL canonicalize: junk stripped, families collapse to one keeper") {
+    val rows = Text.urlCanonicalize(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    var total = 0L
+    rows.foreach { r =>
+      val u = r.getAs[String]("canonical_url")
+      assert(u.startsWith("https://"), u)
+      assert(!u.contains("?") && !u.contains("#") && !u.endsWith("/"), u)
+      assert(!u.contains("www.") && u == u.toLowerCase, u)
+      total += r.getAs[Long]("n_docs")
+    }
+    // partition of the corpus: every doc lands in exactly one canonical family,
+    // and dedup is real (fewer canonical URLs than docs)
+    val n = Tables.documents(spark, TestSpark.sf0001).count()
+    assert(total == n)
+    assert(rows.length < n, s"${rows.length} canonical URLs for $n docs — no collapse")
+  }
+
   test("contamination: hits bounded by shingle count, flag matches fraction") {
     val rows = Text.contamination(spark, TestSpark.sf0001).collect()
     assert(rows.nonEmpty)

@@ -116,6 +116,19 @@ class VectorSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("at-rest suite keys: memoized build, stable across calls, equal to in-query forms") {
+    val spark = TestSpark.spark
+    // IVF: the suite key queries the memoized persisted index; the same
+    // codebook-sample contract makes it equal the in-query form exactly
+    val ivf1 = Vectors.annIvfAtRest(spark, TestSpark.sf0001).collect().toSeq
+    val ivf2 = Vectors.annIvfAtRest(spark, TestSpark.sf0001).collect().toSeq
+    assert(ivf1.size == 10 && ivf1 == ivf2)
+    assert(ivf1 == Vectors.annIvf(spark, TestSpark.sf0001).collect().toSeq)
+    val pq1 = Vectors.annPqAtRest(spark, TestSpark.sf0001).collect().toSeq
+    assert(pq1.size == 10)
+    assert(pq1 == Vectors.annPq(spark, TestSpark.sf0001).collect().toSeq)
+  }
+
   test("SRP near-dup: exact recall of every planted pair, nothing else") {
     val spark = TestSpark.spark
     import spark.implicits._
