@@ -150,10 +150,46 @@ object DedupCluster {
     *
     * Fully oracle-checked: the candidate edges replay via the SHARED
     * [[Vectors.simhashPairCte]] and the clustering via the same
-    * recursive-CTE transitive closure q_dedup_clusters_exact pins. */
+    * recursive-CTE transitive closure q_dedup_clusters_exact pins.
+    *
+    * STAR CONTRACTION (the step that makes this bounded in TIME, not just
+    * output): both the Hamming distance and the block-sharing test depend
+    * ONLY on the two 64-bit signatures, so docs with IDENTICAL sim form a
+    * clique (hamming 0, all blocks shared) and any cross-group pair passes
+    * iff the (sim_a, sim_b) pair passes. The pair graph's connectivity is
+    * therefore exactly preserved by: one STAR edge per non-rep doc to its
+    * identical-sim group's min-id rep (Θ(docs) edges), plus the candidate
+    * edges of the block join run over DISTINCT sim values only. On a
+    * dup-dense corpus that turns the Θ(Σ family²) explicit pair stream the
+    * round-5 measurement flagged (14.2M pairs at sf1 — which a first-cut
+    * reps implementation dutifully fed to CC for a 36× wall blowup) into
+    * |docs| + |distinct-sim pairs| edges, while emitting byte-identical
+    * verdicts: the oracle still describes the FULL pair closure, and
+    * DedupClusterSpec asserts consistency against the uncontracted pair
+    * list. */
   def simhashReps(s: SparkSession, d: String): DataFrame = {
-    val pairs = Vectors.simhashPairs(s, d).select(col("id_a"), col("id_b"))
-    val comps = connectedComponents(pairs)
+    val sigs = Vectors.simhashSigs(s, d).select(col("doc_id"), col("sim"))
+    // one row per DISTINCT signature, labeled by its min member
+    val groups = sigs.groupBy(col("sim")).agg(min(col("doc_id")).as("rep"))
+    // non-rep members attach to their group rep (Θ(docs) star edges)
+    val starEdges = sigs.join(groups, Seq("sim"))
+      .where(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("id_a"), col("rep").as("id_b"))
+    // pigeonhole block join over distinct sims only — blocks recomputed
+    // from the signature with codegen'd shifts (cheaper than carrying the
+    // array through the groupBy)
+    val blocks = array((0 until 4).map(b =>
+      lit(b.toLong << 32).bitwiseOR(
+        shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xffffL)))): _*)
+    val bd = groups.select(col("sim"), col("rep"), explode(blocks).as("blk"))
+    val ga = bd.select(col("sim").as("sim_a"), col("rep").as("rep_a"), col("blk"))
+    val gb = bd.select(col("sim").as("sim_b"), col("rep").as("rep_b"), col("blk"))
+    val interEdges = ga.join(gb, Seq("blk"))
+      .where(col("rep_a") < col("rep_b") &&
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 12)
+      .select(col("rep_a").as("id_a"), col("rep_b").as("id_b"))
+      .distinct()
+    val comps = connectedComponents(starEdges.union(interEdges))
     val labeled = Tables.documents(s, d).select(col("doc_id"))
       .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_rep"))

@@ -586,7 +586,7 @@ object Text {
     * aggregations. `contaminated` flags docs with ≥ 10% shingle overlap. */
   /** Contamination cutoff — shared by the Scala flag, the q_contamination
     * oracle and the corpus-curate clean gate. */
-  private[operators] val ContaminationThreshold = 0.1
+  private[graft] val ContaminationThreshold = 0.1
 
   val contamination: Q = (s, d) => {
     // distinct per-doc shingles once; the benchmark side is ONLY src0's
@@ -663,12 +663,12 @@ object Text {
   /** Gopher rule thresholds — ONE definition under the Scala rule columns,
     * the q_gopher_rules oracle and the corpus-curate quality gate, so the
     * three descriptions of the gate cannot silently fork. */
-  private[operators] val GopherMinTokens = 30
-  private[operators] val GopherMaxTokens = 5000
-  private[operators] val GopherMinMwl = 4.0
-  private[operators] val GopherMaxMwl = 10.0
-  private[operators] val GopherMaxTopFrac = 0.10
-  private[operators] val GopherMinDistinctRatio = 0.45
+  private[graft] val GopherMinTokens = 30
+  private[graft] val GopherMaxTokens = 5000
+  private[graft] val GopherMinMwl = 4.0
+  private[graft] val GopherMaxMwl = 10.0
+  private[graft] val GopherMaxTopFrac = 0.10
+  private[graft] val GopherMinDistinctRatio = 0.45
 
   val gopherRules: Q = (s, d) => {
     val fLen = (col("n_tokens") >= GopherMinTokens &&

@@ -807,17 +807,8 @@ object Vectors {
     * all 4 blocks, and filtering first keeps the distinct's shuffle input
     * minimal. Output is identical (hamming is a function of the pair). */
   def simhashPairs(s: SparkSession, d: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
-    val hashed = Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
-        // shared tokenizer — same oracle-parity rationale as minhashLsh
-        val h = Hashing.simhash(graft.functions.Tok.tokenize(text).toSeq)
-        (id, h, Array.tabulate(4)(b => (b.toLong << 32) | ((h >>> (b * 16)) & 0xffffL)))
-      }
-      .toDF("doc_id", "sim", "blocks")
-    val exploded = hashed.select(col("doc_id"), col("sim"), explode(col("blocks")).as("blk"))
+    val exploded = simhashSigs(s, d)
+      .select(col("doc_id"), col("sim"), explode(col("blocks")).as("blk"))
     val a = exploded.select(col("doc_id").as("id_a"), col("sim").as("sim_a"), col("blk"))
     val b = exploded.select(col("doc_id").as("id_b"), col("sim").as("sim_b"), col("blk"))
     // score with the codegen built-in bit_count(a ^ b) — the round-1 Scala
@@ -828,6 +819,23 @@ object Vectors {
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .where(col("hamming") <= 12)
       .distinct()
+  }
+
+  /** The per-document simhash signature stage shared by [[simhashPairs]]
+    * and the contracted clustering path ([[DedupCluster.simhashReps]]):
+    * (doc_id, sim, blocks) — one typed map over the corpus through the ONE
+    * shared tokenizer. */
+  def simhashSigs(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        // shared tokenizer — same oracle-parity rationale as minhashLsh
+        val h = Hashing.simhash(graft.functions.Tok.tokenize(text).toSeq)
+        (id, h, Array.tabulate(4)(b => (b.toLong << 32) | ((h >>> (b * 16)) & 0xffffL)))
+      }
+      .toDF("doc_id", "sim", "blocks")
   }
 
   /** documents ⋈ embeddings on id — the multimodal star join (text +

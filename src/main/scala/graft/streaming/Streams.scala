@@ -286,6 +286,95 @@ object Streams {
       }
   }
 
+  /** File-replay stream of the documents table (same shape as
+    * [[eventsStream]] — in production a crawl-drop/Kafka source). */
+  def docsStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream.schema(docsRawSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+
+  case class GopherSnap(docId: Long, nTokens: Long, mwlR: Double,
+      fLen: Long, fMwl: Long, fRep: Long, fDr: Long, keep: Long)
+
+  /** Streaming twin of the batch Gopher gate
+    * ([[graft.operators.Text.gopherRules]]): each arriving document is
+    * scored and gated STATELESSLY — all four rule statistics (token count,
+    * mean word length, top-term mass, distinct ratio) are functions of the
+    * single document, so the stream twin is a pure typed map with no state
+    * store, no watermark, no shuffle: the cheapest possible curation stage
+    * to run at ingestion. Tokenization goes through the ONE shared
+    * [[graft.functions.Tok]] kernel and the thresholds are the SAME
+    * [[graft.operators.Text]] constants the batch rules and the DuckDB
+    * oracle use, so the three descriptions of the gate cannot fork;
+    * StreamingSpec asserts row-exact replay equality. */
+  def gopherGateStream(spark: SparkSession, sfDir: String): Dataset[GopherSnap] = {
+    import spark.implicits._
+    import graft.operators.Text
+    docsStream(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val ws = graft.functions.Tok.tokenize(text)
+        val counts = new java.util.HashMap[String, Long]()
+        var chars = 0L
+        ws.foreach { w =>
+          counts.merge(w, 1L, (a, b) => a + b); chars += w.length
+        }
+        val nTokens = ws.length.toLong
+        var topCnt = 0L
+        counts.values().forEach(c => if (c > topCnt) topCnt = c)
+        val nDistinct = counts.size.toLong
+        // exact integer-derived doubles, same arithmetic as the batch
+        // columns (sum(len*c)/sum(c) over longs)
+        val mwl = chars.toDouble / nTokens
+        val fLen = if (nTokens >= Text.GopherMinTokens && nTokens <= Text.GopherMaxTokens) 1L else 0L
+        val fMwl = if (mwl >= Text.GopherMinMwl && mwl <= Text.GopherMaxMwl) 1L else 0L
+        val fRep = if (topCnt.toDouble / nTokens <= Text.GopherMaxTopFrac) 1L else 0L
+        val fDr  = if (nDistinct.toDouble / nTokens >= Text.GopherMinDistinctRatio) 1L else 0L
+        GopherSnap(id, nTokens,
+          BigDecimal(mwl).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+          fLen, fMwl, fRep, fDr, fLen * fMwl * fRep * fDr)
+      }
+  }
+
+  case class ContamSnap(docId: Long, nSh: Long, nHit: Long, hitFracR: Double,
+      contaminated: Long)
+
+  /** Streaming twin of the benchmark-contamination screen
+    * ([[graft.operators.Text.contamination]]): the held-out benchmark
+    * (src0) is STATIC — its distinct shingle set is built once batch-side
+    * and broadcast (eval sets are tiny against a 100 TB corpus) — and each
+    * arriving non-benchmark document is screened statelessly against it:
+    * shingle, probe the broadcast set, flag at the SAME
+    * [[graft.operators.Text.ContaminationThreshold]]. Like the batch
+    * operator, documents too short to shingle emit nothing. Stateless map
+    * + broadcast: no state store, no per-batch shuffle. */
+  def contaminationStream(spark: SparkSession, sfDir: String): Dataset[ContamSnap] = {
+    import spark.implicits._
+    import graft.operators.Text
+    val bench = graft.Tables.documents(spark, sfDir)
+      .where(col("source") === "src0")
+      .select(col("text")).as[String]
+      .flatMap(t => graft.functions.Tok.shingles(graft.functions.Tok.tokenize(t), 3))
+      .distinct().collect().toSet
+    val bcBench = spark.sparkContext.broadcast(bench)
+    docsStream(spark, sfDir)
+      .where(col("source") =!= "src0")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val sh = graft.functions.Tok
+          .shingles(graft.functions.Tok.tokenize(text), 3).toArray.distinct
+        if (sh.isEmpty) Iterator.empty
+        else {
+          var hits = 0L
+          sh.foreach(s => if (bcBench.value.contains(s)) hits += 1)
+          val frac = hits.toDouble / sh.length
+          Iterator(ContamSnap(id, sh.length.toLong, hits,
+            BigDecimal(frac).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+            if (frac >= Text.ContaminationThreshold) 1L else 0L))
+        }
+      }
+  }
+
   /** Run a streaming DataFrame to completion against the replayed file
     * source and return the final result table (memory sink, complete or
     * update mode depending on the query). Used by tests and demos. */

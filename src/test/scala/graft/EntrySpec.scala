@@ -13,9 +13,9 @@ class EntrySpec extends AnyFunSuite {
 
   test("every query key with oracle SQL exists in queries") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    // 97 keys (83 oracle-checked) as of round 5 — a drop means a key was
+    // 102 keys (86 oracle-checked) as of round 6 — a drop means a key was
     // accidentally unwired, not that this floor is stale
-    assert(SparkEntry.queries.size >= 97)
-    assert(SparkEntry.oracleSql.size >= 83)
+    assert(SparkEntry.queries.size >= 102)
+    assert(SparkEntry.oracleSql.size >= 86)
   }
 }

@@ -71,6 +71,32 @@ class StreamingSpec extends AnyFunSuite {
     got.zip(want).foreach { case (g, w) => assert(g == w, s"stream $g vs batch $w") }
   }
 
+  test("streaming Gopher gate replays to batch q_gopher_rules exactly") {
+    val spark = TestSpark.spark
+    val got = Streams.runToCompletion(
+      Streams.gopherGateStream(spark, TestSpark.sf0001).toDF(), "t_gopher", "append")
+      .orderBy(col("docId"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    val want = operators.Text.gopherRules(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("streaming contamination screen replays to batch q_contamination exactly") {
+    val spark = TestSpark.spark
+    val got = Streams.runToCompletion(
+      Streams.contaminationStream(spark, TestSpark.sf0001).toDF(), "t_contam", "append")
+      .orderBy(col("docId"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    val want = operators.Text.contamination(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("dropDuplicatesWithinWatermark keeps one row per event_id") {
     val spark = TestSpark.spark
     val stream = Streams.eventsStream(spark, TestSpark.sf0001)
