@@ -31,7 +31,9 @@ object SparkEntry {
         "q_dedup_clusters_exact" ->
           ((s: SparkSession, d: String) => operators.DedupCluster.clustersExact(s, d)),
         "q_simhash_dedup_reps" ->
-          ((s: SparkSession, d: String) => operators.DedupCluster.simhashReps(s, d)))
+          ((s: SparkSession, d: String) => operators.DedupCluster.simhashReps(s, d)),
+        "q_minhash_dedup_reps" ->
+          ((s: SparkSession, d: String) => operators.DedupCluster.minhashReps(s, d)))
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */

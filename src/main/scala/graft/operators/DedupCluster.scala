@@ -189,7 +189,64 @@ object DedupCluster {
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 12)
       .select(col("rep_a").as("id_a"), col("rep_b").as("id_b"))
       .distinct()
-    val comps = connectedComponents(starEdges.union(interEdges))
+    perDocVerdicts(s, d, starEdges.union(interEdges))
+  }
+
+  /** MinHash twin of [[simhashReps]] — the bounded-output verdict for the
+    * shingle-Jaccard family: MinHash-LSH candidates at estimated Jaccard
+    * ≥ 0.5 → connected components → one verdict row per document. The same
+    * star contraction applies (band keys and signature agreement are
+    * functions of the 32-long signature alone, so identical-signature docs
+    * contract to their min-id rep and the band join runs over DISTINCT
+    * signatures); the oracle describes the FULL filtered pair closure via
+    * the shared [[Vectors.minhashPairCte]]. Against [[clusters]] (the
+    * LSH cluster-level view, rows-only), this is the doc-level surface AND
+    * fully hash-checked, because the round-5 kernel-replay oracle made the
+    * candidate generation itself SQL-describable. */
+  def minhashReps(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val sigs = Vectors.minhashSigs(s, d)
+    val groups = sigs.groupBy(col("sig"))
+      .agg(min(col("doc_id")).as("rep"), first(col("bands")).as("bands"))
+    val starEdges = sigs.join(groups.select(col("sig"), col("rep")), Seq("sig"))
+      .where(col("doc_id") =!= col("rep"))
+      .select(col("doc_id").as("id_a"), col("rep").as("id_b"))
+    val banded = groups.select(col("rep"),
+      posexplode(col("bands")).as(Seq("band", "key")))
+    val candIds = banded.select(col("rep").as("rep_a"), col("band"), col("key"))
+      .join(banded.select(col("rep").as("rep_b"), col("band"), col("key")),
+        Seq("band", "key"))
+      .where(col("rep_a") < col("rep_b"))
+      .select(col("rep_a"), col("rep_b"))
+      .distinct()
+    val byRep = groups.select(col("rep"), col("sig"))
+    val interEdges = candIds
+      .join(byRep.select(col("rep").as("rep_a"), col("sig").as("sig_a")), Seq("rep_a"))
+      .join(byRep.select(col("rep").as("rep_b"), col("sig").as("sig_b")), Seq("rep_b"))
+      .select(col("rep_a"), col("rep_b"), col("sig_a"), col("sig_b"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .flatMap { case (ra, rb, sa, sb) =>
+        var i = 0; var m = 0
+        while (i < sa.length) { if (sa(i) == sb(i)) m += 1; i += 1 }
+        if (m >= MinhashRepsMinAgree) Some((ra, rb)) else None
+      }
+      .toDF("id_a", "id_b")
+    perDocVerdicts(s, d, starEdges.union(interEdges))
+  }
+
+  /** Signature-agreement floor for [[minhashReps]]'s edge filter: m ≥ 16
+    * of 32 ⇔ rounded est_jaccard ≥ 0.5 (the [[clusters]] default) — kept
+    * as the INTEGER form so the Scala filter and the oracle's
+    * `WHERE m >= 16` are the same exact-arithmetic comparison, immune to
+    * the float rounding at the boundary. */
+  private[graft] val MinhashRepsMinAgree = 16
+
+  /** The shared verdict tail of the reps family: CC over the (contracted)
+    * edge set → per-doc (doc_id, cluster_rep, n_dups, is_dup), singletons
+    * covered via the left join + coalesce. */
+  private def perDocVerdicts(s: SparkSession, d: String, edges: DataFrame): DataFrame = {
+    val comps = connectedComponents(edges)
     val labeled = Tables.documents(s, d).select(col("doc_id"))
       .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_rep"))
@@ -228,6 +285,24 @@ object DedupCluster {
         |lab AS (
         |  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_rep
         |  FROM documents d LEFT JOIN comp2 c ON c.id = d.doc_id),
+        |sz AS (SELECT cluster_rep, CAST(count(*) AS BIGINT) AS n_dups
+        |       FROM lab GROUP BY cluster_rep)
+        |SELECT lab.doc_id, lab.cluster_rep, sz.n_dups,
+        |  CAST(CASE WHEN lab.doc_id <> lab.cluster_rep THEN 1 ELSE 0 END AS INT) AS is_dup
+        |FROM lab JOIN sz USING (cluster_rep) ORDER BY doc_id""".stripMargin,
+    "q_minhash_dedup_reps" ->
+      s"""WITH RECURSIVE ${Vectors.minhashPairCte},
+        |mf AS (SELECT id_a, id_b FROM agree WHERE m >= $MinhashRepsMinAgree),
+        |e4 AS (SELECT id_a AS src, id_b AS dst FROM mf UNION SELECT id_b, id_a FROM mf),
+        |n4 AS (SELECT DISTINCT src AS id FROM e4),
+        |reach4(id, root) AS (
+        |  SELECT id, id FROM n4
+        |  UNION
+        |  SELECT e4.dst, r.root FROM reach4 r JOIN e4 ON e4.src = r.id),
+        |comp4 AS (SELECT id, min(root) AS comp FROM reach4 GROUP BY id),
+        |lab AS (
+        |  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_rep
+        |  FROM documents d LEFT JOIN comp4 c ON c.id = d.doc_id),
         |sz AS (SELECT cluster_rep, CAST(count(*) AS BIGINT) AS n_dups
         |       FROM lab GROUP BY cluster_rep)
         |SELECT lab.doc_id, lab.cluster_rep, sz.n_dups,

@@ -732,28 +732,7 @@ object Vectors {
   val minhashLsh: Q = (s, d) => {
     val spark = s
     import spark.implicits._
-    val sigs = Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
-        // the ONE shared tokenizer (Tok replicates Spark/SQL trim+lower+
-        // split exactly), so the byte-replay oracle can never diverge from
-        // the kernel on edge whitespace the way an ad-hoc Java
-        // trim/split would (Java trim strips \n/\t; SQL trim does not)
-        val toks = graft.functions.Tok.tokenize(text).toSeq
-        val shingles =
-          if (toks.length < 3) toks
-          else toks.sliding(3).map(_.mkString(" ")).toSeq
-        val sig = Hashing.minhash(shingles, 32)
-        (id, Hashing.lshBands(sig, 8, 4), sig)
-      }
-      .toDF("doc_id", "bands", "sig")
-      // the signature pass feeds the band join and both signature re-joins;
-      // in a persistent pipeline this is a written (or cached) sig table.
-      // Lazy persist (NOT localCheckpoint): no job runs at DataFrame
-      // construction, and the ContextCleaner reclaims the blocks once the
-      // plan is unreferenced — an eager checkpoint here pinned a signature
-      // copy in the BlockManager on every invocation
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = minhashSigs(s, d)
     val banded = sigs.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band", "key")))
     val pairs = banded.select(col("doc_id").as("id_a"), col("band"), col("key"))
@@ -775,6 +754,35 @@ object Vectors {
       }
       .toDF("id_a", "id_b", "est_jaccard")
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** The per-document MinHash signature stage shared by [[minhashLsh]] and
+    * the contracted clustering path ([[DedupCluster.minhashReps]]):
+    * (doc_id, bands, sig) through the ONE shared tokenizer (Tok replicates
+    * Spark/SQL trim+lower+split exactly, so the byte-replay oracle can
+    * never diverge from the kernel on edge whitespace the way an ad-hoc
+    * Java trim/split would — Java trim strips \n/\t; SQL trim does not).
+    * The signature pass feeds the band join and both signature re-joins;
+    * in a persistent pipeline this is a written (or cached) sig table.
+    * Lazy persist (NOT localCheckpoint): no job runs at DataFrame
+    * construction, and the ContextCleaner reclaims the blocks once the
+    * plan is unreferenced — an eager checkpoint here pinned a signature
+    * copy in the BlockManager on every invocation. */
+  def minhashSigs(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = graft.functions.Tok.tokenize(text).toSeq
+        val shingles =
+          if (toks.length < 3) toks
+          else toks.sliding(3).map(_.mkString(" ")).toSeq
+        val sig = Hashing.minhash(shingles, 32)
+        (id, Hashing.lshBands(sig, 8, 4), sig)
+      }
+      .toDF("doc_id", "bands", "sig")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
   /** SimHash near-dup candidates: 64-bit token simhash, pairs within
@@ -987,17 +995,44 @@ object Vectors {
       s"""WITH $nearDupPairCte
          |SELECT id_a, id_b, round(cos, 4) AS cos_r FROM p
          |ORDER BY id_a, id_b""".stripMargin,
-    // full replay of the MinHash-LSH kernel (round 5): FNV-1a per
-    // distinct shingle via a recursive CTE, the 32 splitmix64-remixed
-    // permutations in staged columns, SIGNED per-permutation minima
-    // (matching the Long.MaxValue-init kernel), the exact FNV band-key
-    // chain over each 4-long signature slice (hash collisions and all),
-    // the band equi-join, and agreement/32 rounded half-up. The
-    // candidate-generation contract — not a brute-force pair join — is
-    // what the operator promises, so the oracle reproduces it.
+    // full replay of the MinHash-LSH kernel (round 5): see
+    // [[minhashPairCte]] — the fragment is SHARED with the bounded
+    // clustering oracle (q_minhash_dedup_reps in [[DedupCluster.oracles]]).
     "q_minhash_lsh" ->
-      """WITH RECURSIVE
-        |w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+      s"""WITH RECURSIVE $minhashPairCte
+        |SELECT id_a, id_b, round(m / 32.0, 4) AS est_jaccard
+        |FROM agree ORDER BY id_a, id_b""".stripMargin,
+    // full replay of the simhash kernel (round 5 — the query is
+    // deterministic, not sampled): see [[simhashPairCte]]. The pair CTE is
+    // SHARED with the bounded-output clustering oracle
+    // (q_simhash_dedup_reps in [[DedupCluster.oracles]]) so both describe
+    // the same edge set by construction.
+    "q_simhash_dedup" ->
+      s"""WITH RECURSIVE $simhashPairCte
+        |SELECT id_a, id_b, hamming FROM sp ORDER BY id_a, id_b""".stripMargin,
+    "q_multimodal_join" ->
+      """SELECT d.doc_id, d.lang, d.n_chars,
+        | CAST(len(e.embedding) AS BIGINT) AS n_dim,
+        | CAST(e.label AS BIGINT) AS label_l,
+        | round(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))), 4) AS emb_norm
+        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |ORDER BY d.doc_id""".stripMargin,
+  )
+
+
+  /** Full DuckDB replay of the MinHash-LSH candidate kernel as a CTE
+    * fragment ending in `agree(id_a, id_b, m)` (m = signature agreement
+    * count of 32): FNV-1a per distinct shingle via a recursive CTE, the
+    * 32 splitmix64-remixed permutations in staged columns, SIGNED
+    * per-permutation minima (matching the Long.MaxValue-init kernel),
+    * the exact FNV band-key chain over each 4-long signature slice
+    * (hash collisions and all), and the band equi-join — the
+    * candidate-generation contract, not a brute-force pair join. Shared
+    * by the q_minhash_lsh pair oracle and the q_minhash_dedup_reps
+    * clustering oracle (lazy for the same init-order reason as
+    * [[simhashPairCte]]). */
+  private[operators] lazy val minhashPairCte: String =
+      """w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
         |ds AS (
         |  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
         |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i FROM w
@@ -1060,25 +1095,7 @@ object Vectors {
         |  FROM cand
         |  JOIN sigs sa ON sa.doc_id = cand.id_a
         |  JOIN sigs sb ON sb.doc_id = cand.id_b AND sb.p = sa.p
-        |  GROUP BY cand.id_a, cand.id_b)
-        |SELECT id_a, id_b, round(m / 32.0, 4) AS est_jaccard
-        |FROM agree ORDER BY id_a, id_b""".stripMargin,
-    // full replay of the simhash kernel (round 5 — the query is
-    // deterministic, not sampled): see [[simhashPairCte]]. The pair CTE is
-    // SHARED with the bounded-output clustering oracle
-    // (q_simhash_dedup_reps in [[DedupCluster.oracles]]) so both describe
-    // the same edge set by construction.
-    "q_simhash_dedup" ->
-      s"""WITH RECURSIVE $simhashPairCte
-        |SELECT id_a, id_b, hamming FROM sp ORDER BY id_a, id_b""".stripMargin,
-    "q_multimodal_join" ->
-      """SELECT d.doc_id, d.lang, d.n_chars,
-        | CAST(len(e.embedding) AS BIGINT) AS n_dim,
-        | CAST(e.label AS BIGINT) AS label_l,
-        | round(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))), 4) AS emb_norm
-        |FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
-        |ORDER BY d.doc_id""".stripMargin,
-  )
+        |  GROUP BY cand.id_a, cand.id_b)""".stripMargin
 
   /** Full DuckDB replay of the simhash candidate kernel as a CTE fragment
     * ending in `sp(id_a, id_b, hamming)` — FNV-1a per DISTINCT token via a

@@ -96,6 +96,38 @@ class DedupClusterSpec extends AnyFunSuite {
     families.foreach { case (cr, n) => assert(size(cr) == n.toLong) }
   }
 
+  test("minhash reps verdict is consistent with the filtered minhash pair list") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    val reps = DedupCluster.minhashReps(spark, TestSpark.sf0001).collect()
+    assert(reps.length.toLong == Tables.documents(spark, TestSpark.sf0001).count())
+    val rep = reps.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every UNCONTRACTED pair at est_jaccard >= 0.5 lands in one family —
+    // this is the closure the oracle replays, computed the slow way
+    val pairs = graft.operators.Vectors.minhashLsh(spark, TestSpark.sf0001)
+      .where(col("est_jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(rep(a) == rep(b), s"pair ($a,$b) split across families")
+    }
+    // and the family count matches an independent union-find over the pairs
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val wantFamilies = parent.keys.map(find).toSet
+    val gotFamilies = reps.filter(_.getLong(2) > 1).map(_.getLong(1)).toSet
+    assert(gotFamilies == wantFamilies,
+      s"missing=${wantFamilies -- gotFamilies} extra=${gotFamilies -- wantFamilies}")
+  }
+
   test("document clusters from LSH candidates have sane shape") {
     val spark = TestSpark.spark
     val cl = DedupCluster.clusters(spark, TestSpark.sf0001, minJac = 0.5).collect()

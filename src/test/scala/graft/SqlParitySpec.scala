@@ -76,6 +76,7 @@ class SqlParitySpec extends AnyFunSuite {
       "q_simhash_dedup" -> (hugeint + "; " + recursive),
       "q_simhash_dedup_reps" -> (hugeint + "; " + recursive),
       "q_minhash_lsh" -> (hugeint + "; " + recursive),
+      "q_minhash_dedup_reps" -> (hugeint + "; " + recursive),
       "q_doc_fingerprint" -> hugeint,
       "q_corpus_curate" -> (recursive + " + list dialect (stitched stages)"),
       "q_json_funcs" -> "json_extract — Spark spells it get_json_object",
