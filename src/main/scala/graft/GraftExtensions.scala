@@ -45,6 +45,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("shingle_gen"),
       new ExpressionInfo(classOf[ShingleGenExpr].getName, "shingle_gen"),
       (exprs: Seq[Expression]) => ShingleGenExpr.build(exprs)))
+    // DuckDB-dialect aliases (string_split_regex, len, epoch, epoch_us,
+    // quantile_cont, json_extract) — DuckDB-flavored ANSI SQL runs
+    // unchanged; SqlParitySpec semantics-checks every unlocked query
+    graft.functions.DuckDialect.register(ext)
     ext.injectPlannerStrategy(_ => TopKPerGroupStrategy)
     ext.injectOptimizerRule(_ => graft.plans.VectorizeDotProduct)
     ext.injectOptimizerRule(_ => graft.plans.WindowTopKToHeap)

@@ -26,13 +26,18 @@ class SqlParitySpec extends AnyFunSuite {
     "q_join_skew_salted", "q_null_safe_join",
     // aggregates + grouping analytics
     "q_agg_distinct", "q_topk_per_group", "q_pivot_wide",
+    "q_agg_stats", "q_quantile_exact",
     // window functions
     "q_window_rank", "q_window_frame", "q_window_pct",
     // set ops, conditionals, subqueries
     "q_set_ops", "q_set_ops_all", "q_case_when_nulls",
     "q_scalar_subquery", "q_correlated_subquery",
-    // text/dedup family members whose oracles avoid list/regex dialect
-    "q_exact_dedup", "q_weighted_sample",
+    // events (epoch/epoch_us/json_extract via the DuckDialect aliases)
+    "q_event_funnel", "q_event_transitions", "q_json_funcs",
+    "q_scalar_funcs", "q_tumbling_window", "q_sliding_window",
+    "q_stateful_dedup",
+    // text family unlocked by the string_split_regex + len aliases
+    "q_exact_dedup", "q_weighted_sample", "q_text_stats",
     // reference-pipeline oracles over the events fixture
     "ref_monotone_dedup", "ref_subsample", "ref_minmax_normalize",
     "ref_header_stats", "ref_tensor_reconstruct")
@@ -52,15 +57,20 @@ class SqlParitySpec extends AnyFunSuite {
     val epochT = "epoch()/to_timestamp/INTERVAL dialect on TIMESTAMP columns"
     val varcharCast = "CAST(x AS VARCHAR) — Spark spells it STRING"
     Map(
-      "q_text_stats" -> listDialect, "q_term_freq" -> listDialect,
+      "q_term_freq" -> listDialect,
       "q_tfidf" -> listDialect, "q_ngram_shingles" -> listDialect,
-      "q_token_count" -> listDialect, "q_quality_score" -> listDialect,
-      "q_lang_id" -> listDialect, "q_jaccard_ngram" -> listDialect,
-      "q_dedup_incremental" -> listDialect, "q_repetition_stats" -> listDialect,
+      "q_quality_score" -> ("list_filter — " + listDialect),
+      "q_lang_id" -> ("list_filter — " + listDialect),
+      "q_jaccard_ngram" -> ("list_distinct — " + listDialect),
+      "q_dedup_incremental" -> ("list_distinct — " + listDialect),
+      "q_token_pack" -> "// integer division (parse error in Spark SQL)",
+      "q_token_count" -> ("regexp_extract_all(s, re, 1) on a zero-group " +
+        "pattern — DuckDB permits, Spark rejects the group index"),
+      "q_repetition_stats" -> listDialect,
       "q_gopher_rules" -> listDialect, "q_source_overlap" -> listDialect,
       "q_contamination" -> listDialect, "q_bm25" -> listDialect,
       "q_heavy_hitters" -> listDialect, "q_lm_score" -> listDialect,
-      "q_token_pack" -> listDialect, "q_array_map_funcs" -> listDialect,
+      "q_array_map_funcs" -> listDialect,
       "q_pii_scrub" -> ("regexp_replace(..., 'g') 4-arg global flag + " +
         "regexp_extract_all counting — Spark's regexp_replace is 3-arg global"),
       "q_url_canonicalize" -> ("portable except CAST(x AS VARCHAR); Spark " +
@@ -79,20 +89,12 @@ class SqlParitySpec extends AnyFunSuite {
       "q_minhash_dedup_reps" -> (hugeint + "; " + recursive),
       "q_doc_fingerprint" -> hugeint,
       "q_corpus_curate" -> (recursive + " + list dialect (stitched stages)"),
-      "q_json_funcs" -> "json_extract — Spark spells it get_json_object",
-      "q_tumbling_window" -> epochT, "q_sliding_window" -> epochT,
       "q_session_window" -> epochT, "q_late_data_policy" -> epochT,
-      "q_stateful_dedup" -> epochT, "q_join_asof" ->
-        (epochT + " + IGNORE NULLS window spelling"),
-      "q_scalar_funcs" -> epochT,
+      "q_join_asof" -> (epochT + " + IGNORE NULLS window spelling"),
       // empirically-found gaps (each was attempted verbatim first):
       "q_agg_rollup" -> "grouping(a, b) multi-argument — Spark: grouping_id",
       "q_agg_cube" -> "grouping(a, b) multi-argument — Spark: grouping_id",
       "q_agg_gsets" -> "grouping(a, b) multi-argument — Spark: grouping_id",
-      "q_agg_stats" -> "quantile_cont — Spark spells it percentile",
-      "q_quantile_exact" -> "quantile_cont — Spark spells it percentile",
-      "q_event_funnel" -> "epoch_us() — Spark: unix_micros",
-      "q_event_transitions" -> "epoch_us() — Spark: unix_micros",
       "q_cohort_retention" -> (epochT + " + // integer division"),
       "q_multimodal_meta" -> "CAST(text AS BLOB) — Spark: BINARY",
       "q_multimodal_resize" -> "CAST(text AS BLOB) + // integer division",
@@ -113,12 +115,24 @@ class SqlParitySpec extends AnyFunSuite {
       s"unclassified oracle keys: ${keys -- classified}")
     assert(classified.subsetOf(keys),
       s"stale classification for removed keys: ${classified -- keys}")
-    assert(portable.size >= 30, s"parity surface shrank to ${portable.size}")
+    assert(portable.size >= 40, s"parity surface shrank to ${portable.size}")
   }
 
   test("ANSI oracle SQL runs verbatim on spark.sql with identical results") {
     val spark = TestSpark.spark
+    // the engine front door: installs the DuckDialect aliases the
+    // dialect-bearing oracle texts rely on (idempotent)
+    GraftSession.install(spark)
     Tables.registerViews(spark, TestSpark.sf0001)
+    // DuckDB (per the SQL standard) keeps backslashes in string literals
+    // LITERAL ('\s+' is a 3-char regex); Spark's default parser treats
+    // them as C-style escapes ('\s+' silently becomes 's+'). This conf is
+    // Spark's own switch for standard literal handling — scope it to the
+    // verbatim replay and restore after.
+    val escKey = "spark.sql.parser.escapedStringLiterals"
+    val escPrev = spark.conf.getOption(escKey)
+    spark.conf.set(escKey, "true")
+    try {
     val failures = portable.flatMap { key =>
       try {
         val viaSql = spark.sql(SparkEntry.oracleSql(key)).collect().toSeq
@@ -139,5 +153,8 @@ class SqlParitySpec extends AnyFunSuite {
       }
     }
     assert(failures.isEmpty, failures.mkString("\n"))
+    } finally {
+      escPrev.fold(spark.conf.unset(escKey))(v => spark.conf.set(escKey, v))
+    }
   }
 }
