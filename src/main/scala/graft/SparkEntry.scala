@@ -33,7 +33,9 @@ object SparkEntry {
         "q_simhash_dedup_reps" ->
           ((s: SparkSession, d: String) => operators.DedupCluster.simhashReps(s, d)),
         "q_minhash_dedup_reps" ->
-          ((s: SparkSession, d: String) => operators.DedupCluster.minhashReps(s, d)))
+          ((s: SparkSession, d: String) => operators.DedupCluster.minhashReps(s, d)),
+        "q_embed_dedup_reps" ->
+          ((s: SparkSession, d: String) => operators.DedupCluster.embedReps(s, d)))
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */

@@ -242,6 +242,16 @@ object DedupCluster {
     * the float rounding at the boundary. */
   private[graft] val MinhashRepsMinAgree = 16
 
+  /** Per-doc verdicts over the EXACT embedding near-dup edges — the third
+    * member of the bounded-verdict family (simhash blocks / minhash bands /
+    * exact cosine all feed the same [[perDocVerdicts]] tail), and the
+    * doc-level twin of [[clustersExact]]'s cluster-level view. No
+    * contraction here: the exact kernel has no signature groups to
+    * collapse, and its blocked pair join is already the audited plan. */
+  def embedReps(s: SparkSession, d: String): DataFrame =
+    perDocVerdicts(s, d,
+      Vectors.embedNeardupPairs(s, d).select(col("id_a"), col("id_b")))
+
   /** The shared verdict tail of the reps family: CC over the (contracted)
     * edge set → per-doc (doc_id, cluster_rep, n_dups, is_dup), singletons
     * covered via the left join + coalesce. */
@@ -285,6 +295,23 @@ object DedupCluster {
         |lab AS (
         |  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_rep
         |  FROM documents d LEFT JOIN comp2 c ON c.id = d.doc_id),
+        |sz AS (SELECT cluster_rep, CAST(count(*) AS BIGINT) AS n_dups
+        |       FROM lab GROUP BY cluster_rep)
+        |SELECT lab.doc_id, lab.cluster_rep, sz.n_dups,
+        |  CAST(CASE WHEN lab.doc_id <> lab.cluster_rep THEN 1 ELSE 0 END AS INT) AS is_dup
+        |FROM lab JOIN sz USING (cluster_rep) ORDER BY doc_id""".stripMargin,
+    "q_embed_dedup_reps" ->
+      s"""WITH RECURSIVE ${Vectors.nearDupPairCte},
+        |e5 AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+        |n5 AS (SELECT DISTINCT src AS id FROM e5),
+        |reach5(id, root) AS (
+        |  SELECT id, id FROM n5
+        |  UNION
+        |  SELECT e5.dst, r.root FROM reach5 r JOIN e5 ON e5.src = r.id),
+        |comp5 AS (SELECT id, min(root) AS comp FROM reach5 GROUP BY id),
+        |lab AS (
+        |  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_rep
+        |  FROM documents d LEFT JOIN comp5 c ON c.id = d.doc_id),
         |sz AS (SELECT cluster_rep, CAST(count(*) AS BIGINT) AS n_dups
         |       FROM lab GROUP BY cluster_rep)
         |SELECT lab.doc_id, lab.cluster_rep, sz.n_dups,

@@ -128,6 +128,29 @@ class DedupClusterSpec extends AnyFunSuite {
       s"missing=${wantFamilies -- gotFamilies} extra=${gotFamilies -- wantFamilies}")
   }
 
+  test("embed reps verdict agrees with the cluster-level exact clustering") {
+    val spark = TestSpark.spark
+    val reps = DedupCluster.embedReps(spark, TestSpark.sf0001).collect()
+    assert(reps.length.toLong == Tables.documents(spark, TestSpark.sf0001).count())
+    // the doc-level verdicts must be exactly the cluster-level view
+    // (q_dedup_clusters_exact, itself oracle-checked) re-keyed per doc
+    val clusters = DedupCluster.clustersExact(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    reps.foreach { r =>
+      val (id, cr, n, isDup) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3))
+      clusters.get(cr) match {
+        case Some((size, keep)) =>
+          assert(n == size && keep == cr, s"doc $id family $cr: $n vs $size")
+          assert((isDup == 1) == (id != cr))
+        case None =>
+          assert(n == 1L && isDup == 0 && cr == id, s"singleton $id broken")
+      }
+    }
+    // every multi-member exact cluster appears as a reps family
+    val repFamilies = reps.filter(_.getLong(2) > 1).map(_.getLong(1)).toSet
+    assert(clusters.keySet.filter(c => clusters(c)._1 > 1) == repFamilies)
+  }
+
   test("document clusters from LSH candidates have sane shape") {
     val spark = TestSpark.spark
     val cl = DedupCluster.clusters(spark, TestSpark.sf0001, minJac = 0.5).collect()
