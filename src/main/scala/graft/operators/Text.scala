@@ -301,18 +301,26 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
-  /** The A-Res ranking key u^(1/n_chars) as a column expression over
-    * (doc_id, n_chars) — ONE definition under [[weightedSample]] and the
-    * [[CorpusCurate]] flagship's final sampling stage (and mirrored in both
-    * oracles), so the engine-portable integer draw can never fork. */
-  private[operators] def aresKey: Column = {
+  /** Engine-portable uniform draw u ∈ (0,1) over `doc_id`: two rounds of
+    * 16-bit Knuth multiplicative hashing in 32-bit space — every
+    * intermediate fits in int64 for ANY int64 doc_id (see [[aresKey]] for
+    * the overflow analysis), and pure integer arithmetic makes the draw
+    * bit-identical across engines. ONE definition under the A-Res key and
+    * the [[stratifiedSplit]] assignment. */
+  private[operators] def uniformDraw: Column = {
     val m32 = lit(4294967296L)
     val h1 = col("doc_id") % m32
     val h2 = (h1 * lit(40503L)) % m32
     val h3 = (h2 * lit(40503L)) % m32
-    val u = (h3 + 1).cast("double") / lit(4294967297.0)
-    pow(u, lit(1.0) / col("n_chars").cast("double"))
+    (h3 + 1).cast("double") / lit(4294967297.0)
   }
+
+  /** The A-Res ranking key u^(1/n_chars) as a column expression over
+    * (doc_id, n_chars) — ONE definition under [[weightedSample]] and the
+    * [[CorpusCurate]] flagship's final sampling stage (and mirrored in both
+    * oracles), so the engine-portable integer draw can never fork. */
+  private[operators] def aresKey: Column =
+    pow(uniformDraw, lit(1.0) / col("n_chars").cast("double"))
 
   /** Weighted sampling without replacement (Efraimidis–Spirakis A-Res,
     * IPL 2006): per language, keep the k docs with the largest
@@ -794,16 +802,22 @@ object Text {
     * regexp built-ins over one narrow projection — no UDF, no shuffle
     * before the presentation sort; at 100 TB this is a map-only stage that
     * rides whatever partitioning the corpus already has. */
-  val piiScrub: Q = (s, d) => {
+  val piiScrub: Q = (s, d) =>
+    piiScrubCols(Tables.documents(s, d)).orderBy(col("doc_id"))
+
+  /** The PII scrub projection applied to any documents relation — ONE
+    * definition under the batch key and the streaming twin
+    * ([[graft.streaming.Streams.piiScrubStream]]), so the two cannot
+    * fork. Pure stateless column algebra: valid on a stream as-is. */
+  private[graft] def piiScrubCols(docs: DataFrame): DataFrame = {
     val t = piiEnriched
     val scrub = regexp_replace(regexp_replace(t, EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]")
-    Tables.documents(s, d).select(
+    docs.select(
       col("doc_id"),
       regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
       regexp_count(t, lit(PhoneRe)).cast("long").as("n_phones"),
       length(scrub).cast("long").as("n_chars_scrub"),
       md5(scrub).as("scrub_md5"))
-      .orderBy(col("doc_id"))
   }
 
   /** Synthetic URL per doc, with every canonicalization hazard injected
@@ -839,6 +853,91 @@ object Text {
       .orderBy(col("canonical_url"))
   }
 
+  /** Span width (tokens) for substring-level duplicate detection and the
+    * keep ceiling on the duplicated fraction — shared with the oracle. */
+  val SpanK = 5
+  val SpanDupKeepFrac = 0.2
+
+  /** Substring-level duplicate detection — the span analogue of suffix-array
+    * training-data dedup (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499), at fixed [[SpanK]]-token
+    * shingle granularity: a span is duplicated iff its text occurs at ≥2
+    * positions anywhere in the corpus (within- OR cross-document — both are
+    * memorization risks). Per doc: span count, duplicated-span count, the
+    * duplicated fraction (exact fixed-point: ⌊10⁴·d/n⌋/10⁴, integer
+    * arithmetic identical in both engines), and the keep verdict at
+    * ≤ [[SpanDupKeepFrac]] — the gate that catches boilerplate-heavy
+    * documents whole-text exact dedup misses entirely.
+    *
+    * Scale: one typed shingle pass (document text never shuffles),
+    * (doc, span) partial counts, one span-keyed global count joined back —
+    * Θ(tokens) rows through two hash shuffles keyed on the span text,
+    * map-side combined; output Θ(docs). No pair list, no quadratic term at
+    * any dup density — the verdict is per POSITION, not per pair. */
+  val substringDedup: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val spans = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        graft.functions.Tok.shingles(tokenize(text), SpanK).map((id, _))
+      }
+      .toDF("doc_id", "sh")
+      .groupBy(col("doc_id"), col("sh"))
+      .agg(count(lit(1)).as("m"))
+    val global = spans.groupBy(col("sh")).agg(sum(col("m")).as("c"))
+    val perDoc = spans.join(global, "sh")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("m")).as("n_spans"),
+        sum(when(col("c") > 1, col("m")).otherwise(lit(0L))).as("n_dup_spans"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
+      .withColumn("dup_frac",
+        when(col("n_spans") === 0, lit(0.0))
+          .otherwise(expr("n_dup_spans * 10000 DIV n_spans") / 10000.0))
+      .withColumn("keep", (col("dup_frac") <= SpanDupKeepFrac).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Hash-split fractions (cumulative: train < 0.8 ≤ val < 0.9 ≤ test) —
+    * shared with the oracle. */
+  val SplitTrainFrac = 0.8
+  val SplitValFrac = 0.9
+
+  /** Deterministic train/val/test corpus split: every document draws the
+    * engine-portable [[uniformDraw]] and lands in its split by threshold —
+    * a pure map, reproducible on any engine with no coordination, and
+    * STABLE UNDER GROWTH (a document's split never changes when new data
+    * arrives — the property that keeps eval sets uncontaminated across
+    * corpus refreshes; an exact per-stratum quota would need a per-source
+    * global rank, a low-cardinality window funnel, and would reshuffle
+    * assignments on every ingest). Fractions hold per source stratum in
+    * expectation because the draw is independent of the stratum. Emitted
+    * as the per-(source, split) audit table a pipeline run logs: counts,
+    * id range, and the exact fixed-point corpus share.
+    *
+    * Scale: map + one tiny keyed agg (output Θ(sources × 3)) + one 1-row
+    * broadcast for the share denominator. */
+  val stratifiedSplit: Q = (s, d) => {
+    val split = when(uniformDraw < SplitTrainFrac, lit("train"))
+      .when(uniformDraw < SplitValFrac, lit("val"))
+      .otherwise(lit("test"))
+    val total = Tables.documents(s, d).agg(count(lit(1)).as("n_total"))
+    Tables.documents(s, d)
+      .select(col("source"), split.as("split"), col("doc_id"))
+      .groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"))
+      .crossJoin(broadcast(total))
+      .withColumn("share", expr("n_docs * 10000 DIV n_total") / 10000.0)
+      .drop("n_total")
+      .orderBy(col("source"), col("split"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_exact_dedup"     -> exactDedup,
     "q_text_stats"      -> textStats,
@@ -864,6 +963,8 @@ object Text {
     "q_source_mix"      -> sourceMix,
     "q_pii_scrub"       -> piiScrub,
     "q_url_canonicalize" -> urlCanonicalize,
+    "q_substring_dedup" -> substringDedup,
+    "q_stratified_split" -> stratifiedSplit,
   )
 
   /** Shared oracle CTE mirroring [[docTokenStats]] exactly (term counts +
@@ -963,6 +1064,51 @@ object Text {
         |  FROM u)
         |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_doc_id
         |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
+    // span = 5-token shingle; duplicated ⇔ ≥2 occurrences corpus-wide;
+    // fixed-point fraction via integer floor division in both engines
+    "q_substring_dedup" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |s AS (
+        |  SELECT doc_id,
+        |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS sh
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i FROM w) x),
+        |g AS (SELECT sh, count(*) AS c FROM s GROUP BY sh),
+        |p AS (
+        |  SELECT s.doc_id, count(*) AS n_spans,
+        |    sum(CASE WHEN g.c > 1 THEN 1 ELSE 0 END) AS n_dup
+        |  FROM s JOIN g USING (sh) GROUP BY s.doc_id),
+        |f AS (
+        |  SELECT w.doc_id,
+        |    CAST(coalesce(p.n_spans, 0) AS BIGINT) AS n_spans,
+        |    CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_spans
+        |  FROM w LEFT JOIN p USING (doc_id))
+        |SELECT doc_id, n_spans, n_dup_spans,
+        |  CASE WHEN n_spans = 0 THEN 0.0
+        |       ELSE (n_dup_spans * 10000 // n_spans) / 10000.0 END AS dup_frac,
+        |  CAST(CASE WHEN (CASE WHEN n_spans = 0 THEN 0.0
+        |                  ELSE (n_dup_spans * 10000 // n_spans) / 10000.0 END) <= 0.2
+        |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM f ORDER BY doc_id""".stripMargin,
+    // the uniform draw is the SAME two-round Knuth hash as q_weighted_sample
+    "q_stratified_split" ->
+      """WITH u AS (
+        |  SELECT doc_id, source,
+        |    ((((doc_id % 4294967296) * 40503) % 4294967296) * 40503 % 4294967296 + 1)
+        |      / 4294967297.0 AS u
+        |  FROM documents),
+        |a AS (
+        |  SELECT source,
+        |    CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+        |    doc_id
+        |  FROM u),
+        |t AS (SELECT count(*) AS n_total FROM documents)
+        |SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+        |  CAST(floor(CAST(count(*) * 10000 AS DOUBLE) / min(t.n_total)) AS BIGINT)
+        |    / CAST(10000 AS DOUBLE) AS share
+        |FROM a CROSS JOIN t GROUP BY source, split
+        |ORDER BY source, split""".stripMargin,
     "q_exact_dedup" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_dups, min(doc_id) AS keep_doc_id
         |FROM documents GROUP BY md5(text) ORDER BY text_hash""".stripMargin,

@@ -912,6 +912,41 @@ object Vectors {
       .orderBy(col("probe_id"))
   }
 
+  /** Int8 symmetric embedding quantization — the at-rest storage path for
+    * a 100 TB vector corpus (4 bytes → 1 byte per dimension, the same 4×
+    * the reference's R20 quantizer buys on field data, here per vector):
+    * scale = max |xᵢ|, codeᵢ = trunc(xᵢ / scale · 127) ∈ [−127, 127] —
+    * truncation toward zero, exactly the reference's truncating quantizer
+    * semantics (`DSGT.py:149-152`) applied per vector with a symmetric
+    * signed range. Emits the audit row a quantization job logs: dimension,
+    * scale, code range, and the max absolute reconstruction error (bounded
+    * by scale/127 — asserted in VectorSpec). All arithmetic is forced to
+    * double BEFORE any op (float32 never widens mid-expression, so Spark
+    * and the oracle compute identical doubles).
+    *
+    * Scale: map-only over the corpus — no shuffle before the presentation
+    * sort; composes with [[writePqIndex]] (which quantizes to 8 bytes per
+    * vector via codebooks) as the two standard compression tiers. */
+  val embedQuantize: Q = (s, d) => {
+    val xd = transform(col("embedding"), x => x.cast("double"))
+    val sc = array_max(transform(col("xd"), x => abs(x)))
+    val code = transform(col("xd"), x =>
+      when(col("sc") === 0, lit(0)).otherwise((x / col("sc") * 127).cast("int")))
+    val err = zip_with(col("xd"), col("codes"), (x, c) =>
+      abs(x - c.cast("double") / 127.0 * col("sc")))
+    Tables.embeddings(s, d)
+      .withColumn("xd", xd)
+      .withColumn("sc", sc)
+      .withColumn("codes", code)
+      .select(col("vec_id"),
+        size(col("xd")).cast("long").as("dim"),
+        round(col("sc"), 4).as("scale_r"),
+        array_min(col("codes")).as("code_min"),
+        array_max(col("codes")).as("code_max"),
+        round(array_max(err), 4).as("max_err_r"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_cosine_topk"     -> cosineTopk,
     "q_embed_centroid"  -> embedCentroid,
@@ -926,9 +961,27 @@ object Vectors {
     "q_minhash_lsh"     -> minhashLsh,
     "q_simhash_dedup"   -> simhashDedup,
     "q_multimodal_join" -> multimodalJoin,
+    "q_embed_quantize"  -> embedQuantize,
   )
 
   val oracles: Map[String, String] = Map(
+    // trunc-then-CAST: DuckDB CAST(double AS INT) rounds, Spark's truncates —
+    // trunc() first makes both integral before the cast; operand order and
+    // association ((x / sc) * 127, (code / 127.0) * sc) mirror the Spark
+    // columns token-for-token so every intermediate double is identical
+    "q_embed_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |u AS (SELECT vec_id, unnest(v) AS x FROM e),
+        |s AS (SELECT vec_id, max(abs(x)) AS sc FROM u GROUP BY vec_id),
+        |c AS (
+        |  SELECT u.vec_id, u.x, s.sc,
+        |    CASE WHEN s.sc = 0 THEN 0
+        |         ELSE CAST(trunc(u.x / s.sc * 127) AS INT) END AS code
+        |  FROM u JOIN s USING (vec_id))
+        |SELECT vec_id, CAST(count(*) AS BIGINT) AS dim, round(min(sc), 4) AS scale_r,
+        |  min(code) AS code_min, max(code) AS code_max,
+        |  round(max(abs(x - CAST(code AS DOUBLE) / 127.0 * sc)), 4) AS max_err_r
+        |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "q_embed_centroid" ->
       """WITH e AS (
         |  SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

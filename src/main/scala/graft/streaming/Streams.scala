@@ -375,6 +375,17 @@ object Streams {
       }
   }
 
+  /** Streaming twin of the PII scrub
+    * ([[graft.operators.Text.piiScrub]]): the batch operator is already a
+    * pure stateless projection (regexp built-ins over one narrow select),
+    * so the twin IS the identical column set applied to the stream — no
+    * state store, no watermark, no shuffle — shared via
+    * [[graft.operators.Text.piiScrubCols]] so the two cannot fork; this is
+    * the scrub-at-ingestion shape (redact BEFORE the text ever lands in
+    * the lake). StreamingSpec asserts row-exact replay equality. */
+  def piiScrubStream(spark: SparkSession, sfDir: String): DataFrame =
+    graft.operators.Text.piiScrubCols(docsStream(spark, sfDir))
+
   /** Run a streaming DataFrame to completion against the replayed file
     * source and return the final result table (memory sink, complete or
     * update mode depending on the query). Used by tests and demos. */

@@ -38,6 +38,8 @@ class SqlParitySpec extends AnyFunSuite {
     "q_stateful_dedup",
     // text family unlocked by the string_split_regex + len aliases
     "q_exact_dedup", "q_weighted_sample", "q_text_stats",
+    // pure integer/CASE arithmetic + floor() fixed-point — no dialect at all
+    "q_stratified_split",
     // reference-pipeline oracles over the events fixture
     "ref_monotone_dedup", "ref_subsample", "ref_minmax_normalize",
     "ref_header_stats", "ref_tensor_reconstruct")
@@ -64,6 +66,9 @@ class SqlParitySpec extends AnyFunSuite {
       "q_jaccard_ngram" -> ("list_distinct — " + listDialect),
       "q_dedup_incremental" -> ("list_distinct — " + listDialect),
       "q_token_pack" -> "// integer division (parse error in Spark SQL)",
+      "q_substring_dedup" -> (listDialect + " + // integer division"),
+      "q_embed_quantize" -> ("CAST(... AS DOUBLE[]) list cast + unnest scalar " +
+        "explode + numeric trunc() — Spark form is the array transform kernel"),
       "q_token_count" -> ("regexp_extract_all(s, re, 1) on a zero-group " +
         "pattern — DuckDB permits, Spark rejects the group index"),
       "q_repetition_stats" -> listDialect,

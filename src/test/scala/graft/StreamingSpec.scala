@@ -97,6 +97,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("streaming PII scrub replays to batch q_pii_scrub exactly") {
+    val spark = TestSpark.spark
+    val got = Streams.runToCompletion(
+      Streams.piiScrubStream(spark, TestSpark.sf0001), "t_pii", "append")
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    val want = operators.Text.piiScrub(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("dropDuplicatesWithinWatermark keeps one row per event_id") {
     val spark = TestSpark.spark
     val stream = Streams.eventsStream(spark, TestSpark.sf0001)

@@ -202,4 +202,41 @@ class TextQualitySpec extends AnyFunSuite {
       if (frac < 0.1 - 1e-4) assert(!flagged)
     }
   }
+
+  test("substring dedup: per-doc coverage, exact fixed-point fraction, verdict splits the corpus") {
+    val rows = Text.substringDedup(spark, TestSpark.sf0001).collect()
+    val total = Tables.documents(spark, TestSpark.sf0001).count()
+    assert(rows.length.toLong == total, "one verdict row per document")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_spans")
+      val dup = r.getAs[Long]("n_dup_spans")
+      assert(dup >= 0L && dup <= n)
+      val frac = r.getAs[Double]("dup_frac")
+      if (n > 0) assert(frac == (dup * 10000L / n) / 10000.0)
+      else assert(frac == 0.0)
+      assert(r.getAs[Long]("keep") ==
+        (if (frac <= Text.SpanDupKeepFrac) 1L else 0L))
+    }
+    val kept = rows.count(_.getAs[Long]("keep") == 1L)
+    assert(kept > 0 && kept < rows.length,
+      s"span-dup gate must split the corpus (kept $kept of ${rows.length})")
+  }
+
+  test("stratified split: partitions the corpus, exact share arithmetic, deterministic, train-dominant") {
+    val rows = Text.stratifiedSplit(spark, TestSpark.sf0001).collect()
+    val total = Tables.documents(spark, TestSpark.sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total, "splits partition the corpus")
+    assert(rows.map(_.getAs[String]("split")).toSet.subsetOf(Set("train", "val", "test")))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("share") ==
+        (r.getAs[Long]("n_docs") * 10000L / total) / 10000.0)
+      assert(r.getAs[Long]("min_doc_id") <= r.getAs[Long]("max_doc_id"))
+    }
+    val bySplit = rows.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(bySplit.getOrElse("train", 0L) > bySplit.getOrElse("val", 0L))
+    assert(bySplit.getOrElse("train", 0L) > bySplit.getOrElse("test", 0L))
+    val again = Text.stratifiedSplit(spark, TestSpark.sf0001).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq, "hash split is deterministic")
+  }
 }

@@ -197,4 +197,28 @@ class VectorSpec extends AnyFunSuite {
     assert(out(0)._2.toSeq == Seq(2.0, 2.0, 1.0))
     assert(out(1)._2.toSeq == Seq(0.0, 0.0, 0.0))
   }
+
+  test("embed quantize: full-range codes, reconstruction bounded by scale/127, map-only") {
+    val spark = TestSpark.spark
+    val df = Vectors.embedQuantize(spark, TestSpark.sf0001)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dim") == 64L)
+      val sc = r.getAs[Double]("scale_r")
+      assert(sc > 0.0)
+      val lo = r.getAs[Int]("code_min")
+      val hi = r.getAs[Int]("code_max")
+      assert(lo >= -127 && hi <= 127)
+      // the max-|x| element codes to exactly ±127, so every vector
+      // saturates one end of the range
+      assert(hi == 127 || lo == -127)
+      // truncating quantizer: |x - x̂| < scale/127 (+ rounding slack on
+      // both reported values)
+      assert(r.getAs[Double]("max_err_r") <= sc / 127.0 + 2e-4)
+    }
+    // map-only contract: no Exchange before the presentation sort's own
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("HashAggregate"), "quantization must not aggregate")
+  }
 }
