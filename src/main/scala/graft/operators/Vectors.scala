@@ -716,6 +716,182 @@ object Vectors {
     queryPqIndex(s, d, idx, probeVector(s, d), excludeId = Some(0L))
   }
 
+  // ---------------------------------------------------------------------
+  // IVFADC — IVF + PQ on RESIDUALS (Jégou, Douze, Schmid, TPAMI 2011 §V,
+  // "non-exhaustive search"): the billion-scale serving architecture. The
+  // coarse quantizer prunes the scan to nProbe cells (IVF's win) AND each
+  // vector's residual x − c(x) is PQ-encoded instead of x itself —
+  // residuals live in a re-centered, much smaller ball, so the same 8-byte
+  // code budget quantizes far more precisely; ADC then scores
+  // ⟨q, x⟩ ≈ ⟨q, c⟩ + Σ_m table_m[code_m] with the per-cell constant added
+  // back. Composes the engine's two existing stages — the IVF coarse
+  // codebook and the PQ sub-codebook machinery — trained on the ONE shared
+  // [[codebookSample]], so all three index families agree on their
+  // training data.
+  // ---------------------------------------------------------------------
+
+  private[operators] val IvfPqCells = 16   // coarse cells (same k as annIvf)
+  private[operators] val IvfPqProbe = 4    // probed cells per query
+
+  /** Coarse codebook + residual-PQ sub-codebooks, one sample pass:
+    * (centroids, centroid norms, residual codebooks cb(m)(k)(subDim)). */
+  private[operators] def trainIvfPq(edf: DataFrame)
+      : (Array[Array[Double]], Array[Double], Array[Array[Array[Double]]]) = {
+    val sample = codebookSample(edf)
+    val cents = trainCodebook(sample, IvfPqCells, iters = 5)
+    val cn = cents.map(normA)
+    val residuals = sample.map { case (id, v) =>
+      val c = cents(nearest(cents, cn, v, normA(v)))
+      val r = new Array[Double](v.length)
+      var i = 0; while (i < v.length) { r(i) = v(i) - c(i); i += 1 }
+      (id, r)
+    }
+    (cents, cn, trainPq(residuals))
+  }
+
+  /** In-query IVFADC: one scan assigns each vector to its coarse cell,
+    * skips unprobed cells (the IVF prune — at a real index size this is
+    * nProbe/k of the corpus), PQ-encodes the survivor's residual and
+    * ADC-scores it with the cell constant added back; top-[[PqCand]]
+    * candidates refine EXACTLY like [[annPq]]. Rows-only by the same
+    * declaration as its siblings (FP-order k-means); VectorSpec pins
+    * recall@10, determinism, true-cosine refined scores, and
+    * at-rest ≡ in-query. */
+  val annIvfPq: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val edf = Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
+    val e = edf.as[(Long, Array[Double])]
+    val (cents, cn, cbR) = trainIvfPq(edf)
+    val probeV = probeVector(s, d)
+    val probeN = normA(probeV)
+    val probed = (0 until IvfPqCells)
+      .map(c => (c, dotA(probeV, cents(c)) / (probeN * cn(c))))
+      .sortBy { case (c, sim) => (-sim, c) }
+      .take(IvfPqProbe).map(_._1).toSet
+    val tables = adcTables(cbR, probeV)
+    val cellConst = cents.map(c => dotA(probeV, c))
+    val bc = spark.sparkContext.broadcast(
+      (cents, cn, cbR, tables, cellConst, probed))
+    val cands = e.mapPartitions { iter =>
+      val (cs, csn, cb, t, cc, cells) = bc.value
+      iter.flatMap { case (id, v) =>
+        if (id == 0L) None
+        else {
+          val cell = nearest(cs, csn, v, normA(v))
+          if (!cells.contains(cell)) None
+          else {
+            val cent = cs(cell)
+            val r = new Array[Double](v.length)
+            var i = 0; while (i < v.length) { r(i) = v(i) - cent(i); i += 1 }
+            val codes = pqEncode(cb, r)
+            var m = 0; var adc = cc(cell)
+            while (m < codes.length) { adc += t(m)(codes(m)); m += 1 }
+            Some((id, adc))
+          }
+        }
+      }
+    }
+      .toDF("vec_id", "adc")
+      .orderBy(col("adc").desc, col("vec_id")).limit(PqCand)
+    val bcP = spark.sparkContext.broadcast((probeV, probeN))
+    edf.join(cands.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val (pv, pn) = bcP.value
+        (id, dotA(v, pv) / (normA(v) * pn))
+      }
+      .toDF("vec_id", "cos")
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      .select(col("vec_id"), round(col("cos"), 4).as("cos_r"))
+  }
+
+  /** Build a PERSISTED IVFADC index: hive-partitioned by coarse cell (the
+    * partition-pruned scan body is vec_id + 8 residual-code bytes — both
+    * index wins at once: read nProbe/k of the data AND 32× less of it),
+    * with `_codebook` (coarse) and `_pq_codebook` (residual) sidecars. */
+  def writeIvfPqIndex(s: SparkSession, d: String, outDir: String): Unit = {
+    val spark = s
+    import spark.implicits._
+    val edf = Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
+    val (cents, cn, cbR) = trainIvfPq(edf)
+    val bc = spark.sparkContext.broadcast((cents, cn, cbR))
+    edf.as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val (cs, csn, cb) = bc.value
+        val cell = nearest(cs, csn, v, normA(v))
+        val cent = cs(cell)
+        val r = new Array[Double](v.length)
+        var i = 0; while (i < v.length) { r(i) = v(i) - cent(i); i += 1 }
+        (cell, id, pqEncode(cb, r).map(_.toByte))
+      }
+      .toDF("cluster", "vec_id", "codes")
+      .write.mode("overwrite").partitionBy("cluster").parquet(outDir)
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+      .write.mode("overwrite").parquet(s"$outDir/_codebook")
+    cbR.zipWithIndex.flatMap { case (sub, m) =>
+      sub.zipWithIndex.map { case (cent, k) => (m, k, cent.toSeq) }
+    }.toSeq.toDF("m", "k", "centroid")
+      .write.mode("overwrite").parquet(s"$outDir/_pq_codebook")
+  }
+
+  /** Query a persisted IVFADC index: rank cells from the k-row coarse
+    * sidecar, scan ONLY the probed cells' code files (partition pruning ×
+    * 8-byte rows), ADC with the cell constant, then exact refine through
+    * the pushed-down candidate IN-filter on the full-vector table. */
+  def queryIvfPqIndex(s: SparkSession, d: String, indexDir: String,
+      probe: Array[Double], topK: Int = 10,
+      excludeId: Option[Long] = None): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val coarse = spark.read.parquet(s"$indexDir/_codebook")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+    val cbRows = spark.read.parquet(s"$indexDir/_pq_codebook")
+      .as[(Int, Int, Seq[Double])].collect()
+    val cbR = Array.tabulate(PqM) { m =>
+      cbRows.filter(_._1 == m).sortBy(_._2).map(_._3.toArray)
+    }
+    val pn = normA(probe)
+    val chosen = coarse.indices
+      .map(c => (c, dotA(probe, coarse(c)) / (pn * normA(coarse(c)))))
+      .sortBy { case (c, sim) => (-sim, c) }
+      .take(IvfPqProbe).map(_._1)
+    val tables = adcTables(cbR, probe)
+    val cellConst = coarse.map(c => dotA(probe, c))
+    val bcT = spark.sparkContext.broadcast((tables, cellConst))
+    val codes = spark.read.parquet(indexDir)
+      .where(col("cluster").isin(chosen: _*))
+      .select(col("vec_id"), col("codes"), col("cluster"))
+      .as[(Long, Array[Byte], Int)]
+    val scored = excludeId.fold(codes)(id => codes.filter(_._1 != id))
+      .map { case (id, cs, cell) =>
+        val (t, cc) = bcT.value
+        var m = 0; var adc = cc(cell)
+        while (m < cs.length) { adc += t(m)(cs(m) & 0xff); m += 1 }
+        (id, adc)
+      }
+      .toDF("vec_id", "adc")
+      .orderBy(col("adc").desc, col("vec_id")).limit(PqCand)
+    val candIds = scored.select(col("vec_id")).as[Long].collect().toSeq
+    Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
+      .where(col("vec_id").isin(candIds: _*))
+      .select(col("vec_id"),
+        CosineSimExpr.vec_cosine(col("v"), typedLit(probe.toSeq)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(topK)
+      .select(col("vec_id"), round(col("cos"), 4).as("cos_r"))
+  }
+
+  /** AT-REST IVFADC serving path as a suite key (memoized build like its
+    * IVF/PQ siblings): the steady-state cost is the partition-pruned
+    * compressed code scan + candidate point reads — the cheapest serving
+    * shape the engine offers. */
+  val annIvfPqAtRest: Q = (s, d) => {
+    val idx = ensureIndex(s, "ivfpq", d)(p => writeIvfPqIndex(s, d, p))
+    queryIvfPqIndex(s, d, idx, probeVector(s, d), excludeId = Some(0L))
+  }
+
   /** MinHash + LSH banded near-dup candidates over document 3-gram shingles
     * (oracle-checked since round 5 — the kernel is deterministic integer
     * arithmetic, replayed per shingle byte by the DuckDB recursive-CTE
@@ -958,6 +1134,8 @@ object Vectors {
     "q_ann_pq"          -> annPq,
     "q_ann_ivf_at_rest" -> annIvfAtRest,
     "q_ann_pq_at_rest"  -> annPqAtRest,
+    "q_ann_ivfpq"       -> annIvfPq,
+    "q_ann_ivfpq_at_rest" -> annIvfPqAtRest,
     "q_minhash_lsh"     -> minhashLsh,
     "q_simhash_dedup"   -> simhashDedup,
     "q_multimodal_join" -> multimodalJoin,

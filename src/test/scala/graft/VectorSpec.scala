@@ -129,6 +129,61 @@ class VectorSpec extends AnyFunSuite {
     assert(pq1 == Vectors.annPq(spark, TestSpark.sf0001).collect().toSeq)
   }
 
+  test("IVFADC: residual-PQ recall, true-cosine refine, deterministic, at-rest equals in-query") {
+    val spark = TestSpark.spark
+    val exact = Vectors.cosineTopk(spark, TestSpark.sf0001)
+      .collect().map(_.getLong(0)).toSet
+    val approx = Vectors.annIvfPq(spark, TestSpark.sf0001).collect()
+    assert(approx.length == 10)
+    val ids = approx.map(_.getLong(0)).toSet
+    assert(!ids.contains(0L))
+    // the probed-cell prune caps recall at the IVF bar; residual PQ must
+    // not drop it further
+    val recall = exact.intersect(ids).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall; exact=$exact approx=$ids")
+    // refined scores are TRUE cosines (identical to the exact query's)
+    val exactScores = Vectors.cosineTopk(spark, TestSpark.sf0001)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    approx.filter(r => exactScores.contains(r.getLong(0)))
+      .foreach(r => assert(r.getDouble(1) == exactScores(r.getLong(0))))
+    // determinism (fixed sample, seeded Lloyd, total orders)
+    val again = Vectors.annIvfPq(spark, TestSpark.sf0001).collect()
+    assert(approx.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
+      again.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+    // the at-rest suite key (memoized persisted index) answers identically:
+    // same sample contract -> same codebooks -> same codes -> same refine
+    val atRest1 = Vectors.annIvfPqAtRest(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val atRest2 = Vectors.annIvfPqAtRest(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(atRest1 == atRest2)
+    assert(atRest1 == approx.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
+  }
+
+  test("persisted IVFADC index: cell-partitioned 8-byte codes, pruned query scan") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("ivfpqidx").toString
+    Vectors.writeIvfPqIndex(spark, TestSpark.sf0001, idx)
+    val codes = spark.read.parquet(idx)
+    assert(codes.count() == Tables.embeddings(spark, TestSpark.sf0001).count())
+    assert(codes.select(org.apache.spark.sql.functions.octet_length(col("codes")))
+      .as[Int].head() == 8)
+    // every vector landed in one of the 16 coarse cells
+    assert(codes.select(col("cluster")).distinct().count() <= 16L)
+    val probe = Tables.embeddings(spark, TestSpark.sf0001)
+      .where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).as[Array[Double]].head()
+    val q = Vectors.queryIvfPqIndex(spark, TestSpark.sf0001, idx, probe,
+      topK = 10, excludeId = Some(0L))
+    // the refine stage's candidate IN-filter reaches the parquet scan
+    val formatted = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val pushed = formatted.linesIterator.find(_.contains("PushedFilters")).get
+    assert(pushed.contains("In(vec_id"), pushed)
+    assert(q.collect().length == 10)
+  }
+
   test("SRP near-dup: exact recall of every planted pair, nothing else") {
     val spark = TestSpark.spark
     import spark.implicits._
