@@ -869,11 +869,15 @@ object Text {
     * ≤ [[SpanDupKeepFrac]] — the gate that catches boilerplate-heavy
     * documents whole-text exact dedup misses entirely.
     *
-    * Scale: one typed shingle pass (document text never shuffles),
-    * (doc, span) partial counts, one span-keyed global count joined back —
-    * Θ(tokens) rows through two hash shuffles keyed on the span text,
-    * map-side combined; output Θ(docs). No pair list, no quadratic term at
-    * any dup density — the verdict is per POSITION, not per pair. */
+    * Scale: ONE typed shingle pass (document text never shuffles, and the
+    * corpus is tokenized exactly once — a join against a separately
+    * aggregated global-count branch would re-scan and re-shingle it),
+    * (doc, span) partial counts through the span-keyed shuffle, the global
+    * span count as a whole-partition window over the same shuffled rows,
+    * then the doc-keyed verdict agg — Θ(tokens) rows through two hash
+    * shuffles, map-side combined; output Θ(docs). No pair list, no
+    * quadratic term at any dup density — the verdict is per POSITION, not
+    * per pair. */
   val substringDedup: Q = (s, d) => {
     val spark = s
     import spark.implicits._
@@ -885,8 +889,8 @@ object Text {
       .toDF("doc_id", "sh")
       .groupBy(col("doc_id"), col("sh"))
       .agg(count(lit(1)).as("m"))
-    val global = spans.groupBy(col("sh")).agg(sum(col("m")).as("c"))
-    val perDoc = spans.join(global, "sh")
+    val perDoc = spans
+      .withColumn("c", sum(col("m")).over(Window.partitionBy(col("sh"))))
       .groupBy(col("doc_id"))
       .agg(sum(col("m")).as("n_spans"),
         sum(when(col("c") > 1, col("m")).otherwise(lit(0L))).as("n_dup_spans"))
