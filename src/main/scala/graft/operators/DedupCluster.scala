@@ -121,12 +121,41 @@ object DedupCluster {
     * components, representative selection — verifies against a DuckDB
     * recursive-CTE transitive closure. The LSH-fed [[clusters]] stays
     * rows-only only because approximate candidate generation isn't
-    * SQL-expressible; this pins the clustering algebra itself. */
+    * SQL-expressible; this pins the clustering algebra itself. Runs over
+    * the [[contractedEmbedEdges]] — same components, same sizes, same
+    * representatives as the raw pair stream (see the contraction proof
+    * there); the oracle still describes the FULL pair closure. */
   def clustersExact(s: SparkSession, d: String): DataFrame =
-    connectedComponents(Vectors.embedNeardupPairs(s, d))
+    connectedComponents(contractedEmbedEdges(s, d))
       .groupBy(col("comp"))
       .agg(count(lit(1)).as("cluster_size"), min(col("id")).as("keep_doc_id"))
       .orderBy(col("comp"))
+
+  /** Star-contracted exact-cosine edge set, shared by [[clustersExact]] and
+    * [[embedReps]] — the embed-family instance of the contraction that
+    * bounded the simhash/minhash verdicts. cos(a, b) is a function of the
+    * two VECTORS alone, so docs with bit-identical embeddings form a clique
+    * (cos = 1 ≥ threshold) and any cross-group pair passes iff the
+    * (value_a, value_b) pair passes: connectivity is exactly preserved by
+    * one star edge per non-rep member (Θ(docs)) plus the blocked pair
+    * kernel run over one row per DISTINCT embedding. On a dup-dense corpus
+    * (verbatim re-crawls, mirrored documents — exactly what 10×-replicated
+    * sf1 models) this keeps the O(n²/blocks) dot-product kernel off the
+    * replicated mass; with no duplicates it degenerates to the raw kernel
+    * plus one cheap groupBy. Verdict equality with the uncontracted pair
+    * stream is spec-pinned (DedupClusterSpec's independent union-find over
+    * the raw pair list). */
+  private def contractedEmbedEdges(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val groups = e.groupBy(col("embedding")).agg(min(col("vec_id")).as("rep"))
+    val star = e.join(groups, Seq("embedding"))
+      .where(col("vec_id") =!= col("rep"))
+      .select(col("vec_id").as("id_a"), col("rep").as("id_b"))
+    val inter = Vectors.embedNeardupPairsOf(
+        groups.select(col("rep").as("vec_id"), col("embedding")))
+      .select(col("id_a"), col("id_b"))
+    star.union(inter)
+  }
 
   /** Bounded-output near-dup VERDICT over simhash candidates — the
     * production dedup surface for a dup-dense corpus, and the round-6
@@ -245,12 +274,13 @@ object DedupCluster {
   /** Per-doc verdicts over the EXACT embedding near-dup edges — the third
     * member of the bounded-verdict family (simhash blocks / minhash bands /
     * exact cosine all feed the same [[perDocVerdicts]] tail), and the
-    * doc-level twin of [[clustersExact]]'s cluster-level view. No
-    * contraction here: the exact kernel has no signature groups to
-    * collapse, and its blocked pair join is already the audited plan. */
+    * doc-level twin of [[clustersExact]]'s cluster-level view. Contracted
+    * like its siblings via [[contractedEmbedEdges]]: identical embeddings
+    * collapse to their min-id rep BEFORE the quadratic dot-product kernel,
+    * so the kernel cost tracks distinct vectors, not corpus size, on a
+    * dup-dense corpus. */
   def embedReps(s: SparkSession, d: String): DataFrame =
-    perDocVerdicts(s, d,
-      Vectors.embedNeardupPairs(s, d).select(col("id_a"), col("id_b")))
+    perDocVerdicts(s, d, contractedEmbedEdges(s, d))
 
   /** The shared verdict tail of the reps family: CC over the (contracted)
     * edge set → per-doc (doc_id, cluster_rep, n_dups, is_dup), singletons

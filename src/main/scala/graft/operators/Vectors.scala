@@ -97,8 +97,16 @@ object Vectors {
   /** The pair kernel WITHOUT the presentation sort — composing operators
     * (connected components) re-shuffle the edges anyway, so only the
     * oracle-facing [[embedNeardup]] query pays the global orderBy. */
-  def embedNeardupPairs(s: SparkSession, d: String): DataFrame = {
-    val spark = s
+  def embedNeardupPairs(s: SparkSession, d: String): DataFrame =
+    embedNeardupPairsOf(Tables.embeddings(s, d))
+
+  /** The blocked pair kernel over ANY (vec_id, embedding) relation —
+    * [[embedNeardupPairs]] runs it on the full table; the contracted
+    * verdict path ([[DedupCluster.embedReps]]) runs it on one row per
+    * DISTINCT embedding, which is what keeps the O(n²/blocks) kernel off
+    * the replicated mass of a dup-dense corpus. */
+  def embedNeardupPairsOf(raw: DataFrame): DataFrame = {
+    val spark = raw.sparkSession
     import spark.implicits._
     // Blocked self-join: chunk the corpus by vec_id, build one block row per
     // chunk (groupBy + collect_list), pair blocks with chunk_a <= chunk_b,
@@ -112,7 +120,7 @@ object Vectors {
     // blocks are flat primitive arrays (ids / row-major values / norms), so
     // the block join ships three unsafe arrays per side and the kernel never
     // boxes a vector
-    val blocks = Tables.embeddings(s, d)
+    val blocks = raw
       .select(col("vec_id"), vec.as("v")).as[(Long, Array[Double])]
       .groupByKey(_._1 / C)
       .mapGroups { (chunk, iter) =>
