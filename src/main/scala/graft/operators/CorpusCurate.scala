@@ -19,7 +19,7 @@ import graft.Tables
   *                             (doc_id = vec_id, the q_multimodal_join key)
   *                             → connected components → drop every member
   *                             but the min-id representative
-  *                             ([[Vectors.embedNeardupPairs]] +
+  *                             ([[DedupCluster.contractedEmbedEdges]] +
   *                             [[DedupCluster.connectedComponents]])
   *  C. quality gate          — Gopher-style rule conjunction must pass
   *                             ([[Text.gopherRules]] keep = 1)
@@ -63,9 +63,12 @@ object CorpusCurate {
     val exactKeep = Text.exactDedup(s, d)
       .select(col("keep_doc_id").as("doc_id"))
     // B: min-label CC over exact near-dup edges; the component label IS the
-    // min member id, so "not the representative" is one comparison
+    // min member id, so "not the representative" is one comparison. The
+    // star-contracted edge set yields provably identical components
+    // (DedupCluster.contractedEmbedEdges) while keeping the quadratic
+    // dot-product kernel off the replicated mass of a dup-dense corpus
     val nearDupDrop = DedupCluster
-      .connectedComponents(Vectors.embedNeardupPairs(s, d))
+      .connectedComponents(DedupCluster.contractedEmbedEdges(s, d))
       .where(col("id") =!= col("comp"))
       .select(col("id").as("doc_id"))
     // C: Gopher rule conjunction

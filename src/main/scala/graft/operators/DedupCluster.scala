@@ -145,7 +145,7 @@ object DedupCluster {
     * plus one cheap groupBy. Verdict equality with the uncontracted pair
     * stream is spec-pinned (DedupClusterSpec's independent union-find over
     * the raw pair list). */
-  private def contractedEmbedEdges(s: SparkSession, d: String): DataFrame = {
+  private[operators] def contractedEmbedEdges(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
     val groups = e.groupBy(col("embedding")).agg(min(col("vec_id")).as("rep"))
     val star = e.join(groups, Seq("embedding"))
