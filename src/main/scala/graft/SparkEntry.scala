@@ -35,7 +35,9 @@ object SparkEntry {
         "q_minhash_dedup_reps" ->
           ((s: SparkSession, d: String) => operators.DedupCluster.minhashReps(s, d)),
         "q_embed_dedup_reps" ->
-          ((s: SparkSession, d: String) => operators.DedupCluster.embedReps(s, d)))
+          ((s: SparkSession, d: String) => operators.DedupCluster.embedReps(s, d)),
+        "q_neardup_keep_best" ->
+          ((s: SparkSession, d: String) => operators.DedupCluster.keepBest(s, d)))
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check. */

@@ -282,6 +282,43 @@ object DedupCluster {
   def embedReps(s: SparkSession, d: String): DataFrame =
     perDocVerdicts(s, d, contractedEmbedEdges(s, d))
 
+  /** Near-dup family CANONICALIZATION: one row per exact-cosine near-dup
+    * cluster, keeping the member with the highest quality score — the
+    * production refinement of min-id representative selection. The reps
+    * family answers "which docs are duplicates"; this answers "which copy
+    * do we train on" when family members genuinely differ (re-crawls with
+    * boilerplate deltas, mirrored pages with injected chrome): the
+    * min-id keeper is arbitrary, the max-quality keeper is the one a
+    * curation pipeline actually wants.
+    *
+    * Scoring is [[Text.qualityExpr]] — the SAME single-sourced column the
+    * oracle-checked q_quality_score presents, so the argmax is over values
+    * both engines compute bit-identically (rounded 4dp, ties broken by min
+    * doc_id). Selection runs on the heap [[graft.plans.TopKPerGroup]]
+    * operator at k=1: ≤1 row per cluster survives each map task, no
+    * per-cluster sort, no window funnel. Edges are the star-contracted set,
+    * components identical to the raw pair closure; output is Θ(clusters).
+    * Fully oracle-checked via the shared [[Vectors.nearDupPairCte]] +
+    * transitive closure + the q_quality_score scoring fragment. */
+  def keepBest(s: SparkSession, d: String): DataFrame = {
+    val comps = connectedComponents(contractedEmbedEdges(s, d))
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), Text.qualityExpr.as("quality"))
+      .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality"),
+        coalesce(col("comp"), col("doc_id")).as("cluster_rep"))
+    val best = graft.plans.TopKPerGroup
+      .topK(scored, Seq("cluster_rep"), Seq("quality" -> false, "doc_id" -> true), 1)
+      .select(col("cluster_rep"), col("doc_id").as("best_doc_id"),
+        col("quality").as("best_quality"))
+    val sizes = scored.groupBy(col("cluster_rep"))
+      .agg(count(lit(1)).as("n_members"))
+    best.join(sizes, Seq("cluster_rep"))
+      .select(col("cluster_rep"), col("n_members"), col("best_doc_id"),
+        col("best_quality"))
+      .orderBy(col("cluster_rep"))
+  }
+
   /** The shared verdict tail of the reps family: CC over the (contracted)
     * edge set → per-doc (doc_id, cluster_rep, n_dups, is_dup), singletons
     * covered via the left join + coalesce. */
@@ -347,6 +384,32 @@ object DedupCluster {
         |SELECT lab.doc_id, lab.cluster_rep, sz.n_dups,
         |  CAST(CASE WHEN lab.doc_id <> lab.cluster_rep THEN 1 ELSE 0 END AS INT) AS is_dup
         |FROM lab JOIN sz USING (cluster_rep) ORDER BY doc_id""".stripMargin,
+    "q_neardup_keep_best" ->
+      s"""WITH RECURSIVE ${Vectors.nearDupPairCte},
+        |e7 AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+        |n7 AS (SELECT DISTINCT src AS id FROM e7),
+        |reach7(id, root) AS (
+        |  SELECT id, id FROM n7
+        |  UNION
+        |  SELECT e7.dst, r.root FROM reach7 r JOIN e7 ON e7.src = r.id),
+        |comp7 AS (SELECT id, min(root) AS comp FROM reach7 GROUP BY id),
+        |q AS (
+        |  SELECT doc_id,
+        |    round(least(CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS DOUBLE) / 100.0, 1.0)
+        |      * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9\\s]')) AS DOUBLE)
+        |               / CAST(length(text) AS DOUBLE)), 4) AS quality
+        |  FROM documents),
+        |lab AS (
+        |  SELECT q.doc_id, q.quality, coalesce(c.comp, q.doc_id) AS cluster_rep
+        |  FROM q LEFT JOIN comp7 c ON c.id = q.doc_id),
+        |r AS (
+        |  SELECT cluster_rep, doc_id, quality,
+        |    row_number() OVER (PARTITION BY cluster_rep ORDER BY quality DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY cluster_rep) AS n_members
+        |  FROM lab)
+        |SELECT cluster_rep, CAST(n_members AS BIGINT) AS n_members,
+        |  doc_id AS best_doc_id, quality AS best_quality
+        |FROM r WHERE rn = 1 ORDER BY cluster_rep""".stripMargin,
     "q_minhash_dedup_reps" ->
       s"""WITH RECURSIVE ${Vectors.minhashPairCte},
         |mf AS (SELECT id_a, id_b FROM agree WHERE m >= $MinhashRepsMinAgree),

@@ -153,6 +153,20 @@ object Text {
         length(col("text")).cast("long").as("n_chars_calc"))
       .orderBy(col("doc_id"))
 
+  /** The scalar `quality` column of [[qualityScore]], factored out so every
+    * consumer — the standalone key and the near-dup keep-best canonicalizer
+    * ([[DedupCluster.keepBest]]) — scores with the ONE definition the
+    * q_quality_score oracle replays (operand order included: the rounded
+    * double must be bit-identical across engines for the argmax tie
+    * structure to agree). */
+  private[operators] def qualityExpr: Column = {
+    val ws = toks(col("text"))
+    val nChars = length(col("text")).cast("double")
+    val nPunct = size(regexp_extract_all(col("text"), lit("[^a-z0-9\\s]"), lit(0))).cast("double")
+    val nToks = size(ws).cast("double")
+    round(least(nToks / 100.0, lit(1.0)) * (lit(1.0) - nPunct / nChars), 4)
+  }
+
   /** Heuristic quality score: length, punctuation ratio, stopword ratio,
     * mean word length — the standard cheap pre-filters of LLM data
     * pipelines. */
@@ -167,7 +181,7 @@ object Text {
         round(nPunct / nChars, 4).as("punct_ratio"),
         round(nStop / nToks, 4).as("stopword_ratio"),
         round(nChars / nToks, 4).as("avg_token_len"),
-        round(least(nToks / 100.0, lit(1.0)) * (lit(1.0) - nPunct / nChars), 4).as("quality"))
+        qualityExpr.as("quality"))
       .orderBy(col("doc_id"))
   }
 

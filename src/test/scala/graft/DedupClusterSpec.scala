@@ -151,6 +151,45 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(clusters.keySet.filter(c => clusters(c)._1 > 1) == repFamilies)
   }
 
+  test("keep-best canonicalization picks the max-quality member of every family") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.col
+    // independent reference: union-find over the RAW (uncontracted) pair
+    // list + the oracle-checked quality scores, argmax by (quality desc,
+    // doc_id asc) per family, singletons included
+    val pairs = graft.operators.Vectors.embedNeardup(spark, TestSpark.sf0001)
+      .select(col("id_a"), col("id_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    pairs.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val quality = graft.operators.Text.qualityScore(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("quality"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = quality.keys.toSeq
+      .map(id => (find(id), id))
+      .groupBy(_._1)
+      .map { case (c, ms) =>
+        val ids = ms.map(_._2)
+        val best = ids.minBy(id => (-quality(id), id))
+        (c, ids.size.toLong, best, quality(best))
+      }
+      .toSeq.sortBy(_._1)
+    val got = DedupCluster.keepBest(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == want)
+    // and one canonicalization row per family = families partition the corpus
+    assert(got.map(_._2).sum == Tables.documents(spark, TestSpark.sf0001).count())
+  }
+
   test("document clusters from LSH candidates have sane shape") {
     val spark = TestSpark.spark
     val cl = DedupCluster.clusters(spark, TestSpark.sf0001, minJac = 0.5).collect()

@@ -89,6 +89,7 @@ class SqlParitySpec extends AnyFunSuite {
       "q_multimodal_features" -> "unnest(generate_series) byte explode",
       "q_dedup_clusters_exact" -> (recursive + " (transitive closure)"),
       "q_embed_dedup_reps" -> (recursive + " (transitive closure)"),
+      "q_neardup_keep_best" -> (recursive + " (transitive closure)"),
       "q_simhash_dedup" -> (hugeint + "; " + recursive),
       "q_simhash_dedup_reps" -> (hugeint + "; " + recursive),
       "q_minhash_lsh" -> (hugeint + "; " + recursive),
