@@ -956,6 +956,123 @@ object Text {
       .orderBy(col("source"), col("split"))
   }
 
+  /** Per-document unigram Shannon entropy — the information-density quality
+    * signal (low entropy = repeated boilerplate / keyword stuffing, the
+    * docs the repetition rules catch structurally; entropy catches them
+    * statistically). Computed in the algebraic one-pass form
+    * H = ln(n) − (Σ c·ln c)/n over the per-doc term counts, so the plan is
+    * the same two keyed aggregations as every other token statistic:
+    * explode → partial-agg (doc, term) → agg (doc). Nothing but (doc_id,
+    * term-count) pairs ever shuffles; output Θ(docs).
+    *
+    * Zero-token documents (whitespace-only text) have no defined entropy
+    * and are excluded, matching the oracle's empty-group semantics. */
+  val ngramEntropy: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("c").cast("double") * log(col("c").cast("double"))).as("clogc"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(log(col("n_tokens").cast("double")) - col("clogc") / col("n_tokens"), 4)
+          .as("entropy"))
+      .orderBy(col("doc_id"))
+
+  /** Membership screen of an incoming corpus against an at-rest REFERENCE
+    * corpus (here: source `src0`) without joining the bulk of the stream
+    * against it — the "have we trained on this before" ingest gate. A
+    * Bloom filter over the reference's content hashes is built ONCE (an
+    * eager index-build pass over the reference side only, like the
+    * bucketed-table and ANN index builds) and broadcast to every task;
+    * bloom-NEGATIVE rows are definitely novel and pass through with no
+    * join at all, and only the bloom-positive sliver (true duplicates +
+    * the filter's ~1% false positives) pays the exact semi-join that makes
+    * the verdict exact. False negatives are impossible, so the output is
+    * exactly the anti-join the oracle runs — the sketch changes the PLAN,
+    * never the answer.
+    *
+    * Scale: at 100 TB the reference pass is one projection of (hash) and
+    * the bloom is ~1.2 MB per 10⁶ entries at 1% fpp; for multi-billion-doc
+    * references, shard the filter by hash prefix and broadcast the shard
+    * map. The candidate side is a scan + in-place filter — the exact join
+    * processes ~1% of it. The mightContain probe is a Scala UDF (Spark has
+    * no bloom-probe Column function); it sits on the cheap prefilter, and
+    * the row-at-a-time cost is two hash mixes — at cluster scale the same
+    * screen falls out of Spark's own runtime bloom join filters when the
+    * reference is small enough, which PlanSpec exercises. */
+  val bloomDedup: Q = (s, d) => {
+    val ref = Tables.documents(s, d)
+      .where(col("source") === "src0")
+      .select(md5(col("text")).as("rh"))
+    val bloom = ref.stat.bloomFilter("rh", 1L << 20, 0.01)
+    val bcast = s.sparkContext.broadcast(bloom)
+    val might = udf((h: String) => bcast.value.mightContain(h))
+    val cand = Tables.documents(s, d)
+      .where(col("source") =!= "src0")
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    val definiteNovel = cand.where(!might(col("h")))
+    val confirmedNovel = cand.where(might(col("h")))
+      .join(ref, col("h") === col("rh"), "left_anti")
+    definiteNovel.unionByName(confirmedNovel)
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Number of hash buckets for [[dsirWeights]] — a power of two so the
+    * Spark-side bucket (`fnv_hash64 & (B-1)`, low bits of the SIGNED long)
+    * equals the oracle's unsigned `h % B` exactly. */
+  val DsirBuckets = 1024
+
+  /** DSIR-style importance weights for target-domain data selection (Xie
+    * et al., "Data Selection for Language Models via Importance
+    * Resampling", NeurIPS 2023): score every document by how much more
+    * likely its hashed-unigram bag is under the TARGET domain's bucket
+    * distribution (source `src1` stands in for the target here) than under
+    * the raw-corpus distribution —
+    * w(doc) = Σ_tok [ ln p̂_t(h(tok)) − ln p̂_r(h(tok)) ] with add-1
+    * smoothing over [[DsirBuckets]] buckets of the engine's
+    * [[graft.functions.FnvHash64Expr]] content hash (the paper's hashed
+    * n-gram generative model; unigram features here — bigrams ride the
+    * same path with a concat before the hash). High weight = "looks like
+    * the target domain", the resampling key for domain-matched pretraining
+    * mixes.
+    *
+    * Scale: the bucket statistics table is Θ(B) = 1024 rows no matter the
+    * corpus size — it is aggregated once (map-side partial), its totals
+    * are window lookups INSIDE the tiny table, and it broadcasts to the
+    * per-doc scoring join, so the corpus-sized side never shuffles more
+    * than (doc_id, bucket, count) triples. Exactly the shape DSIR needs at
+    * 100 TB: the model fits in a closure, the data streams past it. */
+  val dsirWeights: Q = (s, d) => {
+    val B = DsirBuckets
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), explode(toks(col("text"))).as("term"))
+      .where(length(col("term")) > 0)
+      .select(col("doc_id"), col("source"),
+        graft.functions.FnvHash64Expr.fnv_hash64(col("term"))
+          .bitwiseAND(lit((B - 1).toLong)).as("b"))
+    val buckets = tok.groupBy(col("b"))
+      .agg(count(lit(1)).as("c_r"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("c_t"))
+    // totals as window lookups over the ≤B-row bucket table (the
+    // sourceOverlap pattern) — no second aggregation pass, no persist
+    val all = Window.partitionBy(lit(1))
+    val logRatio = buckets.select(col("b"),
+      (log((col("c_t") + lit(1.0)) / (sum(col("c_t")).over(all) + lit(B.toDouble))) -
+        log((col("c_r") + lit(1.0)) / (sum(col("c_r")).over(all) + lit(B.toDouble))))
+        .as("logr"))
+    tok.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(logRatio), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("cnt")).as("n_tokens"),
+        round(sum(col("cnt").cast("double") * col("logr")), 4).as("dsir_weight"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_exact_dedup"     -> exactDedup,
     "q_text_stats"      -> textStats,
@@ -983,6 +1100,9 @@ object Text {
     "q_url_canonicalize" -> urlCanonicalize,
     "q_substring_dedup" -> substringDedup,
     "q_stratified_split" -> stratifiedSplit,
+    "q_ngram_entropy"   -> ngramEntropy,
+    "q_bloom_dedup"     -> bloomDedup,
+    "q_dsir_weights"    -> dsirWeights,
   )
 
   /** Shared oracle CTE mirroring [[docTokenStats]] exactly (term counts +
@@ -1463,5 +1583,69 @@ object Text {
         |  FROM w a JOIN w b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, round(jac, 4) AS jaccard FROM p
         |WHERE jac >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+    "q_ngram_entropy" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS term
+        |  FROM documents),
+        |tc AS (
+        |  SELECT doc_id, term, count(*) AS c FROM w WHERE len(term) > 0
+        |  GROUP BY doc_id, term)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  round(ln(CAST(sum(c) AS DOUBLE)) - sum(c * ln(c)) / sum(c), 4) AS entropy
+        |FROM tc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the bloom filter is plan-only (false positives die in the exact
+    // confirm join, false negatives are impossible) — the oracle is the
+    // exact anti-join the operator's output contract promises
+    "q_bloom_dedup" ->
+      """SELECT d.doc_id, d.source FROM documents d
+        |WHERE d.source <> 'src0'
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM documents r WHERE r.source = 'src0' AND r.text = d.text)
+        |ORDER BY d.doc_id""".stripMargin,
+    // FNV-1a bucket replay: same recursive-CTE hash chain as the
+    // simhash/minhash oracles (unsigned HUGEINT, 32-bit split multiply);
+    // bucket = h % 1024 == the Spark side's signed `& 1023` because 1024
+    // is a power of two
+    "q_dsir_weights" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, source, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents),
+        |tkf AS (SELECT doc_id, source, tok FROM tk WHERE len(tok) > 0),
+        |vocab AS (SELECT DISTINCT tok FROM tkf),
+        |fnv(tok, i, h) AS (
+        |  SELECT tok, 0, 14695981039346656037::HUGEINT FROM vocab
+        |  UNION ALL
+        |  SELECT tok, i + 1,
+        |    (((CASE WHEN xh < 0 THEN CAST(xh AS HUGEINT) + 18446744073709551616::HUGEINT
+        |            ELSE CAST(xh AS HUGEINT) END)
+        |      % 4294967296::HUGEINT) * 1099511628211::HUGEINT
+        |     + (((CASE WHEN xh < 0 THEN CAST(xh AS HUGEINT) + 18446744073709551616::HUGEINT
+        |             ELSE CAST(xh AS HUGEINT) END)
+        |         // 4294967296::HUGEINT * 435::HUGEINT) % 4294967296::HUGEINT)
+        |       * 4294967296::HUGEINT) % 18446744073709551616::HUGEINT
+        |  FROM (
+        |    SELECT tok, i, h,
+        |      xor(CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+        |               THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT),
+        |          CAST(ascii(substr(tok, CAST(i + 1 AS INT), 1)) AS BIGINT)) AS xh
+        |    FROM fnv WHERE i < len(tok)) q),
+        |tb AS (SELECT tok, CAST(h % 1024::HUGEINT AS BIGINT) AS b
+        |       FROM fnv WHERE i = len(tok)),
+        |tc AS (SELECT t.doc_id, t.source, tb.b FROM tkf t JOIN tb USING (tok)),
+        |bc AS (
+        |  SELECT b, count(*) AS c_r,
+        |    sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS c_t
+        |  FROM tc GROUP BY b),
+        |tot AS (SELECT sum(c_r) AS r_tot, sum(c_t) AS t_tot FROM bc),
+        |lr AS (
+        |  SELECT b,
+        |    ln((c_t + 1.0) / (t_tot + 1024.0)) - ln((c_r + 1.0) / (r_tot + 1024.0)) AS logr
+        |  FROM bc CROSS JOIN tot),
+        |db AS (SELECT doc_id, b, count(*) AS cnt FROM tc GROUP BY doc_id, b)
+        |SELECT db.doc_id, CAST(sum(db.cnt) AS BIGINT) AS n_tokens,
+        |  round(sum(db.cnt * lr.logr), 4) AS dsir_weight
+        |FROM db JOIN lr USING (b)
+        |GROUP BY db.doc_id ORDER BY db.doc_id""".stripMargin,
   )
 }

@@ -239,4 +239,96 @@ class TextQualitySpec extends AnyFunSuite {
     val again = Text.stratifiedSplit(spark, TestSpark.sf0001).collect()
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq, "hash split is deterministic")
   }
+
+  /** Plants a tiny documents table in a temp sf-dir so the operators under
+    * test run through the same parquet-scan entry as production. */
+  private def plantedDocs(rows: Seq[(Long, String, String, String, Long)]): String = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_docs").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("unigram entropy: zero for constant docs, ln(k) for uniform docs, corpus signal splits") {
+    val dir = plantedDocs(Seq(
+      (0L, "x x x x", "en", "src0", 7L),
+      (1L, "a b c d", "en", "src0", 7L),
+      (2L, "a a b b c c", "en", "src1", 11L)))
+    val planted = Text.ngramEntropy(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("entropy")).toMap
+    assert(planted(0L) == 0.0)
+    assert(planted(1L) == math.rint(math.log(4.0) * 1e4) / 1e4)
+    assert(planted(2L) == math.rint(math.log(3.0) * 1e4) / 1e4)
+    val rows = Text.ngramEntropy(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      assert(h >= 0.0)
+      assert(h <= math.log(r.getAs[Long]("n_distinct").toDouble) + 1e-4,
+        "entropy is bounded by ln(n_distinct) (uniform maximum)")
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_tokens"))
+    }
+    val hs = rows.map(_.getAs[Double]("entropy"))
+    assert(hs.min < hs.max, "entropy must separate documents, not emit a constant")
+  }
+
+  test("bloom screen: planted duplicates die in the confirm join, result equals the exact anti-join") {
+    import org.apache.spark.sql.functions.col
+    val dir = plantedDocs(Seq(
+      (0L, "alpha beta gamma", "en", "src0", 16L),
+      (1L, "delta epsilon", "en", "src0", 13L),
+      (2L, "alpha beta gamma", "en", "src1", 16L), // exact dup of ref doc 0
+      (3L, "zeta eta theta", "en", "src1", 14L),
+      (4L, "delta epsilon", "en", "src2", 13L), // exact dup of ref doc 1
+      (5L, "iota kappa", "en", "src3", 10L)))
+    assert(Text.bloomDedup(spark, dir).collect().map(_.getAs[Long]("doc_id")).toSeq
+      == Seq(3L, 5L),
+      "bloom-positive duplicates must be confirmed and dropped, novels kept")
+    // on the organic corpus the verdict must equal the plain exact anti-join
+    // (the bloom is plan-only — false positives cannot leak into the output)
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val want = docs.where(col("source") =!= "src0")
+      .join(docs.where(col("source") === "src0").select(col("text").as("rt")),
+        col("text") === col("rt"), "left_anti")
+      .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
+      .collect().map(_.toString).toSeq
+    val got = Text.bloomDedup(spark, TestSpark.sf0001).collect().map(_.toString).toSeq
+    assert(got == want)
+  }
+
+  test("DSIR weights: replays the closed-form model exactly and ranks by target-likeness") {
+    val docs = Seq(
+      (0L, "aa bb aa bb", "en", "src1", 11L), // target domain
+      (1L, "aa bb", "en", "src1", 5L),
+      (2L, "dd ee dd ee", "en", "src5", 11L), // out of domain
+      (3L, "aa bb aa bb", "en", "src6", 11L), // target-LIKE content, other source
+      (4L, "dd ee", "en", "src7", 5L))
+    val dir = plantedDocs(docs)
+    val got = Text.dsirWeights(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Double]("dsir_weight")))
+    // closed-form replay on the driver with the same hash, buckets, smoothing
+    val B = Text.DsirBuckets
+    val toks = docs.map { case (id, text, _, src, _) =>
+      (id, src, text.toLowerCase.trim.split("\\s+").toSeq.filter(_.nonEmpty)
+        .map(t => graft.functions.Hashing.fnv64(t) & (B - 1).toLong))
+    }
+    val all = toks.flatMap(_._3)
+    val tgt = toks.filter(_._2 == "src1").flatMap(_._3)
+    val cR = all.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cT = tgt.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def logr(b: Long): Double =
+      math.log((cT.getOrElse(b, 0L) + 1.0) / (tgt.size + B.toDouble)) -
+        math.log((cR(b) + 1.0) / (all.size + B.toDouble))
+    val want = toks.map { case (id, _, bs) =>
+      (id, bs.size.toLong, math.rint(bs.map(logr).sum * 1e4) / 1e4)
+    }
+    assert(got.toSeq == want.sortBy(_._1))
+    val w = got.map(r => r._1 -> r._3).toMap
+    // content decides the score, not the source label: the target-like doc 3
+    // scores with the target docs, far above the out-of-domain ones
+    assert(w(3L) == w(0L), "identical bags must score identically")
+    assert(w(0L) > w(2L) && w(1L) > w(4L))
+  }
 }
