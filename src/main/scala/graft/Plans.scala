@@ -69,6 +69,10 @@ object Plans {
       "IVFADC serving path: partition-pruned cell scan over 8-byte residual codes, ADC TakeOrdered, pushed-down IN refine",
     "q_neardup_keep_best" ->
       "near-dup canonicalization: contracted CC labels joined to the scored corpus, heap top-k at k=1 per cluster — no per-cluster sort, Θ(clusters) output",
+    "q_bloom_dedup" ->
+      "bloom ingest screen: broadcast bloom prefilter in the scan, exact confirm anti-join only on the positive sliver",
+    "q_dsir_weights" ->
+      "DSIR importance weights: Θ(B)-row bucket model broadcast to the scoring join — the corpus side shuffles only (doc, bucket, count) triples",
   )
 
   def main(args: Array[String]): Unit = {

@@ -40,6 +40,8 @@ class SqlParitySpec extends AnyFunSuite {
     "q_exact_dedup", "q_weighted_sample", "q_text_stats",
     // pure integer/CASE arithmetic + floor() fixed-point — no dialect at all
     "q_stratified_split",
+    // plain NOT EXISTS anti-join — no dialect at all
+    "q_bloom_dedup",
     // reference-pipeline oracles over the events fixture
     "ref_monotone_dedup", "ref_subsample", "ref_minmax_normalize",
     "ref_header_stats", "ref_tensor_reconstruct")
@@ -72,6 +74,8 @@ class SqlParitySpec extends AnyFunSuite {
       "q_token_count" -> ("regexp_extract_all(s, re, 1) on a zero-group " +
         "pattern — DuckDB permits, Spark rejects the group index"),
       "q_repetition_stats" -> listDialect,
+      "q_ngram_entropy" -> listDialect,
+      "q_dsir_weights" -> (hugeint + "; " + recursive),
       "q_gopher_rules" -> listDialect, "q_source_overlap" -> listDialect,
       "q_contamination" -> listDialect, "q_bm25" -> listDialect,
       "q_heavy_hitters" -> listDialect, "q_lm_score" -> listDialect,
