@@ -1005,21 +1005,33 @@ object Text {
     * screen falls out of Spark's own runtime bloom join filters when the
     * reference is small enough, which PlanSpec exercises. */
   val bloomDedup: Q = (s, d) => {
-    val ref = Tables.documents(s, d)
-      .where(col("source") === "src0")
-      .select(md5(col("text")).as("rh"))
-    val bloom = ref.stat.bloomFilter("rh", 1L << 20, 0.01)
-    val bcast = s.sparkContext.broadcast(bloom)
-    val might = udf((h: String) => bcast.value.mightContain(h))
     val cand = Tables.documents(s, d)
       .where(col("source") =!= "src0")
       .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
-    val definiteNovel = cand.where(!might(col("h")))
-    val confirmedNovel = cand.where(might(col("h")))
-      .join(ref, col("h") === col("rh"), "left_anti")
-    definiteNovel.unionByName(confirmedNovel)
+    bloomScreen(s, cand, referenceHashes(s, d)).orderBy(col("doc_id"))
+  }
+
+  /** The reference side of the bloom screen: content hashes of the at-rest
+    * `src0` corpus. */
+  def referenceHashes(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .where(col("source") === "src0")
+      .select(md5(col("text")).as("rh"))
+
+  /** The screen kernel shared by the batch key and the streaming twin
+    * ([[graft.streaming.Streams.bloomScreenStream]]): bloom prefilter over
+    * `cand`'s `h` column, exact confirm left-anti join against `ref`'s
+    * `rh` for the positive sliver only. `cand` may be a streaming
+    * DataFrame — both branches stay stateless (the confirm is a
+    * stream-static join with the static side on the right). */
+  private[graft] def bloomScreen(s: SparkSession, cand: DataFrame, ref: DataFrame): DataFrame = {
+    val bloom = ref.stat.bloomFilter("rh", 1L << 20, 0.01)
+    val bcast = s.sparkContext.broadcast(bloom)
+    val might = udf((h: String) => bcast.value.mightContain(h))
+    cand.where(!might(col("h")))
+      .unionByName(cand.where(might(col("h")))
+        .join(ref, col("h") === col("rh"), "left_anti"))
       .select(col("doc_id"), col("source"))
-      .orderBy(col("doc_id"))
   }
 
   /** Number of hash buckets for [[dsirWeights]] — a power of two so the
@@ -1047,31 +1059,42 @@ object Text {
     * per-doc scoring join, so the corpus-sized side never shuffles more
     * than (doc_id, bucket, count) triples. Exactly the shape DSIR needs at
     * 100 TB: the model fits in a closure, the data streams past it. */
-  val dsirWeights: Q = (s, d) => {
-    val B = DsirBuckets
-    val tok = Tables.documents(s, d)
+  /** (doc_id, source, bucket) token stream under the DSIR model — one
+    * shared definition for the model-training and scoring aggregations. */
+  private def dsirTokens(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .select(col("doc_id"), col("source"), explode(toks(col("text"))).as("term"))
       .where(length(col("term")) > 0)
       .select(col("doc_id"), col("source"),
         graft.functions.FnvHash64Expr.fnv_hash64(col("term"))
-          .bitwiseAND(lit((B - 1).toLong)).as("b"))
-    val buckets = tok.groupBy(col("b"))
+          .bitwiseAND(lit((DsirBuckets - 1).toLong)).as("b"))
+
+  /** The trained DSIR bucket model: Θ([[DsirBuckets]]) rows of
+    * (bucket, smoothed log importance ratio). Shared by the batch key
+    * (broadcast to the scoring join) and the streaming scorer
+    * ([[graft.streaming.Streams.dsirScoreStream]], which collects and
+    * broadcasts it — 1024 rows, bounded by construction). Totals are
+    * window lookups over the tiny bucket table (the sourceOverlap
+    * pattern) — no second aggregation pass, no persist. */
+  def dsirModel(s: SparkSession, d: String): DataFrame = {
+    val B = DsirBuckets
+    val all = Window.partitionBy(lit(1))
+    dsirTokens(s, d).groupBy(col("b"))
       .agg(count(lit(1)).as("c_r"),
         sum(when(col("source") === "src1", 1L).otherwise(0L)).as("c_t"))
-    // totals as window lookups over the ≤B-row bucket table (the
-    // sourceOverlap pattern) — no second aggregation pass, no persist
-    val all = Window.partitionBy(lit(1))
-    val logRatio = buckets.select(col("b"),
-      (log((col("c_t") + lit(1.0)) / (sum(col("c_t")).over(all) + lit(B.toDouble))) -
-        log((col("c_r") + lit(1.0)) / (sum(col("c_r")).over(all) + lit(B.toDouble))))
-        .as("logr"))
-    tok.groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
-      .join(broadcast(logRatio), Seq("b"))
+      .select(col("b"),
+        (log((col("c_t") + lit(1.0)) / (sum(col("c_t")).over(all) + lit(B.toDouble))) -
+          log((col("c_r") + lit(1.0)) / (sum(col("c_r")).over(all) + lit(B.toDouble))))
+          .as("logr"))
+  }
+
+  val dsirWeights: Q = (s, d) =>
+    dsirTokens(s, d).groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+      .join(broadcast(dsirModel(s, d)), Seq("b"))
       .groupBy(col("doc_id"))
       .agg(sum(col("cnt")).as("n_tokens"),
         round(sum(col("cnt").cast("double") * col("logr")), 4).as("dsir_weight"))
       .orderBy(col("doc_id"))
-  }
 
   val queries: Map[String, Q] = Map(
     "q_exact_dedup"     -> exactDedup,

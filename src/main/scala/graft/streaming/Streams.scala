@@ -386,6 +386,59 @@ object Streams {
   def piiScrubStream(spark: SparkSession, sfDir: String): DataFrame =
     graft.operators.Text.piiScrubCols(docsStream(spark, sfDir))
 
+  case class DsirScore(docId: Long, nTokens: Long, dsirWeight: Double)
+
+  /** Streaming twin of the DSIR scorer
+    * ([[graft.operators.Text.dsirWeights]]): the bucket model is TRAINED
+    * OFFLINE on the at-rest corpus ([[graft.operators.Text.dsirModel]] —
+    * Θ(1024) rows by construction, collected and broadcast) and every
+    * arriving document is scored statelessly against it: the
+    * train-offline / score-at-ingestion shape a production selection
+    * pipeline runs. No state store, no watermark, no shuffle. Per-doc
+    * summation runs in canonical ascending-bucket order; both sides round
+    * to 4 decimals (replay equality asserted in StreamingSpec). */
+  def dsirScoreStream(spark: SparkSession, sfDir: String): Dataset[DsirScore] = {
+    import spark.implicits._
+    val model: Map[Long, Double] = graft.operators.Text.dsirModel(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val bc = spark.sparkContext.broadcast(model)
+    val mask = (graft.operators.Text.DsirBuckets - 1).toLong
+    docsStream(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val bs = graft.functions.Tok.tokenize(text).iterator
+          .filter(_.nonEmpty)
+          .map(t => graft.functions.Hashing.fnv64(t) & mask).toArray
+        if (bs.isEmpty) Iterator.empty
+        else {
+          val counts = new java.util.TreeMap[Long, Long]()
+          bs.foreach(b => counts.merge(b, 1L, (a, x) => a + x))
+          var w = 0.0
+          counts.forEach((b, c) => w += c.toDouble * bc.value(b))
+          Iterator(DsirScore(id, bs.length.toLong,
+            BigDecimal(w).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        }
+      }
+  }
+
+  /** Streaming twin of the bloom ingest screen
+    * ([[graft.operators.Text.bloomDedup]]): the SAME
+    * [[graft.operators.Text.bloomScreen]] kernel applied to the document
+    * stream — broadcast bloom prefilter passes definite-novel rows with no
+    * join at all, and the bloom-positive sliver is confirmed by a
+    * STREAM-STATIC left-anti join against the static reference hash
+    * projection (static side on the right — stateless, no watermark).
+    * Exactly-once novelty verdicts at ingestion; replay equality vs the
+    * batch key asserted in StreamingSpec. */
+  def bloomScreenStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val cand = docsStream(spark, sfDir)
+      .where(col("source") =!= "src0")
+      .select(col("doc_id"), col("source"),
+        org.apache.spark.sql.functions.md5(col("text")).as("h"))
+    graft.operators.Text.bloomScreen(spark, cand,
+      graft.operators.Text.referenceHashes(spark, sfDir))
+  }
+
   /** Run a streaming DataFrame to completion against the replayed file
     * source and return the final result table (memory sink, complete or
     * update mode depending on the query). Used by tests and demos. */

@@ -97,6 +97,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("streaming DSIR scorer replays to batch q_dsir_weights exactly") {
+    val spark = TestSpark.spark
+    val got = Streams.runToCompletion(
+      Streams.dsirScoreStream(spark, TestSpark.sf0001).toDF(), "t_dsir", "append")
+      .orderBy(col("docId"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = operators.Text.dsirWeights(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("streaming bloom screen replays to batch q_bloom_dedup exactly") {
+    val spark = TestSpark.spark
+    val got = Streams.runToCompletion(
+      Streams.bloomScreenStream(spark, TestSpark.sf0001), "t_bloom", "append")
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val want = operators.Text.bloomDedup(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("streaming PII scrub replays to batch q_pii_scrub exactly") {
     val spark = TestSpark.spark
     val got = Streams.runToCompletion(
