@@ -190,6 +190,52 @@ class DedupClusterSpec extends AnyFunSuite {
     assert(got.map(_._2).sum == Tables.documents(spark, TestSpark.sf0001).count())
   }
 
+  test("at-rest minhash screen: planted cross dups detected, organic verdicts match the pair list") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Vectors
+    // planted: two src9 (incoming batch) docs replicate at-rest texts, one is novel
+    val dir = java.nio.file.Files.createTempDirectory("graft_mh_idx").toString
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again", "en", "src0", 0L),
+      (1L, "completely different content about something else entirely here", "en", "src1", 0L),
+      (100L, "the quick brown fox jumps over the lazy dog again and again", "en", "src9", 0L),
+      (101L, "utterly novel text that matches nothing in the reference set", "en", "src9", 0L),
+      (102L, "completely different content about something else entirely here", "en", "src9", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = Vectors.minhashScreenAtRest(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(planted.keySet == Set(100L, 101L, 102L), "one verdict row per batch doc")
+    assert(planted(100L) == ((1L, 0L, 32L)), "exact replica -> full 32/32 agreement")
+    assert(planted(102L) == ((1L, 1L, 32L)))
+    assert(planted(101L) == ((0L, -1L, 0L)), "novel doc -> clean verdict")
+    // organic corpus: the screen's verdicts must agree with the candidate
+    // pair list restricted to mixed (batch x at-rest) pairs at est >= 0.5
+    val screen = Vectors.minhashScreenAtRest(spark, TestSpark.sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val srcs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val mixedDup = graft.operators.Vectors.minhashLsh(spark, TestSpark.sf0001)
+      .where(col("est_jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+      .collect().flatMap { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        (srcs(a) == "src9", srcs(b) == "src9") match {
+          case (true, false) => Some(a)
+          case (false, true) => Some(b)
+          case _ => None
+        }
+      }.toSet
+    assert(screen.keySet == srcs.filter(_._2 == "src9").keySet)
+    screen.foreach { case (id, isDup) =>
+      assert(isDup == (if (mixedDup(id)) 1L else 0L),
+        s"doc $id: screen=$isDup, pair-list=${mixedDup(id)}")
+    }
+  }
+
   test("document clusters from LSH candidates have sane shape") {
     val spark = TestSpark.spark
     val cl = DedupCluster.clusters(spark, TestSpark.sf0001, minJac = 0.5).collect()
