@@ -73,6 +73,8 @@ object Plans {
       "bloom ingest screen: broadcast bloom prefilter in the scan, exact confirm anti-join only on the positive sliver",
     "q_dsir_weights" ->
       "DSIR importance weights: Θ(B)-row bucket model broadcast to the scoring join — the corpus side shuffles only (doc, bucket, count) triples",
+    "q_minhash_screen_at_rest" ->
+      "at-rest near-dup screen: incoming batch signs itself, probes the persisted band index, verifies on the signature table — at-rest text never scanned",
   )
 
   def main(args: Array[String]): Unit = {
