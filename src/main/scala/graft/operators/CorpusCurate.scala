@@ -49,6 +49,18 @@ object CorpusCurate {
 
   val curate: Q = (s, d) => curateWith(s, d, piiGate = false)
 
+  /** Entropy floor for the optional information-density gate: docs whose
+    * unigram entropy sits below this are boilerplate-shaped (sf0.001
+    * corpus median is ~3.10, min ~1.89 — the floor genuinely splits). */
+  val EntropyGateMin = 3.0
+
+  /** Per-token DSIR floor for the optional target-domain gate: keep docs
+    * whose mean per-token log importance ratio clears it. Weights are
+    * per-token normalized because the raw sum scales with document length
+    * (and its absolute level with corpus composition) — the per-token mean
+    * is the comparable quantity. */
+  val DsirGateMinPerTok = -0.49
+
   /** [[curate]] with an OPTIONAL PII gate (stage D½): docs whose enriched
     * text still carries any email/phone after [[Text.piiScrub]]'s counting
     * pass are dropped before sampling — the "no contact info in the
@@ -57,7 +69,8 @@ object CorpusCurate {
     * gated variant's consistency against q_pii_scrub's verified counts.
     * Like every other stage it contributes an id-keyed semi-join — text
     * never moves. */
-  def curateWith(s: SparkSession, d: String, piiGate: Boolean): DataFrame = {
+  def curateWith(s: SparkSession, d: String, piiGate: Boolean,
+      entropyGate: Boolean = false, dsirGate: Boolean = false): DataFrame = {
     val docs = Tables.documents(s, d)
     // A: one representative per distinct text
     val exactKeep = Text.exactDedup(s, d)
@@ -91,7 +104,22 @@ object CorpusCurate {
         Text.piiScrub(s, d)
           .where(col("n_emails") + col("n_phones") === 0).select(col("doc_id")),
         Seq("doc_id"), "left_semi")
-    val survivors = gated.join(lm, Seq("doc_id"))
+    // C½ (optional): information-density floor on the verified entropy key
+    val entGated =
+      if (!entropyGate) gated
+      else gated.join(
+        Text.ngramEntropy(s, d)
+          .where(col("entropy") >= EntropyGateMin).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+    // C¾ (optional): target-domain selection on the verified DSIR weights
+    val dsirGated =
+      if (!dsirGate) entGated
+      else entGated.join(
+        Text.dsirWeights(s, d)
+          .where(col("dsir_weight") / col("n_tokens") >= DsirGateMinPerTok)
+          .select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+    val survivors = dsirGated.join(lm, Seq("doc_id"))
     // F: A-Res weighted sample, top-3 per language
     val scored = survivors.withColumn("k", Text.aresKey)
     graft.plans.TopKPerGroup

@@ -68,4 +68,34 @@ class CorpusCurateSpec extends AnyFunSuite {
     assert(ungatedPiiFree.subsetOf(gatedIds),
       s"gate dropped PII-free survivors: ${ungatedPiiFree -- gatedIds}")
   }
+
+  test("entropy and DSIR gates drop exactly the below-floor docs, and the floors split the corpus") {
+    val spark = TestSpark.spark
+    val d = TestSpark.sf0001
+    val highEntropy = Text.ngramEntropy(spark, d)
+      .where(col("entropy") >= CorpusCurate.EntropyGateMin)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val allDocs = Tables.documents(spark, d).count()
+    assert(highEntropy.nonEmpty && highEntropy.size < allDocs,
+      s"entropy floor must split the corpus (${highEntropy.size} of $allDocs)")
+    val entGated = CorpusCurate.curateWith(spark, d, piiGate = false, entropyGate = true)
+      .collect().map(_.getLong(2)).toSet
+    assert(entGated.subsetOf(highEntropy),
+      s"low-entropy leak: ${entGated -- highEntropy}")
+    val ungated = CorpusCurate.curate(spark, d).collect().map(_.getLong(2)).toSet
+    assert(ungated.filter(highEntropy).subsetOf(entGated),
+      "gate dropped high-entropy survivors")
+
+    val targetLike = Text.dsirWeights(spark, d)
+      .where(col("dsir_weight") / col("n_tokens") >= CorpusCurate.DsirGateMinPerTok)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(targetLike.nonEmpty && targetLike.size < allDocs,
+      s"DSIR floor must split the corpus (${targetLike.size} of $allDocs)")
+    val dsirGated = CorpusCurate.curateWith(spark, d, piiGate = false, dsirGate = true)
+      .collect().map(_.getLong(2)).toSet
+    assert(dsirGated.subsetOf(targetLike),
+      s"out-of-domain leak: ${dsirGated -- targetLike}")
+    assert(ungated.filter(targetLike).subsetOf(dsirGated),
+      "gate dropped target-like survivors")
+  }
 }
