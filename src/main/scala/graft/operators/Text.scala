@@ -1096,6 +1096,75 @@ object Text {
         round(sum(col("cnt").cast("double") * col("logr")), 4).as("dsir_weight"))
       .orderBy(col("doc_id"))
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data", LREC 2020):
+    * rank every document by its bigram-LM mean log-probability WITHIN its
+    * language and split each language into head/middle/tail terciles — the
+    * standard recipe for stratifying web text by fluency before sampling.
+    * Reuses the verified [[lmScore]] chain; the rank runs on the ROUNDED
+    * score (ties broken by doc_id) so the ordering is engine-portable.
+    *
+    * Scale note: the exact-tercile form needs a per-language rank (one
+    * shuffle keyed by language — low cardinality, the known window-funnel
+    * shape). The 100 TB production recipe replaces it with FIXED perplexity
+    * cutpoints estimated once from a sample (CCNet itself does this), which
+    * turns the bucket into a stateless map; the exact form here is the
+    * verification shape that oracle-checks the semantics. Documents with
+    * fewer than 2 tokens have no bigram score and are excluded, matching
+    * [[lmScore]]. */
+  val perplexityBuckets: Q = (s, d) => {
+    val lm = lmScore(s, d).select(col("doc_id"), col("mean_lnp_r"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("mean_lnp_r").desc, col("doc_id"))
+    Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .join(lm, Seq("doc_id"))
+      .withColumn("tile", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("mean_lnp_r"),
+        when(col("tile") === 1, "head")
+          .when(col("tile") === 2, "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Temperature exponent for [[temperatureMix]] — the standard τ ≈ 0.7
+    * multilingual/multi-source flattening (T5, XLM-R recipes). */
+  val TemperatureTau = 0.7
+
+  /** Temperature-scaled source mixing: sample source i proportionally to
+    * n_i^τ instead of n_i, flattening the head of a skewed corpus without
+    * [[sourceMix]]'s hard equal-share floor — τ = 1 reproduces the input
+    * mix, τ = 0 the uniform one. Per-source targets are computed with
+    * INTEGER arithmetic on fixed-point weights (floor(n^τ · 10⁶), then
+    * k_i = N · w_i DIV Σw) so the quota is bit-deterministic across
+    * engines even when the raw ratio lands exactly on an integer (uniform
+    * sources hit this every time); the only FP in the chain is pow(), whose
+    * last-ulp risk sits on a 10⁻⁶ grid — the accepted-risk class the A-Res
+    * oracle documents. Selection within a source is the deterministic
+    * md5-order draw on the heap top-k operator (k bounded by the largest
+    * target — an eager Θ(sources) driver read, the sourceMix precedent).
+    * Long arithmetic bounds: N · w_i overflows past ~10⁹ docs/source — at
+    * that scale promote the quota arithmetic to DECIMAL. */
+  val temperatureMix: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val all = Window.partitionBy(lit(1))
+    val tgt = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .withColumn("wf", floor(pow(col("n").cast("double"), TemperatureTau) * 1e6).cast("long"))
+      .select(col("source"), col("n"),
+        greatest(lit(1L),
+          expr("sum(n) OVER (PARTITION BY 1) * wf DIV sum(wf) OVER (PARTITION BY 1)"))
+          .as("k_target"))
+    val kMax = tgt.agg(max(col("k_target"))).head().getLong(0).toInt
+    val scored = docs.select(col("source"), col("doc_id"),
+      md5(col("doc_id").cast("string")).as("h"))
+    graft.plans.TopKPerGroup
+      .topK(scored, Seq("source"), Seq("h" -> true, "doc_id" -> true), kMax)
+      .join(broadcast(tgt), Seq("source"))
+      .where(col("rn") <= col("k_target"))
+      .select(col("source"), col("n").as("n_source"), col("k_target"),
+        col("rn"), col("doc_id"))
+      .orderBy(col("source"), col("rn"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_exact_dedup"     -> exactDedup,
     "q_text_stats"      -> textStats,
@@ -1126,6 +1195,8 @@ object Text {
     "q_ngram_entropy"   -> ngramEntropy,
     "q_bloom_dedup"     -> bloomDedup,
     "q_dsir_weights"    -> dsirWeights,
+    "q_perplexity_buckets" -> perplexityBuckets,
+    "q_temperature_mix" -> temperatureMix,
   )
 
   /** Shared oracle CTE mirroring [[docTokenStats]] exactly (term counts +
@@ -1670,5 +1741,41 @@ object Text {
         |  round(sum(db.cnt * lr.logr), 4) AS dsir_weight
         |FROM db JOIN lr USING (b)
         |GROUP BY db.doc_id ORDER BY db.doc_id""".stripMargin,
+    // built on the same shared lm chain as q_lm_score / the curate oracle;
+    // the rank runs on the ROUNDED score so ordering is engine-portable
+    "q_perplexity_buckets" ->
+      s"""WITH $docTokenStatsCte,
+        |$lmScoreCte,
+        |lm AS (SELECT doc_id, round(avg(lp), 4) AS mean_lnp_r FROM lsc GROUP BY doc_id),
+        |j AS (
+        |  SELECT d.doc_id, d.lang, lm.mean_lnp_r
+        |  FROM documents d JOIN lm USING (doc_id)),
+        |bkt AS (
+        |  SELECT doc_id, lang, mean_lnp_r,
+        |    ntile(3) OVER (PARTITION BY lang ORDER BY mean_lnp_r DESC, doc_id) AS tile
+        |  FROM j)
+        |SELECT doc_id, lang, mean_lnp_r,
+        |  CASE WHEN tile = 1 THEN 'head' WHEN tile = 2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM bkt ORDER BY doc_id""".stripMargin,
+    // integer fixed-point quota arithmetic (floor(n^tau * 1e6), N*w DIV W)
+    // mirrors the Spark columns token-for-token; md5 draw as in q_source_mix
+    "q_temperature_mix" ->
+      """WITH s AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |t AS (
+        |  SELECT source, n,
+        |    CAST(greatest(1, sum(n) OVER () * wf // sum(wf) OVER ()) AS BIGINT) AS k_target
+        |  FROM (SELECT source, n,
+        |          CAST(floor(pow(CAST(n AS DOUBLE), 0.7) * 1e6) AS BIGINT) AS wf
+        |        FROM s) x),
+        |r AS (
+        |  SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |w AS (
+        |  SELECT source, doc_id, h,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rn
+        |  FROM r)
+        |SELECT w.source, CAST(t.n AS BIGINT) AS n_source, t.k_target, w.rn, w.doc_id
+        |FROM w JOIN t USING (source)
+        |WHERE w.rn <= t.k_target ORDER BY w.source, w.rn""".stripMargin,
   )
 }

@@ -15,7 +15,7 @@ class EntrySpec extends AnyFunSuite {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
     // 104 keys (88 oracle-checked) as of round 6 — a drop means a key was
     // accidentally unwired, not that this floor is stale
-    assert(SparkEntry.queries.size >= 114)
-    assert(SparkEntry.oracleSql.size >= 96)
+    assert(SparkEntry.queries.size >= 116)
+    assert(SparkEntry.oracleSql.size >= 98)
   }
 }

@@ -75,6 +75,8 @@ class SqlParitySpec extends AnyFunSuite {
         "pattern — DuckDB permits, Spark rejects the group index"),
       "q_repetition_stats" -> listDialect,
       "q_ngram_entropy" -> listDialect,
+      "q_perplexity_buckets" -> listDialect,
+      "q_temperature_mix" -> varcharCast,
       "q_dsir_weights" -> (hugeint + "; " + recursive),
       "q_gopher_rules" -> listDialect, "q_source_overlap" -> listDialect,
       "q_contamination" -> listDialect, "q_bm25" -> listDialect,

@@ -331,4 +331,52 @@ class TextQualitySpec extends AnyFunSuite {
     assert(w(3L) == w(0L), "identical bags must score identically")
     assert(w(0L) > w(2L) && w(1L) > w(4L))
   }
+
+  test("perplexity buckets: terciles partition each language, head outranks tail") {
+    val rows = Text.perplexityBuckets(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      val byBucket = rs.groupBy(_.getAs[String]("bucket"))
+        .view.mapValues(_.map(_.getAs[Double]("mean_lnp_r"))).toMap
+      assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")), lang)
+      // tercile sizes differ by at most one
+      val sizes = Seq("head", "middle", "tail").map(b => byBucket.getOrElse(b, Array.empty[Double]).length)
+      assert(sizes.max - sizes.min <= 1, s"$lang terciles $sizes")
+      // head is the most fluent stratum (ties may straddle boundaries)
+      for {
+        h <- byBucket.get("head"); m <- byBucket.get("middle")
+      } assert(h.min >= m.max, s"$lang head/middle inversion")
+      for {
+        m <- byBucket.get("middle"); t <- byBucket.get("tail")
+      } assert(m.min >= t.max, s"$lang middle/tail inversion")
+    }
+  }
+
+  test("temperature mix: integer quota replay, skew flattened, capped by source size") {
+    // planted skew: 30 docs in srcA, 6 in srcB (distinct texts)
+    val docs = (0L until 30L).map(i => (i, s"alpha text number $i", "en", "srcA", 10L)) ++
+      (100L until 106L).map(i => (i, s"beta text number $i", "en", "srcB", 10L))
+    val dir = plantedDocs(docs)
+    val out = Text.temperatureMix(spark, dir).collect()
+    // closed-form quota replay: wf = floor(n^tau * 1e6), k = max(1, N*wf DIV W)
+    val n = Map("srcA" -> 30L, "srcB" -> 6L)
+    val wf = n.view.mapValues(v => math.floor(math.pow(v.toDouble, Text.TemperatureTau) * 1e6).toLong).toMap
+    val bigN = n.values.sum; val bigW = wf.values.sum
+    val k = wf.map { case (s, w) => s -> math.max(1L, bigN * w / bigW) }
+    out.foreach { r =>
+      assert(r.getAs[Long]("k_target") == k(r.getAs[String]("source")))
+    }
+    val picked = out.groupBy(_.getAs[String]("source")).view.mapValues(_.length.toLong).toMap
+    n.foreach { case (s, cnt) =>
+      assert(picked(s) == math.min(cnt, k(s)), s"$s picked ${picked(s)}")
+    }
+    // tau < 1 flattens: the majority source's output share drops below its
+    // input share, the minority's rises
+    val total = picked.values.sum.toDouble
+    assert(picked("srcA") / total < n("srcA").toDouble / bigN)
+    assert(picked("srcB") / total > n("srcB").toDouble / bigN)
+    // deterministic
+    val again = Text.temperatureMix(spark, dir).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
 }
