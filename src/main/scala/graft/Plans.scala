@@ -75,6 +75,8 @@ object Plans {
       "DSIR importance weights: Θ(B)-row bucket model broadcast to the scoring join — the corpus side shuffles only (doc, bucket, count) triples",
     "q_minhash_screen_at_rest" ->
       "at-rest near-dup screen: incoming batch signs itself, probes the persisted band index, verifies on the signature table — at-rest text never scanned",
+    "q_simhash_screen_at_rest" ->
+      "pigeonhole at-rest screen: block-key probe join with denormalized signatures — codegen bit_count Hamming filter directly on the join output, no second signature join",
   )
 
   def main(args: Array[String]): Unit = {

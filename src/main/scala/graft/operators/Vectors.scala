@@ -1106,10 +1106,16 @@ object Vectors {
     * and the contracted clustering path ([[DedupCluster.simhashReps]]):
     * (doc_id, sim, blocks) — one typed map over the corpus through the ONE
     * shared tokenizer. */
-  def simhashSigs(s: SparkSession, d: String): DataFrame = {
-    val spark = s
+  def simhashSigs(s: SparkSession, d: String): DataFrame =
+    simhashSigsOf(Tables.documents(s, d))
+
+  /** The signature kernel of [[simhashSigs]] over an arbitrary documents
+    * frame — shared with the at-rest block index and its incremental
+    * screen (mirrors [[minhashSigsOf]]). */
+  def simhashSigsOf(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         // shared tokenizer — same oracle-parity rationale as minhashLsh
@@ -1117,6 +1123,57 @@ object Vectors {
         (id, h, Array.tabulate(4)(b => (b.toLong << 32) | ((h >>> (b * 16)) & 0xffffL)))
       }
       .toDF("doc_id", "sim", "blocks")
+  }
+
+  /** Persist the at-rest SimHash block index: one row per (block key,
+    * ref_id, signature), written `partitionBy` the pigeonhole band index —
+    * the signature is DENORMALIZED next to the block key so the screen's
+    * Hamming filter runs directly on the probe join's output (before the
+    * pair distinct, the [[simhashPairs]] discipline) with no second
+    * signature join. ~40 bytes × 4 blocks per at-rest doc. */
+  def writeSimhashIndex(s: SparkSession, d: String, dir: String,
+      batchSource: String = MinhashBatchSource): Unit =
+    simhashSigsOf(Tables.documents(s, d).where(col("source") =!= batchSource))
+      .select(col("doc_id").as("ref_id"), col("sim").as("sim_r"),
+        explode(col("blocks")).as("blk"))
+      .withColumn("bandi", shiftright(col("blk"), 32).cast("int"))
+      .write.mode("overwrite").partitionBy("bandi").parquet(s"$dir/blocks")
+
+  /** AT-REST SimHash screen — the pigeonhole twin of
+    * [[minhashScreenAtRest]]: the incoming batch (source
+    * [[MinhashBatchSource]]) computes its own 64-bit simhashes, probes the
+    * persisted block index (memoized build), scores every collision with
+    * the codegen `bit_count(xor)` kernel, keeps Hamming ≤ 12 BEFORE the
+    * pair distinct, and reports each incoming doc's closest at-rest match
+    * (min Hamming, tie → min ref_id; sentinel distance 64 for clean docs).
+    * Output Θ(batch); at-rest text never re-read. */
+  val simhashScreenAtRest: Q = (s, d) => {
+    val idx = ensureIndex(s, "simhash", d)(p => writeSimhashIndex(s, d, p))
+    val newDocs = Tables.documents(s, d)
+      .where(col("source") === MinhashBatchSource)
+    val probe = simhashSigsOf(newDocs)
+      .select(col("doc_id").as("new_id"), col("sim").as("sim_n"),
+        explode(col("blocks")).as("blk"))
+    val scored = probe
+      .join(s.read.parquet(s"$idx/blocks").select(col("ref_id"), col("sim_r"), col("blk")),
+        Seq("blk"))
+      .select(col("new_id"), col("ref_id"),
+        bit_count(col("sim_n").bitwiseXOR(col("sim_r"))).cast("long").as("hamming"))
+      .where(col("hamming") <= 12)
+      .distinct()
+    val best = scored
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("new_id")).orderBy(col("hamming"), col("ref_id"))))
+      .where(col("rn") === 1)
+      .select(col("new_id"), col("ref_id"), col("hamming"))
+    newDocs.select(col("doc_id"))
+      .join(best, col("doc_id") === col("new_id"), "left")
+      .select(col("doc_id"),
+        col("new_id").isNotNull.cast("long").as("is_dup"),
+        coalesce(col("ref_id"), lit(-1L)).as("best_match_id"),
+        coalesce(col("hamming"), lit(64L)).as("best_hamming"))
+      .orderBy(col("doc_id"))
   }
 
   /** documents ⋈ embeddings on id — the multimodal star join (text +
@@ -1235,12 +1292,38 @@ object Vectors {
     "q_ann_ivfpq_at_rest" -> annIvfPqAtRest,
     "q_minhash_lsh"     -> minhashLsh,
     "q_minhash_screen_at_rest" -> minhashScreenAtRest,
+    "q_simhash_screen_at_rest" -> simhashScreenAtRest,
     "q_simhash_dedup"   -> simhashDedup,
     "q_multimodal_join" -> multimodalJoin,
     "q_embed_quantize"  -> embedQuantize,
   )
 
   val oracles: Map[String, String] = Map(
+    // the shared simhash pair fragment (blocks + Hamming ≤ 12 already
+    // applied in sp) restricted to mixed (incoming-batch × at-rest) pairs;
+    // closest match by (hamming, ref_id), sentinel 64 for clean docs
+    "q_simhash_screen_at_rest" ->
+      s"""WITH RECURSIVE $simhashPairCte,
+        |srcs AS (SELECT doc_id, source FROM documents),
+        |x AS (
+        |  SELECT CASE WHEN sa.source = 'src9' THEN p.id_a ELSE p.id_b END AS new_id,
+        |         CASE WHEN sa.source = 'src9' THEN p.id_b ELSE p.id_a END AS ref_id,
+        |         p.hamming
+        |  FROM sp p
+        |  JOIN srcs sa ON sa.doc_id = p.id_a
+        |  JOIN srcs sb ON sb.doc_id = p.id_b
+        |  WHERE (sa.source = 'src9') <> (sb.source = 'src9')),
+        |best AS (
+        |  SELECT new_id, ref_id, hamming,
+        |    row_number() OVER (PARTITION BY new_id ORDER BY hamming, ref_id) AS rn
+        |  FROM x)
+        |SELECT d.doc_id,
+        |  CAST(CASE WHEN b.new_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS is_dup,
+        |  coalesce(b.ref_id, -1) AS best_match_id,
+        |  CAST(coalesce(b.hamming, 64) AS BIGINT) AS best_hamming
+        |FROM documents d
+        |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.new_id = d.doc_id
+        |WHERE d.source = 'src9' ORDER BY d.doc_id""".stripMargin,
     // the shared minhash agreement fragment restricted to mixed
     // (incoming-batch × at-rest) pairs: candidates iff ≥1 shared band,
     // verified at the SAME m ≥ 16 integer floor as the verdict family,

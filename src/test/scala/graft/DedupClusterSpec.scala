@@ -236,6 +236,58 @@ class DedupClusterSpec extends AnyFunSuite {
     }
   }
 
+  test("at-rest simhash screen: planted replicas flagged, organic verdicts match the pair list") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Vectors
+    // planted: two src9 (incoming batch) docs replicate at-rest texts
+    // (identical simhash -> Hamming 0), one is novel
+    val dir = java.nio.file.Files.createTempDirectory("graft_sh_idx").toString
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again", "en", "src0", 0L),
+      (1L, "completely different content about something else entirely here", "en", "src1", 0L),
+      (100L, "the quick brown fox jumps over the lazy dog again and again", "en", "src9", 0L),
+      (101L, "utterly novel text that matches nothing in the reference set", "en", "src9", 0L),
+      (102L, "completely different content about something else entirely here", "en", "src9", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val planted = Vectors.simhashScreenAtRest(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(planted.keySet == Set(100L, 101L, 102L), "one verdict row per batch doc")
+    assert(planted(100L) == ((1L, 0L, 0L)), "exact replica -> Hamming 0 vs its at-rest twin")
+    assert(planted(102L) == ((1L, 1L, 0L)))
+    assert(planted(101L) == ((0L, -1L, 64L)), "novel doc -> clean verdict, sentinel distance")
+    // organic corpus: the screen's verdicts must agree with the candidate
+    // pair list (blocks + Hamming <= 12) restricted to mixed (batch x
+    // at-rest) pairs, and the reported best match must be a true minimum
+    val screen = Vectors.simhashScreenAtRest(spark, TestSpark.sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val srcs = Tables.documents(spark, TestSpark.sf0001)
+      .select(col("doc_id"), col("source"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val mixed = Vectors.simhashPairs(spark, TestSpark.sf0001)
+      .collect().flatMap { r =>
+        val (a, b, h) = (r.getLong(0), r.getLong(1), r.getInt(2).toLong)
+        (srcs(a) == "src9", srcs(b) == "src9") match {
+          case (true, false) => Some(a -> ((b, h)))
+          case (false, true) => Some(b -> ((a, h)))
+          case _ => None
+        }
+      }.groupBy(_._1).map { case (id, ms) =>
+        id -> ms.map(_._2).minBy { case (ref, h) => (h, ref) }
+      }
+    assert(screen.keySet == srcs.filter(_._2 == "src9").keySet)
+    screen.foreach { case (id, (isDup, ref, h)) =>
+      mixed.get(id) match {
+        case Some((wantRef, wantH)) =>
+          assert((isDup, ref, h) == ((1L, wantRef, wantH)), s"doc $id")
+        case None =>
+          assert((isDup, ref, h) == ((0L, -1L, 64L)), s"doc $id should be clean")
+      }
+    }
+  }
+
   test("document clusters from LSH candidates have sane shape") {
     val spark = TestSpark.spark
     val cl = DedupCluster.clusters(spark, TestSpark.sf0001, minJac = 0.5).collect()

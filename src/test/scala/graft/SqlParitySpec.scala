@@ -100,6 +100,7 @@ class SqlParitySpec extends AnyFunSuite {
       "q_simhash_dedup_reps" -> (hugeint + "; " + recursive),
       "q_minhash_lsh" -> (hugeint + "; " + recursive),
       "q_minhash_screen_at_rest" -> (hugeint + "; " + recursive),
+      "q_simhash_screen_at_rest" -> (hugeint + "; " + recursive),
       "q_minhash_dedup_reps" -> (hugeint + "; " + recursive),
       "q_doc_fingerprint" -> hugeint,
       "q_corpus_curate" -> (recursive + " + list dialect (stitched stages)"),
