@@ -689,7 +689,7 @@ object Vectors {
   private val indexBuiltAt =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
 
-  private def ensureIndex(s: SparkSession, kind: String, d: String)
+  private[graft] def ensureIndex(s: SparkSession, kind: String, d: String)
       (build: String => Unit): String = {
     val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     val path = s"$wh/graft_index/${kind}_" + d.replaceAll("[^A-Za-z0-9._-]", "_")

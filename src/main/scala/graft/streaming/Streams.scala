@@ -439,6 +439,130 @@ object Streams {
       graft.operators.Text.referenceHashes(spark, sfDir))
   }
 
+  case class ScreenVerdict(docId: Long, isDup: Long, bestMatchId: Long,
+      bestM: Long)
+
+  /** Streaming twin of the at-rest MinHash screen
+    * ([[graft.operators.Vectors.minhashScreenAtRest]]) — screen-at-
+    * ingestion, the production shape of "is this arriving document a
+    * near-dup of anything we already hold?". The persisted
+    * `writeMinhashIndex` layout (memoized build, shared with the batch
+    * key) is loaded ONCE into two driver maps — (band, key) → candidate
+    * ref ids and ref id → signature — and broadcast; each arriving doc
+    * then signs ITSELF with the one shared kernel chain
+    * ([[graft.functions.Tok]] → shingles → `Hashing.minhash` →
+    * `Hashing.lshBands`) and resolves its verdict in a single stateless
+    * map: probe the band map, verify candidates at the SAME
+    * m ≥ 16/32 agreement floor, keep the best match by (m desc, ref id
+    * asc). No state store, no watermark, no per-batch shuffle.
+    *
+    * Scale note: the broadcast is Θ(at-rest signatures) — ~300 B/doc
+    * (32-long sig + 8 band keys), fine to ~10⁷–10⁸ at-rest docs of
+    * executor memory; past that the probe moves to the batch screen's
+    * stream-static band join (banded index static-right, then the
+    * signature verify join), at the price of a per-micro-batch shuffle —
+    * the same documented ceiling + fallback as
+    * [[incrementalDedupStream]]'s vocabulary broadcast. */
+  def minhashScreenStream(spark: SparkSession, sfDir: String): Dataset[ScreenVerdict] = {
+    import spark.implicits._
+    import graft.operators.Vectors
+    val idx = Vectors.ensureIndex(spark, "minhash", sfDir)(p =>
+      Vectors.writeMinhashIndex(spark, sfDir, p))
+    val bandMap: Map[(Int, Long), Array[Long]] =
+      spark.read.parquet(s"$idx/banded")
+        .select(col("band").cast("int"), col("key"), col("doc_id"))
+        .collect()
+        .groupBy(r => (r.getInt(0), r.getLong(1)))
+        .map { case (k, rs) => k -> rs.map(_.getLong(2)) }
+    val sigMap: Map[Long, Array[Long]] =
+      spark.read.parquet(s"$idx/sigs")
+        .select(col("doc_id"), col("sig"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val bcBands = spark.sparkContext.broadcast(bandMap)
+    val bcSigs = spark.sparkContext.broadcast(sigMap)
+    docsStream(spark, sfDir)
+      .where(col("source") === Vectors.MinhashBatchSource)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val toks = graft.functions.Tok.tokenize(text).toSeq
+        val shingles =
+          if (toks.length < 3) toks
+          else toks.sliding(3).map(_.mkString(" ")).toSeq
+        val sig = graft.functions.Hashing.minhash(shingles, 32)
+        val bands = graft.functions.Hashing.lshBands(sig, 8, 4)
+        val seen = new java.util.HashSet[Long]()
+        var bestRef = -1L; var bestM = 0L
+        var b = 0
+        while (b < bands.length) {
+          bcBands.value.get((b, bands(b))).foreach(_.foreach { ref =>
+            if (seen.add(ref)) {
+              val sr = bcSigs.value(ref)
+              var i = 0; var m = 0
+              while (i < sig.length) { if (sig(i) == sr(i)) m += 1; i += 1 }
+              if (m >= graft.operators.DedupCluster.MinhashRepsMinAgree &&
+                  (m > bestM || (m == bestM && ref < bestRef) || bestRef < 0))
+                { bestRef = ref; bestM = m.toLong }
+            }
+          })
+          b += 1
+        }
+        ScreenVerdict(id, if (bestRef >= 0) 1L else 0L, bestRef,
+          if (bestRef >= 0) bestM else 0L)
+      }
+  }
+
+  case class HammingVerdict(docId: Long, isDup: Long, bestMatchId: Long,
+      bestHamming: Long)
+
+  /** Streaming twin of the at-rest SimHash screen
+    * ([[graft.operators.Vectors.simhashScreenAtRest]]): the persisted
+    * block index — already DENORMALIZED as (block key → (ref id,
+    * signature)) rows — collapses to ONE broadcast map (the 4-band block
+    * keys embed their band index in the high 32 bits, so a flat Long key
+    * is collision-free across bands), and each arriving doc simhashes
+    * itself with the shared [[graft.functions.Hashing.simhash]] kernel,
+    * probes its 4 pigeonhole blocks, keeps Hamming ≤ 12, and reports its
+    * closest at-rest match (min Hamming, tie → min ref id; sentinel 64
+    * when clean) in one stateless map. ~40 B × 4 blocks per at-rest doc
+    * broadcast; same ceiling + stream-static-join fallback note as
+    * [[minhashScreenStream]]. */
+  def simhashScreenStream(spark: SparkSession, sfDir: String): Dataset[HammingVerdict] = {
+    import spark.implicits._
+    import graft.operators.Vectors
+    val idx = Vectors.ensureIndex(spark, "simhash", sfDir)(p =>
+      Vectors.writeSimhashIndex(spark, sfDir, p))
+    val blockMap: Map[Long, Array[(Long, Long)]] =
+      spark.read.parquet(s"$idx/blocks")
+        .select(col("blk"), col("ref_id"), col("sim_r"))
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (k, rs) => k -> rs.map(r => (r.getLong(1), r.getLong(2))) }
+    val bc = spark.sparkContext.broadcast(blockMap)
+    docsStream(spark, sfDir)
+      .where(col("source") === Vectors.MinhashBatchSource)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val h = graft.functions.Hashing.simhash(
+          graft.functions.Tok.tokenize(text).toSeq)
+        val seen = new java.util.HashSet[Long]()
+        var bestRef = -1L; var bestH = 64L
+        var b = 0
+        while (b < 4) {
+          val blk = (b.toLong << 32) | ((h >>> (b * 16)) & 0xffffL)
+          bc.value.get(blk).foreach(_.foreach { case (ref, sr) =>
+            if (seen.add(ref)) {
+              val d = java.lang.Long.bitCount(h ^ sr).toLong
+              if (d <= 12 && (d < bestH || (d == bestH && ref < bestRef) || bestRef < 0))
+                { bestRef = ref; bestH = d }
+            }
+          })
+          b += 1
+        }
+        HammingVerdict(id, if (bestRef >= 0) 1L else 0L, bestRef,
+          if (bestRef >= 0) bestH else 64L)
+      }
+  }
+
   /** Run a streaming DataFrame to completion against the replayed file
     * source and return the final result table (memory sink, complete or
     * update mode depending on the query). Used by tests and demos. */

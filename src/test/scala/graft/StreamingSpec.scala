@@ -119,6 +119,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("streaming minhash screen replays to batch q_minhash_screen_at_rest exactly") {
+    val spark = TestSpark.spark
+    val got = Streams.runToCompletion(
+      Streams.minhashScreenStream(spark, TestSpark.sf0001).toDF(), "t_mh_screen", "append")
+      .orderBy(col("docId"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val want = operators.Vectors.minhashScreenAtRest(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("streaming simhash screen replays to batch q_simhash_screen_at_rest exactly") {
+    val spark = TestSpark.spark
+    val got = Streams.runToCompletion(
+      Streams.simhashScreenStream(spark, TestSpark.sf0001).toDF(), "t_sh_screen", "append")
+      .orderBy(col("docId"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val want = operators.Vectors.simhashScreenAtRest(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("streaming PII scrub replays to batch q_pii_scrub exactly") {
     val spark = TestSpark.spark
     val got = Streams.runToCompletion(
