@@ -129,7 +129,77 @@ object CorpusCurate {
       .orderBy(col("lang"), col("rn"))
   }
 
-  val queries: Map[String, Q] = Map("q_corpus_curate" -> curate)
+  /** Per-stage AUDIT REPORT of the canonical 6-stage flagship — the
+    * pipeline-observability view every production curation run ships with
+    * ("how many documents did each stage cost me?"): one row per stage,
+    * (stage_id, stage, n_in, n_out, n_dropped), where stage k's n_in is
+    * stage k−1's n_out under the flagship's sequential gating order.
+    *
+    * Shape: each stage contributes the SAME id-keyed frame [[curate]]
+    * composes (one more consumer of the verified kernels — no private
+    * re-derivation), joined once into a per-doc flag table; the cumulative
+    * conjunction counts then come out of ONE aggregation pass (no
+    * per-stage jobs, no driver loop), plus a per-language count for the
+    * final top-3 sample stage. The report itself is 6 rows exploded from
+    * a 1×1 broadcast cross of the two count frames — Θ(stages) output at
+    * any corpus size. */
+  val curationReport: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+    val fa = Text.exactDedup(s, d)
+      .select(col("keep_doc_id").as("doc_id"), lit(1L).as("fa"))
+    val fb = DedupCluster
+      .connectedComponents(DedupCluster.contractedEmbedEdges(s, d))
+      .where(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"), lit(1L).as("fb"))
+    val fc = Text.gopherRules(s, d)
+      .where(col("keep") === 1).select(col("doc_id"), lit(1L).as("fc"))
+    val fd = Text.contamination(s, d)
+      .where(col("contaminated") === 0).select(col("doc_id"), lit(1L).as("fd"))
+    val fe = Text.lmScore(s, d).select(col("doc_id"), lit(1L).as("fe"))
+    // cumulative survival flags under the flagship's gate order
+    val cum = docs
+      .join(fa, Seq("doc_id"), "left").join(fb, Seq("doc_id"), "left")
+      .join(fc, Seq("doc_id"), "left").join(fd, Seq("doc_id"), "left")
+      .join(fe, Seq("doc_id"), "left")
+      .select(col("lang"),
+        coalesce(col("fa"), lit(0L)).as("s1"),
+        (coalesce(col("fa"), lit(0L)) * (lit(1L) - coalesce(col("fb"), lit(0L)))).as("s2"))
+      .withColumn("s3", col("s2") * coalesce(col("fc"), lit(0L)))
+      .withColumn("s4", col("s3") * coalesce(col("fd"), lit(0L)))
+      .withColumn("s5", col("s4") * coalesce(col("fe"), lit(0L)))
+    val counts = cum.agg(
+      count(lit(1)).as("n0"),
+      coalesce(sum(col("s1")), lit(0L)).as("n1"),
+      coalesce(sum(col("s2")), lit(0L)).as("n2"),
+      coalesce(sum(col("s3")), lit(0L)).as("n3"),
+      coalesce(sum(col("s4")), lit(0L)).as("n4"),
+      coalesce(sum(col("s5")), lit(0L)).as("n5"))
+    val n6 = cum.where(col("s5") === 1)
+      .groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(least(col("c"), lit(3L))), lit(0L)).as("n6"))
+    counts.crossJoin(n6)
+      .select(explode(array(
+        struct(lit(1L).as("stage_id"), lit("exact_dedup").as("stage"),
+          col("n0").as("n_in"), col("n1").as("n_out")),
+        struct(lit(2L).as("stage_id"), lit("near_dup").as("stage"),
+          col("n1").as("n_in"), col("n2").as("n_out")),
+        struct(lit(3L).as("stage_id"), lit("quality_gopher").as("stage"),
+          col("n2").as("n_in"), col("n3").as("n_out")),
+        struct(lit(4L).as("stage_id"), lit("decontaminate").as("stage"),
+          col("n3").as("n_in"), col("n4").as("n_out")),
+        struct(lit(5L).as("stage_id"), lit("lm_score").as("stage"),
+          col("n4").as("n_in"), col("n5").as("n_out")),
+        struct(lit(6L).as("stage_id"), lit("sample_top3_per_lang").as("stage"),
+          col("n5").as("n_in"), col("n6").as("n_out")))).as("r"))
+      .select(col("r.stage_id").as("stage_id"), col("r.stage").as("stage"),
+        col("r.n_in").as("n_in"), col("r.n_out").as("n_out"),
+        (col("r.n_in") - col("r.n_out")).as("n_dropped"))
+      .orderBy(col("stage_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_corpus_curate" -> curate,
+    "q_curation_report" -> curationReport)
 
   /** One DuckDB definition of the whole pipeline, stitched from the SAME
     * fragments and constants the per-stage oracles use
@@ -140,6 +210,70 @@ object CorpusCurate {
     * stage's SQL description is LITERALLY shared with its standalone
     * verification — a threshold or smoothing change edits one definition. */
   val oracles: Map[String, String] = Map(
+    // the audit report re-states each gate as a LEFT-JOIN flag over the
+    // SAME shared fragments the flagship oracle stitches, so the two can't
+    // drift; cumulative-product sums replay the sequential gate order and
+    // the sample stage is Σ least(per-lang survivors, 3)
+    "q_curation_report" ->
+      s"""WITH RECURSIVE ${Vectors.nearDupPairCte},
+        |ed AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+        |nn AS (SELECT DISTINCT src AS id FROM ed),
+        |reach(id, root) AS (
+        |  SELECT id, id FROM nn
+        |  UNION
+        |  SELECT ed.dst, r.root FROM reach r JOIN ed ON ed.src = r.id),
+        |comp0 AS (SELECT id, min(root) AS comp FROM reach GROUP BY id),
+        |nddrop AS (SELECT id AS doc_id FROM comp0 WHERE id <> comp),
+        |xk AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |${Text.docTokenStatsCte},
+        |gk AS (
+        |  SELECT doc_id FROM st
+        |  WHERE n_tokens >= ${Text.GopherMinTokens} AND n_tokens <= ${Text.GopherMaxTokens}
+        |    AND mwl >= ${Text.GopherMinMwl} AND mwl <= ${Text.GopherMaxMwl}
+        |    AND CAST(top_cnt AS DOUBLE) / n_tokens <= ${Text.GopherMaxTopFrac}
+        |    AND CAST(n_distinct AS DOUBLE) / n_tokens >= ${Text.GopherMinDistinctRatio}),
+        |${Text.contaminationCte},
+        |clean AS (
+        |  SELECT cr.doc_id FROM cr LEFT JOIN ch USING (doc_id)
+        |  WHERE CAST(coalesce(ch.hits, 0) AS DOUBLE) / cr.n_sh < ${Text.ContaminationThreshold}),
+        |${Text.lmScoreCte},
+        |lm AS (SELECT doc_id FROM lsc GROUP BY doc_id),
+        |f AS (
+        |  SELECT d.lang,
+        |    CASE WHEN xk.doc_id IS NOT NULL THEN 1 ELSE 0 END AS s1,
+        |    CASE WHEN xk.doc_id IS NOT NULL AND nd.doc_id IS NULL THEN 1 ELSE 0 END AS s2,
+        |    CASE WHEN xk.doc_id IS NOT NULL AND nd.doc_id IS NULL
+        |          AND gk.doc_id IS NOT NULL THEN 1 ELSE 0 END AS s3,
+        |    CASE WHEN xk.doc_id IS NOT NULL AND nd.doc_id IS NULL
+        |          AND gk.doc_id IS NOT NULL AND cl.doc_id IS NOT NULL THEN 1 ELSE 0 END AS s4,
+        |    CASE WHEN xk.doc_id IS NOT NULL AND nd.doc_id IS NULL
+        |          AND gk.doc_id IS NOT NULL AND cl.doc_id IS NOT NULL
+        |          AND lm.doc_id IS NOT NULL THEN 1 ELSE 0 END AS s5
+        |  FROM documents d
+        |  LEFT JOIN xk ON d.doc_id = xk.doc_id
+        |  LEFT JOIN nddrop nd ON d.doc_id = nd.doc_id
+        |  LEFT JOIN gk ON d.doc_id = gk.doc_id
+        |  LEFT JOIN clean cl ON d.doc_id = cl.doc_id
+        |  LEFT JOIN lm ON d.doc_id = lm.doc_id),
+        |c AS (
+        |  SELECT count(*) AS n0, coalesce(sum(s1), 0) AS n1,
+        |    coalesce(sum(s2), 0) AS n2, coalesce(sum(s3), 0) AS n3,
+        |    coalesce(sum(s4), 0) AS n4, coalesce(sum(s5), 0) AS n5
+        |  FROM f),
+        |l6 AS (
+        |  SELECT coalesce(sum(least(cl3, 3)), 0) AS n6
+        |  FROM (SELECT count(*) AS cl3 FROM f WHERE s5 = 1 GROUP BY lang)),
+        |rep AS (
+        |  SELECT 1 AS stage_id, 'exact_dedup' AS stage, n0 AS n_in, n1 AS n_out FROM c
+        |  UNION ALL SELECT 2, 'near_dup', n1, n2 FROM c
+        |  UNION ALL SELECT 3, 'quality_gopher', n2, n3 FROM c
+        |  UNION ALL SELECT 4, 'decontaminate', n3, n4 FROM c
+        |  UNION ALL SELECT 5, 'lm_score', n4, n5 FROM c
+        |  UNION ALL SELECT 6, 'sample_top3_per_lang', n5, (SELECT n6 FROM l6) FROM c)
+        |SELECT CAST(stage_id AS BIGINT) AS stage_id, stage,
+        |  CAST(n_in AS BIGINT) AS n_in, CAST(n_out AS BIGINT) AS n_out,
+        |  CAST(n_in - n_out AS BIGINT) AS n_dropped
+        |FROM rep ORDER BY stage_id""".stripMargin,
     "q_corpus_curate" ->
       s"""WITH RECURSIVE ${Vectors.nearDupPairCte},
         |ed AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),

@@ -50,6 +50,47 @@ class CorpusCurateSpec extends AnyFunSuite {
     }
   }
 
+  test("curation report: per-stage counts replay the flagship's gate chain") {
+    val spark = TestSpark.spark
+    val d = TestSpark.sf0001
+    val rep = CorpusCurate.curationReport(spark, d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rep.map(_._1).toSeq == (1L to 6L), "one row per stage, in order")
+    // chaining: stage k's n_in is stage k-1's n_out; drops are consistent
+    rep.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 == a._4, s"stage ${b._1} n_in != stage ${a._1} n_out")
+    }
+    rep.foreach { case (id, _, nIn, nOut, nDrop) =>
+      assert(nOut <= nIn && nDrop == nIn - nOut, s"stage $id arithmetic")
+    }
+    // endpoints: stage 1 enters the whole corpus; stage 6 exits exactly the
+    // flagship's sampled rows
+    assert(rep.head._3 == Tables.documents(spark, d).count())
+    assert(rep.last._4 == CorpusCurate.curate(spark, d).count().toLong)
+    // independent replay of each standalone gate
+    val exactKeep = Text.exactDedup(spark, d)
+      .select(col("keep_doc_id")).collect().map(_.getLong(0)).toSet
+    val ndDrop = DedupCluster
+      .connectedComponents(Vectors.embedNeardupPairs(spark, d))
+      .where(col("id") =!= col("comp"))
+      .collect().map(_.getLong(0)).toSet
+    val gopherKeep = Text.gopherRules(spark, d).where(col("keep") === 1)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val clean = Text.contamination(spark, d).where(col("contaminated") === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val lmIds = Text.lmScore(spark, d)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val s1 = exactKeep
+    val s2 = s1 -- ndDrop
+    val s3 = s2.intersect(gopherKeep)
+    val s4 = s3.intersect(clean)
+    val s5 = s4.intersect(lmIds)
+    assert(rep.map(_._4).take(5).toSeq ==
+      Seq(s1.size.toLong, s2.size.toLong, s3.size.toLong, s4.size.toLong,
+        s5.size.toLong))
+  }
+
   test("optional PII gate drops exactly the docs q_pii_scrub counts as carrying PII") {
     val spark = TestSpark.spark
     val d = TestSpark.sf0001

@@ -13,9 +13,9 @@ class EntrySpec extends AnyFunSuite {
 
   test("every query key with oracle SQL exists in queries") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
-    // 117 keys (99 oracle-checked) as of round 6 — a drop means a key was
+    // 118 keys (100 oracle-checked) as of round 6 — a drop means a key was
     // accidentally unwired, not that this floor is stale
-    assert(SparkEntry.queries.size >= 117)
-    assert(SparkEntry.oracleSql.size >= 99)
+    assert(SparkEntry.queries.size >= 118)
+    assert(SparkEntry.oracleSql.size >= 100)
   }
 }

@@ -104,6 +104,7 @@ class SqlParitySpec extends AnyFunSuite {
       "q_minhash_dedup_reps" -> (hugeint + "; " + recursive),
       "q_doc_fingerprint" -> hugeint,
       "q_corpus_curate" -> (recursive + " + list dialect (stitched stages)"),
+      "q_curation_report" -> (recursive + " + list dialect (stitched stages)"),
       "q_session_window" -> epochT, "q_late_data_policy" -> epochT,
       "q_join_asof" -> (epochT + " + IGNORE NULLS window spelling"),
       // empirically-found gaps (each was attempted verbatim first):
