@@ -161,12 +161,12 @@ object CorpusCurate {
       .join(fa, Seq("doc_id"), "left").join(fb, Seq("doc_id"), "left")
       .join(fc, Seq("doc_id"), "left").join(fd, Seq("doc_id"), "left")
       .join(fe, Seq("doc_id"), "left")
-      .select(col("lang"),
-        coalesce(col("fa"), lit(0L)).as("s1"),
-        (coalesce(col("fa"), lit(0L)) * (lit(1L) - coalesce(col("fb"), lit(0L)))).as("s2"))
+      .withColumn("s1", coalesce(col("fa"), lit(0L)))
+      .withColumn("s2", col("s1") * (lit(1L) - coalesce(col("fb"), lit(0L))))
       .withColumn("s3", col("s2") * coalesce(col("fc"), lit(0L)))
       .withColumn("s4", col("s3") * coalesce(col("fd"), lit(0L)))
       .withColumn("s5", col("s4") * coalesce(col("fe"), lit(0L)))
+      .select(col("lang"), col("s1"), col("s2"), col("s3"), col("s4"), col("s5"))
     val counts = cum.agg(
       count(lit(1)).as("n0"),
       coalesce(sum(col("s1")), lit(0L)).as("n1"),

@@ -1024,8 +1024,16 @@ object Text {
     * `rh` for the positive sliver only. `cand` may be a streaming
     * DataFrame — both branches stay stateless (the confirm is a
     * stream-static join with the static side on the right). */
-  private[graft] def bloomScreen(s: SparkSession, cand: DataFrame, ref: DataFrame): DataFrame = {
-    val bloom = ref.stat.bloomFilter("rh", 1L << 20, 0.01)
+  private[graft] def bloomScreen(s: SparkSession, cand: DataFrame, ref: DataFrame,
+      expectedItems: Option[Long] = None): DataFrame = {
+    // size the filter from the ACTUAL reference cardinality (one cheap
+    // count over the hash projection, or a caller-supplied estimate when
+    // the reference is expensive to count twice): a fixed capacity
+    // silently degrades the fpp — and with it the "only ~1% pays the
+    // exact join" contract — once the reference outgrows it. Floor of
+    // 1024 keeps the filter sensible on tiny references.
+    val n = math.max(1024L, expectedItems.getOrElse(ref.count()))
+    val bloom = ref.stat.bloomFilter("rh", n, 0.01)
     val bcast = s.sparkContext.broadcast(bloom)
     val might = udf((h: String) => bcast.value.mightContain(h))
     cand.where(!might(col("h")))
@@ -1088,6 +1096,24 @@ object Text {
           .as("logr"))
   }
 
+  /** Smoothed log importance ratio for a bucket the offline model never
+    * observed: with c_t = c_r = 0 the add-1 smoothing gives
+    * ln(1/(t_tot+B)) − ln(1/(r_tot+B)) = ln((r_tot+B)/(t_tot+B)). The
+    * streaming scorer ([[graft.streaming.Streams.dsirScoreStream]]) needs
+    * it because arriving documents can hash tokens into buckets absent
+    * from the training corpus — a direct Map apply there would kill the
+    * stream on the first genuinely-novel token. One tiny agg over the
+    * token stream (two longs to the driver). */
+  def dsirDefaultLogr(s: SparkSession, d: String): Double = {
+    val B = DsirBuckets.toDouble
+    val r = dsirTokens(s, d).agg(
+      count(lit(1)).as("r_tot"),
+      coalesce(sum(when(col("source") === "src1", 1L).otherwise(0L)), lit(0L))
+        .as("t_tot")).head()
+    math.log(1.0 / (r.getLong(1).toDouble + B)) -
+      math.log(1.0 / (r.getLong(0).toDouble + B))
+  }
+
   val dsirWeights: Q = (s, d) =>
     dsirTokens(s, d).groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
       .join(broadcast(dsirModel(s, d)), Seq("b"))
@@ -1143,17 +1169,26 @@ object Text {
     * md5-order draw on the heap top-k operator (k bounded by the largest
     * target — an eager Θ(sources) driver read, the sourceMix precedent).
     * Long arithmetic bounds: N · w_i overflows past ~10⁹ docs/source — at
-    * that scale promote the quota arithmetic to DECIMAL. */
+    * that scale promote the quota arithmetic to DECIMAL.
+    *
+    * Quota semantics for undersized sources are EXPLICIT: k_target is
+    * capped at n_i (a source cannot contribute more documents than it
+    * has), so when τ-flattening asks a small source for more than its
+    * size, the realized mix deviates from the ideal n^τ proportions by
+    * exactly that cap — the standard "sampling without replacement"
+    * truncation every temperature recipe inherits. An empty documents
+    * table yields an empty mix (no NPE on the eager quota read). */
   val temperatureMix: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val all = Window.partitionBy(lit(1))
     val tgt = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
       .withColumn("wf", floor(pow(col("n").cast("double"), TemperatureTau) * 1e6).cast("long"))
       .select(col("source"), col("n"),
-        greatest(lit(1L),
-          expr("sum(n) OVER (PARTITION BY 1) * wf DIV sum(wf) OVER (PARTITION BY 1)"))
+        least(col("n"), greatest(lit(1L),
+          expr("sum(n) OVER (PARTITION BY 1) * wf DIV sum(wf) OVER (PARTITION BY 1)")))
           .as("k_target"))
-    val kMax = tgt.agg(max(col("k_target"))).head().getLong(0).toInt
+    val kMax = tgt.agg(coalesce(max(col("k_target")), lit(0L)))
+      .head().getLong(0).toInt
     val scored = docs.select(col("source"), col("doc_id"),
       md5(col("doc_id").cast("string")).as("h"))
     graft.plans.TopKPerGroup
@@ -1764,7 +1799,7 @@ object Text {
       """WITH s AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
         |t AS (
         |  SELECT source, n,
-        |    CAST(greatest(1, sum(n) OVER () * wf // sum(wf) OVER ()) AS BIGINT) AS k_target
+        |    CAST(least(n, greatest(1, sum(n) OVER () * wf // sum(wf) OVER ())) AS BIGINT) AS k_target
         |  FROM (SELECT source, n,
         |          CAST(floor(pow(CAST(n AS DOUBLE), 0.7) * 1e6) AS BIGINT) AS wf
         |        FROM s) x),

@@ -396,14 +396,27 @@ object Streams {
     * train-offline / score-at-ingestion shape a production selection
     * pipeline runs. No state store, no watermark, no shuffle. Per-doc
     * summation runs in canonical ascending-bucket order; both sides round
-    * to 4 decimals (replay equality asserted in StreamingSpec). */
-  def dsirScoreStream(spark: SparkSession, sfDir: String): Dataset[DsirScore] = {
+    * to 4 decimals (replay equality asserted in StreamingSpec to within
+    * one ulp of the 4th decimal — the batch side sums in partition order,
+    * the documented FP accepted-risk class). Buckets the offline model
+    * never saw score at the smoothed prior
+    * ([[graft.operators.Text.dsirDefaultLogr]]) instead of crashing the
+    * stream — arriving documents are exactly where novel tokens show up. */
+  def dsirScoreStream(spark: SparkSession, sfDir: String): Dataset[DsirScore] =
+    dsirScoreStream(spark, sfDir, sfDir)
+
+  /** Train-on-`trainDir`, score-the-`scoreDir`-stream form — the production
+    * shape where arriving documents are NOT the training corpus, so tokens
+    * can hash into buckets the offline model never observed. */
+  def dsirScoreStream(spark: SparkSession, trainDir: String,
+      scoreDir: String): Dataset[DsirScore] = {
     import spark.implicits._
-    val model: Map[Long, Double] = graft.operators.Text.dsirModel(spark, sfDir)
+    val model: Map[Long, Double] = graft.operators.Text.dsirModel(spark, trainDir)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val bc = spark.sparkContext.broadcast(model)
+    val defaultLogr = graft.operators.Text.dsirDefaultLogr(spark, trainDir)
     val mask = (graft.operators.Text.DsirBuckets - 1).toLong
-    docsStream(spark, sfDir)
+    docsStream(spark, scoreDir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         val bs = graft.functions.Tok.tokenize(text).iterator
@@ -414,7 +427,7 @@ object Streams {
           val counts = new java.util.TreeMap[Long, Long]()
           bs.foreach(b => counts.merge(b, 1L, (a, x) => a + x))
           var w = 0.0
-          counts.forEach((b, c) => w += c.toDouble * bc.value(b))
+          counts.forEach((b, c) => w += c.toDouble * bc.value.getOrElse(b, defaultLogr))
           Iterator(DsirScore(id, bs.length.toLong,
             BigDecimal(w).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
         }

@@ -358,11 +358,15 @@ class TextQualitySpec extends AnyFunSuite {
       (100L until 106L).map(i => (i, s"beta text number $i", "en", "srcB", 10L))
     val dir = plantedDocs(docs)
     val out = Text.temperatureMix(spark, dir).collect()
-    // closed-form quota replay: wf = floor(n^tau * 1e6), k = max(1, N*wf DIV W)
+    // closed-form quota replay: wf = floor(n^tau * 1e6),
+    // k = min(n, max(1, N*wf DIV W)) — capped at the source size, so the
+    // reported quota IS the realized contribution (srcB's uncapped quota
+    // here is 8 > its 6 docs: the cap must bind)
     val n = Map("srcA" -> 30L, "srcB" -> 6L)
     val wf = n.view.mapValues(v => math.floor(math.pow(v.toDouble, Text.TemperatureTau) * 1e6).toLong).toMap
     val bigN = n.values.sum; val bigW = wf.values.sum
-    val k = wf.map { case (s, w) => s -> math.max(1L, bigN * w / bigW) }
+    val k = wf.map { case (s, w) => s -> math.min(n(s), math.max(1L, bigN * w / bigW)) }
+    assert(k("srcB") == n("srcB"), "planted case must exercise the cap")
     out.foreach { r =>
       assert(r.getAs[Long]("k_target") == k(r.getAs[String]("source")))
     }
