@@ -77,6 +77,12 @@ object Plans {
       "at-rest near-dup screen: incoming batch signs itself, probes the persisted band index, verifies on the signature table — at-rest text never scanned",
     "q_simhash_screen_at_rest" ->
       "pigeonhole at-rest screen: block-key probe join with denormalized signatures — codegen bit_count Hamming filter directly on the join output, no second signature join",
+    "q_event_attribution" ->
+      "stream-stream-join shape in batch: user-keyed equi-join with the time bound as a residual predicate — Θ(pairs), never a cross product",
+    "q_join_full_outer" ->
+      "full outer SMJ whose join key IS both sides' grouping key — the aggregation partitioning is reused, no third Exchange",
+    "q_chunk_tokens" ->
+      "overlapping token chunker: one typed flatMap over the documents scan, codegen'd md5 projection, no shuffle before the presentation sort",
   )
 
   def main(args: Array[String]): Unit = {

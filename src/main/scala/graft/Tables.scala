@@ -10,8 +10,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * prunes per-query).
   */
 object Tables {
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // the fixture's timestamp columns (o_orderdate, l_shipdate, events.ts in
+    // its current vintage) are tz-naive parquet TIMESTAMP(MICROS); Spark 4
+    // infers those as TIMESTAMP_NTZ by default, which refuses comparison
+    // against TimestampType literals and breaks the UTC-session epoch
+    // contract every oracle is written against. Reading them as TimestampType
+    // under the UTC session keeps wall-clock identity with DuckDB's naive
+    // TIMESTAMP — the contract SURVEY §7.4 pins.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")
@@ -20,14 +29,21 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's reader rejects by
-    * default; read it as a long (nanos since epoch) and convert to a
-    * microsecond TimestampType column (integer `div`, no double rounding). */
+  /** `events.ts` has shipped in two fixture vintages: parquet
+    * TIMESTAMP(NANOS) — which Spark's reader rejects unless read as a long
+    * (nanos since epoch) and converted to microseconds (integer `div`, no
+    * double rounding) — and plain tz-naive TIMESTAMP(MICROS), which needs no
+    * conversion. Dispatch on the schema actually on disk so both vintages
+    * load identically. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = apply(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -170,7 +170,47 @@ object Events {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Attribution lookback window in microseconds — shared by the batch key,
+    * its oracle, and the watermarked stream-stream join twin
+    * ([[graft.streaming.Streams.attributionStream]]). */
+  val AttributionWindowUs: Long = 7200L * 1000000L
+
+  /** Purchase→view attribution pairs: every (purchase, view) where the same
+    * user's view precedes the purchase by at most [[AttributionWindowUs]] —
+    * the batch form of the watermarked STREAM-STREAM JOIN (the one
+    * Structured Streaming operator shape the windowed-aggregation family
+    * doesn't cover; twin in [[graft.streaming.Streams.attributionStream]]).
+    *
+    * Scale shape: two filtered projections of the same scan, equi-joined on
+    * user_id — both sides shuffle once on the join key and the time bound is
+    * a residual predicate, so cost is Θ(pairs within the window), never a
+    * cross product. In the streaming twin the same bound is what lets the
+    * state store evict: a view older than the window below the purchase-side
+    * watermark can never match again. Pairs (not a per-purchase argmin) are
+    * the contract precisely so the two forms can be replay-equal — an argmin
+    * over a stream-stream join would need a second watermarked aggregation.
+    *
+    * Timestamps compare at epoch MICROseconds for the same reason as
+    * [[eventFunnel]]. */
+  val eventAttribution: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        unix_micros(col("ts")).as("view_us"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("purchase_us"))
+    purchases.join(views, Seq("user_id"))
+      .where(col("view_us") < col("purchase_us") &&
+        col("purchase_us") - col("view_us") <= AttributionWindowUs)
+      .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+        col("view_id"), col("view_us"),
+        (col("purchase_us") - col("view_us")).as("gap_us"))
+      .orderBy(col("purchase_id"), col("view_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q_event_attribution" -> eventAttribution,
     "q_event_transitions" -> eventTransitions,
     "q_tumbling_window"  -> tumblingWindow,
     "q_sliding_window"   -> slidingWindow,
@@ -182,6 +222,19 @@ object Events {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_event_attribution" ->
+      s"""WITH v AS (
+        |  SELECT user_id, event_id AS view_id, epoch_us(ts) AS view_us
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id, p.purchase_us, v.view_id, v.view_us,
+        |  p.purchase_us - v.view_us AS gap_us
+        |FROM p JOIN v ON p.user_id = v.user_id
+        |WHERE v.view_us < p.purchase_us
+        |  AND p.purchase_us - v.view_us <= ${AttributionWindowUs}
+        |ORDER BY p.purchase_id, v.view_id""".stripMargin,
     "q_event_transitions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type AS to_type, epoch_us(ts) AS us FROM events),

@@ -164,6 +164,35 @@ object Relational {
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
 
+  /** Full outer join — the one join flavor the inner/left/semi/anti family
+    * doesn't cover, exercised where BOTH unmatched sides are genuinely
+    * non-empty: per-user high-value view activity vs per-user high-value
+    * purchase activity (some users only ever do one of the two above the
+    * threshold). The USING-style key is coalesced; unmatched aggregates
+    * surface as explicit zeros plus a side marker.
+    *
+    * Scale shape: both inputs are filtered partial aggregations of the same
+    * scan, each shuffled once on user_id — and because the join key IS the
+    * grouping key, the full-outer sort-merge join reuses that partitioning
+    * (no third Exchange). Nulls never join (no null-key skew). */
+  val joinFullOuter: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    def side(t: String, p: String) = ev
+      .where(col("event_type") === t && col("value") > 90)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as(s"n_$p"), round(sum(col("value")), 4).as(s"sum_$p"))
+    side("view", "view").join(side("purchase", "purchase"), Seq("user_id"), "full")
+      .select(col("user_id"),
+        coalesce(col("n_view"), lit(0L)).as("n_view"),
+        round(coalesce(col("sum_view"), lit(0.0)), 4).as("sum_view"),
+        coalesce(col("n_purchase"), lit(0L)).as("n_purchase"),
+        round(coalesce(col("sum_purchase"), lit(0.0)), 4).as("sum_purchase"),
+        when(col("n_view").isNotNull && col("n_purchase").isNotNull, lit("both"))
+          .when(col("n_view").isNotNull, lit("view_only"))
+          .otherwise(lit("purchase_only")).as("side"))
+      .orderBy(col("user_id"))
+  }
+
   /** Non-equi (range) join, bucketized: pairs where l_extendedprice falls in
     * [10·p_retailprice, 10.5·p_retailprice].
     *
@@ -592,6 +621,7 @@ object Relational {
     "q_join_left"           -> joinLeft,
     "q_join_semi"           -> joinSemi,
     "q_join_anti"           -> joinAnti,
+    "q_join_full_outer"     -> joinFullOuter,
     "q_join_range"          -> joinRange,
     "q_join_asof"           -> joinAsof,
     "q_join_skew_salted"    -> joinSkewSalted,
@@ -685,6 +715,23 @@ object Relational {
       """SELECT c_custkey, c_name FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |ORDER BY c_custkey""".stripMargin,
+    "q_join_full_outer" ->
+      """WITH a AS (
+        |  SELECT user_id, count(*) AS n_view, round(sum(value), 4) AS sum_view
+        |  FROM events WHERE event_type = 'view' AND value > 90 GROUP BY user_id),
+        |b AS (
+        |  SELECT user_id, count(*) AS n_purchase, round(sum(value), 4) AS sum_purchase
+        |  FROM events WHERE event_type = 'purchase' AND value > 90 GROUP BY user_id)
+        |SELECT user_id,
+        |  coalesce(n_view, 0) AS n_view,
+        |  round(coalesce(sum_view, 0.0), 4) AS sum_view,
+        |  coalesce(n_purchase, 0) AS n_purchase,
+        |  round(coalesce(sum_purchase, 0.0), 4) AS sum_purchase,
+        |  CASE WHEN n_view IS NOT NULL AND n_purchase IS NOT NULL THEN 'both'
+        |       WHEN n_view IS NOT NULL THEN 'view_only'
+        |       ELSE 'purchase_only' END AS side
+        |FROM a FULL OUTER JOIN b USING (user_id)
+        |ORDER BY user_id""".stripMargin,
     "q_join_range" ->
       """SELECT p_brand, count(*) AS n, round(avg(l_extendedprice), 4) AS avg_price
         |FROM part JOIN lineitem

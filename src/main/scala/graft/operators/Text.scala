@@ -758,6 +758,55 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Chunk geometry for [[chunkTokens]] — fixture-sized (a real RAG/embedding
+    * pipeline uses e.g. 512/384); shared by the operator, its oracle, and the
+    * streaming twin so the three descriptions cannot fork. */
+  val ChunkSize = 32
+  val ChunkStride = 24
+
+  /** Overlapping token-window chunker — the standard retrieval/embedding
+    * preprocessing step ([[tokenPack]]'s complement: packing concatenates
+    * documents into fixed sequences for PRETRAINING; chunking splits each
+    * document into overlapping windows for INDEXING). Chunks start every
+    * [[ChunkStride]] tokens and span [[ChunkSize]] (the final window
+    * truncates at the document end), so consecutive chunks share
+    * `ChunkSize - ChunkStride` tokens of context. Emits per chunk its
+    * geometry plus `md5(chunk_text)` — the id a downstream embedding/dedup
+    * stage keys on — rather than the text itself, so the wide column never
+    * travels further than this map.
+    *
+    * Scale shape: one typed map-partitions pass over the documents scan —
+    * no shuffle, no state, output Θ(tokens/stride). A doc's chunk count is
+    * ⌈n/stride⌉, so output rows track corpus token volume linearly at any
+    * document-length distribution. (The typed pass rather than a
+    * sequence/transform/slice expression chain: three stacked interpreted
+    * higher-order functions lose ~10× to one compiled flatMap — PERF.md
+    * lesson 14.) Oracle: DuckDB replays the geometry with generate_series
+    * and the hash with md5 over the same list-slice join. */
+  /** The ONE chunk kernel — shared by the batch key and the streaming twin
+    * ([[graft.streaming.Streams.chunkStream]]) so geometry and content
+    * cannot fork between the two. */
+  private[graft] def chunkRows(id: Long, text: String): Iterator[(Long, Long, Long, Long, String)] = {
+    val tk = text.split(' ')
+    Iterator.range(0, tk.length, ChunkStride).map { st =>
+      val end = math.min(st + ChunkSize, tk.length)
+      (id, (st / ChunkStride).toLong, st.toLong, (end - st).toLong,
+        tk.slice(st, end).mkString(" "))
+    }
+  }
+
+  val chunkTokens: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) => chunkRows(id, text) }
+      .toDF("doc_id", "chunk_id", "start_tok", "n_tok", "chunk_text")
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"), col("n_tok"),
+        md5(col("chunk_text")).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   /** Winnowing fingerprints: fingerprint count + min/max hash per doc.
     *
     * Oracle-checked (round 5): the winnow's OUTPUT is the sorted distinct
@@ -1232,6 +1281,7 @@ object Text {
     "q_dsir_weights"    -> dsirWeights,
     "q_perplexity_buckets" -> perplexityBuckets,
     "q_temperature_mix" -> temperatureMix,
+    "q_chunk_tokens"    -> chunkTokens,
   )
 
   /** Shared oracle CTE mirroring [[docTokenStats]] exactly (term counts +
@@ -1625,6 +1675,25 @@ object Text {
         |  (start_off + greatest(n_tokens, 1) - 1) // ${PackCapacity}
         |    - start_off // ${PackCapacity} + 1 AS n_chunks
         |FROM c ORDER BY doc_id""".stripMargin,
+    // chunk geometry via generate_series over the same raw space-split the
+    // typed pass runs; the content hash replays as md5 over the identical
+    // list-slice join (single-space token streams make join = substring)
+    "q_chunk_tokens" ->
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |u AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, (len(toks) - 1) // ${ChunkStride} + 1)) AS gid
+        |  FROM t),
+        |g AS (
+        |  SELECT doc_id, toks, CAST(gid AS BIGINT) AS chunk_id,
+        |    CAST(gid * ${ChunkStride} AS BIGINT) AS start_tok
+        |  FROM u)
+        |SELECT doc_id, chunk_id, start_tok,
+        |  CAST(least(len(toks), start_tok + ${ChunkSize}) - start_tok AS BIGINT) AS n_tok,
+        |  md5(array_to_string(
+        |    toks[CAST(start_tok + 1 AS INT):CAST(least(len(toks), start_tok + ${ChunkSize}) AS INT)],
+        |    ' ')) AS chunk_md5
+        |FROM g ORDER BY doc_id, chunk_id""".stripMargin,
     // byte-replay of the winnowing kernel (see docFingerprint notes): the
     // k-gram polynomial hash mod 2^64 via HUGEINT split-multiplies, the
     // splitmix64 avalanche in staged columns, window-min + DISTINCT. xor()

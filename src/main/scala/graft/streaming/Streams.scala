@@ -21,24 +21,26 @@ import org.apache.spark.sql.types._
   */
 object Streams {
 
-  /** events schema for the file-source replay (ts is INT64 nanos on disk —
-    * read as long, converted to a proper event-time column below). */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   /** File-replay stream of the events table (one parquet = one micro-batch
     * replay; in production this is a Kafka/file-drop source with identical
-    * downstream plan). */
+    * downstream plan). The file source needs an explicit schema; take it
+    * from a footer read of the same file so the stream tracks whichever
+    * fixture vintage is on disk (INT64-nanos `ts` → convert to microsecond
+    * event time exactly like [[graft.Tables.events]]; tz-naive
+    * TIMESTAMP(MICROS) → already the event-time column). */
   def eventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     // the file stream source needs a *directory* base path; glob-filter the
     // events table out of the shared sf directory
-    spark.readStream.schema(eventsRawSchema)
+    val onDisk = spark.read.option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir).schema
+    val st = spark.readStream.schema(onDisk)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    if (onDisk("ts").dataType == LongType)
+      st.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else st
   }
 
   /** Tumbling 5-minute counts with a 10-minute watermark. */
@@ -69,6 +71,38 @@ object Streams {
   def dedupStream(events: DataFrame): DataFrame =
     events.withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Watermarked STREAM-STREAM JOIN — purchase→view attribution pairs, the
+    * streaming twin of [[graft.operators.Events.eventAttribution]] (replay
+    * equality asserted in StreamingSpec). Both sides are filtered
+    * projections of the same event stream (a self-join), each with its own
+    * event-time watermark; the join condition carries the time bound
+    * (`view_ts < purchase_ts ≤ view_ts + window`), which is what lets the
+    * state store EVICT: a buffered view older than the window below the
+    * purchase watermark can never produce another match, so per-key state
+    * is bounded by event rate × window at any stream length. Inner join, so
+    * matches emit as they form — no watermark-gated output holdback (the
+    * outer-join variant would hold unmatched rows until the watermark
+    * passes, which a single-batch file replay never does). */
+  def attributionStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = eventsStream(spark, sfDir)
+    val win = graft.operators.Events.AttributionWindowUs / 1000000L
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        col("ts").as("v_ts"))
+      .withWatermark("v_ts", "2 hours")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    purchases.join(views,
+      expr(s"""p_user = v_user AND v_ts < p_ts
+              |AND p_ts <= v_ts + INTERVAL $win SECONDS""".stripMargin))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        unix_micros(col("p_ts")).as("purchase_us"),
+        col("view_id"), unix_micros(col("v_ts")).as("view_us"),
+        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+  }
 
   case class UserAgg(userId: Long, nEvents: Long, maxValue: Double)
 
@@ -334,6 +368,22 @@ object Streams {
           BigDecimal(mwl).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
           fLen, fMwl, fRep, fDr, fLen * fMwl * fRep * fDr)
       }
+  }
+
+  /** Streaming twin of the overlapping token-window chunker
+    * ([[graft.operators.Text.chunkTokens]]): chunk-at-ingestion for a
+    * retrieval index that stays fresh as documents arrive. Stateless typed
+    * flatMap on the ONE shared [[graft.operators.Text.chunkRows]] kernel
+    * (no state store, no watermark, no shuffle) with the same codegen'd
+    * md5 projection; StreamingSpec asserts row-exact replay equality. */
+  def chunkStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docsStream(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) => graft.operators.Text.chunkRows(id, text) }
+      .toDF("doc_id", "chunk_id", "start_tok", "n_tok", "chunk_text")
+      .select(col("doc_id"), col("chunk_id"), col("start_tok"), col("n_tok"),
+        md5(col("chunk_text")).as("chunk_md5"))
   }
 
   case class ContamSnap(docId: Long, nSh: Long, nHit: Long, hitFracR: Double,

@@ -35,7 +35,7 @@ class SqlParitySpec extends AnyFunSuite {
     // events (epoch/epoch_us/json_extract via the DuckDialect aliases)
     "q_event_funnel", "q_event_transitions", "q_json_funcs",
     "q_scalar_funcs", "q_tumbling_window", "q_sliding_window",
-    "q_stateful_dedup",
+    "q_stateful_dedup", "q_event_attribution", "q_join_full_outer",
     // text family unlocked by the string_split_regex + len aliases
     "q_exact_dedup", "q_weighted_sample", "q_text_stats",
     // pure integer/CASE arithmetic + floor() fixed-point — no dialect at all
@@ -68,6 +68,8 @@ class SqlParitySpec extends AnyFunSuite {
       "q_jaccard_ngram" -> ("list_distinct — " + listDialect),
       "q_dedup_incremental" -> ("list_distinct — " + listDialect),
       "q_token_pack" -> "// integer division (parse error in Spark SQL)",
+      "q_chunk_tokens" -> (listDialect +
+        " + generate_series lateral join + // integer division"),
       "q_substring_dedup" -> (listDialect + " + // integer division"),
       "q_embed_quantize" -> ("CAST(... AS DOUBLE[]) list cast + unnest scalar " +
         "explode + numeric trunc() — Spark form is the array transform kernel"),

@@ -130,16 +130,27 @@ class StreamingSpec extends AnyFunSuite {
     def bucket(t: String): Long = graft.functions.Hashing.fnv64(t) & mask
     val trainDir = java.nio.file.Files.createTempDirectory("dsir_train").toString
     val scoreDir = java.nio.file.Files.createTempDirectory("dsir_score").toString
-    Seq((1L, "alpha beta alpha", "en", "src1", 16L),
-        (2L, "alpha gamma", "en", "src2", 11L))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode("overwrite").parquet(trainDir + "/documents.parquet")
+    // the fixture layout is a single FILE named documents.parquet (the
+    // docsStream glob matches leaf file names, so a Spark output DIRECTORY
+    // of that name would hide its part files from the stream source):
+    // write via Spark then move the lone part file into place
+    def writeDocsFile(dir: String, rows: Seq[(Long, String, String, String, Long)]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("dsir_tmp").toString
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(dir, "documents.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    writeDocsFile(trainDir, Seq((1L, "alpha beta alpha", "en", "src1", 16L),
+      (2L, "alpha gamma", "en", "src2", 11L)))
     val occupied = Set("alpha", "beta", "gamma").map(bucket)
     val novel = Iterator.from(0).map(i => s"zqxv$i")
       .find(t => !occupied.contains(bucket(t))).get
-    Seq((9L, s"$novel $novel $novel", "en", "src9", 3L * (novel.length + 1) - 1))
-      .toDF("doc_id", "text", "lang", "source", "n_chars")
-      .write.mode("overwrite").parquet(scoreDir + "/documents.parquet")
+    writeDocsFile(scoreDir,
+      Seq((9L, s"$novel $novel $novel", "en", "src9", 3L * (novel.length + 1) - 1)))
     val got = Streams.runToCompletion(
       Streams.dsirScoreStream(spark, trainDir, scoreDir).toDF(),
       "t_dsir_novel", "append").collect()
@@ -149,6 +160,32 @@ class StreamingSpec extends AnyFunSuite {
       .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got.head.getLong(1) == 3L && got.head.getDouble(2) == expect,
       s"got ${got.head} want (_, 3, $expect)")
+  }
+
+  test("watermarked stream-stream join replays to batch q_event_attribution exactly") {
+    val spark = TestSpark.spark
+    val got = Streams.runToCompletion(
+      Streams.attributionStream(spark, TestSpark.sf0001), "t_attr", "append")
+      .orderBy(col("purchase_id"), col("view_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val want = operators.Events.eventAttribution(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("streaming chunker replays to batch q_chunk_tokens exactly") {
+    val spark = TestSpark.spark
+    val got = Streams.runToCompletion(
+      Streams.chunkStream(spark, TestSpark.sf0001), "t_chunk", "append")
+      .orderBy(col("doc_id"), col("chunk_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    val want = operators.Text.chunkTokens(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    assert(got.nonEmpty && got == want)
   }
 
   test("streaming bloom screen replays to batch q_bloom_dedup exactly") {

@@ -383,4 +383,30 @@ class TextQualitySpec extends AnyFunSuite {
     val again = Text.temperatureMix(spark, dir).collect()
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
+
+  test("chunker geometry: stride starts, full coverage, fixed overlap, exact tail") {
+    val C = Text.ChunkSize; val S = Text.ChunkStride
+    val n = 80 // not a multiple of either, so the tail chunk truncates
+    val toks = (0 until n).map(i => s"w$i")
+    val rows = Text.chunkRows(7L, toks.mkString(" ")).toSeq
+    // chunk ids are dense, starts land every stride
+    assert(rows.map(_._2) == rows.indices.map(_.toLong))
+    assert(rows.map(_._3) == rows.indices.map(i => (i * S).toLong))
+    // all chunks are full-size except the exact-remainder tail
+    assert(rows.init.forall(_._4 == C.toLong))
+    assert(rows.last._4 == (n - rows.last._3).toLong && rows.last._4 < C)
+    // consecutive chunks share exactly C-S tokens; union covers every token
+    val spans = rows.map(r => (r._3, r._3 + r._4))
+    spans.sliding(2).foreach { case Seq((a0, a1), (b0, _)) =>
+      assert(a1 - b0 == (C - S).toLong, s"overlap of ($a0,$a1)/($b0,..)")
+    }
+    assert(spans.head._1 == 0L && spans.last._2 == n.toLong)
+    // chunk text is the verbatim token slice (reconstruction contract)
+    rows.foreach { r =>
+      assert(r._5 == toks.slice(r._3.toInt, (r._3 + r._4).toInt).mkString(" "))
+    }
+    // a document shorter than one chunk yields exactly one exact chunk
+    val tiny = Text.chunkRows(8L, "a b c").toSeq
+    assert(tiny == Seq((8L, 0L, 0L, 3L, "a b c")))
+  }
 }
