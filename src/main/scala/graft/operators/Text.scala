@@ -883,6 +883,61 @@ object Text {
       md5(scrub).as("scrub_md5"))
   }
 
+  /** Zero-width / BOM code points stripped by [[unicodeNormalize]] —
+    * the invisible characters crawled text is full of; NFC does NOT remove
+    * them (they are format characters, not combining marks), so the scrub
+    * is an explicit regex both engines run. The class is spelled with
+    * \x{...} escapes so the SAME pattern text compiles in java.util.regex
+    * and RE2. */
+  private[operators] val ZeroWidthRe = """[\x{200B}\x{200C}\x{200D}\x{FEFF}]"""
+
+  /** text + an injected unicode hazard per doc_id ≡ k (mod 3): a combining
+    * acute (NFC merges e+U+0301 → é, length shrinks), a zero-width space
+    * (NFC keeps it, the explicit strip removes it), or the ﬁ ligature
+    * (U+FB01 — canonical NFC keeps it; only compatibility NFKC would fold
+    * it, pinning WHICH normal form the operator implements). */
+  private def unicodeEnriched: Column =
+    concat(
+      when(col("doc_id") % 3 === 0, lit("e\u0301 "))   // DECOMPOSED e + combining acute
+        .when(col("doc_id") % 3 === 1, lit("A\u200BB ")) // zero-width space inside a token
+        .otherwise(lit("\uFB01le ")),                    // fi ligature (NFC-invariant)
+      col("text"))
+
+  /** Unicode canonicalization — the text-cleanup stage every crawl
+    * pipeline runs before hashing/dedup (mixed NFC/NFD sources make
+    * byte-level dedup miss visually identical text): NFC composition, then
+    * zero-width/BOM strip, then whitespace collapse. Emits lengths, a
+    * changed flag and `md5(text_norm)` so downstream exact-dedup keys on
+    * the canonical bytes.
+    *
+    * Scale shape: one typed map (the JDK normalizer — Spark has no native
+    * NFC expression) inside a map-only stage: no shuffle before the
+    * presentation sort, rides the corpus partitioning at any size. The
+    * corpus body is ASCII (NFC-invariant), so the injected markers are
+    * what exercises each branch — the same honest-enrichment pattern as
+    * the PII scrub above. Oracle: DuckDB's utf8proc `nfc_normalize` +
+    * the same regex pair; both engines md5 the identical UTF-8 bytes. */
+  val unicodeNormalize: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), unicodeEnriched.as("raw"))
+      .as[(Long, String)]
+      .map { case (id, raw) =>
+        (id, raw, java.text.Normalizer.normalize(raw, java.text.Normalizer.Form.NFC))
+      }
+      .toDF("doc_id", "raw", "nfc")
+      .select(col("doc_id"), col("raw"),
+        regexp_replace(regexp_replace(col("nfc"), ZeroWidthRe, ""), " +", " ")
+          .as("clean"))
+      .select(col("doc_id"),
+        length(col("raw")).cast("long").as("len_raw"),
+        length(col("clean")).cast("long").as("len_norm"),
+        when(col("clean") =!= col("raw"), 1L).otherwise(0L).as("changed"),
+        md5(col("clean")).as("norm_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Synthetic URL per doc, with every canonicalization hazard injected
     * deterministically: http/https split, WWW. prefix, mixed-case host,
     * trailing slash, utm_* tracking query, fragment. */
@@ -1282,6 +1337,7 @@ object Text {
     "q_perplexity_buckets" -> perplexityBuckets,
     "q_temperature_mix" -> temperatureMix,
     "q_chunk_tokens"    -> chunkTokens,
+    "q_unicode_normalize" -> unicodeNormalize,
   )
 
   /** Shared oracle CTE mirroring [[docTokenStats]] exactly (term counts +
@@ -1694,6 +1750,27 @@ object Text {
         |    toks[CAST(start_tok + 1 AS INT):CAST(least(len(toks), start_tok + ${ChunkSize}) AS INT)],
         |    ' ')) AS chunk_md5
         |FROM g ORDER BY doc_id, chunk_id""".stripMargin,
+    // the same enrichment spelled with chr() code points; DuckDB's
+    // utf8proc nfc_normalize replays the JDK normalizer (both implement
+    // Unicode NFC), the zero-width class is the shared constant, and both
+    // engines md5 the identical canonical UTF-8 bytes
+    "q_unicode_normalize" ->
+      s"""WITH e AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'e' || chr(769) || ' '
+        |         WHEN doc_id % 3 = 1 THEN 'A' || chr(8203) || 'B '
+        |         ELSE chr(64257) || 'le ' END || text AS raw
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, raw,
+        |    regexp_replace(regexp_replace(nfc_normalize(raw),
+        |      '${ZeroWidthRe}', '', 'g'), ' +', ' ', 'g') AS clean
+        |  FROM e)
+        |SELECT doc_id, CAST(length(raw) AS BIGINT) AS len_raw,
+        |  CAST(length(clean) AS BIGINT) AS len_norm,
+        |  CAST(CASE WHEN clean <> raw THEN 1 ELSE 0 END AS BIGINT) AS changed,
+        |  md5(clean) AS norm_md5
+        |FROM n ORDER BY doc_id""".stripMargin,
     // byte-replay of the winnowing kernel (see docFingerprint notes): the
     // k-gram polynomial hash mod 2^64 via HUGEINT split-multiplies, the
     // splitmix64 avalanche in staged columns, window-min + DISTINCT. xor()

@@ -70,6 +70,9 @@ class SqlParitySpec extends AnyFunSuite {
       "q_token_pack" -> "// integer division (parse error in Spark SQL)",
       "q_chunk_tokens" -> (listDialect +
         " + generate_series lateral join + // integer division"),
+      "q_unicode_normalize" -> ("nfc_normalize (utf8proc) + " +
+        "regexp_replace(..., 'g') 4-arg flag — Spark form is the JDK " +
+        "Normalizer typed map"),
       "q_substring_dedup" -> (listDialect + " + // integer division"),
       "q_embed_quantize" -> ("CAST(... AS DOUBLE[]) list cast + unnest scalar " +
         "explode + numeric trunc() — Spark form is the array transform kernel"),

@@ -384,6 +384,28 @@ class TextQualitySpec extends AnyFunSuite {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("unicode normalization: NFC merge, zero-width strip, ligature and ASCII invariance") {
+    val spark = TestSpark.spark
+    val out = Text.unicodeNormalize(spark, TestSpark.sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val lr = r.getAs[Long]("len_raw"); val ln = r.getAs[Long]("len_norm")
+      val ch = r.getAs[Long]("changed")
+      (id % 3) match {
+        // e + combining acute composes to é: one code point shorter
+        case 0 => assert(ln == lr - 1 && ch == 1, s"doc $id: $lr -> $ln")
+        // the zero-width space is stripped (NFC alone would keep it)
+        case 1 => assert(ln == lr - 1 && ch == 1, s"doc $id: $lr -> $ln")
+        // canonical NFC keeps the fi ligature; ASCII body is untouched
+        case _ => assert(ln == lr && ch == 0, s"doc $id: $lr -> $ln")
+      }
+    }
+    // deterministic (md5 column pins content, not just lengths)
+    val again = Text.unicodeNormalize(spark, TestSpark.sf0001).collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("chunker geometry: stride starts, full coverage, fixed overlap, exact tail") {
     val C = Text.ChunkSize; val S = Text.ChunkStride
     val n = 80 // not a multiple of either, so the tail chunk truncates
