@@ -219,15 +219,32 @@ object Relational {
     // 100 TB), no pair materialization, and both joins broadcast the small
     // side. Zero-match brands drop out naturally (inner-join semantics,
     // matching the oracle).
-    // W trades boundary-join fan-out against interior-explode width: every
-    // lineitem row joins ~2·|part|/(range/W) boundary edges, every part
-    // explodes ~intervalWidth/W interior buckets. At W=100 the edge join
-    // probed ~40 edges/row (24M pre-filter rows, 2-3 s at sf0.1); W=10
-    // rebalances to ~4 edges/row + ~75 interior buckets/part (~4M rows
-    // total). Both terms scale linearly with their input at fixed W.
-    val W = 10.0
-    val li = Tables.lineitem(s, d).select(col("l_extendedprice").as("price"),
-      floor(col("l_extendedprice") / W).as("bkt"))
+    // W trades boundary-join fan-out against interior-explode width: the
+    // interior term costs Θ(|part| · intervalWidth / W) explode rows, the
+    // boundary term Θ(|part| · n_li·W / range) joined rows — so at a FIXED
+    // W the boundary term grows quadratically when both sides scale
+    // together (10× parts × 10× rows-per-bucket measured 12.9× wall at
+    // sf1, the one 12–15× query of the r7 scaling pair). Balancing the two
+    // terms gives W* = sqrt(avgIntervalWidth · priceRange / n_li), which
+    // W is now computed AS: one tiny two-sided statistics job (min/max/
+    // count of the price column, avg interval width — aggregate-only,
+    // broadcast-sized) replaces the hand-tuned constant, so the operator
+    // re-balances itself at ANY scale factor instead of inheriting the
+    // sf0.1 tuning. At sf0.1 the formula lands on ~11 (the constant the
+    // round-2 hand-tuning found); at sf1 it tightens to ~3.6 and the
+    // boundary fan-out stays Θ(sqrt) instead of Θ(linear-in-density).
+    // Clamped to [0.01, 1000] so degenerate statistics (empty/constant
+    // tables) cannot zero the bucket width.
+    val liRaw = Tables.lineitem(s, d).select(col("l_extendedprice").as("price"))
+    val pStats = Tables.part(s, d)
+      .agg(avg(col("p_retailprice") * 0.5 * 10.0).as("w_avg")).head()
+    val lStats = liRaw.agg(min(col("price")), max(col("price")), count(lit(1))).head()
+    val range = math.max(lStats.getDouble(1) - lStats.getDouble(0), 1e-6)
+    val nLi = math.max(lStats.getLong(2), 1L)
+    val wAvg = if (pStats.isNullAt(0)) range else pStats.getDouble(0)
+    val W = math.min(1000.0, math.max(0.01,
+      math.sqrt(wAvg * range / nLi.toDouble)))
+    val li = liRaw.select(col("price"), floor(col("price") / W).as("bkt"))
     val bucketAgg = li.groupBy(col("bkt"))
       .agg(count(lit(1)).as("bn"), sum(col("price")).as("bs"))
     val parts = Tables.part(s, d)
