@@ -83,6 +83,8 @@ object Plans {
       "full outer SMJ whose join key IS both sides' grouping key — the aggregation partitioning is reused, no third Exchange",
     "q_chunk_tokens" ->
       "overlapping token chunker: one typed flatMap over the documents scan, codegen'd md5 projection, no shuffle before the presentation sort",
+    "q_unicode_normalize" ->
+      "unicode canonicalization: map-only stage (typed NFC map + codegen'd regex/md5 projection), no shuffle before the presentation sort",
   )
 
   def main(args: Array[String]): Unit = {
