@@ -209,8 +209,35 @@ object Events {
       .orderBy(col("purchase_id"), col("view_id"))
   }
 
+  /** Left-outer sibling of [[eventAttribution]]: EVERY purchase is
+    * reported, unattributed ones with -1 sentinels — the batch form of the
+    * watermarked left-outer stream-stream join, whose streaming semantics
+    * (unmatched rows emit only when the watermark proves no future match
+    * can arrive) StreamingSpec exercises with a multi-batch replay. Same
+    * join shape as the inner form; the outer rows add Θ(unmatched
+    * purchases). */
+  val eventAttributionOuter: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val views = ev.where(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
+        unix_micros(col("ts")).as("view_us"))
+    val purchases = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("purchase_us"))
+    purchases.join(views,
+        col("user_id") === col("v_user") &&
+        col("view_us") < col("purchase_us") &&
+        col("purchase_us") - col("view_us") <= AttributionWindowUs, "left")
+      .select(col("purchase_id"), col("user_id"), col("purchase_us"),
+        coalesce(col("view_id"), lit(-1L)).as("view_id"),
+        coalesce(col("view_us"), lit(-1L)).as("view_us"),
+        coalesce(col("purchase_us") - col("view_us"), lit(-1L)).as("gap_us"))
+      .orderBy(col("purchase_id"), col("view_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_event_attribution" -> eventAttribution,
+    "q_event_attribution_outer" -> eventAttributionOuter,
     "q_event_transitions" -> eventTransitions,
     "q_tumbling_window"  -> tumblingWindow,
     "q_sliding_window"   -> slidingWindow,
@@ -235,6 +262,21 @@ object Events {
         |WHERE v.view_us < p.purchase_us
         |  AND p.purchase_us - v.view_us <= ${AttributionWindowUs}
         |ORDER BY p.purchase_id, v.view_id""".stripMargin,
+    "q_event_attribution_outer" ->
+      s"""WITH v AS (
+        |  SELECT user_id, event_id AS view_id, epoch_us(ts) AS view_us
+        |  FROM events WHERE event_type = 'view'),
+        |p AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT p.purchase_id, p.user_id, p.purchase_us,
+        |  coalesce(v.view_id, -1) AS view_id,
+        |  coalesce(v.view_us, -1) AS view_us,
+        |  coalesce(p.purchase_us - v.view_us, -1) AS gap_us
+        |FROM p LEFT JOIN v ON p.user_id = v.user_id
+        |  AND v.view_us < p.purchase_us
+        |  AND p.purchase_us - v.view_us <= ${AttributionWindowUs}
+        |ORDER BY 1, 4""".stripMargin,
     "q_event_transitions" ->
       """WITH e AS (
         |  SELECT user_id, event_id, event_type AS to_type, epoch_us(ts) AS us FROM events),

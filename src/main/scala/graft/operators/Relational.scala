@@ -164,6 +164,30 @@ object Relational {
       .select(col("c_custkey"), col("c_name"))
       .orderBy(col("c_custkey"))
 
+  /** Explicit cross join — the last join flavor: the (region × market
+    * segment) reporting grid, densified so downstream pivots see every
+    * cell even when a count is zero. The cross product is deliberately
+    * bounded (|regions| × |segments| = 25): one side is a distinct-
+    * aggregated broadcast, so the plan is a BroadcastNestedLoopJoin over
+    * metadata-sized inputs — the only shape a cross join is ever
+    * legitimate at 100 TB (grid construction), never fact×fact. */
+  val joinCross: Q = (s, d) => {
+    val segs = Tables.customer(s, d)
+      .select(col("c_mktsegment").as("segment")).distinct()
+    val grid = Tables.region(s, d).select(col("r_regionkey"), col("r_name"))
+      .crossJoin(broadcast(segs))
+    val counts = Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_regionkey").as("r_regionkey"),
+        col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"))
+    grid.join(counts, Seq("r_regionkey", "segment"), "left")
+      .select(col("r_name"), col("segment"),
+        coalesce(col("n"), lit(0L)).as("n_customers"))
+      .orderBy(col("r_name"), col("segment"))
+  }
+
   /** Full outer join — the one join flavor the inner/left/semi/anti family
     * doesn't cover, exercised where BOTH unmatched sides are genuinely
     * non-empty: per-user high-value view activity vs per-user high-value
@@ -639,6 +663,7 @@ object Relational {
     "q_join_semi"           -> joinSemi,
     "q_join_anti"           -> joinAnti,
     "q_join_full_outer"     -> joinFullOuter,
+    "q_join_cross"          -> joinCross,
     "q_join_range"          -> joinRange,
     "q_join_asof"           -> joinAsof,
     "q_join_skew_salted"    -> joinSkewSalted,
@@ -749,6 +774,18 @@ object Relational {
         |       ELSE 'purchase_only' END AS side
         |FROM a FULL OUTER JOIN b USING (user_id)
         |ORDER BY user_id""".stripMargin,
+    "q_join_cross" ->
+      """WITH segs AS (SELECT DISTINCT c_mktsegment AS segment FROM customer),
+        |grid AS (
+        |  SELECT r_regionkey, r_name, segment FROM region CROSS JOIN segs),
+        |cnt AS (
+        |  SELECT n_regionkey AS r_regionkey, c_mktsegment AS segment,
+        |    count(*) AS n
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2)
+        |SELECT g.r_name, g.segment, coalesce(cnt.n, 0) AS n_customers
+        |FROM grid g LEFT JOIN cnt USING (r_regionkey, segment)
+        |ORDER BY g.r_name, g.segment""".stripMargin,
     "q_join_range" ->
       """SELECT p_brand, count(*) AS n, round(avg(l_extendedprice), 4) AS avg_price
         |FROM part JOIN lineitem

@@ -84,8 +84,28 @@ object Streams {
     * matches emit as they form — no watermark-gated output holdback (the
     * outer-join variant would hold unmatched rows until the watermark
     * passes, which a single-batch file replay never does). */
-  def attributionStream(spark: SparkSession, sfDir: String): DataFrame = {
-    val ev = eventsStream(spark, sfDir)
+  def attributionStream(spark: SparkSession, sfDir: String): DataFrame =
+    attributionJoined(eventsStream(spark, sfDir), "inner")
+
+  /** Left-outer form over a caller-supplied event stream: every purchase is
+    * reported, and the UNMATCHED ones emit (with -1 sentinels) only when
+    * the watermark proves no qualifying view can still arrive — the
+    * watermark-gated outer emission that distinguishes a stream-stream
+    * join from a batch one. A single-batch file replay never flushes them
+    * (the watermark advances BETWEEN batches), so StreamingSpec drives
+    * this with a multi-file replay: time-ordered halves + a far-future
+    * sentinel batch that pushes both sides' watermarks past all real
+    * data, after which the engine's no-data micro-batch evicts and emits
+    * every held-back purchase. */
+  def attributionStreamOuter(events: DataFrame): DataFrame =
+    attributionJoined(events, "leftOuter")
+
+  /** The ONE attribution join construction under both the inner and the
+    * left-outer streaming twins (and mirroring the batch keys): per-side
+    * event-time watermarks, the time bound in the join condition (what
+    * lets state evict), coalesced -1 sentinels that are identity on inner
+    * rows. */
+  private def attributionJoined(ev: DataFrame, joinType: String): DataFrame = {
     val win = graft.operators.Events.AttributionWindowUs / 1000000L
     val views = ev.where(col("event_type") === "view")
       .select(col("user_id").as("v_user"), col("event_id").as("view_id"),
@@ -97,11 +117,13 @@ object Streams {
       .withWatermark("p_ts", "2 hours")
     purchases.join(views,
       expr(s"""p_user = v_user AND v_ts < p_ts
-              |AND p_ts <= v_ts + INTERVAL $win SECONDS""".stripMargin))
+              |AND p_ts <= v_ts + INTERVAL $win SECONDS""".stripMargin), joinType)
       .select(col("purchase_id"), col("p_user").as("user_id"),
         unix_micros(col("p_ts")).as("purchase_us"),
-        col("view_id"), unix_micros(col("v_ts")).as("view_us"),
-        (unix_micros(col("p_ts")) - unix_micros(col("v_ts"))).as("gap_us"))
+        coalesce(col("view_id"), lit(-1L)).as("view_id"),
+        coalesce(unix_micros(col("v_ts")), lit(-1L)).as("view_us"),
+        coalesce(unix_micros(col("p_ts")) - unix_micros(col("v_ts")), lit(-1L))
+          .as("gap_us"))
   }
 
   case class UserAgg(userId: Long, nEvents: Long, maxValue: Double)

@@ -35,7 +35,8 @@ class SqlParitySpec extends AnyFunSuite {
     // events (epoch/epoch_us/json_extract via the DuckDialect aliases)
     "q_event_funnel", "q_event_transitions", "q_json_funcs",
     "q_scalar_funcs", "q_tumbling_window", "q_sliding_window",
-    "q_stateful_dedup", "q_event_attribution", "q_join_full_outer",
+    "q_stateful_dedup", "q_event_attribution", "q_event_attribution_outer",
+    "q_join_full_outer", "q_join_cross",
     // text family unlocked by the string_split_regex + len aliases
     "q_exact_dedup", "q_weighted_sample", "q_text_stats",
     // pure integer/CASE arithmetic + floor() fixed-point — no dialect at all

@@ -175,6 +175,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("left-outer stream-stream join emits watermark-gated unmatched purchases across micro-batches") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // Outer rows only emit when the watermark proves no future match can
+    // arrive, and the watermark only advances BETWEEN micro-batches — so
+    // replay the events as THREE time-ordered files (maxFilesPerTrigger=1):
+    // two halves of the real data, then a far-future sentinel pair (user
+    // -999, excluded from the comparison) that drags both sides' watermarks
+    // past everything real; the engine's no-data micro-batch then evicts
+    // and emits every held-back unmatched purchase.
+    val src = Tables.events(spark, TestSpark.sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("attr_outer").toString
+    def writeBatch(name: String, df: org.apache.spark.sql.DataFrame, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("attr_tmp").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      val dst = java.nio.file.Paths.get(dir, name)
+      java.nio.file.Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(mtime)
+    }
+    val (minUs, maxUs) = {
+      val r = src.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val cutUs = (minUs + maxUs) / 2
+    val sentinelUs = maxUs + 10L * 86400L * 1000000L
+    val sentinel = Seq(
+      (-1000L, sentinelUs, -999L, "purchase", 0.0, "{}"),
+      (-1001L, sentinelUs + 3600L * 1000000L, -999L, "view", 0.0, "{}"))
+      .toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+    val t0 = System.currentTimeMillis()
+    writeBatch("events1.parquet", src.where(unix_micros(col("ts")) <= cutUs), t0)
+    writeBatch("events2.parquet", src.where(unix_micros(col("ts")) > cutUs), t0 + 2000)
+    writeBatch("events3.parquet", sentinel, t0 + 4000)
+    val stream = spark.readStream.schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val got = Streams.runToCompletion(
+      Streams.attributionStreamOuter(stream), "t_attr_outer", "append")
+      .where(col("user_id") =!= -999L)
+      .orderBy(col("purchase_id"), col("view_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    val want = operators.Events.eventAttributionOuter(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // the replay must reproduce BOTH populations: matched pairs and the
+    // watermark-flushed unmatched purchases (view_id = -1)
+    assert(want.exists(_._4 == -1L) && want.exists(_._4 != -1L),
+      "fixture must exercise both outer populations")
+    assert(got == want, s"got ${got.size} rows, want ${want.size}")
+  }
+
   test("streaming chunker replays to batch q_chunk_tokens exactly") {
     val spark = TestSpark.spark
     val got = Streams.runToCompletion(
