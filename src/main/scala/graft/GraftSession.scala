@@ -44,6 +44,11 @@ object GraftSession {
     * (native expressions, planner strategy, optimizer rule) — the extensions
     * object is the single registration site, applied here via the bridge. */
   def install(spark: SparkSession): Unit = {
+    // the engine's tables carry tz-naive parquet timestamps; they must read
+    // as TimestampType under the UTC session (the epoch contract every
+    // oracle is written against), not TIMESTAMP_NTZ — session-level so the
+    // loaders stay pure (no per-read conf mutation)
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     functions.Codec.register(spark)
     functions.Hashing.register(spark)
     val ext = new org.apache.spark.sql.SparkSessionExtensions

@@ -93,6 +93,7 @@ object Plans {
     val spark = SparkSession.builder()
       .appName("graft-plans").master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

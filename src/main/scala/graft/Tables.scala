@@ -10,17 +10,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * prunes per-query).
   */
 object Tables {
-  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // the fixture's timestamp columns (o_orderdate, l_shipdate, events.ts in
-    // its current vintage) are tz-naive parquet TIMESTAMP(MICROS); Spark 4
-    // infers those as TIMESTAMP_NTZ by default, which refuses comparison
-    // against TimestampType literals and breaks the UTC-session epoch
-    // contract every oracle is written against. Reading them as TimestampType
-    // under the UTC session keeps wall-clock identity with DuckDB's naive
-    // TIMESTAMP — the contract SURVEY §7.4 pins.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+  /** The fixture's timestamp columns (o_orderdate, l_shipdate, events.ts in
+    * its current vintage) are tz-naive parquet TIMESTAMP(MICROS); Spark 4
+    * would infer those as TIMESTAMP_NTZ, which refuses comparison against
+    * TimestampType literals and breaks the UTC-session epoch contract every
+    * oracle is written against. `GraftSession.install` (and the test/plans
+    * session builders) set `inferTimestampNTZ.enabled=false` ONCE at
+    * session setup — the loaders themselves stay pure. */
+  def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
-  }
 
   def region(s: SparkSession, d: String): DataFrame     = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame     = apply(s, d, "nation")

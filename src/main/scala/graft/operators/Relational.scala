@@ -254,17 +254,20 @@ object Relational {
     // count of the price column, avg interval width — aggregate-only,
     // broadcast-sized) replaces the hand-tuned constant, so the operator
     // re-balances itself at ANY scale factor instead of inheriting the
-    // sf0.1 tuning. At sf0.1 the formula lands on ~11 (the constant the
-    // round-2 hand-tuning found); at sf1 it tightens to ~3.6 and the
-    // boundary fan-out stays Θ(sqrt) instead of Θ(linear-in-density).
+    // sf0.1 tuning. At sf0.1 the formula lands on ~9 (the constant the
+    // round-2 hand-tuning found was 10); at sf1 it tightens to ~2.9 and
+    // the boundary fan-out stays Θ(sqrt) instead of Θ(linear-in-density).
     // Clamped to [0.01, 1000] so degenerate statistics (empty/constant
     // tables) cannot zero the bucket width.
     val liRaw = Tables.lineitem(s, d).select(col("l_extendedprice").as("price"))
+    // each part's interval is [10p, 10.5p] — width 0.5·p_retailprice
     val pStats = Tables.part(s, d)
-      .agg(avg(col("p_retailprice") * 0.5 * 10.0).as("w_avg")).head()
+      .agg(avg(col("p_retailprice") * 0.5).as("w_avg")).head()
     val lStats = liRaw.agg(min(col("price")), max(col("price")), count(lit(1))).head()
-    val range = math.max(lStats.getDouble(1) - lStats.getDouble(0), 1e-6)
-    val nLi = math.max(lStats.getLong(2), 1L)
+    val (range, nLi) =
+      if (lStats.isNullAt(0) || lStats.isNullAt(1)) (1.0, 1L) // empty fact table
+      else (math.max(lStats.getDouble(1) - lStats.getDouble(0), 1e-6),
+        math.max(lStats.getLong(2), 1L))
     val wAvg = if (pStats.isNullAt(0)) range else pStats.getDouble(0)
     val W = math.min(1000.0, math.max(0.01,
       math.sqrt(wAvg * range / nLi.toDouble)))

@@ -787,7 +787,10 @@ object Text {
     * ([[graft.streaming.Streams.chunkStream]]) so geometry and content
     * cannot fork between the two. */
   private[graft] def chunkRows(id: Long, text: String): Iterator[(Long, Long, Long, Long, String)] = {
-    val tk = text.split(' ')
+    // limit -1 keeps trailing empty tokens, matching DuckDB's string_split
+    // (Scala's default split drops them — a latent geometry/md5 divergence
+    // on text ending in a separator)
+    val tk = text.split(" ", -1)
     Iterator.range(0, tk.length, ChunkStride).map { st =>
       val end = math.min(st + ChunkSize, tk.length)
       (id, (st / ChunkStride).toLong, st.toLong, (end - st).toLong,

@@ -8,6 +8,23 @@ import graft.streaming.Streams
   * file must reproduce the batch (oracle-checked) results. */
 class StreamingSpec extends AnyFunSuite {
 
+  /** Write `df` as ONE parquet FILE at dir/name (the fixture layout: the
+    * file-stream sources glob leaf file names, so a Spark output DIRECTORY
+    * of that name would hide its part files): coalesce(1)-write to a temp
+    * dir, move the lone part file into place, optionally pin the mtime
+    * (the file source processes oldest-mtime first). */
+  private def writeSingleParquet(dir: String, name: String,
+      df: org.apache.spark.sql.DataFrame, mtime: Long = -1L): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("one_pq").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val dst = java.nio.file.Paths.get(dir, name)
+    java.nio.file.Files.move(part.toPath, dst,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    if (mtime >= 0) dst.toFile.setLastModified(mtime)
+  }
+
   test("streaming tumbling window equals batch q_tumbling_window") {
     val spark = TestSpark.spark
     val stream = Streams.eventsStream(spark, TestSpark.sf0001)
@@ -130,20 +147,9 @@ class StreamingSpec extends AnyFunSuite {
     def bucket(t: String): Long = graft.functions.Hashing.fnv64(t) & mask
     val trainDir = java.nio.file.Files.createTempDirectory("dsir_train").toString
     val scoreDir = java.nio.file.Files.createTempDirectory("dsir_score").toString
-    // the fixture layout is a single FILE named documents.parquet (the
-    // docsStream glob matches leaf file names, so a Spark output DIRECTORY
-    // of that name would hide its part files from the stream source):
-    // write via Spark then move the lone part file into place
-    def writeDocsFile(dir: String, rows: Seq[(Long, String, String, String, Long)]): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("dsir_tmp").toString
-      rows.toDF("doc_id", "text", "lang", "source", "n_chars")
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(dir, "documents.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    }
+    def writeDocsFile(dir: String, rows: Seq[(Long, String, String, String, Long)]): Unit =
+      writeSingleParquet(dir, "documents.parquet",
+        rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
     writeDocsFile(trainDir, Seq((1L, "alpha beta alpha", "en", "src1", 16L),
       (2L, "alpha gamma", "en", "src2", 11L)))
     val occupied = Set("alpha", "beta", "gamma").map(bucket)
@@ -187,15 +193,8 @@ class StreamingSpec extends AnyFunSuite {
     // and emits every held-back unmatched purchase.
     val src = Tables.events(spark, TestSpark.sf0001)
     val dir = java.nio.file.Files.createTempDirectory("attr_outer").toString
-    def writeBatch(name: String, df: org.apache.spark.sql.DataFrame, mtime: Long): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("attr_tmp").toString
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = new java.io.File(tmp).listFiles()
-        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
-      val dst = java.nio.file.Paths.get(dir, name)
-      java.nio.file.Files.move(part.toPath, dst)
-      dst.toFile.setLastModified(mtime)
-    }
+    def writeBatch(name: String, df: org.apache.spark.sql.DataFrame, mtime: Long): Unit =
+      writeSingleParquet(dir, name, df, mtime)
     val (minUs, maxUs) = {
       val r = src.agg(min(unix_micros(col("ts"))), max(unix_micros(col("ts")))).head()
       (r.getLong(0), r.getLong(1))

@@ -430,5 +430,9 @@ class TextQualitySpec extends AnyFunSuite {
     // a document shorter than one chunk yields exactly one exact chunk
     val tiny = Text.chunkRows(8L, "a b c").toSeq
     assert(tiny == Seq((8L, 0L, 0L, 3L, "a b c")))
+    // trailing separator: the kernel keeps the empty token exactly like
+    // DuckDB's string_split, so geometry and reconstruction stay engine-equal
+    val trail = Text.chunkRows(9L, "a b ").toSeq
+    assert(trail == Seq((9L, 0L, 0L, 3L, "a b ")))
   }
 }
