@@ -85,6 +85,8 @@ object Plans {
       "overlapping token chunker: one typed flatMap over the documents scan, codegen'd md5 projection, no shuffle before the presentation sort",
     "q_unicode_normalize" ->
       "unicode canonicalization: map-only stage (typed NFC map + codegen'd regex/md5 projection), no shuffle before the presentation sort",
+    "q_join_cross" ->
+      "explicit cross join: BroadcastNestedLoopJoin over metadata-bounded sides (grid construction) — the only legitimate cross-join shape at scale",
   )
 
   def main(args: Array[String]): Unit = {

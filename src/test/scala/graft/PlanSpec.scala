@@ -83,6 +83,12 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("cross join is a broadcast nested loop over metadata-bounded sides") {
+    val p = plan(Relational.joinCross)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("set ops share one aggregation subtree (exchange planned once, reused)") {
     // AQE materializes exchange reuse only in the final plan — execute first
     val df = Relational.setOps(TestSpark.spark, TestSpark.sf0001)
