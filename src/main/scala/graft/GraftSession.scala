@@ -42,12 +42,22 @@ object GraftSession {
   /** Install the full graft surface on an already-running session
     * (idempotent): SQL UDFs, plus everything `GraftExtensions` injects
     * (native expressions, planner strategy, optimizer rule) — the extensions
-    * object is the single registration site, applied here via the bridge. */
+    * object is the single registration site, applied here via the bridge.
+    *
+    * SESSION-WIDE SIDE EFFECT (ADVICE r7): this flips
+    * `spark.sql.parquet.inferTimestampNTZ.enabled=false` for the WHOLE
+    * session — every parquet read, not just the framework's tables, will
+    * infer tz-naive timestamps as TimestampType from here on. That is the
+    * engine's documented contract (its oracles are written against the
+    * UTC-epoch reading); callers embedding graft in a session that also
+    * reads NTZ-dependent external data should scope those reads with
+    * `.option("inferTimestampNTZ", ...)` per read. One further per-call
+    * exception to "loaders stay pure": [[Tables.events]] /
+    * [[graft.streaming.Streams.eventsStream]] set the session-level
+    * `legacy.parquet.nanosAsLong` when (and only when) they meet the
+    * legacy INT64-nanos events vintage, because that knob has no per-read
+    * `option(...)` equivalent. */
   def install(spark: SparkSession): Unit = {
-    // the engine's tables carry tz-naive parquet timestamps; they must read
-    // as TimestampType under the UTC session (the epoch contract every
-    // oracle is written against), not TIMESTAMP_NTZ — session-level so the
-    // loaders stay pure (no per-read conf mutation)
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     functions.Codec.register(spark)
     functions.Hashing.register(spark)

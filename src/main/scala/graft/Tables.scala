@@ -16,7 +16,11 @@ object Tables {
     * TimestampType literals and breaks the UTC-session epoch contract every
     * oracle is written against. `GraftSession.install` (and the test/plans
     * session builders) set `inferTimestampNTZ.enabled=false` ONCE at
-    * session setup — the loaders themselves stay pure. */
+    * session setup — the loaders themselves stay pure, with ONE exception:
+    * [[events]] (and `Streams.eventsStream`) must still set the
+    * session-level `legacy.parquet.nanosAsLong` per call when the legacy
+    * INT64-nanos vintage is on disk, because that knob has no per-read
+    * `option(...)` form (documented on `GraftSession.install`). */
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 

@@ -204,20 +204,10 @@ object DedupCluster {
     val starEdges = sigs.join(groups, Seq("sim"))
       .where(col("doc_id") =!= col("rep"))
       .select(col("doc_id").as("id_a"), col("rep").as("id_b"))
-    // pigeonhole block join over distinct sims only — blocks recomputed
-    // from the signature with codegen'd shifts (cheaper than carrying the
-    // array through the groupBy)
-    val blocks = array((0 until 4).map(b =>
-      lit(b.toLong << 32).bitwiseOR(
-        shiftrightunsigned(col("sim"), b * 16).bitwiseAND(lit(0xffffL)))): _*)
-    val bd = groups.select(col("sim"), col("rep"), explode(blocks).as("blk"))
-    val ga = bd.select(col("sim").as("sim_a"), col("rep").as("rep_a"), col("blk"))
-    val gb = bd.select(col("sim").as("sim_b"), col("rep").as("rep_b"), col("blk"))
-    val interEdges = ga.join(gb, Seq("blk"))
-      .where(col("rep_a") < col("rep_b") &&
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))) <= 12)
+    // pigeonhole block join over distinct sims only — the SAME rep-pair
+    // stage the bounded q_simhash_dedup presentation ranks from
+    val interEdges = Vectors.simhashRepPairs(groups)
       .select(col("rep_a").as("id_a"), col("rep_b").as("id_b"))
-      .distinct()
     perDocVerdicts(s, d, starEdges.union(interEdges))
   }
 

@@ -787,6 +787,10 @@ object Text {
     * ([[graft.streaming.Streams.chunkStream]]) so geometry and content
     * cannot fork between the two. */
   private[graft] def chunkRows(id: Long, text: String): Iterator[(Long, Long, Long, Long, String)] = {
+    // null text → no chunks, matching DuckDB's null propagation
+    // (generate_series over a NULL token list emits no rows); nothing at
+    // load enforces non-null text, so the shared kernel guards (ADVICE r7)
+    if (text == null) return Iterator.empty
     // limit -1 keeps trailing empty tokens, matching DuckDB's string_split
     // (Scala's default split drops them — a latent geometry/md5 divergence
     // on text ending in a separator)
@@ -927,7 +931,12 @@ object Text {
       .select(col("doc_id"), unicodeEnriched.as("raw"))
       .as[(Long, String)]
       .map { case (id, raw) =>
-        (id, raw, java.text.Normalizer.normalize(raw, java.text.Normalizer.Form.NFC))
+        // null-safe (ADVICE r7): concat propagates a null doc text to a
+        // null raw; propagate it on through (DuckDB's nfc_normalize(NULL)
+        // is NULL) instead of NPE-ing the normalizer
+        (id, raw,
+          if (raw == null) null
+          else java.text.Normalizer.normalize(raw, java.text.Normalizer.Form.NFC))
       }
       .toDF("doc_id", "raw", "nfc")
       .select(col("doc_id"), col("raw"),

@@ -46,7 +46,7 @@ class DedupClusterSpec extends AnyFunSuite {
   test("exact clustering equals an independent union-find over the exact pairs") {
     val spark = TestSpark.spark
     import org.apache.spark.sql.functions.col
-    val pairs = graft.operators.Vectors.embedNeardup(spark, TestSpark.sf0001)
+    val pairs = graft.operators.Vectors.embedNeardupPairs(spark, TestSpark.sf0001)
       .select(col("id_a"), col("id_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.nonEmpty)
@@ -157,7 +157,7 @@ class DedupClusterSpec extends AnyFunSuite {
     // independent reference: union-find over the RAW (uncontracted) pair
     // list + the oracle-checked quality scores, argmax by (quality desc,
     // doc_id asc) per family, singletons included
-    val pairs = graft.operators.Vectors.embedNeardup(spark, TestSpark.sf0001)
+    val pairs = graft.operators.Vectors.embedNeardupPairs(spark, TestSpark.sf0001)
       .select(col("id_a"), col("id_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(pairs.nonEmpty)

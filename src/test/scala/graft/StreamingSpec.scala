@@ -15,14 +15,23 @@ class StreamingSpec extends AnyFunSuite {
     * (the file source processes oldest-mtime first). */
   private def writeSingleParquet(dir: String, name: String,
       df: org.apache.spark.sql.DataFrame, mtime: Long = -1L): Unit = {
-    val tmp = java.nio.file.Files.createTempDirectory("one_pq").toString
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    val part = new java.io.File(tmp).listFiles()
-      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+    val tmp = java.nio.file.Files.createTempDirectory("one_pq").toFile
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val listing = tmp.listFiles()
+    val part = listing
+      .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+      .getOrElse(fail(s"no part file in ${tmp}: ${listing.map(_.getName).mkString(", ")}"))
     val dst = java.nio.file.Paths.get(dir, name)
     java.nio.file.Files.move(part.toPath, dst,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-    if (mtime >= 0) dst.toFile.setLastModified(mtime)
+    // mtime drives the file source's batch order — a silent setLastModified
+    // failure (coarse-mtime filesystems) would collapse the multi-batch
+    // replay, so surface it as a test failure here, not as flakiness there
+    if (mtime >= 0)
+      assert(dst.toFile.setLastModified(mtime), s"setLastModified failed on $dst")
+    // the temp write dir (_SUCCESS/.crc leftovers) is no longer needed
+    tmp.listFiles().foreach(_.delete())
+    tmp.delete()
   }
 
   test("streaming tumbling window equals batch q_tumbling_window") {
@@ -253,26 +262,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
-  test("streaming minhash screen replays to batch q_minhash_screen_at_rest exactly") {
+  test("streaming minhash screen replays to batch on BOTH paths (broadcast / stream-static)") {
     val spark = TestSpark.spark
-    val got = Streams.runToCompletion(
-      Streams.minhashScreenStream(spark, TestSpark.sf0001).toDF(), "t_mh_screen", "append")
+    // threshold forced each way: MaxValue → driver-broadcast maps (append,
+    // stateless); 0 → stream-static index join + reduceGroups (update —
+    // the fallback carries a streaming aggregation)
+    def run(ceiling: Long, name: String, mode: String) = Streams.runToCompletion(
+      Streams.minhashScreenStream(spark, TestSpark.sf0001,
+        maxBroadcastRefs = ceiling).toDF(), name, mode)
       .orderBy(col("docId"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     val want = operators.Vectors.minhashScreenAtRest(spark, TestSpark.sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
-    assert(got.nonEmpty && got == want)
+    val broadcast = run(Long.MaxValue, "t_mh_screen_bc", "append")
+    assert(broadcast.nonEmpty && broadcast == want)
+    val static = run(0L, "t_mh_screen_ss", "update")
+    assert(static == want)
   }
 
-  test("streaming simhash screen replays to batch q_simhash_screen_at_rest exactly") {
+  test("streaming simhash screen replays to batch on BOTH paths (broadcast / stream-static)") {
     val spark = TestSpark.spark
-    val got = Streams.runToCompletion(
-      Streams.simhashScreenStream(spark, TestSpark.sf0001).toDF(), "t_sh_screen", "append")
+    def run(ceiling: Long, name: String, mode: String) = Streams.runToCompletion(
+      Streams.simhashScreenStream(spark, TestSpark.sf0001,
+        maxBroadcastRefs = ceiling).toDF(), name, mode)
       .orderBy(col("docId"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
     val want = operators.Vectors.simhashScreenAtRest(spark, TestSpark.sf0001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
-    assert(got.nonEmpty && got == want)
+    val broadcast = run(Long.MaxValue, "t_sh_screen_bc", "append")
+    assert(broadcast.nonEmpty && broadcast == want)
+    val static = run(0L, "t_sh_screen_ss", "update")
+    assert(static == want)
   }
 
   test("streaming PII scrub replays to batch q_pii_scrub exactly") {

@@ -188,11 +188,45 @@ class VectorSpec extends AnyFunSuite {
     val spark = TestSpark.spark
     import spark.implicits._
     val nBase = Tables.embeddings(spark, TestSpark.sf0001).count()
-    val got = Vectors.embedNeardupSrp(spark, TestSpark.sf0001)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // bounded contract: per-vec nearest-m lists; undirect them back to a
+    // pair set for the recall check (each planted twin must surface from
+    // BOTH endpoints — on this fixture nothing else clears 0.99, so the
+    // lists are exactly the planted pair in both directions)
+    val rows = Vectors.embedNeardupSrp(spark, TestSpark.sf0001)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect()
+    val got = rows.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
     val want = (0L until nBase).map(id => (id, id + Vectors.SrpPlantOffset)).toSet
+    assert(rows.length == 2 * nBase, s"expected symmetric 1-entry lists, got ${rows.length}")
     assert(got == want,
       s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
+
+  test("bounded nearest-m contracts equal brute-force ranking of the raw pair kernels") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val m = Vectors.NearestM
+    // independent reference: symmetrize the (spec-only) unbounded pair
+    // lists and rank per doc in plain Scala — pins the contraction +
+    // heap-assembly path against the raw pair semantics with no DuckDB in
+    // the loop
+    def rank[S](pairs: Seq[(Long, Long, S)], better: Ordering[S]): Seq[(Long, Long, Long, S)] =
+      pairs.flatMap { case (a, b, sc) => Seq((a, b, sc), (b, a, sc)) }
+        .groupBy(_._1).toSeq.flatMap { case (id, nbrs) =>
+          nbrs.sortBy { case (_, nbr, sc) => (sc, nbr) }(
+              Ordering.Tuple2(better, implicitly[Ordering[Long]]))
+            .take(m).zipWithIndex
+            .map { case ((_, nbr, sc), i) => (id, i + 1L, nbr, sc) }
+        }.sortBy(r => (r._1, r._2))
+    val simGot = Vectors.simhashDedup(spark, TestSpark.sf0001)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val simRaw = Vectors.simhashPairs(spark, TestSpark.sf0001)
+      .as[(Long, Long, Int)].collect().toSeq.map { case (a, b, h) => (a, b, h.toLong) }
+    assert(simGot.nonEmpty && simGot == rank(simRaw, Ordering.Long))
+    val embGot = Vectors.embedNeardup(spark, TestSpark.sf0001)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val embRaw = Vectors.embedNeardupPairs(spark, TestSpark.sf0001)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(embGot.nonEmpty && embGot == rank(embRaw, Ordering.Double.TotalOrdering.reverse))
   }
 
   test("SRP banding prunes: candidate pairs well under the full pair count") {
