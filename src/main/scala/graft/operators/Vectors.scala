@@ -1121,6 +1121,30 @@ object Vectors {
     sigs.unpersist()
   }
 
+  /** Index MAINTENANCE (VERDICT r7 #3): merge a screened batch INTO the
+    * persisted [[writeMinhashIndex]] layout with a partition-APPEND — no
+    * rebuild, no read of the existing index. The batch pays exactly its
+    * own signature pass (the same one its screen already ran); its band
+    * rows land as new files under their existing `band=` partition dirs
+    * and its signatures append to `sigs/`. This closes the production
+    * ingest loop — screen batch N → append its verified-novel docs →
+    * batch N+1's screen sees them as at-rest — which previously required
+    * a full index rebuild per batch. Idempotence contract (spec-pinned):
+    * re-screening an appended batch returns all-dup with perfect 32/32
+    * self-agreement. `batch` needs (doc_id, text); the caller decides
+    * WHICH rows to append (typically the is_dup = 0 sliver of the screen
+    * verdict, or the whole batch when duplicates should also become
+    * at-rest). */
+  def appendMinhashIndex(s: SparkSession, dir: String, batch: DataFrame): Unit = {
+    val sigs = minhashSigsOf(batch)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
+      .write.mode("append").partitionBy("band").parquet(s"$dir/banded")
+    sigs.select(col("doc_id"), col("sig"))
+      .write.mode("append").parquet(s"$dir/sigs")
+    sigs.unpersist()
+  }
+
   /** AT-REST incremental near-dup screen — the MinHash analogue of the
     * persisted-ANN serving keys: "is this incoming document a near-dup of
     * anything we already hold?" answered WITHOUT touching the at-rest
@@ -1137,11 +1161,19 @@ object Vectors {
     * to mixed (batch × at-rest) pairs — the banding is part of the
     * contract and is reproduced, not approximated away. */
   val minhashScreenAtRest: Q = (s, d) => {
+    val idx = ensureIndex(s, "minhash", d)(p => writeMinhashIndex(s, d, p))
+    minhashScreenOf(s, idx,
+      Tables.documents(s, d).where(col("source") === MinhashBatchSource))
+  }
+
+  /** The screen kernel over an ARBITRARY batch frame against an ARBITRARY
+    * persisted [[writeMinhashIndex]] layout — extracted so the production
+    * ingest loop (screen → [[appendMinhashIndex]] the verified-novel batch
+    * → screen the next batch) is a first-class surface, not just the
+    * fixed-source suite key. `newDocs` needs (doc_id, text). */
+  def minhashScreenOf(s: SparkSession, idx: String, newDocs: DataFrame): DataFrame = {
     val spark = s
     import spark.implicits._
-    val idx = ensureIndex(s, "minhash", d)(p => writeMinhashIndex(s, d, p))
-    val newDocs = Tables.documents(s, d)
-      .where(col("source") === MinhashBatchSource)
     // lazy persist, reclaimed by the ContextCleaner (same note as minhashSigs)
     val newSigs = minhashSigsOf(newDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -1300,6 +1332,17 @@ object Vectors {
       .withColumn("bandi", shiftright(col("blk"), 32).cast("int"))
       .write.mode("overwrite").partitionBy("bandi").parquet(s"$dir/blocks")
 
+  /** SimHash twin of [[appendMinhashIndex]]: partition-append a batch's
+    * denormalized (block key, ref_id, signature) rows into the persisted
+    * [[writeSimhashIndex]] layout — same ingest-loop contract and
+    * idempotence spec. */
+  def appendSimhashIndex(s: SparkSession, dir: String, batch: DataFrame): Unit =
+    simhashSigsOf(batch)
+      .select(col("doc_id").as("ref_id"), col("sim").as("sim_r"),
+        explode(col("blocks")).as("blk"))
+      .withColumn("bandi", shiftright(col("blk"), 32).cast("int"))
+      .write.mode("append").partitionBy("bandi").parquet(s"$dir/blocks")
+
   /** AT-REST SimHash screen — the pigeonhole twin of
     * [[minhashScreenAtRest]]: the incoming batch (source
     * [[MinhashBatchSource]]) computes its own 64-bit simhashes, probes the
@@ -1310,8 +1353,13 @@ object Vectors {
     * Output Θ(batch); at-rest text never re-read. */
   val simhashScreenAtRest: Q = (s, d) => {
     val idx = ensureIndex(s, "simhash", d)(p => writeSimhashIndex(s, d, p))
-    val newDocs = Tables.documents(s, d)
-      .where(col("source") === MinhashBatchSource)
+    simhashScreenOf(s, idx,
+      Tables.documents(s, d).where(col("source") === MinhashBatchSource))
+  }
+
+  /** SimHash twin of [[minhashScreenOf]]: screen an arbitrary batch frame
+    * against a persisted [[writeSimhashIndex]] layout. */
+  def simhashScreenOf(s: SparkSession, idx: String, newDocs: DataFrame): DataFrame = {
     val probe = simhashSigsOf(newDocs)
       .select(col("doc_id").as("new_id"), col("sim").as("sim_n"),
         explode(col("blocks")).as("blk"))

@@ -201,6 +201,37 @@ class VectorSpec extends AnyFunSuite {
       s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
   }
 
+  test("at-rest index append: screen -> append -> re-screen returns all-dup (both families)") {
+    val spark = TestSpark.spark
+    val d = TestSpark.sf0001
+    val batch = Tables.documents(spark, d)
+      .where(col("source") === Vectors.MinhashBatchSource)
+    val nBatch = batch.count()
+    // minhash: build at-rest, screen, append the batch, re-screen
+    val mIdx = java.nio.file.Files.createTempDirectory("mhidx").toString
+    Vectors.writeMinhashIndex(spark, d, mIdx)
+    val before = spark.read.parquet(s"$mIdx/sigs").count()
+    val v1 = Vectors.minhashScreenOf(spark, mIdx, batch).collect()
+    Vectors.appendMinhashIndex(spark, mIdx, batch)
+    // partition-append grew the layout by exactly the batch (no rebuild)
+    assert(spark.read.parquet(s"$mIdx/sigs").count() == before + nBatch)
+    assert(spark.read.parquet(s"$mIdx/banded").count() ==
+      spark.read.parquet(s"$mIdx/sigs").count() * 8)
+    val v2 = Vectors.minhashScreenOf(spark, mIdx, batch).collect()
+    // idempotence: every appended doc now screens as a dup at perfect
+    // self-agreement, and no pre-append dup verdict is lost
+    assert(v2.nonEmpty && v2.forall(r => r.getLong(1) == 1L && r.getLong(3) == 32L))
+    val dup1 = v1.filter(_.getLong(1) == 1L).map(_.getLong(0)).toSet
+    assert(dup1.subsetOf(v2.map(_.getLong(0)).toSet))
+    // simhash twin: append then re-screen -> all-dup at Hamming 0
+    val sIdx = java.nio.file.Files.createTempDirectory("shidx").toString
+    Vectors.writeSimhashIndex(spark, d, sIdx)
+    Vectors.appendSimhashIndex(spark, sIdx, batch)
+    val s2 = Vectors.simhashScreenOf(spark, sIdx, batch).collect()
+    assert(s2.length == nBatch &&
+      s2.forall(r => r.getLong(1) == 1L && r.getLong(3) == 0L))
+  }
+
   test("bounded nearest-m contracts equal brute-force ranking of the raw pair kernels") {
     val spark = TestSpark.spark
     import spark.implicits._
