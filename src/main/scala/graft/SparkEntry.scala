@@ -24,7 +24,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ RefOps.queries ++
       Text.queries ++ Vectors.queries ++ Multimodal.queries ++
-      operators.CorpusCurate.queries ++
+      operators.CorpusCurate.queries ++ operators.Bpe.queries ++
       Map(
         "q_dedup_clusters" ->
           ((s: SparkSession, d: String) => operators.DedupCluster.clusters(s, d, 0.5)),
@@ -44,6 +44,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Events.oracles ++ RefOps.oracles ++
       Text.oracles ++ Vectors.oracles ++ Multimodal.oracles ++
-      operators.CorpusCurate.oracles ++
+      operators.CorpusCurate.oracles ++ operators.Bpe.oracles ++
       operators.DedupCluster.oracles
 }

@@ -1,0 +1,105 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+
+/** BPE trainer/tokenizer invariants beyond the DuckDB oracle: path
+  * equality (driver vs distributed trainer), an independent list-based
+  * re-encode, determinism, and the token-budget parity the real-token
+  * accounting exists for. */
+class BpeSpec extends AnyFunSuite {
+
+  private def vocabOf(d: String): Array[(String, Long)] = {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .where(col("word").rlike("^[a-z0-9]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .as[(String, Long)].collect()
+  }
+
+  test("driver and distributed trainers learn identical merge tables") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val v = vocabOf(TestSpark.sf0001)
+    val driver = Bpe.trainDriver(v)
+    val dist = Bpe.trainDistributed(
+      v.toSeq.toDF("word", "freq"))
+    assert(driver.nonEmpty && driver == dist)
+  }
+
+  test("merge table is deterministic, ranked, and concatenation-consistent") {
+    val spark = TestSpark.spark
+    val m1 = Bpe.bpeTrain(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val m2 = Bpe.bpeTrain(spark, TestSpark.sf0001).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(m1.nonEmpty && m1.sameElements(m2))
+    assert(m1.map(_._1).sameElements(1L to m1.length))
+    // every later merge's symbols are either single chars or concatenations
+    // produced by EARLIER merges — the defining well-formedness of a BPE
+    // merge table
+    val known = collection.mutable.Set.empty[String]
+    m1.foreach { case (_, a, b, cnt) =>
+      assert(cnt > 0)
+      for (sym <- Seq(a, b))
+        assert(sym.length == 1 || known.contains(sym), s"symbol $sym unexplained")
+      known += (a + b)
+    }
+  }
+
+  test("engine token counts equal an independent list-based re-encode") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val d = TestSpark.sf0001
+    val merges = Bpe.merges(spark, d)
+    // independent implementation: token LISTS, merges applied in rank
+    // order, leftmost non-overlapping — no string replace anywhere
+    def encode(word: String): Int = {
+      var tk = word.toCharArray.map(_.toString).toVector
+      merges.foreach { case (_, a, b, _) =>
+        val out = Vector.newBuilder[String]
+        var j = 0
+        while (j < tk.length) {
+          if (j < tk.length - 1 && tk(j) == a && tk(j + 1) == b) {
+            out += (a + b); j += 2
+          } else { out += tk(j); j += 1 }
+        }
+        tk = out.result()
+      }
+      tk.length
+    }
+    val wordCounts = vocabOf(d).map { case (w, _) => w -> encode(w) }.toMap
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    val want = docs.flatMap { case (id, text) =>
+      val ws = text.trim.toLowerCase.split("\\s+").filter(_.matches("^[a-z0-9]+$"))
+      if (ws.isEmpty) None
+      else Some((id, ws.length.toLong, ws.map(w => wordCounts(w).toLong).sum))
+    }.sortBy(_._1).toSeq
+    val got = Bpe.bpeTokenize(spark, d).as[(Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("token budget parity: words <= bpe tokens <= characters, and merges compress") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val rows = Bpe.bpeTokenize(spark, TestSpark.sf0001)
+      .join(Tables.documents(spark, TestSpark.sf0001)
+        .select(col("doc_id"), col("text")), Seq("doc_id"))
+      .select(col("n_words"), col("n_bpe"), length(col("text")).cast("long").as("n_chars"))
+      .as[(Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (w, bpe, chars) =>
+      assert(w <= bpe, s"fewer tokens than words: $w > $bpe")
+      assert(bpe <= chars, s"more tokens than characters: $bpe > $chars")
+    }
+    // the merges actually compress: corpus-wide BPE tokens are strictly
+    // fewer than corpus-wide characters of the eligible words
+    val totBpe = rows.map(_._2).sum
+    val totW = rows.map(_._1).sum
+    assert(totBpe < rows.map(_._3).sum && totBpe > totW)
+  }
+}
