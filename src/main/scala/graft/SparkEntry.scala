@@ -36,6 +36,8 @@ object SparkEntry {
           ((s: SparkSession, d: String) => operators.DedupCluster.minhashReps(s, d)),
         "q_embed_dedup_reps" ->
           ((s: SparkSession, d: String) => operators.DedupCluster.embedReps(s, d)),
+        "q_semantic_dedup" ->
+          ((s: SparkSession, d: String) => operators.DedupCluster.semanticReps(s, d)),
         "q_neardup_keep_best" ->
           ((s: SparkSession, d: String) => operators.DedupCluster.keepBest(s, d)))
 

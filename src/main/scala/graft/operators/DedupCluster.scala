@@ -272,6 +272,15 @@ object DedupCluster {
   def embedReps(s: SparkSession, d: String): DataFrame =
     perDocVerdicts(s, d, contractedEmbedEdges(s, d))
 
+  /** SemDeDup-shaped clustered semantic dedup (VERDICT r7 missing-gap #3):
+    * the SAME per-doc verdict tail as [[embedReps]], fed by
+    * [[Vectors.semanticCellEdges]] — the exact cosine kernel restricted to
+    * within-cell pairs of a coarse k-means partition. The sub-quadratic
+    * 100 TB path for semantic thresholds the SRP screens can't serve;
+    * recall trade (cross-cell pairs only) measured in SemanticDedupSpec. */
+  def semanticReps(s: SparkSession, d: String): DataFrame =
+    perDocVerdicts(s, d, Vectors.semanticCellEdges(s, d))
+
   /** Near-dup family CANONICALIZATION: one row per exact-cosine near-dup
     * cluster, keeping the member with the highest quality score — the
     * production refinement of min-id representative selection. The reps

@@ -196,31 +196,50 @@ object Vectors {
   def embedNeardupPairsOf(raw: DataFrame): DataFrame = {
     val spark = raw.sparkSession
     import spark.implicits._
-    // Blocked self-join: chunk the corpus by vec_id, build one block row per
-    // chunk (groupBy + collect_list), pair blocks with chunk_a <= chunk_b,
-    // and run a tight double[] kernel per block pair. Each block pair is an
-    // independent task of C×C dot products — the blocked matrix-multiply
-    // shape — so nothing ever lands on the driver (round 1 collected and
-    // broadcast the whole table: a driver OOM at 100 TB). Block payloads are
-    // C×dim×8B ≈ 2 MB. At even larger scale an LSH/banding pass prunes the
-    // candidate block pairs first (see minhashLsh).
+    blockedCosinePairs(
+      raw.select(col("vec_id"), vec.as("v")).as[(Long, Array[Double])]
+        .map { case (id, v) => (0, id, v) },
+      NearDupThreshold)
+  }
+
+  /** The generalized blocked exact-cosine pair kernel over rows
+    * (cell, vec_id, v): pairs are emitted only WITHIN a cell. A constant
+    * cell is the full-corpus exactness kernel ([[embedNeardupPairsOf]]); a
+    * coarse k-means assignment is the SemDeDup restriction
+    * ([[semanticCellEdges]]) that turns the O(n²) scan into k independent
+    * O((n/k)²) scans.
+    *
+    * Blocked self-join: chunk each cell by vec_id, build one block row per
+    * (cell, chunk) (groupByKey + a packing mapGroups), pair blocks of the
+    * SAME cell with chunk_a <= chunk_b, and run a tight double[] kernel
+    * per block pair. Each block pair is an independent task of C×C dot
+    * products — the blocked matrix-multiply shape — so nothing ever lands
+    * on the driver (round 1 collected and broadcast the whole table: a
+    * driver OOM at 100 TB). Block payloads are C×dim×8B ≈ 2 MB. At even
+    * larger scale an LSH/banding pass prunes the candidate block pairs
+    * first (see minhashLsh). */
+  private[operators] def blockedCosinePairs(
+      rows: org.apache.spark.sql.Dataset[(Int, Long, Array[Double])],
+      threshold: Double): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
     val C = 4096L
     // blocks are flat primitive arrays (ids / row-major values / norms), so
     // the block join ships three unsafe arrays per side and the kernel never
     // boxes a vector
-    val blocks = raw
-      .select(col("vec_id"), vec.as("v")).as[(Long, Array[Double])]
-      .groupByKey(_._1 / C)
-      .mapGroups { (chunk, iter) =>
-        val rows = iter.toArray.sortBy(_._1)
+    val blocks = rows
+      .groupByKey { case (cell, id, _) => (cell, id / C) }
+      .mapGroups { (key: (Int, Long), iter: Iterator[(Int, Long, Array[Double])]) =>
+        val (cell, chunk) = key
+        val rows = iter.toArray.sortBy(_._2)
         val n = rows.length
-        val dim = if (n == 0) 0 else rows(0)._2.length
+        val dim = if (n == 0) 0 else rows(0)._3.length
         val ids = new Array[Long](n)
         val norms = new Array[Double](n)
         val flat = new Array[Double](n * dim)
         var i = 0
         while (i < n) {
-          val (id, v) = rows(i)
+          val (_, id, v) = rows(i)
           ids(i) = id
           System.arraycopy(v, 0, flat, i * dim, dim)
           var j = 0; var ss = 0.0
@@ -228,14 +247,15 @@ object Vectors {
           norms(i) = math.sqrt(ss)
           i += 1
         }
-        (chunk, ids, flat, norms)
+        (cell, chunk, ids, flat, norms)
       }
-      .toDF("chunk", "ids", "flat", "norms")
-    blocks.select(col("chunk").as("ca"), col("ids").as("ids_a"),
+      .toDF("cell", "chunk", "ids", "flat", "norms")
+    blocks.select(col("cell"), col("chunk").as("ca"), col("ids").as("ids_a"),
         col("flat").as("flat_a"), col("norms").as("norms_a"))
-      .join(blocks.select(col("chunk").as("cb"), col("ids").as("ids_b"),
+      .join(blocks.select(col("cell"), col("chunk").as("cb"), col("ids").as("ids_b"),
         col("flat").as("flat_b"), col("norms").as("norms_b")),
-        col("ca") <= col("cb"))
+        Seq("cell"))
+      .where(col("ca") <= col("cb"))
       .select(col("ids_a"), col("flat_a"), col("norms_a"),
         col("ids_b"), col("flat_b"), col("norms_b"))
       .as[(Array[Long], Array[Double], Array[Double],
@@ -252,7 +272,7 @@ object Vectors {
               var j = 0; var acc = 0.0
               while (j < dim) { acc += flatA(offA + j) * flatB(offB + j); j += 1 }
               val cos = acc / (na * normsB(k))
-              if (cos >= NearDupThreshold)
+              if (cos >= threshold)
                 Some((idA, idsB(k),
                   BigDecimal(cos).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble))
               else None
@@ -322,6 +342,63 @@ object Vectors {
     base.union(base.map { case (id, v) =>
       (id + SrpPlantOffset, perturbUnit(id, v, eps = 0.02))
     })
+  }
+
+  /** Coarse cells used by the SemDeDup restriction — the SAME spherical
+    * k-means machinery as the IVF family ([[sampleAndTrain]]: bounded
+    * 256-row KMV sample, 5 Lloyd iterations, deterministic seeding). */
+  private[operators] val SemanticCells = 16
+
+  /** Multi-probe width of the SemDeDup assignment: each vector joins its
+    * p nearest cells, so a pair is kept iff the two top-p cell sets
+    * intersect — the IVF nProbe idea applied to dedup. p trades kernel
+    * compute (×p) against cross-cell recall; p = k degenerates to the
+    * exact kernel. At the family's 0.35 threshold single-cell assignment
+    * measured 0.26 recall on the fixture (cell radii exceed arccos 0.35 —
+    * the same geometry note as the SRP screen), p = 2 lifts it past the
+    * spec bar. */
+  private[graft] val SemanticProbes = 2
+
+  /** SemDeDup-shaped edge set (Abbas et al. 2023's cluster-then-exact
+    * recipe, re-expressed on this engine's primitives): the exact cosine
+    * kernel at [[NearDupThreshold]] restricted to WITHIN-cell pairs of the
+    * [[SemanticCells]]-way coarse k-means partition, on top of the usual
+    * identical-embedding star contraction. This is the scale story for
+    * the exact family at thresholds where SRP banding is unsound (the
+    * measured-geometry note on [[embedNeardupSrp]]): compute drops from
+    * O(distinct²) to O(Σ cell²) ≈ O(distinct²/k) with k-means-quality
+    * cells, and the ONLY approximation is losing cross-cell pairs — a
+    * recall trade the spec measures, not a threshold change. Rows-only
+    * (FP-order k-means, like the ANN family); soundness (edges ⊆ the full
+    * exact edge set) and within-cell exactness are spec-pinned. */
+  private[graft] def semanticCellEdges(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val groups = e.groupBy(col("embedding")).agg(min(col("vec_id")).as("rep"))
+    val star = e.join(groups, Seq("embedding"))
+      .where(col("vec_id") =!= col("rep"))
+      .select(col("vec_id").as("id_a"), col("rep").as("id_b"))
+    val (cents, cn) = sampleAndTrain(
+      Tables.embeddings(s, d).select(col("vec_id"), vec.as("v")), SemanticCells)
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcN = spark.sparkContext.broadcast(cn)
+    val p = SemanticProbes
+    val celled = groups
+      .select(col("rep"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        // top-p cells by (cosine desc, index asc) — deterministic
+        val vn = normA(v)
+        val sims = bcC.value.indices.map(c =>
+          (dotA(v, bcC.value(c)) / (vn * bcN.value(c)), c))
+        sims.sortBy { case (sim, c) => (-sim, c) }.take(p)
+          .map { case (_, c) => (c, id, v) }
+      }
+    val inter = blockedCosinePairs(celled, NearDupThreshold)
+      .select(col("id_a"), col("id_b"))
+      .distinct() // a pair can share up to p cells
+    star.union(inter)
   }
 
   /** SRP band keys per vector — the banding stage shared by the full-corpus

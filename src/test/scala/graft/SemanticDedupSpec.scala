@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.operators.{DedupCluster, Vectors}
+
+/** SemDeDup-shaped clustered semantic dedup: soundness (within-cell edges
+  * are a subset of the full exact edge set), measured recall of the
+  * cell restriction, verdict-shape and determinism bars. Rows-only key, so
+  * these are its correctness gate. */
+class SemanticDedupSpec extends AnyFunSuite {
+
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+    df.select(col("id_a"), col("id_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+
+  test("semantic cell edges are sound (subset of the full exact pair closure) with high recall") {
+    val spark = TestSpark.spark
+    val d = TestSpark.sf0001
+    val full = pairSet(Vectors.embedNeardupPairs(spark, d))
+    val cellEdges = pairSet(Vectors.semanticCellEdges(spark, d))
+    assert(cellEdges.nonEmpty)
+    // soundness: every emitted edge is a true >= threshold pair (star edges
+    // included — identical embeddings are cos 1.0 pairs of the closure)
+    assert(cellEdges.subsetOf(full),
+      s"unsound extras: ${(cellEdges -- full).take(5)}")
+    // recall: only cross-cell pairs may be lost; on this fixture the
+    // 16-cell coarse partition keeps the large majority of exact pairs
+    val recall = cellEdges.size.toDouble / full.size
+    info(f"within-cell recall at p=${Vectors.SemanticProbes}: $recall%.3f (${cellEdges.size}/${full.size} pairs)")
+    assert(recall >= 0.5, f"cell restriction recall $recall%.3f below bar")
+  }
+
+  test("semantic verdicts: one row per doc, dup flags a subset of the exact family's") {
+    val spark = TestSpark.spark
+    val d = TestSpark.sf0001
+    val sem = DedupCluster.semanticReps(spark, d).collect()
+    val nDocs = Tables.documents(spark, d).count()
+    assert(sem.length == nDocs)
+    val semDups = sem.filter(_.getInt(3) == 1).map(_.getLong(0)).toSet
+    val exactDups = DedupCluster.embedReps(spark, d).collect()
+      .filter(_.getInt(3) == 1).map(_.getLong(0)).toSet
+    assert(semDups.nonEmpty && semDups.subsetOf(exactDups))
+    // determinism: seeded k-means + exact kernel — two runs byte-equal
+    val again = DedupCluster.semanticReps(spark, d).collect()
+    assert(sem.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+}

@@ -109,6 +109,10 @@ class SqlParitySpec extends AnyFunSuite {
       "q_simhash_screen_at_rest" -> (hugeint + "; " + recursive),
       "q_minhash_dedup_reps" -> (hugeint + "; " + recursive),
       "q_doc_fingerprint" -> hugeint,
+      "q_bpe_train" -> ("MATERIALIZED CTEs + string_split_regex + " +
+        "generate_subscripts + chr() (unrolled training stages)"),
+      "q_bpe_tokenize" -> ("MATERIALIZED CTEs + string_split_regex + " +
+        "generate_subscripts + chr() (unrolled training stages)"),
       "q_corpus_curate" -> (recursive + " + list dialect (stitched stages)"),
       "q_curation_report" -> (recursive + " + list dialect (stitched stages)"),
       "q_session_window" -> epochT, "q_late_data_policy" -> epochT,
