@@ -87,6 +87,14 @@ object Plans {
       "unicode canonicalization: map-only stage (typed NFC map + codegen'd regex/md5 projection), no shuffle before the presentation sort",
     "q_join_cross" ->
       "explicit cross join: BroadcastNestedLoopJoin over metadata-bounded sides (grid construction) — the only legitimate cross-join shape at scale",
+    "q_simhash_dedup" ->
+      "bounded nearest-m re-contract: distinct-sig block join (bit_count codegen) + TopKPerGroup heap assembly — Θ(m·docs) output, no window sort, no pair materialization",
+    "q_embed_neardup" ->
+      "bounded nearest-m re-contract: distinct-embedding contraction + blocked exact kernel over reps + TopKPerGroup heap assembly",
+    "q_semantic_dedup" ->
+      "SemDeDup: coarse-cell (multi-probe p=2) restricted exact kernel + star contraction + per-doc verdict tail — sub-quadratic semantic dedup",
+    "q_bpe_tokenize" ->
+      "BPE token accounting: vocab-level N stacked codegen replaces (no iterative jobs after the memoized training) + word join + per-doc aggregate",
   )
 
   def main(args: Array[String]): Unit = {

@@ -722,8 +722,16 @@ object Text {
     * broadcast back, then each partition computes exact global offsets
     * locally — no `Window.orderBy` funnel serializing the corpus through
     * one task. Oracle: the window-cumsum definition in DuckDB. */
-  val tokenPack: Q = (s, d) => {
-    val spark = s
+  val tokenPack: Q = (s, d) =>
+    packByCounts(Tables.documents(s, d)
+      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tokens")))
+
+  /** The pack-geometry kernel of [[tokenPack]] over ANY per-doc count
+    * frame (doc_id, n_tokens) — extracted so the BPE real-token mode
+    * ([[Bpe.tokenPackBpe]]) reuses the exact two-phase distributed prefix
+    * sum instead of forking the arithmetic. */
+  private[operators] def packByCounts(counts: DataFrame): DataFrame = {
+    val spark = counts.sparkSession
     import spark.implicits._
     val C = PackCapacity
     val n = math.max(1, spark.sessionState.conf.numShufflePartitions)
@@ -732,8 +740,8 @@ object Text {
     // and partition order by construction — and the offsets job reuses the
     // totals job's shuffle files (skipped map stage), so a cache would buy
     // nothing and leak blocks into the caller's session
-    val parted = Tables.documents(s, d)
-      .select(col("doc_id"), size(toks(col("text"))).cast("long").as("n_tokens"))
+    val parted = counts
+      .select(col("doc_id"), col("n_tokens"))
       .repartitionByRange(n, col("doc_id"))
       .sortWithinPartitions("doc_id")
       .as[(Long, Long)]

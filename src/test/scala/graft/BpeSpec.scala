@@ -83,6 +83,29 @@ class BpeSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("BPE pack geometry: per-doc budgets dominate whitespace, arithmetic consistent") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val d = TestSpark.sf0001
+    val ws = operators.Text.tokenPack(spark, d)
+      .select(col("doc_id"), col("n_tokens")).as[(Long, Long)].collect().toMap
+    val bpe = Bpe.tokenPackBpe(spark, d).collect()
+    assert(bpe.length == ws.size)
+    var off = 0L
+    bpe.foreach { r =>
+      val (id, n, start, first, last, chunks) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      // every whitespace token becomes >= 1 subword/UNK token
+      assert(n >= ws(id), s"doc $id: bpe $n < whitespace ${ws(id)}")
+      // the pack is a gapless prefix sum with consistent chunk spans
+      assert(start == off, s"doc $id: start $start != running offset $off")
+      off += n
+      assert(first == start / operators.Text.PackCapacity)
+      assert(last == (start + math.max(n, 1L) - 1L) / operators.Text.PackCapacity)
+      assert(chunks == last - first + 1L)
+    }
+  }
+
   test("token budget parity: words <= bpe tokens <= characters, and merges compress") {
     val spark = TestSpark.spark
     import spark.implicits._

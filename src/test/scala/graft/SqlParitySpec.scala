@@ -113,6 +113,8 @@ class SqlParitySpec extends AnyFunSuite {
         "generate_subscripts + chr() (unrolled training stages)"),
       "q_bpe_tokenize" -> ("MATERIALIZED CTEs + string_split_regex + " +
         "generate_subscripts + chr() (unrolled training stages)"),
+      "q_token_pack_bpe" -> ("MATERIALIZED CTEs + string_split_regex + " +
+        "generate_subscripts + chr() + // integer division (unrolled training stages)"),
       "q_corpus_curate" -> (recursive + " + list dialect (stitched stages)"),
       "q_curation_report" -> (recursive + " + list dialect (stitched stages)"),
       "q_session_window" -> epochT, "q_late_data_policy" -> epochT,
