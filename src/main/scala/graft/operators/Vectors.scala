@@ -637,6 +637,32 @@ object Vectors {
       .write.mode("overwrite").parquet(s"$outDir/_codebook")
   }
 
+  /** IVF member of the index-append trio
+    * ([[appendMinhashIndex]]/[[appendSimhashIndex]]): coarse-quantize a
+    * batch against the PERSISTED `_codebook` (the codebook is fixed at
+    * append time — retraining would silently re-cell the existing corpus,
+    * the exact rebuild this path exists to avoid) and partition-append its
+    * rows into the existing cluster dirs. Queries over the grown index
+    * keep the same nProbe/k pruned-scan shape; periodic re-training +
+    * rebuild remains a deliberate offline operation, as in any IVF
+    * serving system. `batch` needs (vec_id, embedding). */
+  def appendIvfIndex(s: SparkSession, indexDir: String, batch: DataFrame): Unit = {
+    val spark = s
+    import spark.implicits._
+    val codebook = spark.read.parquet(s"$indexDir/_codebook")
+      .as[(Int, Seq[Double])].collect().sortBy(_._1)
+    val cents = codebook.map(_._2.toArray)
+    val centNorms = cents.map(normA)
+    val bc = spark.sparkContext.broadcast((cents, centNorms))
+    batch.select(col("vec_id"), vec.as("v")).as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val (cs, cn) = bc.value
+        (nearest(cs, cn, v, normA(v)), id, v)
+      }
+      .toDF("cluster", "vec_id", "v")
+      .write.mode("append").partitionBy("cluster").parquet(indexDir)
+  }
+
   /** Query a persisted IVF index: rank centroids against the probe from the
     * k-row codebook (bounded metadata read), then scan ONLY the top
     * `nProbe` cluster directories (the `cluster` IN-filter lands in

@@ -232,6 +232,39 @@ class VectorSpec extends AnyFunSuite {
       s2.forall(r => r.getLong(1) == 1L && r.getLong(3) == 0L))
   }
 
+  test("IVF index append: fixed-codebook quantize, grown index serves appended vectors") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val d = TestSpark.sf0001
+    val idx = java.nio.file.Files.createTempDirectory("ivfappend").toString
+    // build the full index, then append a DISJOINT synthetic id range
+    // (every fixture vector re-shifted by 1e6) and assert the codebook was
+    // NOT retrained, assignments did not drift, and queries see the rows
+    Vectors.writeIvfIndex(spark, d, idx)
+    val cbBefore = spark.read.parquet(s"$idx/_codebook").collect().map(_.toSeq).toSet
+    val nBefore = spark.read.parquet(idx).count()
+    val appended = Tables.embeddings(spark, d)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    Vectors.appendIvfIndex(spark, idx, appended)
+    assert(spark.read.parquet(s"$idx/_codebook").collect().map(_.toSeq).toSet == cbBefore)
+    assert(spark.read.parquet(idx).count() == nBefore * 2)
+    // every appended vector landed in the SAME cell as its original (the
+    // fixed-codebook contract: identical vector -> identical assignment)
+    val cells = spark.read.parquet(idx)
+      .select(col("vec_id"), col("cluster")).as[(Long, Int)].collect().toMap
+    assert(cells.keys.count(_ >= 1000000L) == nBefore)
+    cells.keys.filter(_ >= 1000000L).foreach { id =>
+      assert(cells(id) == cells(id - 1000000L), s"cell drift for $id")
+    }
+    // a probe query over the grown index surfaces the appended twin of the
+    // probe vector at cosine 1.0 rank
+    val probe = Tables.embeddings(spark, d).where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).as[Array[Double]].head()
+    val top = Vectors.queryIvfIndex(spark, idx, probe, topK = 2, excludeId = Some(0L))
+      .collect().map(_.getLong(0)).toSet
+    assert(top.contains(1000000L), s"appended twin missing from $top")
+  }
+
   test("bounded nearest-m contracts equal brute-force ranking of the raw pair kernels") {
     val spark = TestSpark.spark
     import spark.implicits._
