@@ -38,6 +38,10 @@ object Tok {
   }
 
   def tokenize(text: String): Array[String] = {
+    // null-safe: nothing at load enforces a non-null text column, and a
+    // null doc must degrade to an empty token list (no-match verdict in
+    // the streaming screens) rather than NPE-kill a streaming query
+    if (text == null) return Array.empty[String]
     val lower = sparkLower(text)
     var b = 0
     var e = lower.length

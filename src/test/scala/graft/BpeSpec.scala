@@ -30,6 +30,82 @@ class BpeSpec extends AnyFunSuite {
     assert(driver.nonEmpty && driver == dist)
   }
 
+  test("prefix-collision fixture: token boundaries respected by all kernels") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // Vocab engineered so the learned order is (t,h), (e,r), (th,e) — and
+    // `there` is segmented [th, er, e] when merge 3 arrives. A string
+    // kernel without a CLOSING delimiter (`|a|b` → `|ab`) would match
+    // `|th|e` inside `|th|er|e` (the following token merely STARTS with
+    // `e`) and produce [ther, e], after which the trainers' pair counts —
+    // and the learned merge tables — diverge at rank 4.
+    val v: Array[(String, Long)] =
+      Array(("there", 10L), ("th", 60L), ("er", 50L), ("the", 40L))
+    val driver = Bpe.trainDriver(v)
+    assert(driver.take(3).map { case (_, a, b, _) => (a, b) } ===
+      Seq(("t", "h"), ("e", "r"), ("th", "e")))
+    // the word whose segmentation the collision would corrupt
+    assert(Bpe.applyMerges("there",
+      driver.take(3).map { case (_, a, b, _) => (a, b) }.toIndexedSeq).toSeq ===
+      Seq("th", "er", "e"))
+    // distributed string kernel learns the identical table (rank 4+ is
+    // exactly where the collision would fork it)
+    val dist = Bpe.trainDistributed(v.toSeq.toDF("word", "freq"))
+    assert(driver == dist && driver.length >= 4)
+    // and the enclosed-token replace itself, in Spark SQL: applying
+    // (t,h),(e,r),(th,e) to `there` must leave [th, er, e]
+    val sql = spark.sql(
+      """SELECT replace(replace(replace('<t><h><e><r><e>',
+        |'<t><h>','<th>'), '<e><r>','<er>'), '<th><e>','<the>')""".stripMargin)
+      .collect()(0).getString(0)
+    assert(sql === "<th><er><e>")
+  }
+
+  test("typed one-pass segmentation equals the declarative replace fold") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val d = TestSpark.sf0001
+    val typed = Bpe.wordTokenCounts(spark, d)
+      .as[(String, Long)].collect().toMap
+    val decl = Bpe.finalSeqsDeclarative(spark, d)
+      .select(col("word"),
+        (length(col("seq")) - length(translate(col("seq"), "<", "")))
+          .cast("long").as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(typed.nonEmpty && typed == decl)
+  }
+
+  test("trainer and typed segmentation scale to 1k merges") {
+    // the fixture corpus draws from a fixed dictionary whose vocab fully
+    // merges after ~89 ops, so the scale test needs a high-entropy vocab:
+    // 4000 deterministic 16-hex-char words (Knuth-mix of the index —
+    // bijective, so all distinct) sustain a real-tokenizer merge budget
+    val v: Array[(String, Long)] = Array.tabulate(4000) { i =>
+      val a = (i * 2654435761L) & 0xffffffffL
+      val b = ((i + 77) * 2246822519L) & 0xffffffffL
+      (f"$a%08x$b%08x", (i % 7 + 1).toLong)
+    }
+    val big = Bpe.trainDriver(v, numMerges = 1000L)
+    assert(big.length >= 1000, s"only ${big.length} merges learned")
+    // well-formedness holds across the whole table
+    val known = collection.mutable.Set.empty[String]
+    big.foreach { case (_, a, b, _) =>
+      for (sym <- Seq(a, b))
+        assert(sym.length == 1 || known.contains(sym), s"symbol $sym unexplained")
+      known += (a + b)
+    }
+    // more merges never inflate a word's token count, and the typed
+    // apply handles the full table with no plan ceiling
+    val ms32 = big.take(32).map { case (_, a, b, _) => (a, b) }.toIndexedSeq
+    val msAll = big.map { case (_, a, b, _) => (a, b) }.toIndexedSeq
+    v.take(500).foreach { case (w, _) =>
+      val n32 = Bpe.applyMerges(w, ms32).length
+      val nAll = Bpe.applyMerges(w, msAll).length
+      assert(nAll <= n32 && nAll >= 1)
+      assert(Bpe.applyMerges(w, msAll).mkString == w)
+    }
+  }
+
   test("merge table is deterministic, ranked, and concatenation-consistent") {
     val spark = TestSpark.spark
     val m1 = Bpe.bpeTrain(spark, TestSpark.sf0001).collect()
