@@ -1,137 +1,260 @@
 package graft.operators
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
-/** Multimodal-column plumbing (north-star extension): media as opaque
-  * `binary` columns with typed metadata, decode / feature-extract /
-  * frame-sample as distributed transforms.
+/** Multimodal-column operators (north-star extension): media as opaque
+  * `binary` columns, decode / frame-sample / feature-extract / resize as
+  * distributed per-blob transforms — blob-sized tasks, partition-parallel,
+  * no driver involvement.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked DETERMINISTIC FAKE (byte-statistics standing in for pixel
-  * decoding) — the Spark-side plumbing (schema, batching, partitioning,
-  * per-frame explode) is real and is what the tests cover. Swapping the fake
-  * for a JNI/ffmpeg kernel changes one function.
-  */
+  * The decode kernel is REAL: every query materializes a deterministic
+  * 24-bit uncompressed BMP blob per document (pixels a pinned arithmetic
+  * function of the document's bytes — see [[pixelChannels]]), then decodes
+  * it with `javax.imageio.ImageIO` (the JDK's stock BMP reader — no
+  * external codec dependency) and computes its output from the DECODED
+  * pixel grid. The encoder is hand-written (54-byte BITMAPINFOHEADER,
+  * bottom-up rows, 4-byte row padding — the public format), so the blob
+  * bytes are bit-reproducible and the DuckDB oracle can recompute the
+  * expected pixel statistics from the same generator arithmetic: a hash
+  * match therefore certifies that a real codec round-trip (encode → JDK
+  * decode → pixel read-back) reproduced the source pixels exactly. A
+  * channel swap, row-order (bottom-up) slip, padding bug or stride error
+  * anywhere in the path shows up as an oracle mismatch. PNG is covered at
+  * spec level: MultimodalSpec re-encodes the decoded grid as PNG via
+  * ImageIO and pins pixel-identical read-back.
+  *
+  * At 100 TB the shape is unchanged: blobs live in a binary column, every
+  * kernel is a per-row flatMap/map inside one codegen stage boundary, and
+  * output size is Θ(pixels sampled), never Θ(blob bytes shuffled) — the
+  * text→blob synthesis here stands where a parquet binary column read
+  * would, and swapping BMP for JPEG/H.264 changes [[decode]] only. */
 object Multimodal {
   type Q = (SparkSession, String) => DataFrame
 
-  /** STUB — deterministic fake decode: real implementation would hand
-    * `bytes` to an image codec; this derives stable pseudo-metadata from the
-    * payload so plumbing is testable without codecs. */
-  def fakeDecodeMeta(bytes: Array[Byte]): (Int, Int, Double) = {
-    val n = bytes.length
-    var i = 0; var sum = 0.0
-    while (i < n) { sum += (bytes(i) & 0xff); i += 1 }
-    val mean = if (n == 0) 0.0 else sum / n
-    (640 + n % 640, 360 + n % 360, mean) // (width, height, mean "luma")
+  /** Image geometry for a payload of n bytes: width 16–32, height 8–16 —
+    * varies per document so dimension handling is actually exercised. */
+  private[graft] def dims(n: Long): (Int, Int) =
+    ((16 + n % 17).toInt, (8 + n % 9).toInt)
+
+  /** Pinned pixel generator: channel values of pixel (x, y) for a payload.
+    * v is the payload byte at linear index (y·W + x) mod n (0 for an empty
+    * payload); r = v, g = (v+x) mod 256, b = (v+y) mod 256. The oracle
+    * replays exactly this arithmetic per pixel. */
+  private[graft] def pixelChannels(
+      bytes: Array[Byte], w: Int, x: Int, y: Int): (Int, Int, Int) = {
+    val v = if (bytes.length == 0) 0 else bytes((y * w + x) % bytes.length) & 0xff
+    (v, (v + x) % 256, (v + y) % 256)
   }
 
-  /** Metadata projection over a binary media column (here: utf-8 text bytes
-    * as the stand-in payload). Oracle-checked: byte length + header hex are
-    * codec-independent. */
+  /** Hand-written 24bpp BMP encoder: 54-byte header, bottom-up rows padded
+    * to 4 bytes, BGR byte order — deterministic output, so blob length
+    * (54 + H·⌈3W/4⌉·4) is oracle arithmetic. */
+  private[graft] def encodeBmp(img: BufferedImage): Array[Byte] = {
+    val w = img.getWidth; val h = img.getHeight
+    val rowSize = (3 * w + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val out = new Array[Byte](54 + dataSize)
+    def put32(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+      out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+    }
+    out(0) = 'B'; out(1) = 'M'
+    put32(2, 54 + dataSize); put32(10, 54)
+    put32(14, 40); put32(18, w); put32(22, h)
+    out(26) = 1; out(28) = 24
+    put32(34, dataSize); put32(38, 2835); put32(42, 2835)
+    var y = 0
+    while (y < h) {
+      val rowOff = 54 + (h - 1 - y) * rowSize // positive height ⇒ bottom-up
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val o = rowOff + 3 * x
+        out(o) = rgb.toByte               // B
+        out(o + 1) = (rgb >> 8).toByte    // G
+        out(o + 2) = (rgb >> 16).toByte   // R
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL decode: the JDK's ImageIO BMP reader. Throws if the blob is not
+    * a readable image — a decode failure is a correctness failure here,
+    * not something to paper over. */
+  private[graft] def decode(blob: Array[Byte]): BufferedImage = {
+    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(blob))
+    require(img != null, s"ImageIO: no reader for ${blob.length}-byte blob")
+    img
+  }
+
+  /** Synthesize the deterministic BMP blob for one document payload. */
+  private[graft] def mediaBlob(bytes: Array[Byte]): Array[Byte] = {
+    val (w, h) = dims(bytes.length)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = pixelChannels(bytes, w, x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    encodeBmp(img)
+  }
+
+  /** Fixed-point mean: floor(sum·10⁴ / cnt) in LONG arithmetic, then one
+    * exact integer ÷ 10⁴ — IEEE-identical in both engines (a float mean
+    * hits round-half ties that rint and SQL round() break differently). */
+  private def fp(sum: Long, cnt: Long): Double =
+    if (cnt == 0) 0.0 else (sum * 10000L / cnt).toDouble / 10000.0
+
+  /** Per-image metadata from the DECODED grid: true dimensions, real blob
+    * size, mean of r+g+b over all decoded pixels. */
   val multimodalMeta: Q = (s, d) => {
-    val bin = col("text").cast("binary")
+    val spark = s
+    import spark.implicits._
     Tables.documents(s, d)
-      .select(col("doc_id"),
-        length(bin).cast("long").as("n_bytes"),
-        lower(hex(substring(bin, 1, 8))).as("head_hex"))
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val blob = mediaBlob(text.getBytes("UTF-8"))
+        val img = decode(blob)
+        val (w, h) = (img.getWidth, img.getHeight)
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        (id, w.toLong, h.toLong, blob.length.toLong, fp(sum, 3L * w * h))
+      }
+      .toDF("doc_id", "width", "height", "n_bytes", "mean_luma")
       .orderBy(col("doc_id"))
   }
 
-  /** Frame sampling over a fake "video" payload: every 64th byte offset is a
-    * "frame"; per-frame rows carry (idx, offset, fake feature). The explode
-    * pattern — one row per sampled frame, partition-parallel over media
-    * blobs — is exactly the 100 TB video-pipeline shape (blob-sized tasks,
-    * no driver involvement).
-    *
-    * Oracle-checked: the stub kernel is pure byte arithmetic, so DuckDB can
-    * replay it per byte. `frame_mean` is fixed-point — floor(sum*1e4/cnt)
-    * in LONG arithmetic, then one exact integer÷10000.0 — so both engines
-    * compute the identical double (a float mean hits round-half ties that
-    * rint and SQL round() break differently). */
+  /** Frame sampling: every 4th ROW of the decoded image is a "frame"
+    * (the video-pipeline shape — one output row per sampled frame,
+    * explode inside the blob's own task). frame_mean is the fixed-point
+    * mean of r+g+b across the decoded row. */
   val multimodalFrames: Q = (s, d) => {
     val spark = s
     import spark.implicits._
     Tables.documents(s, d)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        val bytes = text.getBytes("UTF-8")
-        val (w, h, _) = fakeDecodeMeta(bytes)
-        val stride = 64
-        // in-place byte loop, no slice allocation / boxed iterator: the
-        // per-byte boxing was the whole 22.7 s of round 1's frame pass
-        (0 until math.max(1, bytes.length / stride)).iterator.map { f =>
-          val off = f * stride
-          val end = math.min(bytes.length, off + stride)
-          var j = off; var sum = 0L
-          while (j < end) { sum += (bytes(j) & 0xff); j += 1 }
-          val mean = if (end == off) 0.0 else (sum * 10000L / (end - off)).toDouble / 10000.0
-          (id, f.toLong, off.toLong, w.toLong, h.toLong, mean)
+        val img = decode(mediaBlob(text.getBytes("UTF-8")))
+        val (w, h) = (img.getWidth, img.getHeight)
+        (0 until (h + 3) / 4).iterator.map { f =>
+          val y = f * 4
+          var sum = 0L
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            x += 1
+          }
+          (id, f.toLong, y.toLong, w.toLong, h.toLong, fp(sum, 3L * w))
         }
       }
-      .toDF("doc_id", "frame_idx", "byte_off", "width", "height", "frame_mean")
+      .toDF("doc_id", "frame_idx", "row_y", "width", "height", "frame_mean")
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
-  /** STUB resize kernel: real code would decode, scale 2× down, re-encode;
-    * the fake keeps every 4th byte (area ratio of a 2× downscale). */
-  def fakeResize(bytes: Array[Byte]): Array[Byte] = {
-    val out = new Array[Byte]((bytes.length + 3) / 4)
-    var i = 0
-    while (i < out.length) { out(i) = bytes(i * 4); i += 1 }
-    out
-  }
-
-  /** Resize pass over the media column: emits the resized payload's true
-    * length plus old/new dims. Oracle-checked — the stub kernel's output
-    * length and the fake dims are pure arithmetic on octet_length, so DuckDB
-    * can verify the whole transform without running it. */
+  /** Resize: decode, 2× box downscale with integer-floor channel averages
+    * over each 2×2 block, re-encode, DECODE AGAIN, and report the second
+    * decode's stats — a full encode→decode→transform→encode→decode round
+    * trip through the real codec, every number oracle-replayable. */
   val multimodalResize: Q = (s, d) => {
     val spark = s
     import spark.implicits._
     Tables.documents(s, d)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val bytes = text.getBytes("UTF-8")
-        val (w, h, _) = fakeDecodeMeta(bytes)
-        val resized = fakeResize(bytes)
-        (id, w.toLong, h.toLong, w / 2L, h / 2L, resized.length.toLong)
+        val img = decode(mediaBlob(text.getBytes("UTF-8")))
+        val (w, h) = (img.getWidth, img.getHeight)
+        val (nw, nh) = (w / 2, h / 2)
+        val small = new BufferedImage(nw, nh, BufferedImage.TYPE_3BYTE_BGR)
+        var yy = 0
+        while (yy < nh) {
+          var xx = 0
+          while (xx < nw) {
+            var r = 0; var g = 0; var b = 0
+            var dy = 0
+            while (dy < 2) {
+              var dx = 0
+              while (dx < 2) {
+                val p = img.getRGB(2 * xx + dx, 2 * yy + dy)
+                r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
+                dx += 1
+              }
+              dy += 1
+            }
+            small.setRGB(xx, yy, ((r / 4) << 16) | ((g / 4) << 8) | (b / 4))
+            xx += 1
+          }
+          yy += 1
+        }
+        val blob2 = encodeBmp(small)
+        val img2 = decode(blob2)
+        var sum = 0L
+        var y = 0
+        while (y < nh) {
+          var x = 0
+          while (x < nw) {
+            val p = img2.getRGB(x, y)
+            sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        (id, w.toLong, h.toLong, nw.toLong, nh.toLong, blob2.length.toLong,
+          fp(sum, 3L * nw * nh))
       }
-      .toDF("doc_id", "width", "height", "new_width", "new_height", "n_bytes_out")
+      .toDF("doc_id", "width", "height", "new_width", "new_height",
+        "n_bytes_out", "mean_luma_out")
       .orderBy(col("doc_id"))
   }
 
-  /** Feature extraction: media payload → fixed-size dense vector (8-bin
-    * normalized byte histogram standing in for a CNN embedding). Internally
-    * the kernel produces the similarity-ready array (`vec_dot`/cosine over it
-    * composes with the Vectors operators); the driver-checked output flattens
-    * it to scalar `b0..b7` columns — array columns break the driver's pandas
-    * row hasher.
-    *
-    * Oracle-checked (byte-replay oracle, same fixed-point contract as
-    * [[multimodalFrames]]); MultimodalSpec additionally pins the kernel's
-    * determinism and the distribution-sum invariant. */
+  /** Feature extraction: 8-bin normalized luma histogram of the decoded
+    * pixel grid (luma = ⌊(r+g+b)/3⌋, bin = luma ≫ 5) — the fixed-size
+    * dense-vector stand-in for a CNN embedding, flattened to scalar
+    * b0..b7 columns (array columns break the driver's row hasher). */
   val multimodalFeatures: Q = (s, d) => {
     val spark = s
     import spark.implicits._
     Tables.documents(s, d)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val bytes = text.getBytes("UTF-8")
+        val img = decode(mediaBlob(text.getBytes("UTF-8")))
+        val (w, h) = (img.getWidth, img.getHeight)
         val hist = new Array[Long](8)
-        var i = 0
-        while (i < bytes.length) { hist((bytes(i) & 0xff) >> 5) += 1L; i += 1 }
-        val out = new Array[Double](8)
-        if (bytes.length > 0) {
-          var b = 0
-          while (b < 8) {
-            out(b) = (hist(b) * 10000L / bytes.length).toDouble / 10000.0
-            b += 1
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val luma = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
+            hist(luma >> 5) += 1L
+            x += 1
           }
+          y += 1
         }
-        (id, out(0), out(1), out(2), out(3), out(4), out(5), out(6), out(7))
+        val n = w.toLong * h
+        val o = hist.map(c => fp(c, n))
+        (id, o(0), o(1), o(2), o(3), o(4), o(5), o(6), o(7))
       }
       .toDF("doc_id", "b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7")
       .orderBy(col("doc_id"))
@@ -144,84 +267,84 @@ object Multimodal {
     "q_multimodal_features" -> multimodalFeatures,
   )
 
+  /** Shared oracle CTE: the per-pixel generator arithmetic. `vb` is the
+    * payload byte addressed per pixel via ascii(substr(...)) — valid
+    * because the corpus is ASCII (octet == char; MultimodalSpec and
+    * graft.Verify pin the assumption). r/g/b replay [[pixelChannels]]. */
+  private val pixelCte =
+    """t AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
+      |d AS (SELECT doc_id, text, n,
+      |  16 + n % 17 AS w, 8 + n % 9 AS h FROM t),
+      |px AS (
+      |  SELECT doc_id, text, n, w, h, unnest(range(0, w * h)) AS i FROM d),
+      |v AS (
+      |  SELECT doc_id, w, h, i % w AS x, i // w AS y,
+      |    CASE WHEN n = 0 THEN 0
+      |         ELSE ascii(substr(text, CAST((i % n) + 1 AS INT), 1)) END AS vb
+      |  FROM px),
+      |c AS (
+      |  SELECT doc_id, w, h, x, y, vb AS r,
+      |    (vb + x) % 256 AS g, (vb + y) % 256 AS b FROM v)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_multimodal_meta" ->
-      """SELECT doc_id,
-        | CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-        | lower(left(hex(CAST(text AS BLOB)), 16)) AS head_hex
-        |FROM documents ORDER BY doc_id""".stripMargin,
-    // the stub kernels are pure arithmetic on the byte length, so the whole
-    // resize transform is SQL-verifiable: w = 640 + n%640, h = 360 + n%360,
-    // resized length = ceil(n/4)
-    "q_multimodal_resize" ->
-      """WITH t AS (
-        |  SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n
-        |  FROM documents)
-        |SELECT doc_id,
-        | 640 + n % 640 AS width, 360 + n % 360 AS height,
-        | (640 + n % 640) // 2 AS new_width, (360 + n % 360) // 2 AS new_height,
-        | (n + 3) // 4 AS n_bytes_out
-        |FROM t ORDER BY doc_id""".stripMargin,
-    // byte-replay oracles: the stub kernels are deterministic byte
-    // arithmetic, so DuckDB re-runs them per byte via ascii(substr(...)).
-    // Empty-text documents are handled explicitly (the frames kernel emits
-    // one zero frame, the features kernel an all-zero row — the per-byte
-    // CTEs produce no rows for them, so a UNION ALL / LEFT JOIN restores
-    // the rows rather than silently dropping the doc).
-    // Valid because the corpus is ASCII (octet == char; MultimodalSpec
-    // pins the assumption); frame_mean/b_i are fixed-point longs divided
-    // by 10000.0, IEEE-identical on both engines.
+      s"""WITH $pixelCte
+         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |  CAST(54 + h * ((3 * w + 3) // 4 * 4) AS BIGINT) AS n_bytes,
+         |  CAST(CAST(sum(r + g + b) AS BIGINT) * 10000 // (3 * w * h) AS DOUBLE)
+         |    / 10000.0 AS mean_luma
+         |FROM c GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
     "q_multimodal_frames" ->
-      """WITH t AS (
-        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
-        |f AS (
-        |  SELECT doc_id, text, n,
-        |    unnest(range(0, greatest(n // 64, 1))) AS frame_idx FROM t),
-        |i AS (
-        |  SELECT doc_id, n, frame_idx,
-        |    ascii(substr(text,
-        |      CAST(unnest(range(frame_idx * 64, least(n, frame_idx * 64 + 64))) + 1 AS INT),
-        |      1)) AS b
-        |  FROM f),
-        |a AS (
-        |  SELECT doc_id, frame_idx, CAST(sum(b) AS BIGINT) AS s, count(*) AS c
-        |  FROM i GROUP BY doc_id, frame_idx)
-        |SELECT a.doc_id, a.frame_idx, a.frame_idx * 64 AS byte_off,
-        |  640 + t.n % 640 AS width, 360 + t.n % 360 AS height,
-        |  CAST(a.s * 10000 // a.c AS DOUBLE) / 10000.0 AS frame_mean
-        |FROM a JOIN t USING (doc_id)
-        |UNION ALL
-        |SELECT doc_id, 0, 0, 640 + n % 640, 360 + n % 360, 0.0
-        |FROM t WHERE n = 0
-        |ORDER BY doc_id, frame_idx""".stripMargin,
+      s"""WITH $pixelCte
+         |SELECT doc_id, CAST(y // 4 AS BIGINT) AS frame_idx,
+         |  CAST(y AS BIGINT) AS row_y,
+         |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |  CAST(CAST(sum(r + g + b) AS BIGINT) * 10000 // (3 * w) AS DOUBLE)
+         |    / 10000.0 AS frame_mean
+         |FROM c WHERE y % 4 = 0
+         |GROUP BY doc_id, y, w, h ORDER BY doc_id, frame_idx""".stripMargin,
+    // 2×2 box downscale with integer-floor channel averages, then the
+    // resized grid's stats — replayed as a two-level aggregate
+    "q_multimodal_resize" ->
+      s"""WITH $pixelCte,
+         |blk AS (
+         |  SELECT doc_id, w, h, x // 2 AS bx, y // 2 AS by,
+         |    CAST(sum(r) AS BIGINT) // 4 AS r2,
+         |    CAST(sum(g) AS BIGINT) // 4 AS g2,
+         |    CAST(sum(b) AS BIGINT) // 4 AS b2
+         |  FROM c WHERE x < 2 * (w // 2) AND y < 2 * (h // 2)
+         |  GROUP BY doc_id, w, h, x // 2, y // 2)
+         |SELECT doc_id,
+         |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |  CAST(w // 2 AS BIGINT) AS new_width, CAST(h // 2 AS BIGINT) AS new_height,
+         |  CAST(54 + (h // 2) * ((3 * (w // 2) + 3) // 4 * 4) AS BIGINT) AS n_bytes_out,
+         |  CAST(CAST(sum(r2 + g2 + b2) AS BIGINT) * 10000
+         |    // (3 * (w // 2) * (h // 2)) AS DOUBLE) / 10000.0 AS mean_luma_out
+         |FROM blk GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
     "q_multimodal_features" ->
-      """WITH t AS (
-        |  SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
-        |i AS (
-        |  SELECT doc_id, n,
-        |    ascii(substr(text, CAST(unnest(range(0, n)) + 1 AS INT), 1)) // 32 AS bin
-        |  FROM t),
-        |h AS (
-        |  SELECT doc_id, max(n) AS n,
-        |    CAST(sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
-        |    CAST(sum(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
-        |    CAST(sum(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
-        |    CAST(sum(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
-        |    CAST(sum(CASE WHEN bin = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
-        |    CAST(sum(CASE WHEN bin = 5 THEN 1 ELSE 0 END) AS BIGINT) AS c5,
-        |    CAST(sum(CASE WHEN bin = 6 THEN 1 ELSE 0 END) AS BIGINT) AS c6,
-        |    CAST(sum(CASE WHEN bin = 7 THEN 1 ELSE 0 END) AS BIGINT) AS c7
-        |  FROM i GROUP BY doc_id)
-        |SELECT t.doc_id,
-        |  coalesce(CAST(c0 * 10000 // h.n AS DOUBLE) / 10000.0, 0.0) AS b0,
-        |  coalesce(CAST(c1 * 10000 // h.n AS DOUBLE) / 10000.0, 0.0) AS b1,
-        |  coalesce(CAST(c2 * 10000 // h.n AS DOUBLE) / 10000.0, 0.0) AS b2,
-        |  coalesce(CAST(c3 * 10000 // h.n AS DOUBLE) / 10000.0, 0.0) AS b3,
-        |  coalesce(CAST(c4 * 10000 // h.n AS DOUBLE) / 10000.0, 0.0) AS b4,
-        |  coalesce(CAST(c5 * 10000 // h.n AS DOUBLE) / 10000.0, 0.0) AS b5,
-        |  coalesce(CAST(c6 * 10000 // h.n AS DOUBLE) / 10000.0, 0.0) AS b6,
-        |  coalesce(CAST(c7 * 10000 // h.n AS DOUBLE) / 10000.0, 0.0) AS b7
-        |FROM t LEFT JOIN h ON t.doc_id = h.doc_id
-        |ORDER BY t.doc_id""".stripMargin,
+      s"""WITH $pixelCte,
+         |bins AS (
+         |  SELECT doc_id, w, h, ((r + g + b) // 3) // 32 AS bin FROM c),
+         |hh AS (
+         |  SELECT doc_id, max(w * h) AS n,
+         |    CAST(sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         |    CAST(sum(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(sum(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         |    CAST(sum(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+         |    CAST(sum(CASE WHEN bin = 4 THEN 1 ELSE 0 END) AS BIGINT) AS c4,
+         |    CAST(sum(CASE WHEN bin = 5 THEN 1 ELSE 0 END) AS BIGINT) AS c5,
+         |    CAST(sum(CASE WHEN bin = 6 THEN 1 ELSE 0 END) AS BIGINT) AS c6,
+         |    CAST(sum(CASE WHEN bin = 7 THEN 1 ELSE 0 END) AS BIGINT) AS c7
+         |  FROM bins GROUP BY doc_id)
+         |SELECT doc_id,
+         |  CAST(c0 * 10000 // n AS DOUBLE) / 10000.0 AS b0,
+         |  CAST(c1 * 10000 // n AS DOUBLE) / 10000.0 AS b1,
+         |  CAST(c2 * 10000 // n AS DOUBLE) / 10000.0 AS b2,
+         |  CAST(c3 * 10000 // n AS DOUBLE) / 10000.0 AS b3,
+         |  CAST(c4 * 10000 // n AS DOUBLE) / 10000.0 AS b4,
+         |  CAST(c5 * 10000 // n AS DOUBLE) / 10000.0 AS b5,
+         |  CAST(c6 * 10000 // n AS DOUBLE) / 10000.0 AS b6,
+         |  CAST(c7 * 10000 // n AS DOUBLE) / 10000.0 AS b7
+         |FROM hh ORDER BY doc_id""".stripMargin,
   )
 }

@@ -1,46 +1,78 @@
 package graft
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Multimodal
 
-/** The stub kernels behind the multimodal plumbing: deterministic, and the
-  * invariants a real codec swap must preserve (length arithmetic, histogram
-  * normalization). */
+/** The real-codec multimodal path: the hand-written BMP encoder must
+  * round-trip through the JDK's ImageIO decoder pixel-for-pixel (that
+  * equivalence is what lets the DuckDB oracle certify the decode by
+  * replaying the generator arithmetic), and the same grid must survive a
+  * PNG re-encode — the second, compressed codec ImageIO ships. */
 class MultimodalSpec extends AnyFunSuite {
 
-  test("fakeResize keeps every 4th byte; output length is ceil(n/4)") {
-    for (n <- Seq(0, 1, 3, 4, 5, 63, 64, 257)) {
-      val in = Array.tabulate[Byte](n)(i => (i % 251).toByte)
-      val out = Multimodal.fakeResize(in)
-      assert(out.length == (n + 3) / 4, s"n=$n")
-      out.zipWithIndex.foreach { case (b, i) => assert(b == in(i * 4)) }
+  private def grid(img: BufferedImage): Seq[(Int, Int, Int, Int, Int)] =
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) yield {
+      val p = img.getRGB(x, y)
+      (x, y, (p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+    }
+
+  test("BMP encode → ImageIO decode reproduces the generator grid exactly") {
+    for (payload <- Seq("", "a", "the quick brown fox jumps over 13 dogs",
+        "x" * 300)) {
+      val bytes = payload.getBytes("UTF-8")
+      val (w, h) = Multimodal.dims(bytes.length)
+      val img = Multimodal.decode(Multimodal.mediaBlob(bytes))
+      assert(img.getWidth == w && img.getHeight == h, s"dims for n=${bytes.length}")
+      grid(img).foreach { case (x, y, r, g, b) =>
+        val (er, eg, eb) = Multimodal.pixelChannels(bytes, w, x, y)
+        assert((r, g, b) == (er, eg, eb), s"pixel ($x,$y) payload n=${bytes.length}")
+      }
     }
   }
 
-  test("feature histogram is normalized (sums to ~1) and deterministic") {
+  test("row order is pinned: bottom-up BMP storage decodes top-down correctly") {
+    // an asymmetric payload: row 0 and the last row must differ, and match
+    // the generator per-row — a row-order slip in the encoder would swap them
+    val bytes = "abcdefghij".getBytes("UTF-8")
+    val (w, h) = Multimodal.dims(bytes.length)
+    val img = Multimodal.decode(Multimodal.mediaBlob(bytes))
+    val top = (0 until w).map(x => img.getRGB(x, 0) & 0xff)
+    val bot = (0 until w).map(x => img.getRGB(x, h - 1) & 0xff)
+    assert(top != bot)
+    (0 until w).foreach { x =>
+      assert((img.getRGB(x, 0) & 0xff) == Multimodal.pixelChannels(bytes, w, x, 0)._3)
+      assert((img.getRGB(x, h - 1) & 0xff) ==
+        Multimodal.pixelChannels(bytes, w, x, h - 1)._3)
+    }
+  }
+
+  test("PNG path: ImageIO PNG re-encode of the decoded grid is pixel-identical") {
     val bytes = "the quick brown fox".getBytes("UTF-8")
-    val hist = new Array[Long](8)
-    bytes.foreach(b => hist((b & 0xff) >> 5) += 1L)
-    // fixed-point floor: each bin loses < 1e-4, so the sum sits in
-    // (1 - 8e-4, 1] — the bound the tolerance below mirrors
-    val expected = hist.map(c => (c * 10000L / bytes.length).toDouble / 10000.0)
-    val spark = TestSpark.spark
-    val row = Multimodal.multimodalFeatures(spark, TestSpark.sf0001)
-      .where(col("doc_id") === 0).head()
-    // flattened schema: doc_id, b0..b7 — read the eight scalar columns
-    val feat = (1 to 8).map(row.getDouble)
-    assert(feat.length == 8)
-    assert(feat.sum <= 1.0 + 1e-12 && feat.sum > 1.0 - 8e-4, s"sum=${feat.sum}")
-    // ASCII word-salad docs: all mass in bins 1 (space/digits) and 3 (a-z)
-    assert(feat(1) > 0 && feat(3) > 0 && feat(0) == 0.0)
-    // kernel matches the reference computation bit-for-bit on a known input
-    assert(expected.sum > 0.999 && expected.sum <= 1.0)
+    val bmp = Multimodal.decode(Multimodal.mediaBlob(bytes))
+    val baos = new ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bmp, "png", baos), "no PNG writer")
+    val png = javax.imageio.ImageIO.read(new ByteArrayInputStream(baos.toByteArray))
+    assert(png != null)
+    assert(grid(png) == grid(bmp))
+  }
+
+  test("media blob synthesis is deterministic and structurally valid BMP") {
+    val bytes = "determinism check".getBytes("UTF-8")
+    val b1 = Multimodal.mediaBlob(bytes)
+    val b2 = Multimodal.mediaBlob(bytes)
+    assert(java.util.Arrays.equals(b1, b2))
+    assert(b1(0) == 'B'.toByte && b1(1) == 'M'.toByte)
+    val (w, h) = Multimodal.dims(bytes.length)
+    assert(b1.length == 54 + h * ((3 * w + 3) / 4 * 4))
   }
 
   test("byte-replay oracle assumption: the documents corpus is pure ASCII") {
-    // the frames/features DuckDB oracles index bytes via ascii(substr(text,
+    // the pixel-generator DuckDB oracles index bytes via ascii(substr(text,
     // i, 1)), which equals byte i only when every char is single-byte —
     // pin octet_length == char_length corpus-wide so a testdata change
     // that breaks the equivalence fails HERE, not as an oracle hash diff
@@ -50,12 +82,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(nonAscii == 0L)
   }
 
-  test("resize query rows = documents rows; dims are consistent halves") {
+  test("resize query: one row per doc, halved dims, real re-encoded blob size") {
     val spark = TestSpark.spark
     val df = Multimodal.multimodalResize(spark, TestSpark.sf0001)
     val docs = Tables.documents(spark, TestSpark.sf0001).count()
     assert(df.count() == docs)
     assert(df.where(col("new_width") =!= floor(col("width") / 2) ||
       col("new_height") =!= floor(col("height") / 2)).isEmpty)
+    // n_bytes_out is the REAL length of the re-encoded blob, which for the
+    // 24bpp writer is exactly the header+padded-rows arithmetic
+    assert(df.where(col("n_bytes_out") =!=
+      lit(54) + col("new_height") *
+        (floor((lit(3) * col("new_width") + 3) / 4) * 4)).isEmpty)
+  }
+
+  test("feature histogram is normalized (sums to ~1) over decoded pixels") {
+    val spark = TestSpark.spark
+    val row = Multimodal.multimodalFeatures(spark, TestSpark.sf0001)
+      .where(col("doc_id") === 0).head()
+    val feat = (1 to 8).map(row.getDouble)
+    // fixed-point floor: each bin loses < 1e-4, so the sum sits in
+    // (1 - 8e-4, 1]
+    assert(feat.sum <= 1.0 + 1e-12 && feat.sum > 1.0 - 8e-4, s"sum=${feat.sum}")
   }
 }
