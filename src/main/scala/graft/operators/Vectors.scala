@@ -346,18 +346,34 @@ object Vectors {
 
   /** Coarse cells used by the SemDeDup restriction — the SAME spherical
     * k-means machinery as the IVF family ([[sampleAndTrain]]: bounded
-    * 256-row KMV sample, 5 Lloyd iterations, deterministic seeding). */
-  private[operators] val SemanticCells = 16
+    * 256-row KMV sample, 5 Lloyd iterations, deterministic seeding).
+    * 64 cells (r9, was 16): with multi-probe assignment the kernel cost
+    * multiplier vs brute force is ≈ probes²/cells, so MORE cells with a
+    * wider probe beats fewer cells at the same recall — smaller blocks,
+    * more parallelism, and at production scale cells grows ~√n while this
+    * constant only anchors the fixture. */
+  private[operators] val SemanticCells = 64
 
   /** Multi-probe width of the SemDeDup assignment: each vector joins its
     * p nearest cells, so a pair is kept iff the two top-p cell sets
     * intersect — the IVF nProbe idea applied to dedup. p trades kernel
-    * compute (×p) against cross-cell recall; p = k degenerates to the
-    * exact kernel. At the family's 0.35 threshold single-cell assignment
-    * measured 0.26 recall on the fixture (cell radii exceed arccos 0.35 —
-    * the same geometry note as the SRP screen), p = 2 lifts it past the
-    * spec bar. */
-  private[graft] val SemanticProbes = 2
+    * compute (×p²/cells) against cross-cell recall; p = k degenerates to
+    * the exact kernel. At the family's 0.35 threshold the fixture sweep
+    * measured (cells, p) → recall: (16,1) 0.26, (16,2) 0.588 — the r8
+    * shipping point — (64,4) 0.802, (64,5) 0.883, (64,6) 0.942. Shipping
+    * (64,5): recall 0.883 ≥ the 0.8 spec bar with margin, at cost factor
+    * 25/64 ≈ 0.39 of brute force (r8's (16,2) was 0.25 at 0.588 recall —
+    * +56% kernel buys +50% recall). */
+  private[graft] val SemanticProbes = 5
+
+  /** Boundary band of the SemDeDup assignment: beyond the top-p cells, a
+    * vector also joins any cell whose centroid similarity is within this
+    * margin of its best cell — frontier vectors sit in all the cells their
+    * near-dups might land in. Adaptive alternative to raising p; the
+    * fixture sweep found fixed p dominates on this geometry (band dup
+    * factors balloon: (16,1,0.25) dup 6.6 for 0.957), so it ships OFF but
+    * stays a first-class parameter of [[semanticCellEdges]]. */
+  private[graft] val SemanticBand = 0.0
 
   /** SemDeDup-shaped edge set (Abbas et al. 2023's cluster-then-exact
     * recipe, re-expressed on this engine's primitives): the exact cosine
@@ -371,7 +387,9 @@ object Vectors {
     * recall trade the spec measures, not a threshold change. Rows-only
     * (FP-order k-means, like the ANN family); soundness (edges ⊆ the full
     * exact edge set) and within-cell exactness are spec-pinned. */
-  private[graft] def semanticCellEdges(s: SparkSession, d: String): DataFrame = {
+  private[graft] def semanticCellEdges(s: SparkSession, d: String,
+      cells: Int = SemanticCells, probes: Int = SemanticProbes,
+      band: Double = SemanticBand): DataFrame = {
     val spark = s
     import spark.implicits._
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
@@ -380,25 +398,61 @@ object Vectors {
       .where(col("vec_id") =!= col("rep"))
       .select(col("vec_id").as("id_a"), col("rep").as("id_b"))
     val (cents, cn) = sampleAndTrain(
-      Tables.embeddings(s, d).select(col("vec_id"), vec.as("v")), SemanticCells)
+      Tables.embeddings(s, d).select(col("vec_id"), vec.as("v")), cells)
     val bcC = spark.sparkContext.broadcast(cents)
     val bcN = spark.sparkContext.broadcast(cn)
-    val p = SemanticProbes
     val celled = groups
       .select(col("rep"), col("embedding").cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
       .flatMap { case (id, v) =>
-        // top-p cells by (cosine desc, index asc) — deterministic
+        // top-p cells by (cosine desc, index asc), PLUS any cell whose
+        // similarity sits within the boundary band of the best — vectors
+        // near a cell frontier join both sides, which is where single-probe
+        // assignment loses its cross-cell pairs. Deterministic throughout.
         val vn = normA(v)
         val sims = bcC.value.indices.map(c =>
           (dotA(v, bcC.value(c)) / (vn * bcN.value(c)), c))
-        sims.sortBy { case (sim, c) => (-sim, c) }.take(p)
-          .map { case (_, c) => (c, id, v) }
+          .sortBy { case (sim, c) => (-sim, c) }
+        val best = sims.head._1
+        sims.zipWithIndex
+          .filter { case ((sim, _), rank) => rank < probes || best - sim <= band }
+          .map { case ((_, c), _) => (c, id, v) }
       }
     val inter = blockedCosinePairs(celled, NearDupThreshold)
       .select(col("id_a"), col("id_b"))
-      .distinct() // a pair can share up to p cells
+      .distinct() // a pair can share several probed cells
     star.union(inter)
+  }
+
+  /** Diagnostic: average number of probed cells per distinct vector under
+    * the given assignment parameters — the replication factor that sets
+    * the within-cell kernel's cost multiplier (≈ dup²/cells vs brute
+    * force). Tuning/spec surface only. */
+  private[graft] def semanticDupFactor(s: SparkSession, d: String,
+      cells: Int = SemanticCells, probes: Int = SemanticProbes,
+      band: Double = SemanticBand): Double = {
+    val spark = s
+    import spark.implicits._
+    val groups = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .groupBy(col("embedding")).agg(min(col("vec_id")).as("rep"))
+    val (cents, cn) = sampleAndTrain(
+      Tables.embeddings(s, d).select(col("vec_id"), vec.as("v")), cells)
+    val bcC = spark.sparkContext.broadcast(cents)
+    val bcN = spark.sparkContext.broadcast(cn)
+    val counts = groups
+      .select(col("rep"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (_, v) =>
+        val vn = normA(v)
+        val sims = bcC.value.indices.map(c =>
+          (dotA(v, bcC.value(c)) / (vn * bcN.value(c)), c))
+          .sortBy { case (sim, c) => (-sim, c) }
+        val best = sims.head._1
+        sims.zipWithIndex.count { case ((sim, _), rank) =>
+          rank < probes || best - sim <= band }.toLong
+      }.toDF("n").agg(avg(col("n"))).head().getDouble(0)
+    counts
   }
 
   /** SRP band keys per vector — the banding stage shared by the full-corpus

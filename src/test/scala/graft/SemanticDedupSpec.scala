@@ -25,11 +25,13 @@ class SemanticDedupSpec extends AnyFunSuite {
     // included — identical embeddings are cos 1.0 pairs of the closure)
     assert(cellEdges.subsetOf(full),
       s"unsound extras: ${(cellEdges -- full).take(5)}")
-    // recall: only cross-cell pairs may be lost; on this fixture the
-    // 16-cell coarse partition keeps the large majority of exact pairs
+    // recall: only cross-cell pairs may be lost; the shipping (64-cell,
+    // p=5) multi-probe assignment measured 0.883 on this fixture — the
+    // bar holds the production promise (a SemDeDup under 0.8 under-dedups
+    // meaningfully; see the r8 verdict)
     val recall = cellEdges.size.toDouble / full.size
     info(f"within-cell recall at p=${Vectors.SemanticProbes}: $recall%.3f (${cellEdges.size}/${full.size} pairs)")
-    assert(recall >= 0.5, f"cell restriction recall $recall%.3f below bar")
+    assert(recall >= 0.8, f"cell restriction recall $recall%.3f below bar")
   }
 
   test("semantic verdicts: one row per doc, dup flags a subset of the exact family's") {
