@@ -886,6 +886,80 @@ object Vectors {
       .select(col("vec_id"), round(col("cos"), 4).as("cos_r"))
   }
 
+  /** Scale of the fixed-codebook integer quantization: embedding values
+    * (~±0.3 on this corpus) map to ⌊v·1000⌋ ∈ ~±300. */
+  private[operators] val PqFixedScale = 1000.0
+
+  /** The pinned integer codebook entry c(m, k, j) — pure arithmetic, no
+    * training, identical in both engines: ((37k + 11m + 7j) mod 19 − 9)·10
+    * ∈ [−90, 90], inside the quantized data range. */
+  private[graft] def fixedCodebookEntry(m: Int, k: Int, j: Int): Long =
+    (((k * 37 + m * 11 + j * 7) % 19) - 9) * 10L
+
+  /** Fixed-codebook PQ ADC — the ORACLE-GRADUATED member of the ANN
+    * family (r8 verdict #4). Floating-point k-means order keeps the
+    * trained keys rows-only; this key replaces training with the PINNED
+    * integer codebook and runs the ENTIRE serving path in exact Long
+    * arithmetic — quantize (⌊v·1000⌋) → per-subspace nearest-centroid
+    * encode (integer L2, tie → lower k) → ADC distance via the probe's
+    * lookup tables → top-10 by (adc asc, vec_id asc) — so the DuckDB
+    * oracle replays every step and hash-checks it (integer sums are
+    * order-independent, unlike the float dot products that make the
+    * trained family FP-order-sensitive). This is exactly the serving
+    * discipline the append path enforces (quantize against an immutable
+    * codebook, never retrain): what the oracle certifies here is the
+    * shared encode/ADC/top-k arithmetic of the whole PQ family. */
+  val annPqFixed: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val edf = Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
+    val e = edf.as[(Long, Array[Double])]
+    val probeV = edf.where(col("vec_id") === 0)
+      .select(col("v")).as[Array[Double]].head()
+    val sub = probeV.length / PqM
+    val pq = probeV.map(x => math.floor(x * PqFixedScale).toLong)
+    // integer ADC tables for the probe: t(m)(k) = Σ_j (pq_j − c_{m,k,j})²
+    val tables = Array.tabulate(PqM, PqK) { (m, k) =>
+      var t = 0L; var j = 0
+      while (j < sub) {
+        val dd = pq(m * sub + j) - fixedCodebookEntry(m, k, j)
+        t += dd * dd; j += 1
+      }
+      t
+    }
+    val bc = spark.sparkContext.broadcast(tables)
+    e.mapPartitions { iter =>
+      val t = bc.value
+      iter.flatMap { case (id, v) =>
+        if (id == 0L) None
+        else {
+          val sub2 = v.length / PqM
+          var adc = 0L
+          var m = 0
+          while (m < PqM) {
+            var bestD = Long.MaxValue; var bestK = 0
+            var k = 0
+            while (k < PqK) {
+              var d2 = 0L; var j = 0
+              while (j < sub2) {
+                val q = math.floor(v(m * sub2 + j) * PqFixedScale).toLong
+                val dd = q - fixedCodebookEntry(m, k, j)
+                d2 += dd * dd; j += 1
+              }
+              if (d2 < bestD) { bestD = d2; bestK = k }
+              k += 1
+            }
+            adc += t(m)(bestK)
+            m += 1
+          }
+          Some((id, adc))
+        }
+      }
+    }
+      .toDF("vec_id", "adc")
+      .orderBy(col("adc"), col("vec_id")).limit(10)
+  }
+
   /** Build a PERSISTED PQ index: codes table (vec_id + M byte codes — the
     * 32×-compressed scan body) and a `_pq_codebook` sidecar (m, k,
     * centroid), optionally alongside the full vectors for exact refinement.
@@ -1652,6 +1726,7 @@ object Vectors {
     "q_embed_neardup_srp" -> embedNeardupSrp,
     "q_ann_ivf"         -> annIvf,
     "q_ann_pq"          -> annPq,
+    "q_ann_pq_fixed"    -> annPqFixed,
     "q_ann_ivf_at_rest" -> annIvfAtRest,
     "q_ann_pq_at_rest"  -> annPqAtRest,
     "q_ann_ivfpq"       -> annIvfPq,
@@ -1665,6 +1740,35 @@ object Vectors {
   )
 
   val oracles: Map[String, String] = Map(
+    // full integer replay of the fixed-codebook PQ serving path: quantize,
+    // per-subspace argmin encode (tie -> lower k), ADC table lookup, top-k
+    "q_ann_pq_fixed" ->
+      """WITH e AS (
+        |  SELECT vec_id, j - 1 AS j,
+        |    CAST(floor(CAST(val AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM (SELECT vec_id, unnest(embedding) AS val,
+        |          generate_subscripts(embedding, 1) AS j FROM embeddings)),
+        |cb AS (
+        |  SELECT m, k, j,
+        |    CAST((((k*37 + m*11 + j*7) % 19) - 9) * 10 AS BIGINT) AS c
+        |  FROM (SELECT unnest(range(8)) AS m),
+        |       (SELECT unnest(range(16)) AS k),
+        |       (SELECT unnest(range(8)) AS j)),
+        |d2 AS (
+        |  SELECT e.vec_id, cb.m, cb.k,
+        |    CAST(sum((e.q - cb.c) * (e.q - cb.c)) AS BIGINT) AS d2
+        |  FROM e JOIN cb ON cb.m = e.j // 8 AND cb.j = e.j % 8
+        |  GROUP BY e.vec_id, cb.m, cb.k),
+        |codes AS (
+        |  SELECT vec_id, m, k,
+        |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+        |  FROM d2),
+        |t AS (SELECT m, k, d2 AS tv FROM d2 WHERE vec_id = 0)
+        |SELECT c.vec_id, CAST(sum(t.tv) AS BIGINT) AS adc
+        |FROM codes c JOIN t ON t.m = c.m AND t.k = c.k
+        |WHERE c.rn = 1 AND c.vec_id <> 0
+        |GROUP BY c.vec_id
+        |ORDER BY adc, vec_id LIMIT 10""".stripMargin,
     // the shared simhash pair fragment (blocks + Hamming ≤ 12 already
     // applied in sp) restricted to mixed (incoming-batch × at-rest) pairs;
     // closest match by (hamming, ref_id), sentinel 64 for clean docs

@@ -374,4 +374,38 @@ class VectorSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("HashAggregate"), "quantization must not aggregate")
   }
+
+  test("fixed-codebook PQ ADC equals an independent driver replay, deterministic") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val d = TestSpark.sf0001
+    val got = Vectors.annPqFixed(spark, d)
+      .as[(Long, Long)].collect().toSeq
+    assert(got.length == 10)
+    // independent replay: same pinned codebook, plain driver loops
+    val vecs = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Array[Double])].collect()
+    val probe = vecs.find(_._1 == 0L).get._2
+    val sub = probe.length / 8
+    def q(x: Double): Long = math.floor(x * 1000.0).toLong
+    def d2(v: Array[Double], m: Int, k: Int): Long = {
+      var t = 0L
+      for (j <- 0 until sub) {
+        val dd = q(v(m * sub + j)) - Vectors.fixedCodebookEntry(m, k, j)
+        t += dd * dd
+      }
+      t
+    }
+    val want = vecs.filter(_._1 != 0L).map { case (id, v) =>
+      val adc = (0 until 8).map { m =>
+        val bestK = (0 until 16).minBy(k => (d2(v, m, k), k))
+        d2(probe, m, bestK)
+      }.sum
+      (id, adc)
+    }.sortBy { case (id, adc) => (adc, id) }.take(10).toSeq
+    assert(got == want)
+    // two runs byte-equal (no training, no sampling — pure arithmetic)
+    assert(got == Vectors.annPqFixed(spark, d).as[(Long, Long)].collect().toSeq)
+  }
 }
