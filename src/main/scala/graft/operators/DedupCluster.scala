@@ -338,6 +338,23 @@ object DedupCluster {
     * q_simhash_dedup oracles use, so each clustering oracle always tests
     * the edge set its kernel actually produces. */
   val oracles: Map[String, String] = Map(
+    // r9 graduation of the LAST rows-only dedup key: the edge relation is
+    // the hash-checked MinHash-LSH candidate set (shared
+    // [[Vectors.minhashPairCte]], est_jaccard ≥ 0.5 ⇔ agreement m ≥ 16 —
+    // an INTEGER threshold, so the filter replays exactly), and the
+    // clustering is the same recursive-CTE closure the _exact sibling pins
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE ${Vectors.minhashPairCte},
+        |eC AS (SELECT id_a AS src, id_b AS dst FROM agree WHERE m >= 16
+        |       UNION SELECT id_b, id_a FROM agree WHERE m >= 16),
+        |nC AS (SELECT DISTINCT src AS id FROM eC),
+        |reachC(id, root) AS (
+        |  SELECT id, id FROM nC
+        |  UNION
+        |  SELECT eC.dst, r.root FROM reachC r JOIN eC ON eC.src = r.id),
+        |compC AS (SELECT id, min(root) AS comp FROM reachC GROUP BY id)
+        |SELECT comp, CAST(count(*) AS BIGINT) AS cluster_size, min(id) AS keep_doc_id
+        |FROM compC GROUP BY comp ORDER BY comp""".stripMargin,
     "q_dedup_clusters_exact" ->
       s"""WITH RECURSIVE ${Vectors.nearDupPairCte},
         |e AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
