@@ -784,6 +784,56 @@ object Streams {
       }
   }
 
+  /** EXACTLY-ONCE streaming ingest into an at-rest MinHash index layout
+    * (r8 verdict #7 — closes the screen → append → ingest loop with a
+    * crash-safe sink). `foreachBatch` is at-least-once: after a crash the
+    * last uncommitted micro-batch REPLAYS with the SAME batchId. The sink
+    * therefore writes every index row under a `batch_id=` partition with
+    * dynamic partition overwrite — a replay overwrites exactly its own
+    * partitions and nothing else, so delivery collapses to exactly-once at
+    * the index level, with no read-modify-write and no global lock: the
+    * idempotence key IS the directory name. Readers ([[graft.operators
+    * .Vectors.minhashScreenOf]]) see `batch_id` as one more discovered
+    * partition column and are unaffected. At 100 TB this is the standard
+    * idempotent-sink discipline: per-batch partitions also give retention
+    * (drop old batch dirs) and backfill (overwrite one batch) for free. */
+  def minhashIngestSink(spark: SparkSession, sfDir: String, idxDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream(spark, sfDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        ingestMinhashBatch(batch.sparkSession, idxDir, batch, batchId)
+      }
+      .start()
+
+  /** The idempotent batch writer behind [[minhashIngestSink]] — exposed so
+    * StreamingSpec can invoke a LITERAL replay (same batchId, same rows,
+    * twice) and pin byte-identical index state. */
+  def ingestMinhashBatch(s: SparkSession, idxDir: String, batch: DataFrame,
+      batchId: Long): Unit = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "dynamic")
+    try {
+      val sigs = graft.operators.Vectors
+        .minhashSigsOf(batch.select(col("doc_id"), col("text")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sigs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch_id", "band")
+        .parquet(s"$idxDir/banded")
+      sigs.select(col("doc_id"), col("sig"))
+        .withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch_id")
+        .parquet(s"$idxDir/sigs")
+      sigs.unpersist(blocking = false)
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
   /** Run a streaming DataFrame to completion against the replayed file
     * source and return the final result table (memory sink, complete or
     * update mode depending on the query). Used by tests and demos. */

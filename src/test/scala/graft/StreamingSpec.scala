@@ -380,6 +380,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("exactly-once index ingest: micro-batch replay leaves index state identical") {
+    val spark = TestSpark.spark
+    import org.apache.spark.sql.functions.{col => c}
+    val base = java.nio.file.Files.createTempDirectory("ingest").toString
+    val (idx, ckpt) = (s"$base/idx", s"$base/ckpt")
+
+    def state(): (Seq[Seq[Any]], Seq[Seq[Any]]) = (
+      spark.read.parquet(s"$idx/banded")
+        .select(c("doc_id"), c("band"), c("key"), c("batch_id"))
+        .orderBy(c("doc_id"), c("band")).collect().toSeq.map(_.toSeq),
+      spark.read.parquet(s"$idx/sigs")
+        .select(c("doc_id"), c("sig"), c("batch_id"))
+        .orderBy(c("doc_id")).collect().toSeq.map(_.toSeq))
+
+    // 1) the real stream: docs source → foreachBatch idempotent sink
+    val q1 = Streams.minhashIngestSink(spark, TestSpark.sf0001, idx, ckpt)
+    try q1.processAllAvailable() finally q1.stop()
+    val once = state()
+    assert(once._1.nonEmpty && once._2.nonEmpty)
+
+    // 2) crash replay: Structured Streaming re-delivers the last
+    // uncommitted micro-batch with the SAME batchId — invoke the sink
+    // function literally again (batchId 0, same rows). Dynamic partition
+    // overwrite must leave the index byte-identical, not doubled.
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(c("doc_id"), c("text"))
+    Streams.ingestMinhashBatch(spark, idx, docs, 0L)
+    assert(state() == once, "micro-batch replay changed index state")
+
+    // 3) restart against the same checkpoint: committed batches re-emit
+    // nothing — state still identical
+    val q2 = Streams.minhashIngestSink(spark, TestSpark.sf0001, idx, ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    assert(state() == once, "checkpoint restart re-emitted a committed batch")
+
+    // 4) readers are unaffected by the batch_id partition column: screening
+    // the ingested docs against the ingested index flags every doc as a
+    // dup of itself (perfect 32/32 self-agreement)
+    val verdicts = operators.Vectors.minhashScreenOf(spark, idx, docs)
+    assert(verdicts.where(c("is_dup") =!= 1).isEmpty)
+  }
+
   test("streaming funnel keyed state matches the batch ordered funnel") {
     val spark = TestSpark.spark
     val stream = Streams.eventsStream(spark, TestSpark.sf0001)
