@@ -272,8 +272,15 @@ object Relational {
     // builds — repeat invocations (bench min-of-N, verify replays, bucket
     // reuse) pay zero statistics jobs. Dataset statistics don't move under
     // a fixed dir; a changed dir is a new cache key.
-    val W = rangeWidthCache.computeIfAbsent((System.identityHashCode(s), d),
-      (_: (Int, String)) => {
+    // computed OUTSIDE the map lock (get / putIfAbsent — a rare race runs
+    // the statistics job twice and keeps the first, both identical), so an
+    // in-flight statistics job never blocks unrelated cache keys; same
+    // discipline as Bpe.merges
+    val wKey = (System.identityHashCode(s), d)
+    val W = {
+      val hit = rangeWidthCache.get(wKey)
+      if (hit != null) hit.doubleValue()
+      else {
         // each part's interval is [10p, 10.5p] — width 0.5·p_retailprice
         val st = liRaw
           .agg(min(col("price")).as("pmin"), max(col("price")).as("pmax"),
@@ -285,9 +292,12 @@ object Relational {
           else (math.max(st.getDouble(1) - st.getDouble(0), 1e-6),
             math.max(st.getLong(2), 1L))
         val wAvg = if (st.isNullAt(3)) range else st.getDouble(3)
-        java.lang.Double.valueOf(
+        val w = java.lang.Double.valueOf(
           math.min(1000.0, math.max(0.01, math.sqrt(wAvg * range / nLi.toDouble))))
-      }).doubleValue()
+        val prev = rangeWidthCache.putIfAbsent(wKey, w)
+        (if (prev != null) prev else w).doubleValue()
+      }
+    }
     val li = liRaw.select(col("price"), floor(col("price") / W).as("bkt"))
     val bucketAgg = li.groupBy(col("bkt"))
       .agg(count(lit(1)).as("bn"), sum(col("price")).as("bs"))

@@ -97,8 +97,8 @@ class SqlParitySpec extends AnyFunSuite {
       "q_knn_classify" -> vecDialect, "q_embed_centroid" ->
         (vecDialect + " + generate_subscripts"),
       "q_embed_neardup" -> vecDialect, "q_multimodal_join" -> vecDialect,
-      "q_multimodal_frames" -> "unnest(generate_series) frame explode",
-      "q_multimodal_features" -> "unnest(generate_series) byte explode",
+      "q_multimodal_frames" -> "unnest(range) pixel-generator explode + // integer division",
+      "q_multimodal_features" -> "unnest(range) pixel-generator explode + // integer division",
       "q_dedup_clusters_exact" -> (recursive + " (transitive closure)"),
       "q_embed_dedup_reps" -> (recursive + " (transitive closure)"),
       "q_neardup_keep_best" -> (recursive + " (transitive closure)"),
@@ -109,6 +109,9 @@ class SqlParitySpec extends AnyFunSuite {
       "q_simhash_screen_at_rest" -> (hugeint + "; " + recursive),
       "q_minhash_dedup_reps" -> (hugeint + "; " + recursive),
       "q_doc_fingerprint" -> hugeint,
+      "q_dedup_clusters" -> (hugeint + "; " + recursive),
+      "q_ann_pq_fixed" -> ("unnest(range) codebook cross join + " +
+        "// integer division + row_number argmin"),
       "q_bpe_train" -> ("MATERIALIZED CTEs + string_split_regex + " +
         "generate_subscripts + chr() (unrolled training stages)"),
       "q_bpe_tokenize" -> ("MATERIALIZED CTEs + string_split_regex + " +
@@ -124,8 +127,8 @@ class SqlParitySpec extends AnyFunSuite {
       "q_agg_cube" -> "grouping(a, b) multi-argument — Spark: grouping_id",
       "q_agg_gsets" -> "grouping(a, b) multi-argument — Spark: grouping_id",
       "q_cohort_retention" -> (epochT + " + // integer division"),
-      "q_multimodal_meta" -> "CAST(text AS BLOB) — Spark: BINARY",
-      "q_multimodal_resize" -> "CAST(text AS BLOB) + // integer division",
+      "q_multimodal_meta" -> "unnest(range) pixel-generator explode + // integer division",
+      "q_multimodal_resize" -> "unnest(range) pixel-generator explode + // integer division",
       "ref_gather_series" ->
         "first(x ORDER BY ...) ordered-aggregate syntax (Spark: window + struct min)",
       "ref_quantize_roundtrip" -> ("float32 promotion: Spark SQL evaluates " +
