@@ -38,6 +38,8 @@ object SparkEntry {
           ((s: SparkSession, d: String) => operators.DedupCluster.embedReps(s, d)),
         "q_semantic_dedup" ->
           ((s: SparkSession, d: String) => operators.DedupCluster.semanticReps(s, d)),
+        "q_semantic_dedup_fixed" ->
+          ((s: SparkSession, d: String) => operators.DedupCluster.semanticFixedReps(s, d)),
         "q_neardup_keep_best" ->
           ((s: SparkSession, d: String) => operators.DedupCluster.keepBest(s, d)))
 

@@ -281,6 +281,15 @@ object DedupCluster {
   def semanticReps(s: SparkSession, d: String): DataFrame =
     perDocVerdicts(s, d, Vectors.semanticCellEdges(s, d))
 
+  /** ORACLE-GRADUATED twin of [[semanticReps]]: identical verdict tail,
+    * edges from [[Vectors.semanticCellEdgesFixed]] — the pinned-integer-
+    * centroid assignment whose every step DuckDB replays, so the
+    * multi-probe ∪ within-cell ∪ star ∪ CC pipeline is hash-checked
+    * end-to-end (the trained sibling stays rows-only on FP-order k-means;
+    * this key certifies the shared downstream arithmetic). */
+  def semanticFixedReps(s: SparkSession, d: String): DataFrame =
+    perDocVerdicts(s, d, Vectors.semanticCellEdgesFixed(s, d))
+
   /** Near-dup family CANONICALIZATION: one row per exact-cosine near-dup
     * cluster, keeping the member with the highest quality score — the
     * production refinement of min-id representative selection. The reps
@@ -338,6 +347,62 @@ object DedupCluster {
     * q_simhash_dedup oracles use, so each clustering oracle always tests
     * the edge set its kernel actually produces. */
   val oracles: Map[String, String] = Map(
+    // fixed-centroid semantic dedup: pinned integer cell assignment
+    // (top-2 by integer L2, tie -> lower cell) replayed exactly; candidate
+    // pairs = any shared probed cell; within-cell exact cosine at the
+    // family threshold; then the shared CC + verdict tail. Replayed
+    // UNCONTRACTED (all vec pairs, not distinct-value reps): identical
+    // embeddings share cells and meet any threshold at cos = 1, so the
+    // closure equals the engine's star-contracted one.
+    "q_semantic_dedup_fixed" ->
+      s"""WITH RECURSIVE e0f AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |         CAST(embedding AS DOUBLE[]))) AS nrm
+        |  FROM embeddings),
+        |qf AS (
+        |  SELECT vec_id, j - 1 AS j,
+        |    CAST(floor(CAST(val AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM (SELECT vec_id, unnest(embedding) AS val,
+        |          generate_subscripts(embedding, 1) AS j FROM embeddings)),
+        |cbf AS (
+        |  SELECT c, j,
+        |    CAST((((c*41 + j*13) % 23) - 11) * 10 AS BIGINT) AS v
+        |  FROM (SELECT unnest(range(${Vectors.IvfFixedCells})) AS c),
+        |       (SELECT unnest(range(64)) AS j)),
+        |d2f AS (
+        |  SELECT qf.vec_id, cbf.c,
+        |    CAST(sum((qf.q - cbf.v) * (qf.q - cbf.v)) AS BIGINT) AS d2
+        |  FROM qf JOIN cbf ON cbf.j = qf.j
+        |  GROUP BY qf.vec_id, cbf.c),
+        |af AS (
+        |  SELECT vec_id, c,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+        |  FROM d2f),
+        |cf AS (SELECT vec_id, c FROM af WHERE rn <= ${Vectors.SemanticFixedProbes}),
+        |candf AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM cf a JOIN cf b ON a.c = b.c AND a.vec_id < b.vec_id),
+        |pf AS (
+        |  SELECT c.id_a, c.id_b FROM candf c
+        |  JOIN e0f a ON a.vec_id = c.id_a
+        |  JOIN e0f b ON b.vec_id = c.id_b
+        |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= ${Vectors.NearDupThreshold}),
+        |ef AS (SELECT id_a AS src, id_b AS dst FROM pf UNION SELECT id_b, id_a FROM pf),
+        |nf AS (SELECT DISTINCT src AS id FROM ef),
+        |reachf(id, root) AS (
+        |  SELECT id, id FROM nf
+        |  UNION
+        |  SELECT ef.dst, r.root FROM reachf r JOIN ef ON ef.src = r.id),
+        |compf AS (SELECT id, min(root) AS comp FROM reachf GROUP BY id),
+        |lab AS (
+        |  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_rep
+        |  FROM documents d LEFT JOIN compf c ON c.id = d.doc_id),
+        |sz AS (SELECT cluster_rep, CAST(count(*) AS BIGINT) AS n_dups
+        |       FROM lab GROUP BY cluster_rep)
+        |SELECT lab.doc_id, lab.cluster_rep, sz.n_dups,
+        |  CAST(CASE WHEN lab.doc_id <> lab.cluster_rep THEN 1 ELSE 0 END AS INT) AS is_dup
+        |FROM lab JOIN sz USING (cluster_rep) ORDER BY doc_id""".stripMargin,
     // r9 graduation of the LAST rows-only dedup key: the edge relation is
     // the hash-checked MinHash-LSH candidate set (shared
     // [[Vectors.minhashPairCte]], est_jaccard ≥ 0.5 ⇔ agreement m ≥ 16 —

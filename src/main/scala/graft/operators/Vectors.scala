@@ -960,6 +960,131 @@ object Vectors {
       .orderBy(col("adc"), col("vec_id")).limit(10)
   }
 
+  /** Cell count of the fixed-centroid IVF / semantic-dedup oracle keys. */
+  private[graft] val IvfFixedCells = 16
+
+  /** The pinned integer IVF centroid entry c(cell, j) — pure arithmetic,
+    * no training, identical in both engines (the coarse-quantizer sibling
+    * of [[fixedCodebookEntry]]): ((41·cell + 13·j) mod 23 − 11)·10 ∈
+    * [−110, 110], inside the ⌊v·1000⌋ ∈ ~±300 quantized data range. */
+  private[graft] def fixedCellEntry(c: Int, j: Int): Long =
+    (((c * 41 + j * 13) % 23) - 11) * 10L
+
+  /** Quantize a vector to the fixed integer grid shared by the
+    * fixed-codebook keys: ⌊v·1000⌋ per coordinate (float→double is exact,
+    * ×1000 and floor are IEEE-identical across engines). */
+  private def quantizeFixed(v: Array[Double]): Array[Long] = {
+    val q = new Array[Long](v.length)
+    var j = 0
+    while (j < v.length) { q(j) = math.floor(v(j) * PqFixedScale).toLong; j += 1 }
+    q
+  }
+
+  /** Integer squared L2 between a quantized vector and pinned cell `c`. */
+  private def fixedCellD2(q: Array[Long], c: Int): Long = {
+    var d2 = 0L; var j = 0
+    while (j < q.length) {
+      val dd = q(j) - fixedCellEntry(c, j)
+      d2 += dd * dd; j += 1
+    }
+    d2
+  }
+
+  /** Top-`p` fixed cells of a quantized vector by (integer L2 asc, cell
+    * asc) — the deterministic assignment shared by [[annIvfFixed]] and
+    * [[semanticCellEdgesFixed]]. */
+  private def fixedCellsTopP(q: Array[Long], p: Int): Array[Int] =
+    (0 until IvfFixedCells).map(c => (fixedCellD2(q, c), c))
+      .sortBy(identity).take(p).map(_._2).toArray
+
+  /** Fixed-centroid IVF — the second ORACLE-GRADUATED ANN key (r8 verdict
+    * #4's "convert some of the 7 rows-only ANN keys", extending
+    * [[annPqFixed]] from the PQ half of the family to the coarse-quantizer
+    * half): the pinned integer centroids [[fixedCellEntry]] replace the
+    * trained codebook, and the ENTIRE IVF serving path runs in exact Long
+    * arithmetic — quantize (⌊v·1000⌋) → nearest-cell assignment (integer
+    * L2, tie → lower cell) → nProbe=4 probed cells for the query vector →
+    * in-cell exact integer L2 ranking → top-10 by (d2 asc, vec_id asc).
+    * Every step is DuckDB-replayable, so what the oracle certifies is the
+    * assignment/probe/rank arithmetic shared with the trained [[annIvf]] /
+    * [[queryIvfIndex]] family (whose k-means stays FP-order rows-only).
+    * Same single-pass shape as [[annIvf]]: assign, filter to probed cells,
+    * score — one stage before the global top-k. */
+  val annIvfFixed: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val edf = Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
+    val e = edf.as[(Long, Array[Double])]
+    val probeQ = quantizeFixed(edf.where(col("vec_id") === 0)
+      .select(col("v")).as[Array[Double]].head())
+    val probed = fixedCellsTopP(probeQ, 4).toSet
+    val bc = spark.sparkContext.broadcast((probeQ, probed))
+    e.mapPartitions { iter =>
+      val (pq, cells) = bc.value
+      iter.flatMap { case (id, v) =>
+        if (id == 0L) None
+        else {
+          val q = quantizeFixed(v)
+          if (!cells.contains(fixedCellsTopP(q, 1)(0))) None
+          else {
+            var d2 = 0L; var j = 0
+            while (j < q.length) {
+              val dd = q(j) - pq(j); d2 += dd * dd; j += 1
+            }
+            Some((id, d2))
+          }
+        }
+      }
+    }
+      .toDF("vec_id", "d2")
+      .orderBy(col("d2"), col("vec_id")).limit(10)
+  }
+
+  /** Multi-probe count of the fixed-centroid semantic dedup key: p=2 keeps
+    * the DuckDB replay quadratic-within-cell mass bounded while still
+    * exercising the multi-probe union semantics of the shipping
+    * [[semanticCellEdges]]. */
+  private[graft] val SemanticFixedProbes = 2
+
+  /** Fixed-centroid twin of [[semanticCellEdges]] — the ORACLE-GRADUATED
+    * member of the semantic-dedup family: the trained coarse k-means is
+    * replaced by the pinned integer centroids [[fixedCellEntry]], so the
+    * cell assignment (top-p by integer L2, tie → lower cell) is exact
+    * arithmetic both engines replay bit-identically, and the ONLY float
+    * surface left is the within-cell cosine threshold the oracle-checked
+    * q_embed_neardup family already certifies. What this key pins that the
+    * trained sibling can't: the multi-probe union, the within-cell
+    * restriction, and the star + CC verdict tail — end-to-end under a hash
+    * compare. (The pinned cells are hash-partitions, not semantic
+    * clusters; recall quality remains the TRAINED key's spec-measured
+    * claim. The two keys share every downstream stage.)
+    *
+    * Star edges and the distinct-value contraction are unchanged: identical
+    * embeddings share cells by construction (assignment is a function of
+    * the value), so the contracted closure equals the uncontracted
+    * within-cell closure the oracle computes — the [[DedupCluster]]
+    * star-contraction argument verbatim. */
+  private[graft] def semanticCellEdgesFixed(s: SparkSession, d: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val groups = e.groupBy(col("embedding")).agg(min(col("vec_id")).as("rep"))
+    val star = e.join(groups, Seq("embedding"))
+      .where(col("vec_id") =!= col("rep"))
+      .select(col("vec_id").as("id_a"), col("rep").as("id_b"))
+    val celled = groups
+      .select(col("rep"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Array[Double])]
+      .flatMap { case (id, v) =>
+        fixedCellsTopP(quantizeFixed(v), SemanticFixedProbes)
+          .map(c => (c, id, v))
+      }
+    val inter = blockedCosinePairs(celled, NearDupThreshold)
+      .select(col("id_a"), col("id_b"))
+      .distinct() // a pair can share both probed cells
+    star.union(inter)
+  }
+
   /** Build a PERSISTED PQ index: codes table (vec_id + M byte codes — the
     * 32×-compressed scan body) and a `_pq_codebook` sidecar (m, k,
     * centroid), optionally alongside the full vectors for exact refinement.
@@ -1727,6 +1852,7 @@ object Vectors {
     "q_ann_ivf"         -> annIvf,
     "q_ann_pq"          -> annPq,
     "q_ann_pq_fixed"    -> annPqFixed,
+    "q_ann_ivf_fixed"   -> annIvfFixed,
     "q_ann_ivf_at_rest" -> annIvfAtRest,
     "q_ann_pq_at_rest"  -> annPqAtRest,
     "q_ann_ivfpq"       -> annIvfPq,
@@ -1740,6 +1866,41 @@ object Vectors {
   )
 
   val oracles: Map[String, String] = Map(
+    // full integer replay of the fixed-centroid IVF serving path: quantize,
+    // nearest-cell assignment (tie -> lower cell), nProbe=4 probed cells
+    // for the vec 0 query, in-cell exact integer L2 rank, top-10
+    "q_ann_ivf_fixed" ->
+      """WITH e AS (
+        |  SELECT vec_id, j - 1 AS j,
+        |    CAST(floor(CAST(val AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM (SELECT vec_id, unnest(embedding) AS val,
+        |          generate_subscripts(embedding, 1) AS j FROM embeddings)),
+        |cb AS (
+        |  SELECT c, j,
+        |    CAST((((c*41 + j*13) % 23) - 11) * 10 AS BIGINT) AS v
+        |  FROM (SELECT unnest(range(16)) AS c),
+        |       (SELECT unnest(range(64)) AS j)),
+        |d2 AS (
+        |  SELECT e.vec_id, cb.c,
+        |    CAST(sum((e.q - cb.v) * (e.q - cb.v)) AS BIGINT) AS d2
+        |  FROM e JOIN cb ON cb.j = e.j
+        |  GROUP BY e.vec_id, cb.c),
+        |assign AS (
+        |  SELECT vec_id, c,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+        |  FROM d2),
+        |cells AS (SELECT vec_id, c FROM assign WHERE rn = 1),
+        |probecells AS (SELECT c FROM assign WHERE vec_id = 0 AND rn <= 4),
+        |pq AS (SELECT j, q FROM e WHERE vec_id = 0),
+        |pd AS (
+        |  SELECT e.vec_id,
+        |    CAST(sum((e.q - pq.q) * (e.q - pq.q)) AS BIGINT) AS d2
+        |  FROM e JOIN pq ON pq.j = e.j
+        |  WHERE e.vec_id <> 0 GROUP BY e.vec_id)
+        |SELECT pd.vec_id, pd.d2
+        |FROM pd JOIN cells ON cells.vec_id = pd.vec_id
+        |JOIN probecells p ON p.c = cells.c
+        |ORDER BY pd.d2, pd.vec_id LIMIT 10""".stripMargin,
     // full integer replay of the fixed-codebook PQ serving path: quantize,
     // per-subspace argmin encode (tie -> lower k), ADC table lookup, top-k
     "q_ann_pq_fixed" ->

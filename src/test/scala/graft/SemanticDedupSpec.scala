@@ -48,4 +48,36 @@ class SemanticDedupSpec extends AnyFunSuite {
     val again = DedupCluster.semanticReps(spark, d).collect()
     assert(sem.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("fixed-centroid semantic edges are sound; verdicts match a driver closure") {
+    val spark = TestSpark.spark
+    val d = TestSpark.sf0001
+    val full = pairSet(Vectors.embedNeardupPairs(spark, d))
+    val fixedEdges = pairSet(Vectors.semanticCellEdgesFixed(spark, d))
+    assert(fixedEdges.nonEmpty)
+    // soundness: the pinned-cell restriction only ever DROPS true pairs
+    assert(fixedEdges.subsetOf(full),
+      s"unsound extras: ${(fixedEdges -- full).take(5)}")
+    // the verdict tail replayed as a plain driver union-find over the edges
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    fixedEdges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val verdicts = DedupCluster.semanticFixedReps(spark, d).collect()
+    val nDocs = Tables.documents(spark, d).count()
+    assert(verdicts.length == nDocs)
+    verdicts.foreach { r =>
+      val (id, rep) = (r.getLong(0), r.getLong(1))
+      assert(rep == find(id), s"doc $id: rep $rep != driver ${find(id)}")
+      assert((r.getInt(3) == 1) == (id != rep))
+    }
+    // determinism: pure pinned arithmetic — two runs byte-equal
+    val again = DedupCluster.semanticFixedReps(spark, d).collect()
+    assert(verdicts.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }

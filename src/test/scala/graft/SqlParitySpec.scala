@@ -112,6 +112,10 @@ class SqlParitySpec extends AnyFunSuite {
       "q_dedup_clusters" -> (hugeint + "; " + recursive),
       "q_ann_pq_fixed" -> ("unnest(range) codebook cross join + " +
         "// integer division + row_number argmin"),
+      "q_ann_ivf_fixed" -> ("unnest(range) centroid cross join + " +
+        "row_number argmin/probe ranking"),
+      "q_semantic_dedup_fixed" -> ("unnest(range) centroid cross join + " +
+        "row_number multi-probe + " + vecDialect + "; " + recursive),
       "q_bpe_train" -> ("MATERIALIZED CTEs + string_split_regex + " +
         "generate_subscripts + chr() (unrolled training stages)"),
       "q_bpe_tokenize" -> ("MATERIALIZED CTEs + string_split_regex + " +

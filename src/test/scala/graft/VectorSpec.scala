@@ -408,4 +408,43 @@ class VectorSpec extends AnyFunSuite {
     // two runs byte-equal (no training, no sampling — pure arithmetic)
     assert(got == Vectors.annPqFixed(spark, d).as[(Long, Long)].collect().toSeq)
   }
+
+  test("fixed-centroid IVF equals an independent driver replay, deterministic") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val d = TestSpark.sf0001
+    val got = Vectors.annIvfFixed(spark, d)
+      .as[(Long, Long)].collect().toSeq
+    assert(got.length == 10)
+    // independent replay: same pinned centroids, plain driver loops
+    val vecs = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Array[Double])].collect()
+    def q(v: Array[Double]): Array[Long] =
+      v.map(x => math.floor(x * 1000.0).toLong)
+    def cellD2(qv: Array[Long], c: Int): Long =
+      qv.indices.map { j =>
+        val dd = qv(j) - Vectors.fixedCellEntry(c, j); dd * dd
+      }.sum
+    def assign(qv: Array[Long]): Int =
+      (0 until Vectors.IvfFixedCells).minBy(c => (cellD2(qv, c), c))
+    val probeQ = q(vecs.find(_._1 == 0L).get._2)
+    val probed = (0 until Vectors.IvfFixedCells)
+      .sortBy(c => (cellD2(probeQ, c), c)).take(4).toSet
+    val want = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => (id, q(v)) }
+      .filter { case (_, qv) => probed.contains(assign(qv)) }
+      .map { case (id, qv) =>
+        (id, qv.indices.map { j =>
+          val dd = qv(j) - probeQ(j); dd * dd
+        }.sum)
+      }
+      .sortBy { case (id, d2) => (d2, id) }.take(10).toSeq
+    assert(got == want)
+    // probed cells genuinely restrict the scan (IVF semantics, not a
+    // brute-force pass in disguise): some vector falls outside them
+    assert(vecs.exists { case (id, v) => id != 0L && !probed.contains(assign(q(v))) })
+    // two runs byte-equal (no training, no sampling — pure arithmetic)
+    assert(got == Vectors.annIvfFixed(spark, d).as[(Long, Long)].collect().toSeq)
+  }
 }
