@@ -1526,22 +1526,35 @@ object Vectors {
     * persisted [[writeMinhashIndex]] layout — extracted so the production
     * ingest loop (screen → [[appendMinhashIndex]] the verified-novel batch
     * → screen the next batch) is a first-class surface, not just the
-    * fixed-source suite key. `newDocs` needs (doc_id, text). */
-  def minhashScreenOf(s: SparkSession, idx: String, newDocs: DataFrame): DataFrame = {
+    * fixed-source suite key. `newDocs` needs (doc_id, text).
+    *
+    * `excludeBatchId`: when the index carries the exactly-once ingest
+    * sink's `batch_id` partition column, a crash REPLAY of micro-batch N
+    * screens against an index that already contains N's own partitions
+    * from the crashed attempt — the batch would flag itself. Passing the
+    * current batch id prunes those partitions (a partition filter, so the
+    * replay never even lists them) and restores replay idempotence. */
+  def minhashScreenOf(s: SparkSession, idx: String, newDocs: DataFrame,
+      excludeBatchId: Option[Long] = None): DataFrame = {
     val spark = s
     import spark.implicits._
+    def notOwnBatch(df: DataFrame): DataFrame = excludeBatchId match {
+      case Some(b) if df.columns.contains("batch_id") =>
+        df.where(col("batch_id") =!= b)
+      case _ => df
+    }
     // lazy persist, reclaimed by the ContextCleaner (same note as minhashSigs)
     val newSigs = minhashSigsOf(newDocs)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probe = newSigs.select(col("doc_id").as("new_id"),
       posexplode(col("bands")).as(Seq("band", "key")))
-    val banded = s.read.parquet(s"$idx/banded")
+    val banded = notOwnBatch(s.read.parquet(s"$idx/banded"))
       .select(col("doc_id").as("ref_id"), col("band"), col("key"))
     val cand = probe.join(banded, Seq("band", "key"))
       .select(col("new_id"), col("ref_id")).distinct()
     val scored = cand
       .join(newSigs.select(col("doc_id").as("new_id"), col("sig").as("sig_n")), Seq("new_id"))
-      .join(s.read.parquet(s"$idx/sigs")
+      .join(notOwnBatch(s.read.parquet(s"$idx/sigs"))
         .select(col("doc_id").as("ref_id"), col("sig").as("sig_r")), Seq("ref_id"))
       .select(col("new_id"), col("ref_id"), col("sig_n"), col("sig_r"))
       .as[(Long, Long, Array[Long], Array[Long])]

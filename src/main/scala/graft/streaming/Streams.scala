@@ -370,31 +370,37 @@ object Streams {
     * StreamingSpec asserts row-exact replay equality. */
   def gopherGateStream(spark: SparkSession, sfDir: String): Dataset[GopherSnap] = {
     import spark.implicits._
-    import graft.operators.Text
     docsStream(spark, sfDir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
-        val ws = graft.functions.Tok.tokenize(text)
-        val counts = new java.util.HashMap[String, Long]()
-        var chars = 0L
-        ws.foreach { w =>
-          counts.merge(w, 1L, (a, b) => a + b); chars += w.length
-        }
-        val nTokens = ws.length.toLong
-        var topCnt = 0L
-        counts.values().forEach(c => if (c > topCnt) topCnt = c)
-        val nDistinct = counts.size.toLong
-        // exact integer-derived doubles, same arithmetic as the batch
-        // columns (sum(len*c)/sum(c) over longs)
-        val mwl = chars.toDouble / nTokens
-        val fLen = if (nTokens >= Text.GopherMinTokens && nTokens <= Text.GopherMaxTokens) 1L else 0L
-        val fMwl = if (mwl >= Text.GopherMinMwl && mwl <= Text.GopherMaxMwl) 1L else 0L
-        val fRep = if (topCnt.toDouble / nTokens <= Text.GopherMaxTopFrac) 1L else 0L
-        val fDr  = if (nDistinct.toDouble / nTokens >= Text.GopherMinDistinctRatio) 1L else 0L
-        GopherSnap(id, nTokens,
-          BigDecimal(mwl).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
-          fLen, fMwl, fRep, fDr, fLen * fMwl * fRep * fDr)
-      }
+      .map { case (id, text) => gopherSnapOf(id, text) }
+  }
+
+  /** The per-document Gopher scoring kernel behind [[gopherGateStream]] and
+    * the [[curateMicroBatch]] quality gate — one definition so the stream
+    * twin, the incremental curation sink and (via the shared [[graft
+    * .operators.Text]] threshold constants) the batch rules cannot fork. */
+  private[graft] def gopherSnapOf(id: Long, text: String): GopherSnap = {
+    import graft.operators.Text
+    val ws = graft.functions.Tok.tokenize(text)
+    val counts = new java.util.HashMap[String, Long]()
+    var chars = 0L
+    ws.foreach { w =>
+      counts.merge(w, 1L, (a, b) => a + b); chars += w.length
+    }
+    val nTokens = ws.length.toLong
+    var topCnt = 0L
+    counts.values().forEach(c => if (c > topCnt) topCnt = c)
+    val nDistinct = counts.size.toLong
+    // exact integer-derived doubles, same arithmetic as the batch
+    // columns (sum(len*c)/sum(c) over longs)
+    val mwl = chars.toDouble / nTokens
+    val fLen = if (nTokens >= Text.GopherMinTokens && nTokens <= Text.GopherMaxTokens) 1L else 0L
+    val fMwl = if (mwl >= Text.GopherMinMwl && mwl <= Text.GopherMaxMwl) 1L else 0L
+    val fRep = if (topCnt.toDouble / nTokens <= Text.GopherMaxTopFrac) 1L else 0L
+    val fDr  = if (nDistinct.toDouble / nTokens >= Text.GopherMinDistinctRatio) 1L else 0L
+    GopherSnap(id, nTokens,
+      BigDecimal(mwl).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      fLen, fMwl, fRep, fDr, fLen * fMwl * fRep * fDr)
   }
 
   /** Streaming twin of the overlapping token-window chunker
@@ -827,6 +833,122 @@ object Streams {
         .withColumn("batch_id", lit(batchId))
         .write.mode("overwrite").partitionBy("batch_id")
         .parquet(s"$idxDir/sigs")
+      sigs.unpersist(blocking = false)
+    } finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None    => s.conf.unset(key)
+    }
+  }
+
+  /** Streaming INCREMENTAL CURATION — the production micro-batch form of
+    * the flagship [[graft.operators.CorpusCurate]] pipeline: each arriving
+    * batch of documents is quality-gated, deduped within itself, screened
+    * against the at-rest near-dup index of everything accepted so far, and
+    * the accepted remainder is committed exactly-once AND ingested into
+    * that index — so batch N+1 dedups against batches 0..N without ever
+    * rescanning them. Composed ENTIRELY from verified kernels:
+    * [[gopherSnapOf]] (the q_gopher_rules arithmetic), md5 min-id exact
+    * dedup (q_exact_dedup's rule), [[graft.operators.Vectors
+    * .minhashSigsOf]] + the [[DedupCluster.MinhashRepsMinAgree]] agreement
+    * floor (the q_minhash_* family), [[graft.operators.Vectors
+    * .minhashScreenOf]] (the at-rest screen), and [[ingestMinhashBatch]]'s
+    * batch-id-partitioned exactly-once sink discipline.
+    *
+    * Delivery contract: both writes (accepted docs, index rows) land under
+    * `batch_id=N` partitions with dynamic partition overwrite, and the
+    * screen EXCLUDES the current batch's own partitions
+    * (`excludeBatchId`) — so a crash replay recomputes the identical
+    * accepted set and overwrites exactly its own partitions: exactly-once
+    * at the output level, self-healing even when the crash lands between
+    * the two writes. Dedup semantics are FIRST-ARRIVAL-WINS across batches
+    * (the streaming analogue of batch min-id-wins; identical when ids
+    * arrive in order) and min-id-wins within a batch.
+    *
+    * 100 TB shape: every stage is scan-parallel over the BATCH only — the
+    * at-rest corpus is touched solely through the banded signature index
+    * (~300 bytes/doc, band-partitioned), text never moves after the
+    * batch's own scan, and the within-batch pair stage is banded, never
+    * all-pairs. */
+  def curateIngestSink(spark: SparkSession, sfDir: String, idxDir: String,
+      outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream(spark, sfDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        curateMicroBatch(batch.sparkSession, idxDir, outDir, batch, batchId)
+      }
+      .start()
+
+  /** The idempotent micro-batch body of [[curateIngestSink]] — exposed so
+    * StreamingSpec can drive explicit batch splits and a LITERAL crash
+    * replay (same batchId twice) and pin byte-identical output + index. */
+  def curateMicroBatch(s: SparkSession, idxDir: String, outDir: String,
+      batch: DataFrame, batchId: Long): Unit = {
+    import s.implicits._
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "dynamic")
+    try {
+      // A. stateless quality gate — the per-doc Gopher kernel
+      val gated = batch.select(col("doc_id"), col("text")).as[(Long, String)]
+        .map { case (id, t) => (id, t, gopherSnapOf(id, t).keep) }
+        .toDF("doc_id", "text", "keep")
+        .where(col("keep") === 1).drop("keep")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // B. within-batch exact dedup: min-id representative per md5(text)
+      val exactRep = gated
+        .groupBy(md5(col("text")).as("digest"))
+        .agg(min(col("doc_id")).as("rep"))
+      val exact = gated.withColumn("digest", md5(col("text")))
+        .join(exactRep, Seq("digest"))
+        .where(col("doc_id") === col("rep"))
+        .select(col("doc_id"), col("text"))
+      // C. within-batch near-dup: banded candidates among the exact
+      // survivors, verified at the family's integer agreement floor; the
+      // HIGHER id of any verified pair drops (min-id-wins, witness-greedy:
+      // a doc with any lower-id near-dup never survives, so acceptance is
+      // order-free and replay-deterministic)
+      val sigs = graft.operators.Vectors.minhashSigsOf(exact)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bprobe = sigs.select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band", "key")))
+      val pairs = bprobe.select(col("band"), col("key"), col("doc_id").as("id_a"))
+        .join(bprobe.select(col("band"), col("key"), col("doc_id").as("id_b")),
+          Seq("band", "key"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      val dropped = pairs
+        .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+        .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        .as[(Long, Long, Array[Long], Array[Long])] // (id_b, id_a, sig_a, sig_b)
+        .map { case (b, _, s1, s2) =>
+          var i = 0; var m = 0
+          while (i < s1.length) { if (s1(i) == s2(i)) m += 1; i += 1 }
+          (b, m.toLong)
+        }
+        .toDF("doc_id", "m")
+        .where(col("m") >= graft.operators.DedupCluster.MinhashRepsMinAgree)
+        .select(col("doc_id")).distinct()
+      val batchSurvivors = exact.join(dropped, Seq("doc_id"), "left_anti")
+      // D. at-rest screen vs everything accepted in PRIOR batches — skipped
+      // on the very first batch (no index yet); the current batch's own
+      // partitions are pruned so a crash replay cannot flag itself
+      val hasIndex = new java.io.File(s"$idxDir/banded").isDirectory
+      val accepted =
+        if (!hasIndex) batchSurvivors
+        else {
+          val flagged = graft.operators.Vectors
+            .minhashScreenOf(s, idxDir, batchSurvivors, Some(batchId))
+            .where(col("is_dup") === 1).select(col("doc_id"))
+          batchSurvivors.join(flagged, Seq("doc_id"), "left_anti")
+        }
+      // E. exactly-once accepted-docs commit + index ingest, both keyed by
+      // the batch-id partition (the idempotence key IS the directory name)
+      accepted.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
+      ingestMinhashBatch(s, idxDir, accepted, batchId)
+      gated.unpersist(blocking = false)
       sigs.unpersist(blocking = false)
     } finally prev match {
       case Some(v) => s.conf.set(key, v)

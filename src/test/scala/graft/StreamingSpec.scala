@@ -422,6 +422,77 @@ class StreamingSpec extends AnyFunSuite {
     assert(verdicts.where(c("is_dup") =!= 1).isEmpty)
   }
 
+  test("incremental curation sink: gates + within/cross-batch dedup, exactly-once replay") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    val base = java.nio.file.Files.createTempDirectory("curate").toString
+    val (idx, out) = (s"$base/idx", s"$base/out")
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(c("doc_id"), c("text"))
+    val split = 250L
+    Streams.curateMicroBatch(spark, idx, out, docs.where(c("doc_id") < split), 0L)
+    val acc0 = spark.read.parquet(out).select(c("doc_id")).as[Long].collect().sorted
+    assert(acc0.nonEmpty)
+    // batch 1 carries a verbatim CLONE (fresh id) of an accepted batch-0
+    // doc — the cross-batch dedup witness
+    val cloneText = docs.where(c("doc_id") === acc0.head)
+      .select(c("text")).collect()(0).getString(0)
+    val b1 = docs.where(c("doc_id") >= split)
+      .union(Seq((100000L, cloneText)).toDF("doc_id", "text"))
+    Streams.curateMicroBatch(spark, idx, out, b1, 1L)
+    def state(): (Seq[Seq[Any]], Seq[Seq[Any]]) = (
+      spark.read.parquet(out).select(c("doc_id"), c("batch_id"))
+        .orderBy(c("doc_id")).collect().toSeq.map(_.toSeq),
+      spark.read.parquet(s"$idx/sigs").select(c("doc_id"), c("batch_id"))
+        .orderBy(c("doc_id")).collect().toSeq.map(_.toSeq))
+    val once = state()
+    val accepted = spark.read.parquet(out)
+      .select(c("doc_id"), c("text")).collect()
+    // cross-batch dedup: the clone was screened out by the ingested index
+    assert(!accepted.map(_.getLong(0)).contains(100000L),
+      "clone of an accepted prior-batch doc must be screened out")
+    // quality gate: every accepted doc passes the shared Gopher kernel
+    accepted.foreach { r =>
+      assert(Streams.gopherSnapOf(r.getLong(0), r.getString(1)).keep == 1L)
+    }
+    // exact dedup: no two accepted docs share a text
+    assert(accepted.map(_.getString(1)).distinct.length == accepted.length)
+    // near-dup contract: no accepted pair is a banded candidate at >= the
+    // family agreement floor (the same candidate relation the q_minhash_*
+    // family verifies: >= 1 shared band, then exact agreement)
+    val sigRows = graft.operators.Vectors
+      .minhashSigsOf(spark.read.parquet(out).select(c("doc_id"), c("text")))
+      .select(c("doc_id"), c("bands"), c("sig"))
+      .as[(Long, Array[Long], Array[Long])].collect()
+    for (i <- sigRows.indices; j <- i + 1 until sigRows.length) {
+      val shareBand = sigRows(i)._2.zip(sigRows(j)._2).exists { case (x, y) => x == y }
+      if (shareBand) {
+        val m = sigRows(i)._3.zip(sigRows(j)._3).count { case (x, y) => x == y }
+        assert(m < graft.operators.DedupCluster.MinhashRepsMinAgree,
+          s"accepted near-dup pair ${sigRows(i)._1}/${sigRows(j)._1} at m=$m")
+      }
+    }
+    // exactly-once: a literal crash replay of batch 1 (same batchId, same
+    // rows, index already containing batch 1's own partitions) leaves
+    // accepted output AND index state byte-identical
+    Streams.curateMicroBatch(spark, idx, out, b1, 1L)
+    assert(state() == once, "micro-batch replay changed curation state")
+    // end-to-end stream form: the file source delivers the corpus as one
+    // micro-batch; result equals the direct single-batch invocation
+    val base2 = java.nio.file.Files.createTempDirectory("curate2").toString
+    val q = Streams.curateIngestSink(spark, TestSpark.sf0001,
+      s"$base2/idx", s"$base2/out", s"$base2/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    val streamAcc = spark.read.parquet(s"$base2/out")
+      .select(c("doc_id")).as[Long].collect().sorted.toSeq
+    val base3 = java.nio.file.Files.createTempDirectory("curate3").toString
+    Streams.curateMicroBatch(spark, s"$base3/idx", s"$base3/out", docs, 0L)
+    val directAcc = spark.read.parquet(s"$base3/out")
+      .select(c("doc_id")).as[Long].collect().sorted.toSeq
+    assert(streamAcc == directAcc)
+  }
+
   test("streaming funnel keyed state matches the batch ordered funnel") {
     val spark = TestSpark.spark
     val stream = Streams.eventsStream(spark, TestSpark.sf0001)
