@@ -54,11 +54,8 @@ object Multimodal {
   /** Hand-written 24bpp BMP encoder: 54-byte header, bottom-up rows padded
     * to 4 bytes, BGR byte order — deterministic output, so blob length
     * (54 + H·⌈3W/4⌉·4) is oracle arithmetic. */
-  private[graft] def encodeBmp(img: BufferedImage): Array[Byte] = {
-    val w = img.getWidth; val h = img.getHeight
-    val rowSize = (3 * w + 3) / 4 * 4
-    val dataSize = rowSize * h
-    val out = new Array[Byte](54 + dataSize)
+  private def writeBmpHeader(out: Array[Byte], w: Int, h: Int,
+      dataSize: Int): Unit = {
     def put32(off: Int, v: Int): Unit = {
       out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
       out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
@@ -68,6 +65,27 @@ object Multimodal {
     put32(14, 40); put32(18, w); put32(22, h)
     out(26) = 1; out(28) = 24
     put32(34, dataSize); put32(38, 2835); put32(42, 2835)
+  }
+
+  private[graft] def encodeBmp(img: BufferedImage): Array[Byte] = {
+    val w = img.getWidth; val h = img.getHeight
+    val rowSize = (3 * w + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val out = new Array[Byte](54 + dataSize)
+    writeBmpHeader(out, w, h, dataSize)
+    if (img.getType == BufferedImage.TYPE_3BYTE_BGR &&
+        img.getRaster.getDataBuffer.getSize == 3 * w * h) {
+      // densely-packed BGR raster: BMP rows are the same B,G,R triples —
+      // one arraycopy per row (bottom-up reorder), no per-pixel calls
+      val src = img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferByte].getData
+      var y = 0
+      while (y < h) {
+        System.arraycopy(src, y * 3 * w, out, 54 + (h - 1 - y) * rowSize, 3 * w)
+        y += 1
+      }
+      return out
+    }
     var y = 0
     while (y < h) {
       val rowOff = 54 + (h - 1 - y) * rowSize // positive height ⇒ bottom-up
@@ -85,6 +103,13 @@ object Multimodal {
     out
   }
 
+  /** ImageIO's default ImageInputStream is FILE-cache backed — one temp
+    * file created and deleted per decode, a syscall tax that dominated the
+    * first real-decode bench (r9). Memory-cached streams are the right
+    * mode for blob-sized in-memory decodes; set once per JVM at first use
+    * of this object (executors initialize it on their first task). */
+  private val _imageioInit: Unit = javax.imageio.ImageIO.setUseCache(false)
+
   /** REAL decode: the JDK's ImageIO BMP reader. Throws if the blob is not
     * a readable image — a decode failure is a correctness failure here,
     * not something to paper over. */
@@ -94,21 +119,62 @@ object Multimodal {
     img
   }
 
-  /** Synthesize the deterministic BMP blob for one document payload. */
+  /** Flat BGR byte triples of a decoded image, row-major top-down — the
+    * raster's backing array when the decoder produced a densely-packed
+    * TYPE_3BYTE_BGR grid (the JDK BMP reader's 24bpp layout), else a
+    * per-pixel getRGB copy. Reading the raster directly skips a
+    * color-model conversion call per pixel on the hot path; the fallback
+    * keeps semantics identical for any other decoder layout. */
+  private[graft] def bgrBytes(img: BufferedImage): Array[Byte] = {
+    val w = img.getWidth; val h = img.getHeight
+    if (img.getType == BufferedImage.TYPE_3BYTE_BGR &&
+        img.getRaster.getDataBuffer.getSize == 3 * w * h)
+      img.getRaster.getDataBuffer
+        .asInstanceOf[java.awt.image.DataBufferByte].getData
+    else {
+      val out = new Array[Byte](3 * w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          val o = 3 * (y * w + x)
+          out(o) = p.toByte               // B
+          out(o + 1) = (p >> 8).toByte    // G
+          out(o + 2) = (p >> 16).toByte   // R
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+  }
+
+  /** Synthesize the deterministic BMP blob for one document payload —
+    * straight from [[pixelChannels]] into the BMP byte layout (same bytes
+    * [[encodeBmp]] would produce from a BufferedImage of these pixels,
+    * spec-pinned, without paying a setRGB color-model call per pixel). */
   private[graft] def mediaBlob(bytes: Array[Byte]): Array[Byte] = {
     val (w, h) = dims(bytes.length)
-    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    val rowSize = (3 * w + 3) / 4 * 4
+    val dataSize = rowSize * h
+    val out = new Array[Byte](54 + dataSize)
+    writeBmpHeader(out, w, h, dataSize)
     var y = 0
     while (y < h) {
+      val rowOff = 54 + (h - 1 - y) * rowSize // positive height ⇒ bottom-up
       var x = 0
       while (x < w) {
         val (r, g, b) = pixelChannels(bytes, w, x, y)
-        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        val o = rowOff + 3 * x
+        out(o) = b.toByte
+        out(o + 1) = g.toByte
+        out(o + 2) = r.toByte
         x += 1
       }
       y += 1
     }
-    encodeBmp(img)
+    out
   }
 
   /** Fixed-point mean: floor(sum·10⁴ / cnt) in LONG arithmetic, then one
@@ -128,17 +194,10 @@ object Multimodal {
         val blob = mediaBlob(text.getBytes("UTF-8"))
         val img = decode(blob)
         val (w, h) = (img.getWidth, img.getHeight)
+        val px = bgrBytes(img)
         var sum = 0L
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val p = img.getRGB(x, y)
-            sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
-            x += 1
-          }
-          y += 1
-        }
+        var i = 0
+        while (i < px.length) { sum += px(i) & 0xff; i += 1 }
         (id, w.toLong, h.toLong, blob.length.toLong, fp(sum, 3L * w * h))
       }
       .toDF("doc_id", "width", "height", "n_bytes", "mean_luma")
@@ -157,15 +216,13 @@ object Multimodal {
       .flatMap { case (id, text) =>
         val img = decode(mediaBlob(text.getBytes("UTF-8")))
         val (w, h) = (img.getWidth, img.getHeight)
+        val px = bgrBytes(img)
         (0 until (h + 3) / 4).iterator.map { f =>
           val y = f * 4
           var sum = 0L
-          var x = 0
-          while (x < w) {
-            val p = img.getRGB(x, y)
-            sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
-            x += 1
-          }
+          var i = y * 3 * w
+          val end = i + 3 * w
+          while (i < end) { sum += px(i) & 0xff; i += 1 }
           (id, f.toLong, y.toLong, w.toLong, h.toLong, fp(sum, 3L * w))
         }
       }
@@ -186,40 +243,37 @@ object Multimodal {
         val img = decode(mediaBlob(text.getBytes("UTF-8")))
         val (w, h) = (img.getWidth, img.getHeight)
         val (nw, nh) = (w / 2, h / 2)
+        val px = bgrBytes(img)
         val small = new BufferedImage(nw, nh, BufferedImage.TYPE_3BYTE_BGR)
+        val sp = small.getRaster.getDataBuffer
+          .asInstanceOf[java.awt.image.DataBufferByte].getData
         var yy = 0
         while (yy < nh) {
           var xx = 0
           while (xx < nw) {
-            var r = 0; var g = 0; var b = 0
-            var dy = 0
-            while (dy < 2) {
-              var dx = 0
-              while (dx < 2) {
-                val p = img.getRGB(2 * xx + dx, 2 * yy + dy)
-                r += (p >> 16) & 0xff; g += (p >> 8) & 0xff; b += p & 0xff
-                dx += 1
-              }
-              dy += 1
+            // 2×2 block, per-channel sums over the flat BGR triples
+            val o00 = 3 * (2 * yy * w + 2 * xx)
+            val o01 = o00 + 3
+            val o10 = o00 + 3 * w
+            val o11 = o10 + 3
+            var ch = 0
+            val so = 3 * (yy * nw + xx)
+            while (ch < 3) {
+              val s = (px(o00 + ch) & 0xff) + (px(o01 + ch) & 0xff) +
+                (px(o10 + ch) & 0xff) + (px(o11 + ch) & 0xff)
+              sp(so + ch) = (s / 4).toByte
+              ch += 1
             }
-            small.setRGB(xx, yy, ((r / 4) << 16) | ((g / 4) << 8) | (b / 4))
             xx += 1
           }
           yy += 1
         }
         val blob2 = encodeBmp(small)
         val img2 = decode(blob2)
+        val px2 = bgrBytes(img2)
         var sum = 0L
-        var y = 0
-        while (y < nh) {
-          var x = 0
-          while (x < nw) {
-            val p = img2.getRGB(x, y)
-            sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
-            x += 1
-          }
-          y += 1
-        }
+        var i = 0
+        while (i < px2.length) { sum += px2(i) & 0xff; i += 1 }
         (id, w.toLong, h.toLong, nw.toLong, nh.toLong, blob2.length.toLong,
           fp(sum, 3L * nw * nh))
       }
@@ -240,17 +294,13 @@ object Multimodal {
       .map { case (id, text) =>
         val img = decode(mediaBlob(text.getBytes("UTF-8")))
         val (w, h) = (img.getWidth, img.getHeight)
+        val px = bgrBytes(img)
         val hist = new Array[Long](8)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val p = img.getRGB(x, y)
-            val luma = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3
-            hist(luma >> 5) += 1L
-            x += 1
-          }
-          y += 1
+        var i = 0
+        while (i < px.length) {
+          val luma = ((px(i) & 0xff) + (px(i + 1) & 0xff) + (px(i + 2) & 0xff)) / 3
+          hist(luma >> 5) += 1L
+          i += 3
         }
         val n = w.toLong * h
         val o = hist.map(c => fp(c, n))

@@ -71,6 +71,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(b1.length == 54 + h * ((3 * w + 3) / 4 * 4))
   }
 
+  test("raster fast paths equal the per-pixel color-model reads") {
+    for (payload <- Seq("", "a", "raster fast path parity fixture payload",
+        "z" * 211)) {
+      val bytes = payload.getBytes("UTF-8")
+      val blob = Multimodal.mediaBlob(bytes)
+      val img = Multimodal.decode(blob)
+      // bgrBytes (raster array when densely packed) ≡ the getRGB read
+      val fast = Multimodal.bgrBytes(img).toSeq
+      val slow = (for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+        yield {
+          val p = img.getRGB(x, y)
+          Seq(p.toByte, (p >> 8).toByte, (p >> 16).toByte)
+        }).flatten
+      assert(fast == slow, s"bgrBytes mismatch for n=${bytes.length}")
+      // direct blob synthesis ≡ encodeBmp over a setRGB-built image
+      val (w, h) = Multimodal.dims(bytes.length)
+      val ref = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (r, g, b) = Multimodal.pixelChannels(bytes, w, x, y)
+        ref.setRGB(x, y, (r << 16) | (g << 8) | b)
+      }
+      assert(blob.toSeq == Multimodal.encodeBmp(ref).toSeq,
+        s"direct synthesis diverged from image encode for n=${bytes.length}")
+    }
+  }
+
   test("byte-replay oracle assumption: the documents corpus is pure ASCII") {
     // the pixel-generator DuckDB oracles index bytes via ascii(substr(text,
     // i, 1)), which equals byte i only when every char is single-byte —
