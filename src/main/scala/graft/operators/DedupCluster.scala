@@ -106,10 +106,21 @@ object DedupCluster {
   }
 
   /** Full dedup plan over documents: LSH candidates (est. Jaccard ≥ minJac)
-    * → components → per-cluster size + representative (min doc_id). */
+    * → components → per-cluster size + representative (min doc_id).
+    *
+    * r9: runs over [[contractedMinhashEdges]] — identical signatures are
+    * est-1.0 cliques, so one star edge per non-rep member plus the banded
+    * rep-pair kernel at the integer agreement floor preserves components
+    * exactly (the [[contractedEmbedEdges]] argument, minhash instance).
+    * The sf10 decade measured the uncontracted pair feed at 31.9× wall
+    * for 10× data; the oracle still describes the FULL pair closure. */
   def clusters(s: SparkSession, d: String, minJac: Double): DataFrame = {
-    val pairs = Vectors.minhashLsh(s, d).where(col("est_jaccard") >= minJac)
-    connectedComponents(pairs)
+    // smallest agreement count whose 4dp-rounded estimate clears minJac —
+    // the integer form of `round(m/32, 4) >= minJac` (0.5 ⇒ 16)
+    val minAgree = (0 to 32).find(m =>
+      BigDecimal(m / 32.0).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble >= minJac).getOrElse(33)
+    connectedComponents(contractedMinhashEdges(s, d, minAgree))
       .groupBy(col("comp"))
       .agg(count(lit(1)).as("cluster_size"), min(col("id")).as("keep_doc_id"))
       .orderBy(col("comp"))
@@ -222,36 +233,29 @@ object DedupCluster {
     * LSH cluster-level view, rows-only), this is the doc-level surface AND
     * fully hash-checked, because the round-5 kernel-replay oracle made the
     * candidate generation itself SQL-describable. */
-  def minhashReps(s: SparkSession, d: String): DataFrame = {
-    val spark = s
-    import spark.implicits._
+  def minhashReps(s: SparkSession, d: String): DataFrame =
+    perDocVerdicts(s, d, contractedMinhashEdges(s, d, MinhashRepsMinAgree))
+
+  /** Star-contracted banded-MinHash edge set at agreement floor
+    * `minAgree` — the minhash instance of [[contractedEmbedEdges]], shared
+    * by [[minhashReps]] and [[clusters]]: one star edge per non-rep member
+    * of each identical-signature group (est 1.0 cliques) plus the
+    * [[Vectors.minhashRepPairs]] banded kernel over DISTINCT signatures.
+    * Components equal the uncontracted candidate closure (scores are
+    * functions of the signatures alone; identical signatures share all
+    * bands). */
+  private[operators] def contractedMinhashEdges(s: SparkSession, d: String,
+      minAgree: Int): DataFrame = {
     val sigs = Vectors.minhashSigs(s, d)
     val groups = sigs.groupBy(col("sig"))
       .agg(min(col("doc_id")).as("rep"), first(col("bands")).as("bands"))
     val starEdges = sigs.join(groups.select(col("sig"), col("rep")), Seq("sig"))
       .where(col("doc_id") =!= col("rep"))
       .select(col("doc_id").as("id_a"), col("rep").as("id_b"))
-    val banded = groups.select(col("rep"),
-      posexplode(col("bands")).as(Seq("band", "key")))
-    val candIds = banded.select(col("rep").as("rep_a"), col("band"), col("key"))
-      .join(banded.select(col("rep").as("rep_b"), col("band"), col("key")),
-        Seq("band", "key"))
-      .where(col("rep_a") < col("rep_b"))
-      .select(col("rep_a"), col("rep_b"))
-      .distinct()
-    val byRep = groups.select(col("rep"), col("sig"))
-    val interEdges = candIds
-      .join(byRep.select(col("rep").as("rep_a"), col("sig").as("sig_a")), Seq("rep_a"))
-      .join(byRep.select(col("rep").as("rep_b"), col("sig").as("sig_b")), Seq("rep_b"))
-      .select(col("rep_a"), col("rep_b"), col("sig_a"), col("sig_b"))
-      .as[(Long, Long, Array[Long], Array[Long])]
-      .flatMap { case (ra, rb, sa, sb) =>
-        var i = 0; var m = 0
-        while (i < sa.length) { if (sa(i) == sb(i)) m += 1; i += 1 }
-        if (m >= MinhashRepsMinAgree) Some((ra, rb)) else None
-      }
-      .toDF("id_a", "id_b")
-    perDocVerdicts(s, d, starEdges.union(interEdges))
+    val interEdges = Vectors.minhashRepPairs(groups)
+      .where(col("m") >= minAgree)
+      .select(col("rep_a").as("id_a"), col("rep_b").as("id_b"))
+    starEdges.union(interEdges)
   }
 
   /** Signature-agreement floor for [[minhashReps]]'s edge filter: m ≥ 16

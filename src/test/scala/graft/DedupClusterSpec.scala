@@ -104,7 +104,7 @@ class DedupClusterSpec extends AnyFunSuite {
     val rep = reps.map(r => r.getLong(0) -> r.getLong(1)).toMap
     // every UNCONTRACTED pair at est_jaccard >= 0.5 lands in one family —
     // this is the closure the oracle replays, computed the slow way
-    val pairs = graft.operators.Vectors.minhashLsh(spark, TestSpark.sf0001)
+    val pairs = graft.operators.Vectors.minhashAgreePairs(spark, TestSpark.sf0001)
       .where(col("est_jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"))
       .collect().map(r => (r.getLong(0), r.getLong(1)))
@@ -218,7 +218,7 @@ class DedupClusterSpec extends AnyFunSuite {
     val srcs = Tables.documents(spark, TestSpark.sf0001)
       .select(col("doc_id"), col("source"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    val mixedDup = graft.operators.Vectors.minhashLsh(spark, TestSpark.sf0001)
+    val mixedDup = graft.operators.Vectors.minhashAgreePairs(spark, TestSpark.sf0001)
       .where(col("est_jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"))
       .collect().flatMap { r =>

@@ -114,6 +114,8 @@ class SqlParitySpec extends AnyFunSuite {
         "// integer division + row_number argmin"),
       "q_ann_ivf_fixed" -> ("unnest(range) centroid cross join + " +
         "row_number argmin/probe ranking"),
+      "q_ann_ivfpq_fixed" -> ("unnest(range) centroid/codebook cross joins + " +
+        "// integer division + row_number argmin"),
       "q_semantic_dedup_fixed" -> ("unnest(range) centroid cross join + " +
         "row_number multi-probe + " + vecDialect + "; " + recursive),
       "q_bpe_train" -> ("MATERIALIZED CTEs + string_split_regex + " +

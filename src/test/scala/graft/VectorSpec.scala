@@ -291,6 +291,12 @@ class VectorSpec extends AnyFunSuite {
     val embRaw = Vectors.embedNeardupPairs(spark, TestSpark.sf0001)
       .as[(Long, Long, Double)].collect().toSeq
     assert(embGot.nonEmpty && embGot == rank(embRaw, Ordering.Double.TotalOrdering.reverse))
+    // r9: the minhash member of the family, same equivalence
+    val mhGot = Vectors.minhashLsh(spark, TestSpark.sf0001)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val mhRaw = Vectors.minhashAgreePairs(spark, TestSpark.sf0001)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(mhGot.nonEmpty && mhGot == rank(mhRaw, Ordering.Double.TotalOrdering.reverse))
   }
 
   test("SRP banding prunes: candidate pairs well under the full pair count") {
@@ -446,5 +452,46 @@ class VectorSpec extends AnyFunSuite {
     assert(vecs.exists { case (id, v) => id != 0L && !probed.contains(assign(q(v))) })
     // two runs byte-equal (no training, no sampling — pure arithmetic)
     assert(got == Vectors.annIvfFixed(spark, d).as[(Long, Long)].collect().toSeq)
+  }
+
+  test("fixed IVFADC equals the cell-restricted fixed-PQ driver replay") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val d = TestSpark.sf0001
+    val got = Vectors.annIvfPqFixed(spark, d)
+      .as[(Long, Long)].collect().toSeq
+    assert(got.length == 10)
+    val vecs = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Array[Double])].collect()
+    def q(v: Array[Double]): Array[Long] =
+      v.map(x => math.floor(x * 1000.0).toLong)
+    def cellD2(qv: Array[Long], c: Int): Long =
+      qv.indices.map { j =>
+        val dd = qv(j) - Vectors.fixedCellEntry(c, j); dd * dd
+      }.sum
+    val probeQ = q(vecs.find(_._1 == 0L).get._2)
+    val probed = (0 until Vectors.IvfFixedCells)
+      .sortBy(c => (cellD2(probeQ, c), c)).take(4).toSet
+    val sub = probeQ.length / 8
+    def subD2(qv: Array[Long], m: Int, k: Int): Long =
+      (0 until sub).map { j =>
+        val dd = qv(m * sub + j) - Vectors.fixedCodebookEntry(m, k, j); dd * dd
+      }.sum
+    val want = vecs.filter(_._1 != 0L)
+      .map { case (id, v) => (id, q(v)) }
+      .filter { case (_, qv) =>
+        probed.contains((0 until Vectors.IvfFixedCells).minBy(c => (cellD2(qv, c), c)))
+      }
+      .map { case (id, qv) =>
+        val adc = (0 until 8).map { m =>
+          val bestK = (0 until 16).minBy(k => (subD2(qv, m, k), k))
+          subD2(probeQ, m, bestK)
+        }.sum
+        (id, adc)
+      }
+      .sortBy { case (id, adc) => (adc, id) }.take(10).toSeq
+    assert(got == want)
+    assert(got == Vectors.annIvfPqFixed(spark, d).as[(Long, Long)].collect().toSeq)
   }
 }
