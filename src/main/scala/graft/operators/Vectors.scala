@@ -316,7 +316,7 @@ object Vectors {
 
   /** Deterministic unit-norm perturbation of `v` at cos ≈ 0.996: add a
     * seeded uniform[-eps,eps] direction and renormalize. */
-  private[operators] def perturbUnit(id: Long, v: Array[Double], eps: Double): Array[Double] = {
+  private[graft] def perturbUnit(id: Long, v: Array[Double], eps: Double): Array[Double] = {
     val out = new Array[Double](v.length)
     var ss = 0.0
     var j = 0
@@ -332,14 +332,24 @@ object Vectors {
     out
   }
 
-  /** Fixture embeddings (unit-norm) plus one planted near-dup per vector. */
+  /** Fixture embeddings (unit-norm) plus one planted near-dup per DISTINCT
+    * embedding value (r9, was per member id): the twin is seeded by the
+    * group's min vec_id, so on a replicated corpus the planted mass — and
+    * with it the banded candidate kernel — tracks distinct values, not
+    * corpus size (per-member planting measured 14.8× wall for 10× data at
+    * sf10: 100-copy families planted 100 DISTINCT twins each, all
+    * colliding in the same SRP buckets). Recall semantics unchanged —
+    * every distinct vector still has exactly one ≥-threshold twin. */
   private[operators] def srpCorpus(s: SparkSession, d: String)
       : org.apache.spark.sql.Dataset[(Long, Array[Double])] = {
     val spark = s
     import spark.implicits._
     val base = Tables.embeddings(s, d)
       .select(col("vec_id"), vec.as("v")).as[(Long, Array[Double])]
-    base.union(base.map { case (id, v) =>
+    val reps = base.toDF("vec_id", "v")
+      .groupBy(col("v")).agg(min(col("vec_id")).as("vec_id"))
+      .select(col("vec_id"), col("v")).as[(Long, Array[Double])]
+    base.union(reps.map { case (id, v) =>
       (id + SrpPlantOffset, perturbUnit(id, v, eps = 0.02))
     })
   }

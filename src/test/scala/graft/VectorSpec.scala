@@ -184,21 +184,53 @@ class VectorSpec extends AnyFunSuite {
     assert(q.collect().length == 10)
   }
 
-  test("SRP near-dup: exact recall of every planted pair, nothing else") {
+  test("SRP near-dup: per-member lists equal a full driver replay of the planted corpus") {
     val spark = TestSpark.spark
     import spark.implicits._
-    val nBase = Tables.embeddings(spark, TestSpark.sf0001).count()
-    // bounded contract: per-vec nearest-m lists; undirect them back to a
-    // pair set for the recall check (each planted twin must surface from
-    // BOTH endpoints — on this fixture nothing else clears 0.99, so the
-    // lists are exactly the planted pair in both directions)
-    val rows = Vectors.embedNeardupSrp(spark, TestSpark.sf0001)
-      .select("vec_id", "neighbor_id").as[(Long, Long)].collect()
-    val got = rows.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
-    val want = (0L until nBase).map(id => (id, id + Vectors.SrpPlantOffset)).toSet
-    assert(rows.length == 2 * nBase, s"expected symmetric 1-entry lists, got ${rows.length}")
-    assert(got == want,
-      s"missed=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    val m = Vectors.NearestM
+    val base = Tables.embeddings(spark, TestSpark.sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Array[Double])].collect()
+    // replicate the corpus rule: one twin per DISTINCT value, seeded by
+    // the group's min id
+    val byVal = base.groupBy(_._2.toSeq)
+    val twins = byVal.values.map { ms =>
+      val rep = ms.minBy(_._1)
+      (rep._1 + Vectors.SrpPlantOffset,
+        Vectors.perturbUnit(rep._1, rep._2, eps = 0.02))
+    }.toSeq
+    val corpus = base.toSeq ++ twins
+    def cosOf(a: Array[Double], b: Array[Double]): Double = {
+      var i = 0; var dp = 0.0; var na = 0.0; var nb = 0.0
+      while (i < a.length) {
+        dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      dp / math.sqrt(na * nb)
+    }
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // expected: identical values score 1.0 (own group); distinct-value
+    // pairs at cos >= threshold score the rounded cosine, expanded to
+    // every member of the other group (assumes the seeded banding misses
+    // no >=-threshold pair on this fixture, as it must — a miss fails
+    // loudly here)
+    val groupsSeq = byVal.map { case (k, ms) => k -> ms.map(_._1).sorted }
+      .toMap ++ twins.map { case (id, v) => v.toSeq -> Array(id) }.toMap
+    val want = corpus.flatMap { case (id, v) =>
+      val own = groupsSeq(v.toSeq).filter(_ != id).map(n => (n, 1.0)).toSeq
+      val cross = groupsSeq.toSeq.filter(_._1 != v.toSeq).flatMap { case (w, ids) =>
+        val c = cosOf(v, w.toArray)
+        if (c >= Vectors.SrpThreshold) ids.map(n => (n, r4(c))) else Nil
+      }
+      (own ++ cross).sortBy { case (n, s) => (-s, n) }.take(m)
+        .zipWithIndex.map { case ((n, s), i) => (id, i + 1L, n, s) }
+    }.sortBy(r => (r._1, r._2))
+    val got = Vectors.embedNeardupSrp(spark, TestSpark.sf0001)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty && got == want,
+      s"first diff: ${got.zip(want).find { case (g, w) => g != w }}")
+    // the planted mass tracks DISTINCT values (the r9 scale contract)
+    assert(twins.size == byVal.size && twins.size <= base.length)
   }
 
   test("at-rest index append: screen -> append -> re-screen returns all-dup (both families)") {
