@@ -415,18 +415,8 @@ object Vectors {
       .select(col("rep"), col("embedding").cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
       .flatMap { case (id, v) =>
-        // top-p cells by (cosine desc, index asc), PLUS any cell whose
-        // similarity sits within the boundary band of the best — vectors
-        // near a cell frontier join both sides, which is where single-probe
-        // assignment loses its cross-cell pairs. Deterministic throughout.
-        val vn = normA(v)
-        val sims = bcC.value.indices.map(c =>
-          (dotA(v, bcC.value(c)) / (vn * bcN.value(c)), c))
-          .sortBy { case (sim, c) => (-sim, c) }
-        val best = sims.head._1
-        sims.zipWithIndex
-          .filter { case ((sim, _), rank) => rank < probes || best - sim <= band }
-          .map { case ((_, c), _) => (c, id, v) }
+        probedSemanticCells(v, bcC.value, bcN.value, probes, band)
+          .map(c => (c, id, v))
       }
     val inter = blockedCosinePairs(celled, NearDupThreshold)
       .select(col("id_a"), col("id_b"))
@@ -454,15 +444,28 @@ object Vectors {
       .select(col("rep"), col("embedding").cast("array<double>").as("v"))
       .as[(Long, Array[Double])]
       .map { case (_, v) =>
-        val vn = normA(v)
-        val sims = bcC.value.indices.map(c =>
-          (dotA(v, bcC.value(c)) / (vn * bcN.value(c)), c))
-          .sortBy { case (sim, c) => (-sim, c) }
-        val best = sims.head._1
-        sims.zipWithIndex.count { case ((sim, _), rank) =>
-          rank < probes || best - sim <= band }.toLong
+        probedSemanticCells(v, bcC.value, bcN.value, probes, band).length.toLong
       }.toDF("n").agg(avg(col("n"))).head().getDouble(0)
     counts
+  }
+
+  /** A vector's probed cell set under the SemDeDup multi-probe rule: its
+    * top-`probes` cells by (cosine desc, index asc) PLUS any cell whose
+    * centroid similarity sits within the boundary `band` of the best —
+    * frontier vectors join every cell their near-dups might land in.
+    * ONE definition under [[semanticCellEdges]] (the shipping assignment)
+    * and [[semanticDupFactor]] (the tuning diagnostic that measures its
+    * replication factor), so the measured dup factor can never describe a
+    * different kernel than the one running. Deterministic throughout. */
+  private def probedSemanticCells(v: Array[Double], cents: Array[Array[Double]],
+      cn: Array[Double], probes: Int, band: Double): Seq[Int] = {
+    val vn = normA(v)
+    val sims = cents.indices.map(c => (dotA(v, cents(c)) / (vn * cn(c)), c))
+      .sortBy { case (sim, c) => (-sim, c) }
+    val best = sims.head._1
+    sims.zipWithIndex
+      .filter { case ((sim, _), rank) => rank < probes || best - sim <= band }
+      .map { case ((_, c), _) => c }
   }
 
   /** SRP band keys per vector — the banding stage shared by the full-corpus

@@ -388,6 +388,10 @@ object Streams {
       counts.merge(w, 1L, (a, b) => a + b); chars += w.length
     }
     val nTokens = ws.length.toLong
+    // null text tokenizes to ZERO tokens (the Tok.tokenize null guard);
+    // 0/0 would be NaN and BigDecimal(NaN) throws — degrade to an
+    // all-flags-zero drop verdict instead of killing the streaming query
+    if (nTokens == 0) return GopherSnap(id, 0L, 0.0, 0L, 0L, 0L, 0L, 0L)
     var topCnt = 0L
     counts.values().forEach(c => if (c > topCnt) topCnt = c)
     val nDistinct = counts.size.toLong
@@ -815,29 +819,57 @@ object Streams {
 
   /** The idempotent batch writer behind [[minhashIngestSink]] — exposed so
     * StreamingSpec can invoke a LITERAL replay (same batchId, same rows,
-    * twice) and pin byte-identical index state. */
+    * twice) and pin byte-identical index state.
+    *
+    * The dynamic-overwrite mode rides on the WRITER (`DataFrameWriter
+    * .option`), never the shared session conf — a session-level toggle
+    * races concurrent sinks on one SparkSession (sink A's finally could
+    * restore `static` mid-way through sink B's overwrite, which would then
+    * DELETE every existing batch partition). An all-rejected batch writes
+    * nothing: an empty partitioned overwrite would leave a schema-less
+    * `_SUCCESS`-only directory that breaks every later read, and skipping
+    * is equally idempotent (the replay skips too). */
   def ingestMinhashBatch(s: SparkSession, idxDir: String, batch: DataFrame,
       batchId: Long): Unit = {
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "dynamic")
-    try {
-      val sigs = graft.operators.Vectors
-        .minhashSigsOf(batch.select(col("doc_id"), col("text")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = graft.operators.Vectors
+      .minhashSigsOf(batch.select(col("doc_id"), col("text")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (!sigs.isEmpty) {
       sigs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
         .withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite").partitionBy("batch_id", "band")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id", "band")
         .parquet(s"$idxDir/banded")
       sigs.select(col("doc_id"), col("sig"))
         .withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite").partitionBy("batch_id")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
         .parquet(s"$idxDir/sigs")
-      sigs.unpersist(blocking = false)
-    } finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None    => s.conf.unset(key)
     }
+    sigs.unpersist(blocking = false)
+  }
+
+  /** True iff BOTH halves of a [[ingestMinhashBatch]]-shaped index layout
+    * exist with data files, via the Hadoop FileSystem of the path (a
+    * `java.io.File` probe is silently false on hdfs:// or s3a:// — the
+    * very deployments the 100 TB notes describe — which would disable the
+    * at-rest screen and re-accept every duplicate without an error).
+    * Requiring both halves also keeps a crash BETWEEN the banded and sigs
+    * writes of the first batch self-healing: the replay sees an incomplete
+    * index, skips the screen, and rewrites both halves under its own
+    * batch partition. */
+  private def indexExists(s: SparkSession, idxDir: String): Boolean = {
+    val conf = s.sparkContext.hadoopConfiguration
+    def hasData(sub: String): Boolean = {
+      val p = new org.apache.hadoop.fs.Path(s"$idxDir/$sub")
+      val fs = p.getFileSystem(conf)
+      fs.isDirectory(p) &&
+        org.apache.hadoop.fs.FileUtil.stat2Paths(fs.listStatus(p))
+          .exists(c => !c.getName.startsWith("_"))
+    }
+    hasData("banded") && hasData("sigs")
   }
 
   /** Streaming INCREMENTAL CURATION — the production micro-batch form of
@@ -859,8 +891,10 @@ object Streams {
     * screen EXCLUDES the current batch's own partitions
     * (`excludeBatchId`) — so a crash replay recomputes the identical
     * accepted set and overwrites exactly its own partitions: exactly-once
-    * at the output level, self-healing even when the crash lands between
-    * the two writes. Dedup semantics are FIRST-ARRIVAL-WINS across batches
+    * at the output level, self-healing wherever the crash lands (between
+    * the two writes, or even between the index's own two halves — the
+    * screen only engages once [[indexExists]] sees a COMPLETE layout).
+    * Dedup semantics are FIRST-ARRIVAL-WINS across batches
     * (the streaming analogue of batch min-id-wins; identical when ids
     * arrive in order) and min-id-wins within a batch.
     *
@@ -886,10 +920,7 @@ object Streams {
   def curateMicroBatch(s: SparkSession, idxDir: String, outDir: String,
       batch: DataFrame, batchId: Long): Unit = {
     import s.implicits._
-    val key = "spark.sql.sources.partitionOverwriteMode"
-    val prev = s.conf.getOption(key)
-    s.conf.set(key, "dynamic")
-    try {
+    {
       // A. stateless quality gate — the per-doc Gopher kernel
       val gated = batch.select(col("doc_id"), col("text")).as[(Long, String)]
         .map { case (id, t) => (id, t, gopherSnapOf(id, t).keep) }
@@ -932,27 +963,34 @@ object Streams {
         .select(col("doc_id")).distinct()
       val batchSurvivors = exact.join(dropped, Seq("doc_id"), "left_anti")
       // D. at-rest screen vs everything accepted in PRIOR batches — skipped
-      // on the very first batch (no index yet); the current batch's own
-      // partitions are pruned so a crash replay cannot flag itself
-      val hasIndex = new java.io.File(s"$idxDir/banded").isDirectory
+      // until a COMPLETE index exists ([[indexExists]]: both halves, via
+      // the path's Hadoop filesystem); the current batch's own partitions
+      // are pruned so a crash replay cannot flag itself
       val accepted =
-        if (!hasIndex) batchSurvivors
-        else {
-          val flagged = graft.operators.Vectors
-            .minhashScreenOf(s, idxDir, batchSurvivors, Some(batchId))
-            .where(col("is_dup") === 1).select(col("doc_id"))
-          batchSurvivors.join(flagged, Seq("doc_id"), "left_anti")
-        }
+        (if (!indexExists(s, idxDir)) batchSurvivors
+         else {
+           val flagged = graft.operators.Vectors
+             .minhashScreenOf(s, idxDir, batchSurvivors, Some(batchId))
+             .where(col("is_dup") === 1).select(col("doc_id"))
+           batchSurvivors.join(flagged, Seq("doc_id"), "left_anti")
+         })
+          // persisted: the accepted set feeds BOTH the output commit and
+          // the index ingest — without it the dedup joins and the whole
+          // at-rest screen would re-run for the second write
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // E. exactly-once accepted-docs commit + index ingest, both keyed by
-      // the batch-id partition (the idempotence key IS the directory name)
-      accepted.withColumn("batch_id", lit(batchId))
-        .write.mode("overwrite").partitionBy("batch_id").parquet(outDir)
+      // the batch-id partition (the idempotence key IS the directory name;
+      // dynamic overwrite per-WRITER, and an empty batch skips the write —
+      // see the ingestMinhashBatch notes)
+      if (!accepted.isEmpty)
+        accepted.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(outDir)
       ingestMinhashBatch(s, idxDir, accepted, batchId)
+      accepted.unpersist(blocking = false)
       gated.unpersist(blocking = false)
       sigs.unpersist(blocking = false)
-    } finally prev match {
-      case Some(v) => s.conf.set(key, v)
-      case None    => s.conf.unset(key)
     }
   }
 

@@ -493,6 +493,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamAcc == directAcc)
   }
 
+  test("curation edge cases: null text degrades to a drop verdict; an all-rejected first batch does not brick the index") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c}
+    // null text -> zero tokens -> all-flags-zero drop, no NaN throw
+    val snap = Streams.gopherSnapOf(7L, null)
+    assert(snap.keep == 0L && snap.nTokens == 0L && snap.mwlR == 0.0)
+    val base = java.nio.file.Files.createTempDirectory("curate_edge").toString
+    val (idx, out) = (s"$base/idx", s"$base/out")
+    // batch 0: every doc fails the Gopher token floor -> accepted empty ->
+    // NO schema-less index dirs may be written
+    val bad = Seq((1L, "too short"), (2L, "way too short")).toDF("doc_id", "text")
+    Streams.curateMicroBatch(spark, idx, out, bad, 0L)
+    // batch 1: a normal corpus screens and ingests cleanly afterwards
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(c("doc_id"), c("text"))
+    Streams.curateMicroBatch(spark, idx, out, docs, 1L)
+    val accepted = spark.read.parquet(out).select(c("doc_id")).as[Long].collect()
+    assert(accepted.nonEmpty)
+    assert(spark.read.parquet(s"$idx/sigs").count() == accepted.length)
+  }
+
   test("streaming funnel keyed state matches the batch ordered funnel") {
     val spark = TestSpark.spark
     val stream = Streams.eventsStream(spark, TestSpark.sf0001)
