@@ -197,9 +197,73 @@ object CorpusCurate {
       .orderBy(col("stage_id"))
   }
 
+  /** Per-document verdicts of the INCREMENTAL CURATION batch decision —
+    * the pure logic of [[graft.streaming.Streams.curateMicroBatch]] stages
+    * A–C as an oracle-checked batch operator, so the streaming sink's
+    * accept/reject semantics are hash-verified, not just spec-pinned.
+    * Per doc: `f_gate` (the Gopher conjunction via the ONE
+    * [[Text.gopherPerDoc]] kernel), `exact_rep` (1 iff the doc is the
+    * min-id representative of its md5(text) group AMONG GATED docs),
+    * `near_drop` (1 iff the doc is a gated exact-rep with a LOWER-id gated
+    * exact-rep banded partner at the [[DedupCluster.MinhashRepsMinAgree]]
+    * integer floor — the witness-greedy within-batch near-dup rule), and
+    * `accepted` = gate ∧ rep ∧ ¬dropped. The sink consumes exactly this
+    * relation; lazy persists are reclaimed by the ContextCleaner. */
+  def batchVerdicts(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val flagged = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, t) =>
+        val (_, _, fLen, fMwl, fRep, fDr) = Text.gopherPerDoc(t)
+        (id, t, fLen * fMwl * fRep * fDr)
+      }
+      .toDF("doc_id", "text", "f_gate")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gated = flagged.where(col("f_gate") === 1)
+    val exactRep = gated
+      .groupBy(md5(col("text")).as("digest"))
+      .agg(min(col("doc_id")).as("rep"))
+    val exact = gated.withColumn("digest", md5(col("text")))
+      .join(exactRep, Seq("digest"))
+      .where(col("doc_id") === col("rep"))
+      .select(col("doc_id"), col("text"))
+    val sigs = Vectors.minhashSigsOf(exact)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bprobe = sigs.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band", "key")))
+    val pairs = bprobe.select(col("band"), col("key"), col("doc_id").as("id_a"))
+      .join(bprobe.select(col("band"), col("key"), col("doc_id").as("id_b")),
+        Seq("band", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val dropped = pairs
+      .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .as[(Long, Long, Array[Long], Array[Long])]
+      .flatMap { case (_, b, s1, s2) =>
+        var i = 0; var m = 0
+        while (i < s1.length) { if (s1(i) == s2(i)) m += 1; i += 1 }
+        if (m >= DedupCluster.MinhashRepsMinAgree) Some(b) else None
+      }
+      .toDF("doc_id").distinct()
+    flagged.select(col("doc_id"), col("f_gate"))
+      .join(exact.select(col("doc_id"), lit(1L).as("er")), Seq("doc_id"), "left")
+      .join(dropped.select(col("doc_id"), lit(1L).as("nd")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("f_gate"),
+        coalesce(col("er"), lit(0L)).as("exact_rep"),
+        coalesce(col("nd"), lit(0L)).as("near_drop"),
+        (col("f_gate") === 1 && coalesce(col("er"), lit(0L)) === 1 &&
+          coalesce(col("nd"), lit(0L)) === 0).cast("long").as("accepted"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_corpus_curate" -> curate,
-    "q_curation_report" -> curationReport)
+    "q_curation_report" -> curationReport,
+    "q_curate_batch" ->
+      ((s: SparkSession, d: String) => batchVerdicts(Tables.documents(s, d))))
 
   /** One DuckDB definition of the whole pipeline, stitched from the SAME
     * fragments and constants the per-stage oracles use
@@ -210,6 +274,55 @@ object CorpusCurate {
     * stage's SQL description is LITERALLY shared with its standalone
     * verification — a threshold or smoothing change edits one definition. */
   val oracles: Map[String, String] = Map(
+    // the incremental-curation batch decision: Gopher gate (stats derived
+    // from the pair CTE's own `w` tokenization — the SAME split the
+    // docTokenStatsCte fragment uses; the two fragments can't be
+    // concatenated because both name `w`), md5 min-id exact rep among
+    // gated docs, witness-greedy near-dup drop over the shared agree
+    // relation restricted to gated exact reps
+    "q_curate_batch" ->
+      s"""WITH RECURSIVE ${Vectors.minhashPairCte},
+        |gtc AS (
+        |  SELECT doc_id, term, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(ws) AS term FROM w)
+        |  GROUP BY doc_id, term),
+        |gta AS (
+        |  SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+        |    max(c) AS top_cnt,
+        |    CAST(sum(len(term) * c) AS DOUBLE) / sum(c) AS mwl
+        |  FROM gtc GROUP BY doc_id),
+        |gate AS (
+        |  SELECT doc_id,
+        |    CAST(n_tokens >= ${Text.GopherMinTokens} AND n_tokens <= ${Text.GopherMaxTokens} AS BIGINT)
+        |    * CAST(mwl >= ${Text.GopherMinMwl} AND mwl <= ${Text.GopherMaxMwl} AS BIGINT)
+        |    * CAST(CAST(top_cnt AS DOUBLE) / n_tokens <= ${Text.GopherMaxTopFrac} AS BIGINT)
+        |    * CAST(CAST(n_distinct AS DOUBLE) / n_tokens >= ${Text.GopherMinDistinctRatio} AS BIGINT)
+        |      AS f_gate
+        |  FROM gta),
+        |sv AS (
+        |  SELECT d.doc_id, md5(d.text) AS dig FROM documents d
+        |  JOIN gate g ON g.doc_id = d.doc_id AND g.f_gate = 1),
+        |rp AS (SELECT dig, min(doc_id) AS rep FROM sv GROUP BY dig),
+        |ex AS (
+        |  SELECT sv.doc_id,
+        |    CAST(sv.doc_id = rp.rep AS BIGINT) AS exact_rep
+        |  FROM sv JOIN rp USING (dig)),
+        |exs AS (SELECT doc_id FROM ex WHERE exact_rep = 1),
+        |ndp AS (
+        |  SELECT DISTINCT a.id_b AS doc_id FROM agree a
+        |  JOIN exs x1 ON x1.doc_id = a.id_a
+        |  JOIN exs x2 ON x2.doc_id = a.id_b
+        |  WHERE a.m >= ${DedupCluster.MinhashRepsMinAgree})
+        |SELECT d.doc_id, g.f_gate,
+        |  CAST(coalesce(e.exact_rep, 0) AS BIGINT) AS exact_rep,
+        |  CAST(CASE WHEN n.doc_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS near_drop,
+        |  CAST(CASE WHEN g.f_gate = 1 AND e.exact_rep = 1 AND n.doc_id IS NULL
+        |       THEN 1 ELSE 0 END AS BIGINT) AS accepted
+        |FROM documents d
+        |JOIN gate g ON g.doc_id = d.doc_id
+        |LEFT JOIN ex e ON e.doc_id = d.doc_id
+        |LEFT JOIN ndp n ON n.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
     // the audit report re-states each gate as a LEFT-JOIN flag over the
     // SAME shared fragments the flagship oracle stitches, so the two can't
     // drift; cumulative-product sums replay the sequential gate order and

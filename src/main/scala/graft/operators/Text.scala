@@ -692,6 +692,37 @@ object Text {
   private[graft] val GopherMaxTopFrac = 0.10
   private[graft] val GopherMinDistinctRatio = 0.45
 
+  /** Per-document Gopher rule evaluation in plain Scala — (nTokens,
+    * mwl rounded 4dp, fLen, fMwl, fRep, fDr), the SAME arithmetic as the
+    * [[gopherRules]] columns (integer-derived doubles, sum(len·c)/sum(c)
+    * over longs). Shared by the streaming gate twin
+    * ([[graft.streaming.Streams.gopherSnapOf]]), the incremental curation
+    * sink, and the oracle-checked batch-verdict key. A null/empty text
+    * tokenizes to zero tokens and degrades to an all-flags-zero drop
+    * (0/0 would be NaN; BigDecimal(NaN) throws). */
+  private[graft] def gopherPerDoc(text: String)
+      : (Long, Double, Long, Long, Long, Long) = {
+    val ws = graft.functions.Tok.tokenize(text)
+    val counts = new java.util.HashMap[String, Long]()
+    var chars = 0L
+    ws.foreach { w =>
+      counts.merge(w, 1L, (a, b) => a + b); chars += w.length
+    }
+    val nTokens = ws.length.toLong
+    if (nTokens == 0) return (0L, 0.0, 0L, 0L, 0L, 0L)
+    var topCnt = 0L
+    counts.values().forEach(c => if (c > topCnt) topCnt = c)
+    val nDistinct = counts.size.toLong
+    val mwl = chars.toDouble / nTokens
+    val fLen = if (nTokens >= GopherMinTokens && nTokens <= GopherMaxTokens) 1L else 0L
+    val fMwl = if (mwl >= GopherMinMwl && mwl <= GopherMaxMwl) 1L else 0L
+    val fRep = if (topCnt.toDouble / nTokens <= GopherMaxTopFrac) 1L else 0L
+    val fDr  = if (nDistinct.toDouble / nTokens >= GopherMinDistinctRatio) 1L else 0L
+    (nTokens,
+      BigDecimal(mwl).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      fLen, fMwl, fRep, fDr)
+  }
+
   val gopherRules: Q = (s, d) => {
     val fLen = (col("n_tokens") >= GopherMinTokens &&
       col("n_tokens") <= GopherMaxTokens).cast("long")

@@ -375,36 +375,16 @@ object Streams {
       .map { case (id, text) => gopherSnapOf(id, text) }
   }
 
-  /** The per-document Gopher scoring kernel behind [[gopherGateStream]] and
-    * the [[curateMicroBatch]] quality gate — one definition so the stream
-    * twin, the incremental curation sink and (via the shared [[graft
-    * .operators.Text]] threshold constants) the batch rules cannot fork. */
+  /** The per-document Gopher scoring kernel behind [[gopherGateStream]],
+    * the [[curateMicroBatch]] quality gate and the oracle-checked
+    * [[graft.operators.CorpusCurate]] batch-verdict key — one definition
+    * ([[graft.operators.Text.gopherPerDoc]], which owns the threshold
+    * constants) so the four descriptions of the gate cannot fork. */
   private[graft] def gopherSnapOf(id: Long, text: String): GopherSnap = {
-    import graft.operators.Text
-    val ws = graft.functions.Tok.tokenize(text)
-    val counts = new java.util.HashMap[String, Long]()
-    var chars = 0L
-    ws.foreach { w =>
-      counts.merge(w, 1L, (a, b) => a + b); chars += w.length
-    }
-    val nTokens = ws.length.toLong
-    // null text tokenizes to ZERO tokens (the Tok.tokenize null guard);
-    // 0/0 would be NaN and BigDecimal(NaN) throws — degrade to an
-    // all-flags-zero drop verdict instead of killing the streaming query
-    if (nTokens == 0) return GopherSnap(id, 0L, 0.0, 0L, 0L, 0L, 0L, 0L)
-    var topCnt = 0L
-    counts.values().forEach(c => if (c > topCnt) topCnt = c)
-    val nDistinct = counts.size.toLong
-    // exact integer-derived doubles, same arithmetic as the batch
-    // columns (sum(len*c)/sum(c) over longs)
-    val mwl = chars.toDouble / nTokens
-    val fLen = if (nTokens >= Text.GopherMinTokens && nTokens <= Text.GopherMaxTokens) 1L else 0L
-    val fMwl = if (mwl >= Text.GopherMinMwl && mwl <= Text.GopherMaxMwl) 1L else 0L
-    val fRep = if (topCnt.toDouble / nTokens <= Text.GopherMaxTopFrac) 1L else 0L
-    val fDr  = if (nDistinct.toDouble / nTokens >= Text.GopherMinDistinctRatio) 1L else 0L
-    GopherSnap(id, nTokens,
-      BigDecimal(mwl).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
-      fLen, fMwl, fRep, fDr, fLen * fMwl * fRep * fDr)
+    val (nTokens, mwlR, fLen, fMwl, fRep, fDr) =
+      graft.operators.Text.gopherPerDoc(text)
+    GopherSnap(id, nTokens, mwlR, fLen, fMwl, fRep, fDr,
+      fLen * fMwl * fRep * fDr)
   }
 
   /** Streaming twin of the overlapping token-window chunker
@@ -919,49 +899,15 @@ object Streams {
     * replay (same batchId twice) and pin byte-identical output + index. */
   def curateMicroBatch(s: SparkSession, idxDir: String, outDir: String,
       batch: DataFrame, batchId: Long): Unit = {
-    import s.implicits._
     {
-      // A. stateless quality gate — the per-doc Gopher kernel
-      val gated = batch.select(col("doc_id"), col("text")).as[(Long, String)]
-        .map { case (id, t) => (id, t, gopherSnapOf(id, t).keep) }
-        .toDF("doc_id", "text", "keep")
-        .where(col("keep") === 1).drop("keep")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // B. within-batch exact dedup: min-id representative per md5(text)
-      val exactRep = gated
-        .groupBy(md5(col("text")).as("digest"))
-        .agg(min(col("doc_id")).as("rep"))
-      val exact = gated.withColumn("digest", md5(col("text")))
-        .join(exactRep, Seq("digest"))
-        .where(col("doc_id") === col("rep"))
-        .select(col("doc_id"), col("text"))
-      // C. within-batch near-dup: banded candidates among the exact
-      // survivors, verified at the family's integer agreement floor; the
-      // HIGHER id of any verified pair drops (min-id-wins, witness-greedy:
-      // a doc with any lower-id near-dup never survives, so acceptance is
-      // order-free and replay-deterministic)
-      val sigs = graft.operators.Vectors.minhashSigsOf(exact)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bprobe = sigs.select(col("doc_id"),
-        posexplode(col("bands")).as(Seq("band", "key")))
-      val pairs = bprobe.select(col("band"), col("key"), col("doc_id").as("id_a"))
-        .join(bprobe.select(col("band"), col("key"), col("doc_id").as("id_b")),
-          Seq("band", "key"))
-        .where(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b")).distinct()
-      val dropped = pairs
-        .join(sigs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
-        .join(sigs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
-        .as[(Long, Long, Array[Long], Array[Long])] // (id_b, id_a, sig_a, sig_b)
-        .map { case (b, _, s1, s2) =>
-          var i = 0; var m = 0
-          while (i < s1.length) { if (s1(i) == s2(i)) m += 1; i += 1 }
-          (b, m.toLong)
-        }
-        .toDF("doc_id", "m")
-        .where(col("m") >= graft.operators.DedupCluster.MinhashRepsMinAgree)
-        .select(col("doc_id")).distinct()
-      val batchSurvivors = exact.join(dropped, Seq("doc_id"), "left_anti")
+      // A–C. gate + within-batch exact dedup + witness-greedy near-dup
+      // drop — the ONE oracle-checked relation (the q_curate_batch suite
+      // key, [[graft.operators.CorpusCurate.batchVerdicts]]), so the
+      // sink's accept/reject arithmetic is hash-verified, not re-derived
+      val verdicts = graft.operators.CorpusCurate.batchVerdicts(batch)
+        .where(col("accepted") === 1).select(col("doc_id"))
+      val batchSurvivors = batch.select(col("doc_id"), col("text"))
+        .join(verdicts, Seq("doc_id"))
       // D. at-rest screen vs everything accepted in PRIOR batches — skipped
       // until a COMPLETE index exists ([[indexExists]]: both halves, via
       // the path's Hadoop filesystem); the current batch's own partitions
@@ -989,8 +935,6 @@ object Streams {
           .partitionBy("batch_id").parquet(outDir)
       ingestMinhashBatch(s, idxDir, accepted, batchId)
       accepted.unpersist(blocking = false)
-      gated.unpersist(blocking = false)
-      sigs.unpersist(blocking = false)
     }
   }
 

@@ -126,6 +126,8 @@ class SqlParitySpec extends AnyFunSuite {
         "generate_subscripts + chr() + // integer division (unrolled training stages)"),
       "q_corpus_curate" -> (recursive + " + list dialect (stitched stages)"),
       "q_curation_report" -> (recursive + " + list dialect (stitched stages)"),
+      "q_curate_batch" -> (hugeint + "; " + recursive +
+        " (shared agree CTE + inline gate stats)"),
       "q_session_window" -> epochT, "q_late_data_policy" -> epochT,
       "q_join_asof" -> (epochT + " + IGNORE NULLS window spelling"),
       // empirically-found gaps (each was attempted verbatim first):
