@@ -310,11 +310,66 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Perceptual difference-hash (dHash) of a decoded image: point-sample a
+    * 9×8 luma grid (sx = ⌊gx·w/9⌋, sy = ⌊gy·h/8⌋ — integer floor, so the
+    * oracle replays the sampling), emit bit (gy, gx) = 1 iff the right
+    * neighbor's luma is strictly greater. 64 bits, returned as two 32-bit
+    * halves (rows 0–3 → lo, rows 4–7 → hi) so neither engine touches the
+    * BIGINT sign bit. */
+  private[graft] def dhash(px: Array[Byte], w: Int, h: Int): (Long, Long) = {
+    val luma = Array.tabulate(8, 9) { (gy, gx) =>
+      val o = 3 * ((gy * h / 8) * w + (gx * w / 9))
+      ((px(o) & 0xff) + (px(o + 1) & 0xff) + (px(o + 2) & 0xff)) / 3
+    }
+    var lo = 0L; var hi = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (luma(gy)(gx + 1) > luma(gy)(gx)) {
+          val k = 8 * (gy % 4) + gx
+          if (gy < 4) lo |= 1L << k else hi |= 1L << k
+        }
+        gx += 1
+      }
+      gy += 1
+    }
+    (hi, lo)
+  }
+
+  /** Image near-dedup by perceptual hash (the training-pipeline shape for
+    * image corpora — LAION-style dHash bucketing): decode every blob,
+    * compute its 64-bit dHash from the REAL pixel grid, group identical
+    * hashes into families, keep the min-id representative. One
+    * hash-shuffle keyed on the 64-bit signature — Θ(docs) at any corpus
+    * size, the exact-dedup contract applied to pixels instead of text. */
+  val imageDedup: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val hashes = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val img = decode(mediaBlob(text.getBytes("UTF-8")))
+        val (hi, lo) = dhash(bgrBytes(img), img.getWidth, img.getHeight)
+        (id, hi, lo)
+      }
+      .toDF("doc_id", "dhash_hi", "dhash_lo")
+    val fams = hashes.groupBy("dhash_hi", "dhash_lo")
+      .agg(min(col("doc_id")).as("rep_id"),
+        count(lit(1)).cast("long").as("family_size"))
+    hashes.join(fams, Seq("dhash_hi", "dhash_lo"))
+      .select(col("doc_id"), col("dhash_hi"), col("dhash_lo"),
+        col("rep_id"), col("family_size"),
+        (col("doc_id") =!= col("rep_id")).cast("int").as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_multimodal_meta"     -> multimodalMeta,
     "q_multimodal_frames"   -> multimodalFrames,
     "q_multimodal_resize"   -> multimodalResize,
     "q_multimodal_features" -> multimodalFeatures,
+    "q_image_dedup"         -> imageDedup,
   )
 
   /** Shared oracle CTE: the per-pixel generator arithmetic. `vb` is the
@@ -396,5 +451,39 @@ object Multimodal {
          |  CAST(c6 * 10000 // n AS DOUBLE) / 10000.0 AS b6,
          |  CAST(c7 * 10000 // n AS DOUBLE) / 10000.0 AS b7
          |FROM hh ORDER BY doc_id""".stripMargin,
+    // dHash: point-sampled 9×8 luma grid → 64 comparison bits in two
+    // 32-bit halves → identical-hash families with min-id representative
+    "q_image_dedup" ->
+      s"""WITH $pixelCte,
+         |lum AS (SELECT doc_id, (r + g + b) // 3 AS luma, x, y FROM c),
+         |grid AS (
+         |  SELECT doc_id, w, h, unnest(range(0, 8)) AS gy FROM d),
+         |gg AS (
+         |  SELECT doc_id, w, h, gy, unnest(range(0, 9)) AS gx FROM grid),
+         |sampled AS (
+         |  SELECT gg.doc_id, gg.gy, gg.gx, lum.luma
+         |  FROM gg JOIN lum ON lum.doc_id = gg.doc_id
+         |    AND lum.x = (gg.gx * gg.w) // 9 AND lum.y = (gg.gy * gg.h) // 8),
+         |bits AS (
+         |  SELECT doc_id, gy, gx, luma,
+         |    lead(luma) OVER (PARTITION BY doc_id, gy ORDER BY gx) AS nxt
+         |  FROM sampled),
+         |hh AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN gy >= 4 AND gx < 8 AND nxt > luma
+         |      THEN CAST(1 AS BIGINT) << (8 * (gy % 4) + gx) ELSE 0 END)
+         |      AS BIGINT) AS dhash_hi,
+         |    CAST(sum(CASE WHEN gy < 4 AND gx < 8 AND nxt > luma
+         |      THEN CAST(1 AS BIGINT) << (8 * (gy % 4) + gx) ELSE 0 END)
+         |      AS BIGINT) AS dhash_lo
+         |  FROM bits GROUP BY doc_id),
+         |fam AS (
+         |  SELECT dhash_hi, dhash_lo, min(doc_id) AS rep_id,
+         |    CAST(count(*) AS BIGINT) AS family_size
+         |  FROM hh GROUP BY dhash_hi, dhash_lo)
+         |SELECT h.doc_id, h.dhash_hi, h.dhash_lo, f.rep_id, f.family_size,
+         |  CAST(CASE WHEN h.doc_id <> f.rep_id THEN 1 ELSE 0 END AS INT) AS is_dup
+         |FROM hh h JOIN fam f USING (dhash_hi, dhash_lo)
+         |ORDER BY h.doc_id""".stripMargin,
   )
 }

@@ -131,4 +131,41 @@ class MultimodalSpec extends AnyFunSuite {
     // (1 - 8e-4, 1]
     assert(feat.sum <= 1.0 + 1e-12 && feat.sum > 1.0 - 8e-4, s"sum=${feat.sum}")
   }
+
+  test("dHash matches an independent generator-arithmetic replay (no codec)") {
+    for (payload <- Seq("a", "the quick brown fox jumps over 13 dogs",
+        "x" * 300)) {
+      val bytes = payload.getBytes("UTF-8")
+      val (w, h) = Multimodal.dims(bytes.length)
+      val img = Multimodal.decode(Multimodal.mediaBlob(bytes))
+      val (hi, lo) = Multimodal.dhash(
+        Multimodal.bgrBytes(img), img.getWidth, img.getHeight)
+      // replay straight from pixelChannels: luma = (r+g+b)/3 at the
+      // point-sampled grid, bit = strict right-neighbor increase
+      def luma(gy: Int, gx: Int): Int = {
+        val (r, g, b) = Multimodal.pixelChannels(bytes, w, gx * w / 9, gy * h / 8)
+        (r + g + b) / 3
+      }
+      var elo = 0L; var ehi = 0L
+      for (gy <- 0 until 8; gx <- 0 until 8)
+        if (luma(gy, gx + 1) > luma(gy, gx)) {
+          val k = 8 * (gy % 4) + gx
+          if (gy < 4) elo |= 1L << k else ehi |= 1L << k
+        }
+      assert((hi, lo) == (ehi, elo), s"dhash payload n=${bytes.length}")
+    }
+  }
+
+  test("image dedup: identical text gives identical dHash family with min-id rep") {
+    val spark = TestSpark.spark
+    val df = Multimodal.imageDedup(spark, TestSpark.sf0001)
+    val docs = Tables.documents(spark, TestSpark.sf0001).count()
+    assert(df.count() == docs)
+    // representatives are family minima, and every family member shares
+    // the rep's hash (join-key construction makes this structural; the
+    // check guards the aggregation wiring)
+    assert(df.where(col("rep_id") > col("doc_id")).isEmpty)
+    assert(df.where((col("doc_id") === col("rep_id")) &&
+      col("is_dup") === 1).isEmpty)
+  }
 }
