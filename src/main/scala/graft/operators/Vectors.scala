@@ -1699,7 +1699,8 @@ object Vectors {
       .agg(min(col("doc_id")).as("prep"), first(col("bands")).as("bands"))
     val probe = probeGroups.select(col("prep"), col("sig").as("sig_n"),
       posexplode(col("bands")).as(Seq("band", "key")))
-    val refSigs = notOwnBatch(s.read.parquet(s"$idx/sigs"))
+    val refSigs = dropTombstoned(s, idx,
+        notOwnBatch(s.read.parquet(s"$idx/sigs")), "doc_id")
       .select(col("doc_id").as("ref_id"), col("sig").as("sig_r"))
     val refBanded = notOwnBatch(s.read.parquet(s"$idx/banded"))
       .select(col("doc_id").as("ref_id"), col("band"), col("key"))
@@ -1864,6 +1865,97 @@ object Vectors {
       .withColumn("bandi", shiftright(col("blk"), 32).cast("int"))
       .write.mode("append").partitionBy("bandi").parquet(s"$dir/blocks")
 
+  // ── index lifecycle: logical delete + offline compaction ─────────────
+
+  /** Logical DELETE from a persisted index (takedown / right-to-erasure —
+    * the missing verb of the build → append → screen lifecycle): append
+    * the victim ids to `$dir/tombstones`. Θ(deletes) — no index read, no
+    * rewrite; identical on the minhash and simhash layouts and on their
+    * batch-id-partitioned streaming-ingest variants. Readers
+    * ([[minhashScreenOf]] / [[simhashScreenOf]] and the streaming screen
+    * loads) anti-join the tombstone set (broadcast — deletes are rare
+    * relative to the corpus), so a deleted document stops matching
+    * IMMEDIATELY; its physical rows go away at the next [[compactIndex]]
+    * — the delete-then-compact discipline of every production table
+    * format (logical now, physical on the maintenance schedule). */
+  def deleteFromIndex(s: SparkSession, dir: String, ids: DataFrame): Unit =
+    ids.select(col(ids.columns.head).cast("long").as("doc_id")).distinct()
+      .write.mode("append").parquet(s"$dir/tombstones")
+
+  /** The tombstone set of an index dir, None when none exists. Probed via
+    * the path's Hadoop FileSystem — a `java.io.File` probe is silently
+    * false on hdfs:// / s3a://, which would resurrect every deleted doc
+    * without an error (the Streams.indexExists lesson). */
+  private[graft] def tombstonesOf(
+      s: SparkSession, dir: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.isDirectory(p) &&
+        org.apache.hadoop.fs.FileUtil.stat2Paths(fs.listStatus(p))
+          .exists(c => !c.getName.startsWith("_")))
+      Some(s.read.parquet(p.toString))
+    else None
+  }
+
+  /** Drop tombstoned rows from an index-reader frame (no-op without
+    * tombstones): broadcast anti-join on the frame's id column. */
+  private[graft] def dropTombstoned(s: SparkSession, dir: String,
+      df: DataFrame, idCol: String): DataFrame = tombstonesOf(s, dir) match {
+    case Some(ts) => df.join(
+      org.apache.spark.sql.functions.broadcast(
+        ts.select(col("doc_id").as(idCol))), Seq(idCol), "left_anti")
+    case None => df
+  }
+
+  /** Offline physical COMPACTION: fold `$dir/tombstones` into the layout.
+    * Each data subdir is rewritten without the victim rows — staged to a
+    * `__compact_tmp` sibling then swapped by FS rename (the reader-safe
+    * way to overwrite a path this job is also reading) — preserving
+    * whatever partition layout the subdir carries (band / bandi /
+    * batch_id / cluster), then the tombstones are cleared. Cost is
+    * Θ(index) over signature rows (~300 B/doc, never text) and
+    * deliberate: compaction is the scheduled-maintenance half of
+    * delete-then-compact, not a per-delete tax. (Partition pruning cannot
+    * narrow the minhash rewrite — every doc holds a row in EVERY band
+    * partition by construction — so the full rewrite is the honest
+    * shape.) */
+  def compactIndex(s: SparkSession, dir: String, subdirs: Seq[String]): Unit =
+    tombstonesOf(s, dir).foreach { ts =>
+      val conf = s.sparkContext.hadoopConfiguration
+      val t = ts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t.count() // materialize BEFORE the source dir is cleared below
+      subdirs.foreach { sub =>
+        val live = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+        val fs = live.getFileSystem(conf)
+        if (fs.isDirectory(live)) {
+          val tmp = new org.apache.hadoop.fs.Path(s"$dir/${sub}__compact_tmp")
+          val df = s.read.parquet(live.toString)
+          val idCol = if (df.columns.contains("ref_id")) "ref_id" else "doc_id"
+          val retained = df.join(
+            org.apache.spark.sql.functions.broadcast(
+              t.select(col("doc_id").as(idCol))), Seq(idCol), "left_anti")
+          val parts = Seq("band", "bandi", "batch_id", "cluster")
+            .filter(df.columns.contains)
+          val w = retained.write.mode("overwrite")
+          (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
+            .parquet(tmp.toString)
+          fs.delete(live, true)
+          fs.rename(tmp, live)
+        }
+      }
+      val tp = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+      tp.getFileSystem(conf).delete(tp, true)
+      t.unpersist(blocking = false)
+    }
+
+  /** [[compactIndex]] over the [[writeMinhashIndex]] layout. */
+  def compactMinhashIndex(s: SparkSession, dir: String): Unit =
+    compactIndex(s, dir, Seq("banded", "sigs"))
+
+  /** [[compactIndex]] over the [[writeSimhashIndex]] layout. */
+  def compactSimhashIndex(s: SparkSession, dir: String): Unit =
+    compactIndex(s, dir, Seq("blocks"))
+
   /** AT-REST SimHash screen — the pigeonhole twin of
     * [[minhashScreenAtRest]]: the incoming batch (source
     * [[MinhashBatchSource]]) computes its own 64-bit simhashes, probes the
@@ -1894,7 +1986,7 @@ object Vectors {
     val probeGroups = sigs.groupBy(col("sim")).agg(first(col("blocks")).as("blocks"))
     val probe = probeGroups
       .select(col("sim").as("sim_n"), explode(col("blocks")).as("blk"))
-    val refs = s.read.parquet(s"$idx/blocks")
+    val refs = dropTombstoned(s, idx, s.read.parquet(s"$idx/blocks"), "ref_id")
       .groupBy(col("blk"), col("sim_r")).agg(min(col("ref_id")).as("ref_id"))
     val scored = probe
       .join(refs, Seq("blk"))

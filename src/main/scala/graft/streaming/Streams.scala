@@ -555,14 +555,18 @@ object Streams {
     // parquet footer count — cheap; decides broadcast vs stream-static
     if (spark.read.parquet(s"$idx/sigs").count() > maxBroadcastRefs)
       return minhashScreenStreamStatic(spark, sfDir, idx)
+    // tombstone-filtered loads: a deleted at-rest doc must stop matching
+    // immediately, before any physical compaction (Vectors.deleteFromIndex)
     val bandMap: Map[(Int, Long), Array[Long]] =
-      spark.read.parquet(s"$idx/banded")
+      Vectors.dropTombstoned(spark, idx,
+          spark.read.parquet(s"$idx/banded"), "doc_id")
         .select(col("band").cast("int"), col("key"), col("doc_id"))
         .collect()
         .groupBy(r => (r.getInt(0), r.getLong(1)))
         .map { case (k, rs) => k -> rs.map(_.getLong(2)) }
     val sigMap: Map[Long, Array[Long]] =
-      spark.read.parquet(s"$idx/sigs")
+      Vectors.dropTombstoned(spark, idx,
+          spark.read.parquet(s"$idx/sigs"), "doc_id")
         .select(col("doc_id"), col("sig"))
         .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
     val bcBands = spark.sparkContext.broadcast(bandMap)
@@ -620,10 +624,12 @@ object Streams {
       idx: String): Dataset[ScreenVerdict] = {
     import spark.implicits._
     import graft.operators.Vectors
-    val banded = spark.read.parquet(s"$idx/banded")
+    val banded = Vectors.dropTombstoned(spark, idx,
+        spark.read.parquet(s"$idx/banded"), "doc_id")
       .select(col("band").cast("int").as("band"), col("key"),
         col("doc_id").as("ref_id"))
-    val refSigs = spark.read.parquet(s"$idx/sigs")
+    val refSigs = Vectors.dropTombstoned(spark, idx,
+        spark.read.parquet(s"$idx/sigs"), "doc_id")
       .select(col("doc_id").as("ref_id"), col("sig").as("sig_r"))
     val probes = docsStream(spark, sfDir)
       .where(col("source") === Vectors.MinhashBatchSource)
@@ -695,7 +701,8 @@ object Streams {
     if (spark.read.parquet(s"$idx/blocks").count() / 4 > maxBroadcastRefs)
       return simhashScreenStreamStatic(spark, sfDir, idx)
     val blockMap: Map[Long, Array[(Long, Long)]] =
-      spark.read.parquet(s"$idx/blocks")
+      Vectors.dropTombstoned(spark, idx,
+          spark.read.parquet(s"$idx/blocks"), "ref_id")
         .select(col("blk"), col("ref_id"), col("sim_r"))
         .collect()
         .groupBy(_.getLong(0))
@@ -737,7 +744,8 @@ object Streams {
       idx: String): Dataset[HammingVerdict] = {
     import spark.implicits._
     import graft.operators.Vectors
-    val blocks = spark.read.parquet(s"$idx/blocks")
+    val blocks = Vectors.dropTombstoned(spark, idx,
+        spark.read.parquet(s"$idx/blocks"), "ref_id")
       .select(col("blk"), col("ref_id"), col("sim_r"))
     docsStream(spark, sfDir)
       .where(col("source") === Vectors.MinhashBatchSource)

@@ -280,6 +280,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(static == want)
   }
 
+  test("streaming screens respect index tombstones on both load paths") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // the memoized at-rest index dir the stream screens resolve internally
+    val idx = operators.Vectors.ensureIndex(spark, "minhash", TestSpark.sf0001)(
+      p => operators.Vectors.writeMinhashIndex(spark, TestSpark.sf0001, p))
+    def run(ceiling: Long, name: String, mode: String) = Streams.runToCompletion(
+      Streams.minhashScreenStream(spark, TestSpark.sf0001,
+        maxBroadcastRefs = ceiling).toDF(), name, mode)
+      .orderBy(col("docId"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // victim: some incoming doc's current best at-rest match
+    val victim = run(Long.MaxValue, "t_mh_ts_pre", "append")
+      .collectFirst { case (_, 1L, ref) => ref }
+    assume(victim.nonEmpty, "fixture has no at-rest dup to delete")
+    try {
+      operators.Vectors.deleteFromIndex(spark, idx, Seq(victim.get).toDF("doc_id"))
+      val afterBc = run(Long.MaxValue, "t_mh_ts_bc", "append")
+      assert(afterBc.forall(_._3 != victim.get),
+        "broadcast path matched a tombstoned doc")
+      val afterSs = run(0L, "t_mh_ts_ss", "update")
+      assert(afterSs.forall(_._3 != victim.get),
+        "stream-static path matched a tombstoned doc")
+      // batch kernel agrees with both streaming paths post-delete
+      val batchAfter = operators.Vectors.minhashScreenOf(spark, idx,
+          Tables.documents(spark, TestSpark.sf0001)
+            .where(col("source") === operators.Vectors.MinhashBatchSource))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(afterBc == batchAfter && afterSs == batchAfter)
+    } finally {
+      // restore the shared memoized index for the other suites
+      val p = new org.apache.hadoop.fs.Path(s"$idx/tombstones")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("streaming simhash screen replays to batch on BOTH paths (broadcast / stream-static)") {
     val spark = TestSpark.spark
     def run(ceiling: Long, name: String, mode: String) = Streams.runToCompletion(

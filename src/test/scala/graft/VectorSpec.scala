@@ -264,6 +264,70 @@ class VectorSpec extends AnyFunSuite {
       s2.forall(r => r.getLong(1) == 1L && r.getLong(3) == 0L))
   }
 
+  test("index delete -> tombstone screen -> compact: takedown lifecycle (both families)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val d = TestSpark.sf0001
+    val batch = Tables.documents(spark, d)
+      .where(col("source") === Vectors.MinhashBatchSource)
+    val batchIds = batch.select("doc_id").as[Long].collect().toSeq
+    def verdicts(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+
+    // minhash: the lifecycle invariant is exact — append(batch) then
+    // delete(batch ids) must RESTORE the original screen verdicts, first
+    // logically (tombstones only), then physically (after compaction)
+    val mIdx = java.nio.file.Files.createTempDirectory("mhdel").toString
+    Vectors.writeMinhashIndex(spark, d, mIdx)
+    val rows0 = spark.read.parquet(s"$mIdx/sigs").count()
+    val v1 = verdicts(Vectors.minhashScreenOf(spark, mIdx, batch).collect())
+    Vectors.appendMinhashIndex(spark, mIdx, batch)
+    assert(verdicts(Vectors.minhashScreenOf(spark, mIdx, batch).collect())
+      .forall(r => r._2 == 1L && r._4 == 32L)) // appended: all self-dup
+    Vectors.deleteFromIndex(spark, mIdx, batchIds.toDF("doc_id"))
+    // logical delete: original verdicts restored, physical rows untouched
+    assert(verdicts(Vectors.minhashScreenOf(spark, mIdx, batch).collect()) == v1)
+    assert(spark.read.parquet(s"$mIdx/sigs").count() == rows0 + batchIds.size)
+    // idempotent re-delete
+    Vectors.deleteFromIndex(spark, mIdx, batchIds.toDF("doc_id"))
+    assert(verdicts(Vectors.minhashScreenOf(spark, mIdx, batch).collect()) == v1)
+    // physical compaction: victim rows gone, tombstones cleared,
+    // partition layout intact, verdicts still the original
+    Vectors.compactMinhashIndex(spark, mIdx)
+    val sigsAfter = spark.read.parquet(s"$mIdx/sigs")
+    assert(sigsAfter.count() == rows0)
+    assert(sigsAfter.where(col("doc_id").isin(batchIds: _*)).isEmpty)
+    val banded = spark.read.parquet(s"$mIdx/banded")
+    assert(banded.where(col("doc_id").isin(batchIds: _*)).isEmpty)
+    assert(banded.select("band").distinct().count() == 8)
+    assert(Vectors.tombstonesOf(spark, mIdx).isEmpty)
+    assert(verdicts(Vectors.minhashScreenOf(spark, mIdx, batch).collect()) == v1)
+    // compact with no tombstones is a no-op; append after compact composes
+    Vectors.compactMinhashIndex(spark, mIdx)
+    assert(spark.read.parquet(s"$mIdx/sigs").count() == rows0)
+    Vectors.appendMinhashIndex(spark, mIdx, batch)
+    assert(verdicts(Vectors.minhashScreenOf(spark, mIdx, batch).collect())
+      .forall(r => r._2 == 1L && r._4 == 32L))
+
+    // simhash twin: same restore invariant through delete and compact
+    val sIdx = java.nio.file.Files.createTempDirectory("shdel").toString
+    Vectors.writeSimhashIndex(spark, d, sIdx)
+    val blocks0 = spark.read.parquet(s"$sIdx/blocks").count()
+    val s1 = verdicts(Vectors.simhashScreenOf(spark, sIdx, batch).collect())
+    Vectors.appendSimhashIndex(spark, sIdx, batch)
+    assert(verdicts(Vectors.simhashScreenOf(spark, sIdx, batch).collect())
+      .forall(r => r._2 == 1L && r._4 == 0L))
+    Vectors.deleteFromIndex(spark, sIdx, batchIds.toDF("doc_id"))
+    assert(verdicts(Vectors.simhashScreenOf(spark, sIdx, batch).collect()) == s1)
+    Vectors.compactSimhashIndex(spark, sIdx)
+    assert(spark.read.parquet(s"$sIdx/blocks").count() == blocks0)
+    assert(spark.read.parquet(s"$sIdx/blocks")
+      .where(col("ref_id").isin(batchIds: _*)).isEmpty)
+    assert(Vectors.tombstonesOf(spark, sIdx).isEmpty)
+    assert(verdicts(Vectors.simhashScreenOf(spark, sIdx, batch).collect()) == s1)
+  }
+
   test("IVF index append: fixed-codebook quantize, grown index serves appended vectors") {
     val spark = TestSpark.spark
     import spark.implicits._
