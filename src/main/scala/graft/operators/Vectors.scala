@@ -750,8 +750,8 @@ object Vectors {
       }
       .sortBy { case (c, sim) => (-sim, c) }
       .take(nProbe).map(_._1).toSeq
-    val scan = spark.read.parquet(indexDir)
-      .where(col("cluster").isin(chosen: _*))
+    val scan = dropTombstoned(s, indexDir, spark.read.parquet(indexDir)
+      .where(col("cluster").isin(chosen: _*)), "vec_id")
     // "more like this" queries probe with an indexed vector — excludeId
     // drops it so topK means topK real neighbors, matching annIvf/cosineTopk
     excludeId.fold(scan)(id => scan.where(col("vec_id") =!= id))
@@ -1198,7 +1198,8 @@ object Vectors {
     }
     val tables = adcTables(cb, probe)
     val bcT = spark.sparkContext.broadcast(tables)
-    val codes = spark.read.parquet(s"$indexDir/codes")
+    val codes = dropTombstoned(s, indexDir,
+        spark.read.parquet(s"$indexDir/codes"), "vec_id")
       .as[(Long, Array[Byte])]
     val scored = excludeId.fold(codes)(id => codes.filter(_._1 != id))
       .map { case (id, cs) =>
@@ -1421,8 +1422,8 @@ object Vectors {
     val tables = adcTables(cbR, probe)
     val cellConst = coarse.map(c => dotA(probe, c))
     val bcT = spark.sparkContext.broadcast((tables, cellConst))
-    val codes = spark.read.parquet(indexDir)
-      .where(col("cluster").isin(chosen: _*))
+    val codes = dropTombstoned(s, indexDir, spark.read.parquet(indexDir)
+        .where(col("cluster").isin(chosen: _*)), "vec_id")
       .select(col("vec_id"), col("codes"), col("cluster"))
       .as[(Long, Array[Byte], Int)]
     val scored = excludeId.fold(codes)(id => codes.filter(_._1 != id))
@@ -1869,18 +1870,21 @@ object Vectors {
 
   /** Logical DELETE from a persisted index (takedown / right-to-erasure —
     * the missing verb of the build → append → screen lifecycle): append
-    * the victim ids to `$dir/tombstones`. Θ(deletes) — no index read, no
-    * rewrite; identical on the minhash and simhash layouts and on their
-    * batch-id-partitioned streaming-ingest variants. Readers
-    * ([[minhashScreenOf]] / [[simhashScreenOf]] and the streaming screen
-    * loads) anti-join the tombstone set (broadcast — deletes are rare
-    * relative to the corpus), so a deleted document stops matching
-    * IMMEDIATELY; its physical rows go away at the next [[compactIndex]]
-    * — the delete-then-compact discipline of every production table
-    * format (logical now, physical on the maintenance schedule). */
+    * the victim ids to `$dir/_tombstones` — the underscore keeps the
+    * sidecar out of parquet partition discovery (like `_codebook`), which
+    * is mandatory for the ANN layouts whose data rows live at the index
+    * root. Θ(deletes) — no index read, no rewrite; identical on the
+    * minhash / simhash / IVF / PQ / IVFADC layouts and on the
+    * batch-id-partitioned streaming-ingest variants. Readers (the screen
+    * kernels, the streaming screen loads, and the three ANN query paths)
+    * anti-join the tombstone set (broadcast — deletes are rare relative
+    * to the corpus), so a deleted document stops matching IMMEDIATELY;
+    * its physical rows go away at the next [[compactIndex]] — the
+    * delete-then-compact discipline of every production table format
+    * (logical now, physical on the maintenance schedule). */
   def deleteFromIndex(s: SparkSession, dir: String, ids: DataFrame): Unit =
     ids.select(col(ids.columns.head).cast("long").as("doc_id")).distinct()
-      .write.mode("append").parquet(s"$dir/tombstones")
+      .write.mode("append").parquet(s"$dir/_tombstones")
 
   /** The tombstone set of an index dir, None when none exists. Probed via
     * the path's Hadoop FileSystem — a `java.io.File` probe is silently
@@ -1888,7 +1892,7 @@ object Vectors {
     * without an error (the Streams.indexExists lesson). */
   private[graft] def tombstonesOf(
       s: SparkSession, dir: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_tombstones")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.isDirectory(p) &&
         org.apache.hadoop.fs.FileUtil.stat2Paths(fs.listStatus(p))
@@ -1907,7 +1911,7 @@ object Vectors {
     case None => df
   }
 
-  /** Offline physical COMPACTION: fold `$dir/tombstones` into the layout.
+  /** Offline physical COMPACTION: fold `$dir/_tombstones` into the layout.
     * Each data subdir is rewritten without the victim rows — staged to a
     * `__compact_tmp` sibling then swapped by FS rename (the reader-safe
     * way to overwrite a path this job is also reading) — preserving
@@ -1930,7 +1934,10 @@ object Vectors {
         if (fs.isDirectory(live)) {
           val tmp = new org.apache.hadoop.fs.Path(s"$dir/${sub}__compact_tmp")
           val df = s.read.parquet(live.toString)
-          val idCol = if (df.columns.contains("ref_id")) "ref_id" else "doc_id"
+          val idCol =
+            if (df.columns.contains("ref_id")) "ref_id"
+            else if (df.columns.contains("vec_id")) "vec_id"
+            else "doc_id"
           val retained = df.join(
             org.apache.spark.sql.functions.broadcast(
               t.select(col("doc_id").as(idCol))), Seq(idCol), "left_anti")
@@ -1943,7 +1950,7 @@ object Vectors {
           fs.rename(tmp, live)
         }
       }
-      val tp = new org.apache.hadoop.fs.Path(s"$dir/tombstones")
+      val tp = new org.apache.hadoop.fs.Path(s"$dir/_tombstones")
       tp.getFileSystem(conf).delete(tp, true)
       t.unpersist(blocking = false)
     }
@@ -1955,6 +1962,43 @@ object Vectors {
   /** [[compactIndex]] over the [[writeSimhashIndex]] layout. */
   def compactSimhashIndex(s: SparkSession, dir: String): Unit =
     compactIndex(s, dir, Seq("blocks"))
+
+  /** Compaction for the ROOT-partitioned ANN layouts ([[writeIvfIndex]] /
+    * [[writeIvfPqIndex]]), where the `cluster=` data dirs live at the
+    * index root next to `_codebook` sidecars: rewrite the retained rows
+    * into a SIBLING staging dir (a tmp inside the root would be destroyed
+    * by its own swap), then replace only the `cluster=` partition dirs —
+    * sidecars untouched (codebooks are corpus statistics, not rows; a
+    * compaction never retrains, same discipline as [[appendIvfIndex]]). */
+  def compactIvfIndex(s: SparkSession, dir: String): Unit =
+    tombstonesOf(s, dir).foreach { ts =>
+      val conf = s.sparkContext.hadoopConfiguration
+      val live = new org.apache.hadoop.fs.Path(dir)
+      val fs = live.getFileSystem(conf)
+      val tmp = new org.apache.hadoop.fs.Path(s"${dir}__compact_tmp")
+      val t = ts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      t.count() // materialize BEFORE the live partitions are replaced
+      val retained = s.read.parquet(dir).join(
+        org.apache.spark.sql.functions.broadcast(
+          t.select(col("doc_id").as("vec_id"))), Seq("vec_id"), "left_anti")
+      retained.write.mode("overwrite").partitionBy("cluster")
+        .parquet(tmp.toString)
+      org.apache.hadoop.fs.FileUtil.stat2Paths(fs.listStatus(live))
+        .filter(_.getName.startsWith("cluster="))
+        .foreach(p => fs.delete(p, true))
+      org.apache.hadoop.fs.FileUtil.stat2Paths(fs.listStatus(tmp))
+        .filter(_.getName.startsWith("cluster="))
+        .foreach(p => fs.rename(p,
+          new org.apache.hadoop.fs.Path(live, p.getName)))
+      fs.delete(tmp, true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_tombstones"), true)
+      t.unpersist(blocking = false)
+    }
+
+  /** [[compactIndex]] over the [[writePqIndex]] layout (flat `codes/`
+    * subdir + `_pq_codebook` sidecar). */
+  def compactPqIndex(s: SparkSession, dir: String): Unit =
+    compactIndex(s, dir, Seq("codes"))
 
   /** AT-REST SimHash screen — the pigeonhole twin of
     * [[minhashScreenAtRest]]: the incoming batch (source

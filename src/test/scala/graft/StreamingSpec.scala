@@ -311,7 +311,7 @@ class StreamingSpec extends AnyFunSuite {
       assert(afterBc == batchAfter && afterSs == batchAfter)
     } finally {
       // restore the shared memoized index for the other suites
-      val p = new org.apache.hadoop.fs.Path(s"$idx/tombstones")
+      val p = new org.apache.hadoop.fs.Path(s"$idx/_tombstones")
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }

@@ -361,6 +361,62 @@ class VectorSpec extends AnyFunSuite {
     assert(top.contains(1000000L), s"appended twin missing from $top")
   }
 
+  test("ANN takedown: tombstoned vectors vanish from all three serving paths, compaction is physical") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val d = TestSpark.sf0001
+    val probe = Tables.embeddings(spark, d).where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).as[Array[Double]].head()
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).toSeq
+
+    // IVF (root-partitioned layout): delete the top hit, re-query, compact
+    val ivf = java.nio.file.Files.createTempDirectory("ivfdel").toString
+    Vectors.writeIvfIndex(spark, d, ivf)
+    val t1 = ids(Vectors.queryIvfIndex(spark, ivf, probe, topK = 5))
+    val victim = t1.head
+    Vectors.deleteFromIndex(spark, ivf, Seq(victim).toDF("doc_id"))
+    val t2 = ids(Vectors.queryIvfIndex(spark, ivf, probe, topK = 5))
+    // the survivors keep their relative order; rank 5 backfills
+    assert(!t2.contains(victim) &&
+      t2.take(4) == t1.filterNot(_ == victim).take(4),
+      s"post-delete ranking drifted: $t1 -> $t2")
+    val cbBefore = spark.read.parquet(s"$ivf/_codebook").count()
+    val rowsBefore = spark.read.parquet(ivf).count()
+    Vectors.compactIvfIndex(spark, ivf)
+    assert(spark.read.parquet(ivf).count() == rowsBefore - 1)
+    assert(spark.read.parquet(ivf).where(col("vec_id") === victim).isEmpty)
+    assert(spark.read.parquet(s"$ivf/_codebook").count() == cbBefore)
+    assert(Vectors.tombstonesOf(spark, ivf).isEmpty)
+    assert(ids(Vectors.queryIvfIndex(spark, ivf, probe, topK = 5)) == t2)
+
+    // PQ (flat codes/ subdir): same contract through compactPqIndex
+    val pq = java.nio.file.Files.createTempDirectory("pqdel").toString
+    Vectors.writePqIndex(spark, d, pq)
+    val p1 = ids(Vectors.queryPqIndex(spark, d, pq, probe, topK = 5))
+    val pVictim = p1.head
+    Vectors.deleteFromIndex(spark, pq, Seq(pVictim).toDF("doc_id"))
+    val p2 = ids(Vectors.queryPqIndex(spark, d, pq, probe, topK = 5))
+    assert(!p2.contains(pVictim))
+    Vectors.compactPqIndex(spark, pq)
+    assert(spark.read.parquet(s"$pq/codes")
+      .where(col("vec_id") === pVictim).isEmpty)
+    assert(Vectors.tombstonesOf(spark, pq).isEmpty)
+    assert(ids(Vectors.queryPqIndex(spark, d, pq, probe, topK = 5)) == p2)
+
+    // IVFADC (root-partitioned codes): logical delete on the third path
+    val ipq = java.nio.file.Files.createTempDirectory("ipqdel").toString
+    Vectors.writeIvfPqIndex(spark, d, ipq)
+    val q1 = ids(Vectors.queryIvfPqIndex(spark, d, ipq, probe, topK = 5))
+    Vectors.deleteFromIndex(spark, ipq, Seq(q1.head).toDF("doc_id"))
+    val q2 = ids(Vectors.queryIvfPqIndex(spark, d, ipq, probe, topK = 5))
+    assert(!q2.contains(q1.head))
+    Vectors.compactIvfIndex(spark, ipq)
+    assert(spark.read.parquet(ipq).where(col("vec_id") === q1.head).isEmpty)
+    assert(spark.read.parquet(s"$ipq/_pq_codebook").count() > 0)
+    assert(ids(Vectors.queryIvfPqIndex(spark, d, ipq, probe, topK = 5)) == q2)
+  }
+
   test("bounded nearest-m contracts equal brute-force ranking of the raw pair kernels") {
     val spark = TestSpark.spark
     import spark.implicits._
