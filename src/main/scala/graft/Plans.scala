@@ -95,6 +95,12 @@ object Plans {
       "SemDeDup: coarse-cell (multi-probe p=2) restricted exact kernel + star contraction + per-doc verdict tail — sub-quadratic semantic dedup",
     "q_bpe_tokenize" ->
       "BPE token accounting: vocab-level N stacked codegen replaces (no iterative jobs after the memoized training) + word join + per-doc aggregate",
+    "q_curate_batch" ->
+      "incremental-curation batch decision: one shared gate/exact-rep/near-drop relation — id-keyed joins over the banded candidate kernel, Θ(batch) output",
+    "q_audio_features" ->
+      "real-codec audio framing: one typed flatMap (WAV decode + windowed features) inside the documents scan, no shuffle before the presentation sort",
+    "q_image_dedup" ->
+      "perceptual-hash image dedup: per-blob decode+dHash map, one hash-shuffle groupBy on the 64-bit signature, family attach join — Θ(docs)",
   )
 
   def main(args: Array[String]): Unit = {

@@ -354,10 +354,15 @@ object Multimodal {
         (id, hi, lo)
       }
       .toDF("doc_id", "dhash_hi", "dhash_lo")
-    val fams = hashes.groupBy("dhash_hi", "dhash_lo")
-      .agg(min(col("doc_id")).as("rep_id"),
-        count(lit(1)).cast("long").as("family_size"))
-    hashes.join(fams, Seq("dhash_hi", "dhash_lo"))
+    // family stats via an unordered window over the signature — ONE decode
+    // pass and ONE hash-shuffle (a groupBy + self-join spelling recomputes
+    // the decode subtree on both join sides)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("dhash_hi"), col("dhash_lo"))
+    hashes
+      .select(col("doc_id"), col("dhash_hi"), col("dhash_lo"),
+        min(col("doc_id")).over(w).as("rep_id"),
+        count(lit(1)).over(w).cast("long").as("family_size"))
       .select(col("doc_id"), col("dhash_hi"), col("dhash_lo"),
         col("rep_id"), col("family_size"),
         (col("doc_id") =!= col("rep_id")).cast("int").as("is_dup"))
