@@ -337,6 +337,21 @@ object Multimodal {
     (hi, lo)
   }
 
+  /** Per-doc dHash frame — the shared decode+hash pass of [[imageDedup]]
+    * and the at-rest screen family. */
+  private def dhashFrame(s: SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = s
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val img = decode(mediaBlob(text.getBytes("UTF-8")))
+        val (hi, lo) = dhash(bgrBytes(img), img.getWidth, img.getHeight)
+        (id, hi, lo)
+      }
+      .toDF("doc_id", "dhash_hi", "dhash_lo")
+  }
+
   /** Image near-dedup by perceptual hash (the training-pipeline shape for
     * image corpora — LAION-style dHash bucketing): decode every blob,
     * compute its 64-bit dHash from the REAL pixel grid, group identical
@@ -344,16 +359,7 @@ object Multimodal {
     * hash-shuffle keyed on the 64-bit signature — Θ(docs) at any corpus
     * size, the exact-dedup contract applied to pixels instead of text. */
   val imageDedup: Q = (s, d) => {
-    val spark = s
-    import spark.implicits._
-    val hashes = Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
-        val img = decode(mediaBlob(text.getBytes("UTF-8")))
-        val (hi, lo) = dhash(bgrBytes(img), img.getWidth, img.getHeight)
-        (id, hi, lo)
-      }
-      .toDF("doc_id", "dhash_hi", "dhash_lo")
+    val hashes = dhashFrame(s, Tables.documents(s, d))
     // family stats via an unordered window over the signature — ONE decode
     // pass and ONE hash-shuffle (a groupBy + self-join spelling recomputes
     // the decode subtree on both join sides)
@@ -369,12 +375,59 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Persist the at-rest perceptual-hash index: one (doc_id, dhash_hi,
+    * dhash_lo) row per at-rest image — 24 bytes per doc; the pixels never
+    * move again. The image twin of [[Vectors.writeMinhashIndex]], sharing
+    * its lifecycle verbs: [[appendDhashIndex]], [[Vectors.deleteFromIndex]]
+    * (tombstones respected by [[dhashScreenOf]]), and
+    * [[Vectors.compactIndex]] over the `dhashes` subdir. */
+  def writeDhashIndex(s: SparkSession, d: String, dir: String): Unit =
+    dhashFrame(s, Tables.documents(s, d)
+        .where(col("source") =!= Vectors.MinhashBatchSource))
+      .write.mode("overwrite").parquet(s"$dir/dhashes")
+
+  /** Partition-append a batch's dHash rows — the screen → append → ingest
+    * loop, no rebuild (the [[Vectors.appendMinhashIndex]] contract). */
+  def appendDhashIndex(s: SparkSession, dir: String,
+      batch: org.apache.spark.sql.DataFrame): Unit =
+    dhashFrame(s, batch).write.mode("append").parquet(s"$dir/dhashes")
+
+  /** Screen an incoming batch against the at-rest dHash index: a batch
+    * image is a dup iff an at-rest image shares its 64-bit dHash; best
+    * match = the min at-rest id (deterministic). The index side contracts
+    * per hash to its min ref — exact under hash equality — and tombstoned
+    * ids are dropped before the contraction, so takedowns bite
+    * immediately. Output Θ(batch); at-rest pixels never re-decoded. */
+  def dhashScreenOf(s: SparkSession, idx: String,
+      newDocs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val refs = Vectors.dropTombstoned(s, idx,
+        s.read.parquet(s"$idx/dhashes"), "doc_id")
+      .groupBy(col("dhash_hi"), col("dhash_lo"))
+      .agg(min(col("doc_id")).as("ref_id"))
+    dhashFrame(s, newDocs)
+      .join(refs, Seq("dhash_hi", "dhash_lo"), "left")
+      .select(col("doc_id"),
+        col("ref_id").isNotNull.cast("long").as("is_dup"),
+        coalesce(col("ref_id"), lit(-1L)).as("best_match_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** AT-REST image screen as a suite key — "has this incoming image's
+    * pixel fingerprint been seen before?" against the persisted index
+    * (memoized build, the screen-family pattern). */
+  val imageScreenAtRest: Q = (s, d) => {
+    val idx = Vectors.ensureIndex(s, "dhash", d)(p => writeDhashIndex(s, d, p))
+    dhashScreenOf(s, idx, Tables.documents(s, d)
+      .where(col("source") === Vectors.MinhashBatchSource))
+  }
+
   val queries: Map[String, Q] = Map(
-    "q_multimodal_meta"     -> multimodalMeta,
-    "q_multimodal_frames"   -> multimodalFrames,
-    "q_multimodal_resize"   -> multimodalResize,
-    "q_multimodal_features" -> multimodalFeatures,
-    "q_image_dedup"         -> imageDedup,
+    "q_multimodal_meta"      -> multimodalMeta,
+    "q_multimodal_frames"    -> multimodalFrames,
+    "q_multimodal_resize"    -> multimodalResize,
+    "q_multimodal_features"  -> multimodalFeatures,
+    "q_image_dedup"          -> imageDedup,
+    "q_image_screen_at_rest" -> imageScreenAtRest,
   )
 
   /** Shared oracle CTE: the per-pixel generator arithmetic. `vb` is the
@@ -490,5 +543,44 @@ object Multimodal {
          |  CAST(CASE WHEN h.doc_id <> f.rep_id THEN 1 ELSE 0 END AS INT) AS is_dup
          |FROM hh h JOIN fam f USING (dhash_hi, dhash_lo)
          |ORDER BY h.doc_id""".stripMargin,
+    // at-rest screen: same dHash chain split at-rest/batch by source;
+    // batch verdict = left join on the contracted (hash -> min ref) side
+    "q_image_screen_at_rest" ->
+      s"""WITH $pixelCte,
+         |lum AS (SELECT doc_id, (r + g + b) // 3 AS luma, x, y FROM c),
+         |grid AS (
+         |  SELECT doc_id, w, h, unnest(range(0, 8)) AS gy FROM d),
+         |gg AS (
+         |  SELECT doc_id, w, h, gy, unnest(range(0, 9)) AS gx FROM grid),
+         |sampled AS (
+         |  SELECT gg.doc_id, gg.gy, gg.gx, lum.luma
+         |  FROM gg JOIN lum ON lum.doc_id = gg.doc_id
+         |    AND lum.x = (gg.gx * gg.w) // 9 AND lum.y = (gg.gy * gg.h) // 8),
+         |bits AS (
+         |  SELECT doc_id, gy, gx, luma,
+         |    lead(luma) OVER (PARTITION BY doc_id, gy ORDER BY gx) AS nxt
+         |  FROM sampled),
+         |hh AS (
+         |  SELECT doc_id,
+         |    CAST(sum(CASE WHEN gy >= 4 AND gx < 8 AND nxt > luma
+         |      THEN CAST(1 AS BIGINT) << (8 * (gy % 4) + gx) ELSE 0 END)
+         |      AS BIGINT) AS dhash_hi,
+         |    CAST(sum(CASE WHEN gy < 4 AND gx < 8 AND nxt > luma
+         |      THEN CAST(1 AS BIGINT) << (8 * (gy % 4) + gx) ELSE 0 END)
+         |      AS BIGINT) AS dhash_lo
+         |  FROM bits GROUP BY doc_id),
+         |cls AS (
+         |  SELECT hh.doc_id, dhash_hi, dhash_lo, d2.source
+         |  FROM hh JOIN documents d2 ON d2.doc_id = hh.doc_id),
+         |refs AS (
+         |  SELECT dhash_hi, dhash_lo, min(doc_id) AS ref_id
+         |  FROM cls WHERE source <> '${Vectors.MinhashBatchSource}'
+         |  GROUP BY dhash_hi, dhash_lo)
+         |SELECT c.doc_id,
+         |  CAST(CASE WHEN r.ref_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup,
+         |  coalesce(r.ref_id, CAST(-1 AS BIGINT)) AS best_match_id
+         |FROM cls c LEFT JOIN refs r USING (dhash_hi, dhash_lo)
+         |WHERE c.source = '${Vectors.MinhashBatchSource}'
+         |ORDER BY c.doc_id""".stripMargin,
   )
 }

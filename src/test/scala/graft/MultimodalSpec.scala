@@ -156,6 +156,37 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("dHash at-rest screen lifecycle: append makes the batch self-dup, delete restores, compact is physical") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import graft.operators.Vectors
+    val d = TestSpark.sf0001
+    val batch = Tables.documents(spark, d)
+      .where(col("source") === Vectors.MinhashBatchSource)
+    val batchIds = batch.select("doc_id").as[Long].collect().toSeq
+    val idx = java.nio.file.Files.createTempDirectory("dhidx").toString
+    Multimodal.writeDhashIndex(spark, d, idx)
+    val rows0 = spark.read.parquet(s"$idx/dhashes").count()
+    def screen() = Multimodal.dhashScreenOf(spark, idx, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val v1 = screen()
+    assert(v1.size == batchIds.size)
+    // append: every batch image's own hash is now at rest -> all dup,
+    // best match at most its own id
+    Multimodal.appendDhashIndex(spark, idx, batch)
+    assert(spark.read.parquet(s"$idx/dhashes").count() == rows0 + batchIds.size)
+    val v2 = screen()
+    assert(v2.forall { case (id, dup, ref) => dup == 1L && ref <= id })
+    // delete the appended ids: original verdicts restored logically...
+    Vectors.deleteFromIndex(spark, idx, batchIds.toDF("doc_id"))
+    assert(screen() == v1)
+    // ...then physically, with tombstones cleared and layout intact
+    Vectors.compactIndex(spark, idx, Seq("dhashes"))
+    assert(spark.read.parquet(s"$idx/dhashes").count() == rows0)
+    assert(Vectors.tombstonesOf(spark, idx).isEmpty)
+    assert(screen() == v1)
+  }
+
   test("image dedup: identical text gives identical dHash family with min-id rep") {
     val spark = TestSpark.spark
     val df = Multimodal.imageDedup(spark, TestSpark.sf0001)

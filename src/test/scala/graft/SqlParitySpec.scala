@@ -138,6 +138,7 @@ class SqlParitySpec extends AnyFunSuite {
       "q_multimodal_meta" -> "unnest(range) pixel-generator explode + // integer division",
       "q_multimodal_resize" -> "unnest(range) pixel-generator explode + // integer division",
       "q_image_dedup" -> "unnest(range) pixel-generator explode + // integer division",
+      "q_image_screen_at_rest" -> "unnest(range) pixel-generator explode + // integer division",
       "q_audio_meta" -> "unnest(range) sample-generator explode + // integer division",
       "q_audio_features" -> "unnest(range) sample-generator explode + // integer division",
       "q_audio_resample" -> "unnest(range) sample-generator explode + // integer division",
