@@ -345,11 +345,19 @@ object Multimodal {
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
-        val img = decode(mediaBlob(text.getBytes("UTF-8")))
-        val (hi, lo) = dhash(bgrBytes(img), img.getWidth, img.getHeight)
+        val (hi, lo) = streamDhash(text)
         (id, hi, lo)
       }
       .toDF("doc_id", "dhash_hi", "dhash_lo")
+  }
+
+  /** One-doc dHash kernel for the streaming twin: synthesize, REALLY
+    * decode, hash — the per-row body of [[dhashFrame]] exposed for typed
+    * stream maps. */
+  private[graft] def streamDhash(text: String): (Long, Long) = {
+    val img = decode(mediaBlob(
+      (if (text == null) "" else text).getBytes("UTF-8")))
+    dhash(bgrBytes(img), img.getWidth, img.getHeight)
   }
 
   /** Image near-dedup by perceptual hash (the training-pipeline shape for

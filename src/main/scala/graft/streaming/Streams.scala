@@ -782,6 +782,55 @@ object Streams {
       }
   }
 
+  case class DhashVerdict(docId: Long, isDup: Long, bestMatchId: Long)
+
+  /** Streaming image screen — the dHash twin of [[minhashScreenStream]]:
+    * each arriving doc synthesizes and REALLY decodes its image blob
+    * (JDK ImageIO), computes the 64-bit perceptual dHash, and probes the
+    * persisted [[graft.operators.Multimodal.writeDhashIndex]] layout.
+    * Under the broadcast ceiling the contracted (hash → min ref) map
+    * rides the executors (~24 B per at-rest image); above it the probe
+    * left-joins the contracted index as a STATIC side — stateless in
+    * BOTH modes, because hash equality yields at most one contracted ref
+    * per probe (no reduceGroups needed, unlike the minhash/simhash
+    * fallbacks). Tombstones respected on both paths. */
+  def dhashScreenStream(spark: SparkSession, sfDir: String,
+      maxBroadcastRefs: Long = BroadcastScreenCeiling): Dataset[DhashVerdict] = {
+    import spark.implicits._
+    import graft.operators.{Multimodal, Vectors}
+    val idx = Vectors.ensureIndex(spark, "dhash", sfDir)(p =>
+      Multimodal.writeDhashIndex(spark, sfDir, p))
+    val refs = Vectors.dropTombstoned(spark, idx,
+        spark.read.parquet(s"$idx/dhashes"), "doc_id")
+      .groupBy(col("dhash_hi"), col("dhash_lo"))
+      .agg(min(col("doc_id")).as("ref_id"))
+    val probes = docsStream(spark, sfDir)
+      .where(col("source") === Vectors.MinhashBatchSource)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val (hi, lo) = Multimodal.streamDhash(text)
+        (id, hi, lo)
+      }
+      .toDF("doc_id", "dhash_hi", "dhash_lo")
+    if (spark.read.parquet(s"$idx/dhashes").count() <= maxBroadcastRefs) {
+      val refMap: Map[(Long, Long), Long] = refs
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val bc = spark.sparkContext.broadcast(refMap)
+      probes.as[(Long, Long, Long)].map { case (id, hi, lo) =>
+        bc.value.get((hi, lo)) match {
+          case Some(ref) => DhashVerdict(id, 1L, ref)
+          case None      => DhashVerdict(id, 0L, -1L)
+        }
+      }
+    } else
+      probes.join(refs, Seq("dhash_hi", "dhash_lo"), "left")
+        .select(col("doc_id"),
+          col("ref_id").isNotNull.cast("long").as("is_dup"),
+          coalesce(col("ref_id"), lit(-1L)).as("best_match_id"))
+        .as[(Long, Long, Long)]
+        .map { case (id, dup, ref) => DhashVerdict(id, dup, ref) }
+  }
+
   /** EXACTLY-ONCE streaming ingest into an at-rest MinHash index layout
     * (r8 verdict #7 — closes the screen → append → ingest loop with a
     * crash-safe sink). `foreachBatch` is at-least-once: after a crash the

@@ -331,6 +331,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(static == want)
   }
 
+  test("streaming image screen replays to batch on BOTH paths (broadcast / static join)") {
+    val spark = TestSpark.spark
+    def run(ceiling: Long, name: String) = Streams.runToCompletion(
+      Streams.dhashScreenStream(spark, TestSpark.sf0001,
+        maxBroadcastRefs = ceiling).toDF(), name, "append")
+      .orderBy(col("docId"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = operators.Multimodal.imageScreenAtRest(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val broadcast = run(Long.MaxValue, "t_dh_screen_bc")
+    assert(broadcast.nonEmpty && broadcast == want)
+    val static = run(0L, "t_dh_screen_ss")
+    assert(static == want)
+  }
+
   test("streaming PII scrub replays to batch q_pii_scrub exactly") {
     val spark = TestSpark.spark
     val got = Streams.runToCompletion(
