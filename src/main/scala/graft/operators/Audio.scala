@@ -144,30 +144,36 @@ object Audio {
     * count (sign flips between consecutive samples inside the window) —
     * one output row per (clip, window), exploded inside the blob's own
     * task. */
+  /** Per-doc feature kernel shared by the batch key and the streaming
+    * twin: decode, then one row per 64-sample window. */
+  private[graft] def featureRows(
+      id: Long, text: String): Iterator[(Long, Long, Long, Double, Long)] = {
+    val payload = (if (text == null) "" else text).getBytes("UTF-8")
+    val (_, samples) = decodeSamples(mediaBlob(payload))
+    (0 until (samples.length + WindowSize - 1) / WindowSize).iterator
+      .map { wi =>
+        val start = wi * WindowSize
+        val end = math.min(start + WindowSize, samples.length)
+        var sumSq = 0L
+        var zc = 0L
+        var i = start
+        while (i < end) {
+          val v = samples(i).toLong
+          sumSq += v * v
+          if (i > start &&
+              ((samples(i) >= 0) != (samples(i - 1) >= 0))) zc += 1
+          i += 1
+        }
+        (id, wi.toLong, (end - start).toLong, fp(sumSq, end - start), zc)
+      }
+  }
+
   val audioFeatures: Q = (s, d) => {
     val spark = s
     import spark.implicits._
     Tables.documents(s, d)
       .select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val (_, samples) = decodeSamples(mediaBlob(text.getBytes("UTF-8")))
-        (0 until (samples.length + WindowSize - 1) / WindowSize).iterator
-          .map { wi =>
-            val start = wi * WindowSize
-            val end = math.min(start + WindowSize, samples.length)
-            var sumSq = 0L
-            var zc = 0L
-            var i = start
-            while (i < end) {
-              val v = samples(i).toLong
-              sumSq += v * v
-              if (i > start &&
-                  ((samples(i) >= 0) != (samples(i - 1) >= 0))) zc += 1
-              i += 1
-            }
-            (id, wi.toLong, (end - start).toLong, fp(sumSq, end - start), zc)
-          }
-      }
+      .flatMap { case (id, text) => featureRows(id, text) }
       .toDF("doc_id", "window_idx", "n_in_window", "energy", "zero_crossings")
       .orderBy(col("doc_id"), col("window_idx"))
   }
@@ -198,10 +204,66 @@ object Audio {
       .orderBy(col("doc_id"))
   }
 
+  /** Number of leading windows folded into the fingerprint. Every clip
+    * has ≥ 240 samples = ≥ 3 full windows; absent windows contribute 0
+    * bits, so variable-length clips fingerprint deterministically. */
+  private[graft] val FpWindows = 16
+
+  /** Acoustic fingerprint of a DECODED clip (the chromaprint-shaped
+    * dedup signature): 2 energy-profile bits per leading window —
+    * ((Σ|amp| / cnt) >> 8) & 3 — packed little-endian into one long.
+    * Pure integer arithmetic end-to-end, so the oracle replays it. */
+  private[graft] def fingerprint(samples: Array[Int]): Long = {
+    var fp = 0L
+    var w = 0
+    while (w < FpWindows) {
+      val start = w * WindowSize
+      if (start < samples.length) {
+        val end = math.min(start + WindowSize, samples.length)
+        var sumAbs = 0L
+        var i = start
+        while (i < end) { sumAbs += math.abs(samples(i)); i += 1 }
+        fp |= ((sumAbs / (end - start)) >> 8 & 3L) << (2 * w)
+      }
+      w += 1
+    }
+    fp
+  }
+
+  /** Audio near-dedup by acoustic fingerprint — the audio member of the
+    * perceptual-dedup family (image sibling:
+    * [[Multimodal.imageDedup]]): decode every clip, fingerprint its
+    * energy profile, group identical fingerprints into families, keep
+    * the min-id representative. One hash-shuffle keyed on the
+    * fingerprint via an unordered window — ONE decode pass, Θ(docs) at
+    * any corpus size. */
+  val audioFingerprint: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val fps = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val (_, samples) = decodeSamples(mediaBlob(text.getBytes("UTF-8")))
+        (id, fingerprint(samples))
+      }
+      .toDF("doc_id", "fingerprint")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fingerprint"))
+    fps
+      .select(col("doc_id"), col("fingerprint"),
+        min(col("doc_id")).over(w).as("rep_id"),
+        count(lit(1)).over(w).cast("long").as("family_size"))
+      .select(col("doc_id"), col("fingerprint"), col("rep_id"),
+        col("family_size"),
+        (col("doc_id") =!= col("rep_id")).cast("int").as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
-    "q_audio_meta"     -> audioMeta,
-    "q_audio_features" -> audioFeatures,
-    "q_audio_resample" -> audioResample,
+    "q_audio_meta"        -> audioMeta,
+    "q_audio_features"    -> audioFeatures,
+    "q_audio_resample"    -> audioResample,
+    "q_audio_fingerprint" -> audioFingerprint,
   )
 
   /** Shared oracle CTE: the per-sample generator arithmetic. The payload
@@ -252,5 +314,27 @@ object Audio {
          |      AS BIGINT) * 10000 // ((ns + 1) // 2) AS DOUBLE)
          |    / 10000.0 AS mean_abs_out
          |FROM s GROUP BY doc_id, ns ORDER BY doc_id""".stripMargin,
+    // per-window energy terciles packed 2 bits/window, then identical-
+    // fingerprint families with min-id rep (the image-dedup replay shape)
+    "q_audio_fingerprint" ->
+      s"""WITH $sampleCte,
+         |wst AS (
+         |  SELECT doc_id, i // 64 AS w,
+         |    CAST(sum(abs(amp)) AS BIGINT) // count(*) AS meanabs
+         |  FROM s WHERE i // 64 < $FpWindows GROUP BY doc_id, i // 64),
+         |fp AS (
+         |  SELECT doc_id,
+         |    CAST(sum(((meanabs // 256) % 4) << (2 * w)) AS BIGINT)
+         |      AS fingerprint
+         |  FROM wst GROUP BY doc_id),
+         |fam AS (
+         |  SELECT fingerprint, min(doc_id) AS rep_id,
+         |    CAST(count(*) AS BIGINT) AS family_size
+         |  FROM fp GROUP BY fingerprint)
+         |SELECT f.doc_id, f.fingerprint, m.rep_id, m.family_size,
+         |  CAST(CASE WHEN f.doc_id <> m.rep_id THEN 1 ELSE 0 END AS INT)
+         |    AS is_dup
+         |FROM fp f JOIN fam m USING (fingerprint)
+         |ORDER BY f.doc_id""".stripMargin,
   )
 }

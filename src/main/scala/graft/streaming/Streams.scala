@@ -403,6 +403,22 @@ object Streams {
         md5(col("chunk_text")).as("chunk_md5"))
   }
 
+  /** Streaming twin of the windowed audio features
+    * ([[graft.operators.Audio.audioFeatures]]): feature-extract-at-
+    * ingestion for audio arriving on a stream — each doc synthesizes and
+    * REALLY decodes its WAV blob (JDK javax.sound) inside the stream
+    * map and explodes per-window energy/zero-crossing rows. Stateless
+    * typed flatMap on the ONE shared [[graft.operators.Audio.featureRows]]
+    * kernel (no state store, no watermark, no shuffle); StreamingSpec
+    * asserts row-exact replay equality. */
+  def audioFeaturesStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docsStream(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) => graft.operators.Audio.featureRows(id, text) }
+      .toDF("doc_id", "window_idx", "n_in_window", "energy", "zero_crossings")
+  }
+
   case class ContamSnap(docId: Long, nSh: Long, nHit: Long, hitFracR: Double,
       contaminated: Long)
 

@@ -57,6 +57,28 @@ class AudioSpec extends AnyFunSuite {
     assert(samples2.toSeq == down.toSeq)
   }
 
+  test("fingerprint: deterministic, replayable from the generator, varies across docs") {
+    val a = "the quick brown fox".getBytes("UTF-8")
+    val b = "a very different document body".getBytes("UTF-8")
+    def fpOf(bytes: Array[Byte]): Long = {
+      val (_, samples) = Audio.decodeSamples(Audio.mediaBlob(bytes))
+      Audio.fingerprint(samples)
+    }
+    assert(fpOf(a) == fpOf(a)) // deterministic through the real codec
+    assert(fpOf(a) != fpOf(b)) // discriminative on different payloads
+    // independent replay straight from the generator (no codec)
+    val ns = Audio.nSamples(a.length)
+    var expect = 0L
+    for (w <- 0 until Audio.FpWindows; start = w * Audio.WindowSize
+         if start < ns) {
+      val end = math.min(start + Audio.WindowSize, ns)
+      val meanAbs = (start until end)
+        .map(i => math.abs(Audio.sampleAt(a, i)).toLong).sum / (end - start)
+      expect |= (meanAbs >> 8 & 3L) << (2 * w)
+    }
+    assert(fpOf(a) == expect)
+  }
+
   test("windowed features match a direct computation on the sf0.001 corpus") {
     val spark = TestSpark.spark
     import spark.implicits._

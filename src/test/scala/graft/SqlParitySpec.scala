@@ -142,6 +142,7 @@ class SqlParitySpec extends AnyFunSuite {
       "q_audio_meta" -> "unnest(range) sample-generator explode + // integer division",
       "q_audio_features" -> "unnest(range) sample-generator explode + // integer division",
       "q_audio_resample" -> "unnest(range) sample-generator explode + // integer division",
+      "q_audio_fingerprint" -> "unnest(range) sample-generator explode + // integer division",
       "ref_gather_series" ->
         "first(x ORDER BY ...) ordered-aggregate syntax (Spark: window + struct min)",
       "ref_quantize_roundtrip" -> ("float32 promotion: Spark SQL evaluates " +

@@ -331,6 +331,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(static == want)
   }
 
+  test("streaming audio features replay to batch q_audio_features exactly") {
+    val spark = TestSpark.spark
+    val got = Streams.runToCompletion(
+      Streams.audioFeaturesStream(spark, TestSpark.sf0001),
+      "t_audio_features", "append")
+      .orderBy(col("doc_id"), col("window_idx"))
+      .collect().map(_.toSeq).toSeq
+    val want = operators.Audio.audioFeatures(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("streaming image screen replays to batch on BOTH paths (broadcast / static join)") {
     val spark = TestSpark.spark
     def run(ceiling: Long, name: String) = Streams.runToCompletion(
