@@ -238,15 +238,7 @@ object Audio {
     * fingerprint via an unordered window — ONE decode pass, Θ(docs) at
     * any corpus size. */
   val audioFingerprint: Q = (s, d) => {
-    val spark = s
-    import spark.implicits._
-    val fps = Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
-        val (_, samples) = decodeSamples(mediaBlob(text.getBytes("UTF-8")))
-        (id, fingerprint(samples))
-      }
-      .toDF("doc_id", "fingerprint")
+    val fps = fpFrame(s, Tables.documents(s, d))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("fingerprint"))
     fps
@@ -259,11 +251,67 @@ object Audio {
       .orderBy(col("doc_id"))
   }
 
+  /** One-doc fingerprint kernel shared by the batch frame, the at-rest
+    * screen and the streaming twin. */
+  private[graft] def streamFingerprint(text: String): Long = {
+    val payload = (if (text == null) "" else text).getBytes("UTF-8")
+    fingerprint(decodeSamples(mediaBlob(payload))._2)
+  }
+
+  private def fpFrame(s: SparkSession, docs: DataFrame): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => (id, streamFingerprint(text)) }
+      .toDF("doc_id", "fingerprint")
+  }
+
+  /** Persist the at-rest acoustic-fingerprint index — one (doc_id,
+    * fingerprint) row per at-rest clip, 16 bytes/doc; the audio twin of
+    * [[Multimodal.writeDhashIndex]] with the same lifecycle verbs
+    * ([[appendAfpIndex]], [[Vectors.deleteFromIndex]] tombstones,
+    * [[Vectors.compactIndex]] over `fps`). */
+  def writeAfpIndex(s: SparkSession, d: String, dir: String): Unit =
+    fpFrame(s, Tables.documents(s, d)
+        .where(col("source") =!= Vectors.MinhashBatchSource))
+      .write.mode("overwrite").parquet(s"$dir/fps")
+
+  /** Partition-append a batch's fingerprint rows — no rebuild. */
+  def appendAfpIndex(s: SparkSession, dir: String, batch: DataFrame): Unit =
+    fpFrame(s, batch).write.mode("append").parquet(s"$dir/fps")
+
+  /** Screen an incoming batch against the at-rest fingerprint index:
+    * dup iff an at-rest clip shares the fingerprint, best match = min
+    * at-rest id; index contracted per fingerprint (exact under
+    * equality), tombstones dropped first. Θ(batch) output; at-rest audio
+    * never re-decoded. */
+  def afpScreenOf(s: SparkSession, idx: String, newDocs: DataFrame): DataFrame = {
+    val refs = Vectors.dropTombstoned(s, idx,
+        s.read.parquet(s"$idx/fps"), "doc_id")
+      .groupBy(col("fingerprint")).agg(min(col("doc_id")).as("ref_id"))
+    fpFrame(s, newDocs)
+      .join(refs, Seq("fingerprint"), "left")
+      .select(col("doc_id"),
+        col("ref_id").isNotNull.cast("long").as("is_dup"),
+        coalesce(col("ref_id"), lit(-1L)).as("best_match_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** AT-REST audio screen as a suite key — "has this clip's acoustic
+    * fingerprint been heard before?" (memoized build, the screen-family
+    * pattern). */
+  val audioScreenAtRest: Q = (s, d) => {
+    val idx = Vectors.ensureIndex(s, "afp", d)(p => writeAfpIndex(s, d, p))
+    afpScreenOf(s, idx, Tables.documents(s, d)
+      .where(col("source") === Vectors.MinhashBatchSource))
+  }
+
   val queries: Map[String, Q] = Map(
-    "q_audio_meta"        -> audioMeta,
-    "q_audio_features"    -> audioFeatures,
-    "q_audio_resample"    -> audioResample,
-    "q_audio_fingerprint" -> audioFingerprint,
+    "q_audio_meta"           -> audioMeta,
+    "q_audio_features"       -> audioFeatures,
+    "q_audio_resample"       -> audioResample,
+    "q_audio_fingerprint"    -> audioFingerprint,
+    "q_audio_screen_at_rest" -> audioScreenAtRest,
   )
 
   /** Shared oracle CTE: the per-sample generator arithmetic. The payload
@@ -336,5 +384,31 @@ object Audio {
          |    AS is_dup
          |FROM fp f JOIN fam m USING (fingerprint)
          |ORDER BY f.doc_id""".stripMargin,
+    // at-rest screen: the fingerprint chain split at-rest/batch by
+    // source; verdict = left join on the per-fingerprint min ref
+    "q_audio_screen_at_rest" ->
+      s"""WITH $sampleCte,
+         |wst AS (
+         |  SELECT doc_id, i // 64 AS w,
+         |    CAST(sum(abs(amp)) AS BIGINT) // count(*) AS meanabs
+         |  FROM s WHERE i // 64 < $FpWindows GROUP BY doc_id, i // 64),
+         |fp AS (
+         |  SELECT doc_id,
+         |    CAST(sum(((meanabs // 256) % 4) << (2 * w)) AS BIGINT)
+         |      AS fingerprint
+         |  FROM wst GROUP BY doc_id),
+         |cls AS (
+         |  SELECT fp.doc_id, fingerprint, d2.source
+         |  FROM fp JOIN documents d2 ON d2.doc_id = fp.doc_id),
+         |refs AS (
+         |  SELECT fingerprint, min(doc_id) AS ref_id
+         |  FROM cls WHERE source <> '${Vectors.MinhashBatchSource}'
+         |  GROUP BY fingerprint)
+         |SELECT c.doc_id,
+         |  CAST(CASE WHEN r.ref_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup,
+         |  coalesce(r.ref_id, CAST(-1 AS BIGINT)) AS best_match_id
+         |FROM cls c LEFT JOIN refs r USING (fingerprint)
+         |WHERE c.source = '${Vectors.MinhashBatchSource}'
+         |ORDER BY c.doc_id""".stripMargin,
   )
 }

@@ -337,6 +337,41 @@ object Multimodal {
     (hi, lo)
   }
 
+  /** PNG round trip as a suite key — graduates the second JDK codec from
+    * spec-level to oracle-checked: decode the BMP blob, re-encode the
+    * grid as PNG (`ImageIO.write(_, "png", _)`), DECODE THE PNG, and
+    * report channel-separate fixed-point means from the PNG-decoded
+    * pixels. PNG is lossless, so the oracle replays the generator
+    * arithmetic per channel — a hash match certifies the compressed
+    * codec's full encode→decode cycle preserved every pixel, and the
+    * channel-separate means catch an R/B swap the combined luma can't.
+    * (PNG byte size is compressor-dependent and deliberately NOT in the
+    * output contract.) */
+  val multimodalPng: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val img = decode(mediaBlob(text.getBytes("UTF-8")))
+        val baos = new ByteArrayOutputStream()
+        require(javax.imageio.ImageIO.write(img, "png", baos), "no PNG writer")
+        val png = decode(baos.toByteArray)
+        val (w, h) = (png.getWidth, png.getHeight)
+        val px = bgrBytes(png)
+        var sb = 0L; var sg = 0L; var sr = 0L
+        var i = 0
+        while (i < px.length) {
+          sb += px(i) & 0xff; sg += px(i + 1) & 0xff; sr += px(i + 2) & 0xff
+          i += 3
+        }
+        val n = w.toLong * h
+        (id, w.toLong, h.toLong, fp(sr, n), fp(sg, n), fp(sb, n))
+      }
+      .toDF("doc_id", "width", "height", "mean_r", "mean_g", "mean_b")
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-doc dHash frame — the shared decode+hash pass of [[imageDedup]]
     * and the at-rest screen family. */
   private def dhashFrame(s: SparkSession,
@@ -434,6 +469,7 @@ object Multimodal {
     "q_multimodal_frames"    -> multimodalFrames,
     "q_multimodal_resize"    -> multimodalResize,
     "q_multimodal_features"  -> multimodalFeatures,
+    "q_multimodal_png"       -> multimodalPng,
     "q_image_dedup"          -> imageDedup,
     "q_image_screen_at_rest" -> imageScreenAtRest,
   )
@@ -517,6 +553,18 @@ object Multimodal {
          |  CAST(c6 * 10000 // n AS DOUBLE) / 10000.0 AS b6,
          |  CAST(c7 * 10000 // n AS DOUBLE) / 10000.0 AS b7
          |FROM hh ORDER BY doc_id""".stripMargin,
+    // PNG is lossless: channel-separate means replay straight from the
+    // generator; a hash match certifies the full PNG encode→decode cycle
+    "q_multimodal_png" ->
+      s"""WITH $pixelCte
+         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |  CAST(CAST(sum(r) AS BIGINT) * 10000 // (w * h) AS DOUBLE)
+         |    / 10000.0 AS mean_r,
+         |  CAST(CAST(sum(g) AS BIGINT) * 10000 // (w * h) AS DOUBLE)
+         |    / 10000.0 AS mean_g,
+         |  CAST(CAST(sum(b) AS BIGINT) * 10000 // (w * h) AS DOUBLE)
+         |    / 10000.0 AS mean_b
+         |FROM c GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
     // dHash: point-sampled 9×8 luma grid → 64 comparison bits in two
     // 32-bit halves → identical-hash families with min-id representative
     "q_image_dedup" ->

@@ -847,6 +847,45 @@ object Streams {
         .map { case (id, dup, ref) => DhashVerdict(id, dup, ref) }
   }
 
+  /** Streaming audio screen — the fingerprint twin of
+    * [[dhashScreenStream]]: each arriving clip really decodes its WAV
+    * blob, fingerprints its energy profile, and probes the persisted
+    * [[graft.operators.Audio.writeAfpIndex]] layout. Stateless in both
+    * modes (fingerprint equality yields at most one contracted ref per
+    * probe); tombstones respected. */
+  def afpScreenStream(spark: SparkSession, sfDir: String,
+      maxBroadcastRefs: Long = BroadcastScreenCeiling): Dataset[DhashVerdict] = {
+    import spark.implicits._
+    import graft.operators.{Audio, Vectors}
+    val idx = Vectors.ensureIndex(spark, "afp", sfDir)(p =>
+      Audio.writeAfpIndex(spark, sfDir, p))
+    val refs = Vectors.dropTombstoned(spark, idx,
+        spark.read.parquet(s"$idx/fps"), "doc_id")
+      .groupBy(col("fingerprint")).agg(min(col("doc_id")).as("ref_id"))
+    val probes = docsStream(spark, sfDir)
+      .where(col("source") === Vectors.MinhashBatchSource)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => (id, Audio.streamFingerprint(text)) }
+      .toDF("doc_id", "fingerprint")
+    if (spark.read.parquet(s"$idx/fps").count() <= maxBroadcastRefs) {
+      val refMap: Map[Long, Long] = refs
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val bc = spark.sparkContext.broadcast(refMap)
+      probes.as[(Long, Long)].map { case (id, fp) =>
+        bc.value.get(fp) match {
+          case Some(ref) => DhashVerdict(id, 1L, ref)
+          case None      => DhashVerdict(id, 0L, -1L)
+        }
+      }
+    } else
+      probes.join(refs, Seq("fingerprint"), "left")
+        .select(col("doc_id"),
+          col("ref_id").isNotNull.cast("long").as("is_dup"),
+          coalesce(col("ref_id"), lit(-1L)).as("best_match_id"))
+        .as[(Long, Long, Long)]
+        .map { case (id, dup, ref) => DhashVerdict(id, dup, ref) }
+  }
+
   /** EXACTLY-ONCE streaming ingest into an at-rest MinHash index layout
     * (r8 verdict #7 — closes the screen → append → ingest loop with a
     * crash-safe sink). `foreachBatch` is at-least-once: after a crash the

@@ -79,6 +79,33 @@ class AudioSpec extends AnyFunSuite {
     assert(fpOf(a) == expect)
   }
 
+  test("afp at-rest screen lifecycle: append => self-dup, delete restores, compact is physical") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Vectors
+    val d = TestSpark.sf0001
+    val batch = Tables.documents(spark, d)
+      .where(col("source") === Vectors.MinhashBatchSource)
+    val batchIds = batch.select("doc_id").as[Long].collect().toSeq
+    val idx = java.nio.file.Files.createTempDirectory("afpidx").toString
+    Audio.writeAfpIndex(spark, d, idx)
+    val rows0 = spark.read.parquet(s"$idx/fps").count()
+    def screen() = Audio.afpScreenOf(spark, idx, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val v1 = screen()
+    assert(v1.size == batchIds.size)
+    Audio.appendAfpIndex(spark, idx, batch)
+    val v2 = screen()
+    assert(v2.forall { case (id, dup, ref) => dup == 1L && ref <= id })
+    Vectors.deleteFromIndex(spark, idx, batchIds.toDF("doc_id"))
+    assert(screen() == v1)
+    Vectors.compactIndex(spark, idx, Seq("fps"))
+    assert(spark.read.parquet(s"$idx/fps").count() == rows0)
+    assert(Vectors.tombstonesOf(spark, idx).isEmpty)
+    assert(screen() == v1)
+  }
+
   test("windowed features match a direct computation on the sf0.001 corpus") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -139,10 +139,12 @@ class SqlParitySpec extends AnyFunSuite {
       "q_multimodal_resize" -> "unnest(range) pixel-generator explode + // integer division",
       "q_image_dedup" -> "unnest(range) pixel-generator explode + // integer division",
       "q_image_screen_at_rest" -> "unnest(range) pixel-generator explode + // integer division",
+      "q_multimodal_png" -> "unnest(range) pixel-generator explode + // integer division",
       "q_audio_meta" -> "unnest(range) sample-generator explode + // integer division",
       "q_audio_features" -> "unnest(range) sample-generator explode + // integer division",
       "q_audio_resample" -> "unnest(range) sample-generator explode + // integer division",
       "q_audio_fingerprint" -> "unnest(range) sample-generator explode + // integer division",
+      "q_audio_screen_at_rest" -> "unnest(range) sample-generator explode + // integer division",
       "ref_gather_series" ->
         "first(x ORDER BY ...) ordered-aggregate syntax (Spark: window + struct min)",
       "ref_quantize_roundtrip" -> ("float32 promotion: Spark SQL evaluates " +
