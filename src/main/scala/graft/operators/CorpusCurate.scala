@@ -61,6 +61,13 @@ object CorpusCurate {
     * is the comparable quantity. */
   val DsirGateMinPerTok = -0.49
 
+  /** llr floor for the optional model-based quality gate: keep docs the NB
+    * curated-vs-crawl classifier ([[Text.qualityClassifier]]) scores above
+    * it. 0.0 = "classified curated", the natural decision boundary; kept
+    * as a named constant because production pipelines tune the cut to a
+    * kept-fraction target rather than the raw boundary. */
+  val NbGateMinLlr = 0.0
+
   /** [[curate]] with an OPTIONAL PII gate (stage D½): docs whose enriched
     * text still carries any email/phone after [[Text.piiScrub]]'s counting
     * pass are dropped before sampling — the "no contact info in the
@@ -70,7 +77,8 @@ object CorpusCurate {
     * Like every other stage it contributes an id-keyed semi-join — text
     * never moves. */
   def curateWith(s: SparkSession, d: String, piiGate: Boolean,
-      entropyGate: Boolean = false, dsirGate: Boolean = false): DataFrame = {
+      entropyGate: Boolean = false, dsirGate: Boolean = false,
+      nbGate: Boolean = false): DataFrame = {
     val docs = Tables.documents(s, d)
     // A: one representative per distinct text
     val exactKeep = Text.exactDedup(s, d)
@@ -119,7 +127,16 @@ object CorpusCurate {
           .where(col("dsir_weight") / col("n_tokens") >= DsirGateMinPerTok)
           .select(col("doc_id")),
         Seq("doc_id"), "left_semi")
-    val survivors = dsirGated.join(lm, Seq("doc_id"))
+    // C⅞ (optional): model-based quality selection on the verified NB
+    // classifier key — the "keep what scores curated" gate of the GPT-3/
+    // RefinedWeb pipelines; one more id-keyed semi-join
+    val nbGated =
+      if (!nbGate) dsirGated
+      else dsirGated.join(
+        Text.qualityClassifier(s, d)
+          .where(col("llr_r") > NbGateMinLlr).select(col("doc_id")),
+        Seq("doc_id"), "left_semi")
+    val survivors = nbGated.join(lm, Seq("doc_id"))
     // F: A-Res weighted sample, top-3 per language
     val scored = survivors.withColumn("k", Text.aresKey)
     graft.plans.TopKPerGroup

@@ -315,6 +315,80 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Model-based quality classifier — the GPT-3/CCNet-style "curated-vs-
+    * crawl" filter, self-trained: a multinomial Naive Bayes over token
+    * counts with add-one smoothing, weak labels from the source column
+    * (src0–src3 = curated 'hi', the rest 'lo'), trained on the
+    * `doc_id % 10 < 7` split and scoring EVERY document with the smoothed
+    * log-likelihood ratio llr = ln P(doc|hi) − ln P(doc|lo) + ln-prior
+    * delta. Positive llr ⇒ the doc reads like the curated sources — the
+    * standard model-based selection signal (GPT-3 App. A; fastText filters
+    * in RefinedWeb/FineWeb), complementing the unsupervised [[lmScore]].
+    *
+    * Scale: the model is VOCABULARY-sized — per-term class counts built by
+    * two keyed partial aggregates on (term[, label]) and broadcast to the
+    * scoring join, so document text never shuffles and scoring is a
+    * map-side broadcast-hash join + per-doc partial aggregate. Everything
+    * after the tokenizer is exact integer counts + ln, so the whole
+    * train-and-score pipeline replays in DuckDB (same accepted last-ulp
+    * rounding risk as [[lmScore]], documented there).
+    *
+    * Shared pieces below ([[nbTermCounts]]/[[nbLabels]]/[[nbClassCounts]])
+    * are single-sourced with the streaming twin
+    * ([[graft.streaming.Streams.nbScoreStream]]) so batch training and the
+    * at-ingestion scorer cannot fork. */
+  /** Per-(doc, term) occurrence counts — the NB classifier's one
+    * row-expander, reused for both training (train split only) and scoring
+    * (all docs), and by the streaming twin's offline trainer. */
+  private[graft] def nbTermCounts(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+
+  /** Weak labels + deterministic train split for the NB classifier:
+    * src0–src3 are the curated 'hi' class, `doc_id % 10 < 7` trains. */
+  private[graft] def nbLabels(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      when(col("source").isin("src0", "src1", "src2", "src3"), "hi")
+        .otherwise("lo").as("label"),
+      (col("doc_id") % 10 < 7).as("is_train"))
+
+  /** The trained NB model: per-term class counts over the train split —
+    * VOCABULARY-sized by construction (the broadcast side of scoring and
+    * the collected model of the streaming twin). */
+  private[graft] def nbClassCounts(s: SparkSession, d: String): DataFrame =
+    nbTermCounts(s, d).join(nbLabels(s, d).where(col("is_train")), Seq("doc_id"))
+      .groupBy(col("term")).agg(
+        sum(when(col("label") === "hi", col("c")).otherwise(0L)).as("c_hi"),
+        sum(when(col("label") === "lo", col("c")).otherwise(0L)).as("c_lo"))
+
+  val qualityClassifier: Q = (s, d) => {
+    val tc = nbTermCounts(s, d)
+    val cnt = nbClassCounts(s, d)
+    val tot = cnt.agg(
+      sum(col("c_hi")).as("tot_hi"), sum(col("c_lo")).as("tot_lo"),
+      count(lit(1)).as("v"))
+    val prior = nbLabels(s, d).where(col("is_train")).agg(
+      sum(when(col("label") === "hi", 1L).otherwise(0L)).as("nd_hi"),
+      sum(when(col("label") === "lo", 1L).otherwise(0L)).as("nd_lo"))
+    // unseen-in-class terms fall out of the same formula at count 0; OOV
+    // terms (absent from the train vocabulary entirely) coalesce to it
+    val dlp =
+      log((coalesce(col("c_hi"), lit(0L)) + 1.0) / (col("tot_hi") + col("v"))) -
+        log((coalesce(col("c_lo"), lit(0L)) + 1.0) / (col("tot_lo") + col("v")))
+    val dprior = log(col("nd_hi").cast("double")) - log(col("nd_lo").cast("double"))
+    val scored = tc
+      .join(broadcast(cnt), Seq("term"), "left")
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(prior))
+      .select(col("doc_id"), col("c"), dlp.as("dlp"), dprior.as("dprior"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        round(first(col("dprior")) + sum(col("c") * col("dlp")), 4).as("llr_r"))
+    scored
+      .withColumn("pred", when(col("llr_r") > 0, "hi").otherwise("lo"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Engine-portable uniform draw u ∈ (0,1) over `doc_id`: two rounds of
     * 16-bit Knuth multiplicative hashing in 32-bit space — every
     * intermediate fits in int64 for ANY int64 doc_id (see [[aresKey]] for
@@ -1389,6 +1463,7 @@ object Text {
     "q_temperature_mix" -> temperatureMix,
     "q_chunk_tokens"    -> chunkTokens,
     "q_unicode_normalize" -> unicodeNormalize,
+    "q_quality_classifier" -> qualityClassifier,
   )
 
   /** Shared oracle CTE mirroring [[docTokenStats]] exactly (term counts +
@@ -1687,6 +1762,42 @@ object Text {
         |$lmScoreCte
         |SELECT doc_id, count(*) AS n_bigrams, round(avg(lp), 4) AS mean_lnp_r
         |FROM lsc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Naive Bayes train-and-score replayed end-to-end: the same per-(doc,
+    // term) counts feed training (train split only) and scoring (all docs),
+    // so the learned per-term class counts themselves are hash-compared.
+    "q_quality_classifier" ->
+      s"""WITH $docTokenStatsCte,
+        |lab AS (
+        |  SELECT doc_id,
+        |    CASE WHEN source IN ('src0','src1','src2','src3') THEN 'hi' ELSE 'lo' END AS label,
+        |    doc_id % 10 < 7 AS is_train
+        |  FROM documents),
+        |ttc AS (
+        |  SELECT tc.term, lab.label, tc.c
+        |  FROM tc JOIN lab USING (doc_id) WHERE lab.is_train),
+        |cnt AS (
+        |  SELECT term,
+        |    sum(CASE WHEN label = 'hi' THEN c ELSE 0 END) AS c_hi,
+        |    sum(CASE WHEN label = 'lo' THEN c ELSE 0 END) AS c_lo
+        |  FROM ttc GROUP BY term),
+        |tot AS (SELECT sum(c_hi) AS tot_hi, sum(c_lo) AS tot_lo, count(*) AS v FROM cnt),
+        |pr AS (
+        |  SELECT sum(CASE WHEN label = 'hi' THEN 1 ELSE 0 END) AS nd_hi,
+        |         sum(CASE WHEN label = 'lo' THEN 1 ELSE 0 END) AS nd_lo
+        |  FROM lab WHERE is_train),
+        |sc AS (
+        |  SELECT tc.doc_id, tc.c,
+        |    ln((coalesce(cnt.c_hi, 0) + 1.0) / (tot.tot_hi + tot.v)) -
+        |    ln((coalesce(cnt.c_lo, 0) + 1.0) / (tot.tot_lo + tot.v)) AS dlp
+        |  FROM tc LEFT JOIN cnt USING (term) CROSS JOIN tot),
+        |ag AS (
+        |  SELECT doc_id, sum(c) AS n_tokens,
+        |    round(ln(CAST(pr.nd_hi AS DOUBLE)) - ln(CAST(pr.nd_lo AS DOUBLE))
+        |          + sum(c * dlp), 4) AS llr_r
+        |  FROM sc CROSS JOIN pr GROUP BY doc_id, pr.nd_hi, pr.nd_lo)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, llr_r,
+        |  CASE WHEN llr_r > 0 THEN 'hi' ELSE 'lo' END AS pred
+        |FROM ag ORDER BY doc_id""".stripMargin,
     "q_weighted_sample" ->
       """WITH s AS (
         |  SELECT lang, doc_id, n_chars,

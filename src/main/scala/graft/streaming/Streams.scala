@@ -517,6 +517,58 @@ object Streams {
       }
   }
 
+  case class NbScore(docId: Long, nTokens: Long, llrR: Double, pred: String)
+
+  /** Streaming twin of the NB quality classifier
+    * ([[graft.operators.Text.qualityClassifier]]): the model is TRAINED
+    * OFFLINE on the at-rest corpus via the SAME
+    * [[graft.operators.Text.nbClassCounts]] aggregate the batch key
+    * broadcasts (vocabulary-sized by construction — collected with its
+    * scalars to a driver map), and every arriving document scores itself
+    * statelessly: tokenize → per-term counts → llr = Δln-prior +
+    * Σ c·Δln p(term), identical smoothed arithmetic including the OOV
+    * default (a term the offline model never saw scores at count 0 in both
+    * classes, never crashes the stream). No state store, no watermark, no
+    * shuffle — the train-offline / filter-at-ingestion shape of the
+    * production quality-classifier pipelines. Per-doc summation runs in
+    * canonical ascending-term order; replay equality vs the batch key is
+    * asserted in StreamingSpec (same one-ulp-of-the-4th-decimal contract
+    * as the DSIR twin — the batch side sums in partition order). */
+  def nbScoreStream(spark: SparkSession, sfDir: String): Dataset[NbScore] =
+    nbScoreStream(spark, sfDir, sfDir)
+
+  /** Train-on-`trainDir`, score-the-`scoreDir`-stream form. */
+  def nbScoreStream(spark: SparkSession, trainDir: String,
+      scoreDir: String): Dataset[NbScore] = {
+    import spark.implicits._
+    val cnt: Map[String, (Long, Long)] = graft.operators.Text
+      .nbClassCounts(spark, trainDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val totHi = cnt.valuesIterator.map(_._1).sum.toDouble
+    val totLo = cnt.valuesIterator.map(_._2).sum.toDouble
+    val v = cnt.size.toDouble
+    val Array(ndHi, ndLo) = graft.operators.Text.nbLabels(spark, trainDir)
+      .where(col("is_train")).groupBy(col("label")).count()
+      .collect().sortBy(_.getString(0)).map(_.getLong(1))
+    val dprior = math.log(ndHi.toDouble) - math.log(ndLo.toDouble)
+    val bc = spark.sparkContext.broadcast(cnt)
+    docsStream(spark, scoreDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val ts = graft.functions.Tok.tokenize(text)
+        val counts = new java.util.TreeMap[String, Long]()
+        ts.foreach(t => counts.merge(t, 1L, (a, x) => a + x))
+        var llr = dprior
+        counts.forEach { (t, c) =>
+          val (cHi, cLo) = bc.value.getOrElse(t, (0L, 0L))
+          llr += c.toDouble * (math.log((cHi + 1.0) / (totHi + v)) -
+            math.log((cLo + 1.0) / (totLo + v)))
+        }
+        val r = BigDecimal(llr).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        NbScore(id, ts.length.toLong, r, if (r > 0) "hi" else "lo")
+      }
+  }
+
   /** Streaming twin of the bloom ingest screen
     * ([[graft.operators.Text.bloomDedup]]): the SAME
     * [[graft.operators.Text.bloomScreen]] kernel applied to the document

@@ -139,4 +139,22 @@ class CorpusCurateSpec extends AnyFunSuite {
     assert(ungated.filter(targetLike).subsetOf(dsirGated),
       "gate dropped target-like survivors")
   }
+
+  test("NB quality gate keeps exactly the classified-curated docs, and the boundary splits the corpus") {
+    val spark = TestSpark.spark
+    val d = TestSpark.sf0001
+    val curatedLike = Text.qualityClassifier(spark, d)
+      .where(col("llr_r") > CorpusCurate.NbGateMinLlr)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val allDocs = Tables.documents(spark, d).count()
+    assert(curatedLike.nonEmpty && curatedLike.size < allDocs,
+      s"NB boundary must split the corpus (${curatedLike.size} of $allDocs)")
+    val nbGated = CorpusCurate.curateWith(spark, d, piiGate = false, nbGate = true)
+      .collect().map(_.getLong(2)).toSet
+    assert(nbGated.subsetOf(curatedLike),
+      s"crawl-classified leak: ${nbGated -- curatedLike}")
+    val ungated = CorpusCurate.curate(spark, d).collect().map(_.getLong(2)).toSet
+    assert(ungated.filter(curatedLike).subsetOf(nbGated),
+      "gate dropped curated-classified survivors")
+  }
 }

@@ -87,6 +87,7 @@ class SqlParitySpec extends AnyFunSuite {
       "q_gopher_rules" -> listDialect, "q_source_overlap" -> listDialect,
       "q_contamination" -> listDialect, "q_bm25" -> listDialect,
       "q_heavy_hitters" -> listDialect, "q_lm_score" -> listDialect,
+      "q_quality_classifier" -> listDialect,
       "q_array_map_funcs" -> listDialect,
       "q_pii_scrub" -> ("regexp_replace(..., 'g') 4-arg global flag + " +
         "regexp_extract_all counting — Spark's regexp_replace is 3-arg global"),

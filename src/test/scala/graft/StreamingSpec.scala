@@ -143,6 +143,51 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming NB scorer replays to batch q_quality_classifier (llr to 1 ulp of the 4th decimal)") {
+    val spark = TestSpark.spark
+    val got = Streams.runToCompletion(
+      Streams.nbScoreStream(spark, TestSpark.sf0001).toDF(), "t_nb", "append")
+      .orderBy(col("docId"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSeq
+    val want = operators.Text.qualityClassifier(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSeq
+    // same contract as the DSIR twin: ids/counts integer-exact, the rounded
+    // llr within one ulp of the 4-decimal grid (partition-order vs
+    // canonical-order FP summation), pred must agree whenever the llr is
+    // not within a grid ulp of the 0 decision boundary
+    assert(got.nonEmpty && got.size == want.size)
+    got.zip(want).foreach { case ((gi, gn, gw, gp), (wi, wn, ww, wp)) =>
+      assert(gi == wi && gn == wn, s"row mismatch: $gi vs $wi")
+      assert(math.abs(gw - ww) <= 1.00001e-4, s"doc $gi llr $gw vs $ww")
+      if (math.abs(ww) > 1.00001e-4) assert(gp == wp, s"doc $gi pred $gp vs $wp")
+    }
+  }
+
+  test("streaming NB scorer: OOV terms score at the smoothed default instead of dying") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val trainDir = java.nio.file.Files.createTempDirectory("nb_train").toString
+    val scoreDir = java.nio.file.Files.createTempDirectory("nb_score").toString
+    def writeDocsFile(dir: String, rows: Seq[(Long, String, String, String, Long)]): Unit =
+      writeSingleParquet(dir, "documents.parquet",
+        rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    // 2-doc train corpus: one per class (both in the %10<7 train split)
+    writeDocsFile(trainDir, Seq((1L, "alpha beta alpha", "en", "src1", 16L),
+      (2L, "alpha gamma", "en", "src7", 11L)))
+    // the arriving doc is ALL terms the model never saw
+    writeDocsFile(scoreDir, Seq((9L, "zetaq zetaq", "en", "src9", 11L)))
+    val got = Streams.runToCompletion(
+      Streams.nbScoreStream(spark, trainDir, scoreDir).toDF(),
+      "t_nb_novel", "append").collect()
+    assert(got.length == 1)
+    // closed-form: vocab {alpha,beta,gamma}, tot_hi=3, tot_lo=2, v=3,
+    // priors 1/1; each OOV occurrence adds ln(1/6) - ln(1/5)
+    val expect = BigDecimal(2.0 * (math.log(1.0 / 6.0) - math.log(1.0 / 5.0)))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.head.getLong(1) == 2L && got.head.getDouble(2) == expect,
+      s"got ${got.head} want (_, 2, $expect)")
+  }
+
   test("streaming DSIR scorer scores novel-bucket documents at the smoothed prior instead of dying") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -435,4 +435,36 @@ class TextQualitySpec extends AnyFunSuite {
     val trail = Text.chunkRows(9L, "a b ").toSeq
     assert(trail == Seq((9L, 0L, 0L, 3L, "a b ")))
   }
+
+  test("NB quality classifier: total coverage, pred contract, learned signal") {
+    val d = TestSpark.sf0001
+    val rows = Text.qualityClassifier(spark, d).collect()
+    val nDocs = Tables.documents(spark, d).count()
+    // every document is scored exactly once (train AND held-out)
+    assert(rows.length.toLong == nDocs)
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") > 0L)
+      val llr = r.getAs[Double]("llr_r")
+      assert(r.getAs[String]("pred") == (if (llr > 0) "hi" else "lo"))
+    }
+    // the decision boundary genuinely splits the corpus — an all-one-class
+    // model would be vacuous
+    val preds = rows.map(_.getAs[String]("pred")).toSet
+    assert(preds == Set("hi", "lo"), s"degenerate prediction set $preds")
+    // learned signal: docs whose true weak label is 'hi' must score higher
+    // on average than 'lo' docs — NB with add-one smoothing over a real
+    // class-conditional token distribution cannot fail this on its own
+    // training distribution unless the model learned nothing
+    val hiSrc = Set("src0", "src1", "src2", "src3")
+    val labels = Tables.documents(spark, d)
+      .select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> hiSrc.contains(r.getString(1))).toMap
+    val (hi, lo) = rows.partition(r => labels(r.getAs[Long]("doc_id")))
+    assert(hi.nonEmpty && lo.nonEmpty)
+    def meanLlr(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Double]("llr_r")).sum / rs.length
+    assert(meanLlr(hi) > meanLlr(lo),
+      f"no learned signal: mean llr hi=${meanLlr(hi)}%.3f lo=${meanLlr(lo)}%.3f")
+  }
 }
