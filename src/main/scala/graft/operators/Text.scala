@@ -395,13 +395,24 @@ object Text {
     * the overflow analysis), and pure integer arithmetic makes the draw
     * bit-identical across engines. ONE definition under the A-Res key and
     * the [[stratifiedSplit]] assignment. */
-  private[operators] def uniformDraw: Column = {
+  private[operators] def uniformDrawOf(id: Column): Column = {
     val m32 = lit(4294967296L)
-    val h1 = col("doc_id") % m32
+    val h1 = id % m32
     val h2 = (h1 * lit(40503L)) % m32
     val h3 = (h2 * lit(40503L)) % m32
     (h3 + 1).cast("double") / lit(4294967297.0)
   }
+
+  private[operators] def uniformDraw: Column = uniformDrawOf(col("doc_id"))
+
+  /** The train/val/test assignment as a pure function of the id — ONE
+    * definition under [[stratifiedSplit]] and the cross-split leakage
+    * audit ([[Vectors.splitLeakage]]), so the split a document lands in
+    * can never differ between the audit and the manifest. */
+  private[operators] def splitAssignOf(id: Column): Column =
+    when(uniformDrawOf(id) < SplitTrainFrac, lit("train"))
+      .when(uniformDrawOf(id) < SplitValFrac, lit("val"))
+      .otherwise(lit("test"))
 
   /** The A-Res ranking key u^(1/n_chars) as a column expression over
     * (doc_id, n_chars) — ONE definition under [[weightedSample]] and the
@@ -1169,9 +1180,7 @@ object Text {
     * Scale: map + one tiny keyed agg (output Θ(sources × 3)) + one 1-row
     * broadcast for the share denominator. */
   val stratifiedSplit: Q = (s, d) => {
-    val split = when(uniformDraw < SplitTrainFrac, lit("train"))
-      .when(uniformDraw < SplitValFrac, lit("val"))
-      .otherwise(lit("test"))
+    val split = splitAssignOf(col("doc_id"))
     val total = Tables.documents(s, d).agg(count(lit(1)).as("n_total"))
     Tables.documents(s, d)
       .select(col("source"), split.as("split"), col("doc_id"))

@@ -2154,6 +2154,70 @@ object Vectors {
       .orderBy(col("vec_id"))
   }
 
+  /** Cross-split LEAKAGE AUDIT — the eval-integrity check of the split
+    * manifest (Lee et al. ACL 2022: near-duplicate train/test pairs
+    * silently inflate eval scores): for every val/test document, is a
+    * near-duplicate (exact cosine ≥ [[NearDupThreshold]] over the linked
+    * embedding) sitting in the train split, and which train doc is the
+    * worst offender (highest cosine, ties → min id)? The split assignment
+    * is the SAME pure-id function as the `q_stratified_split` manifest
+    * ([[Text.splitAssignOf]] — single-sourced), so the audit can never
+    * disagree with the manifest it audits.
+    *
+    * Scale shape (the dedup-family discipline): the quadratic cosine
+    * kernel runs over DISTINCT embedding values only
+    * ([[embedNeardupPairsOf]] on the identical-value group reps — the star
+    * contraction), per-group train stats are one keyed aggregate, each
+    * eval member resolves its verdict from Θ(1) candidate rows per
+    * incident rep pair via the heap top-1 operator, and the output is one
+    * row per eval doc — Θ(docs) at any dup density. Exactness: within an
+    * identical-value group every train member ties at the self-cosine, so
+    * the min train id is the group's only possible winner; cross-group
+    * candidates score exactly the rep pair's cosine — the same two-level
+    * argument as the nearest-m contraction. */
+  val splitLeakage: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val withSplit = e.withColumn("split", Text.splitAssignOf(col("vec_id")))
+    val groups = withSplit.groupBy(col("embedding")).agg(
+      min(col("vec_id")).as("rep"),
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+      min(when(col("split") === "train", col("vec_id"))).as("min_train"))
+    // rep-level near-dup pairs over distinct values (rounded cos, the
+    // shared kernel + contract of the whole exact-cosine family)
+    val repPairs = embedNeardupPairsOf(
+      groups.select(col("rep").as("vec_id"), col("embedding")))
+    val evalM = withSplit.where(col("split") =!= "train")
+      .join(groups, Seq("embedding"))
+      .select(col("vec_id").as("doc_id"), col("split"), col("rep"),
+        col("n_train"), col("min_train"), col("embedding"))
+    // candidate (a): a train member of the SAME value group — all tie at
+    // the self-cosine, min train id wins
+    val sameG = evalM.where(col("n_train") > 0)
+      .select(col("doc_id"), col("min_train").as("nbr"),
+        round(CosineSimExpr.vec_cosine(vec, vec), 4).as("cos_r"))
+    // candidate (b): the min train id of any near-dup NEIGHBOR group, at
+    // the rep pair's cosine (exact for every cross-group member pair)
+    val gTrain = groups.where(col("n_train") > 0)
+      .select(col("rep").as("og"), col("min_train").as("og_min_train"))
+    val dirPairs = repPairs.select(col("id_a").as("g"), col("id_b").as("og"), col("cos_r"))
+      .union(repPairs.select(col("id_b").as("g"), col("id_a").as("og"), col("cos_r")))
+    val crossG = evalM.select(col("doc_id"), col("rep"))
+      .join(dirPairs, col("rep") === col("g"))
+      .join(gTrain, Seq("og"))
+      .select(col("doc_id"), col("og_min_train").as("nbr"), col("cos_r"))
+    val best = graft.plans.TopKPerGroup
+      .topK(sameG.union(crossG), Seq("doc_id"),
+        Seq("cos_r" -> false, "nbr" -> true), 1)
+      .select(col("doc_id"), col("nbr"), col("cos_r"))
+    evalM.select(col("doc_id"), col("split"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("split"),
+        when(col("nbr").isNull, 0L).otherwise(1L).as("leaked"),
+        coalesce(col("nbr"), lit(-1L)).as("train_nbr"),
+        coalesce(col("cos_r"), lit(0.0)).as("cos_r"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_cosine_topk"     -> cosineTopk,
     "q_embed_centroid"  -> embedCentroid,
@@ -2161,6 +2225,7 @@ object Vectors {
     "q_knn_join_sample" -> knnJoinSample,
     "q_embed_neardup"   -> embedNeardup,
     "q_embed_neardup_srp" -> embedNeardupSrp,
+    "q_split_leakage"   -> splitLeakage,
     "q_ann_ivf"         -> annIvf,
     "q_ann_pq"          -> annPq,
     "q_ann_pq_fixed"    -> annPqFixed,
@@ -2179,6 +2244,61 @@ object Vectors {
   )
 
   val oracles: Map[String, String] = Map(
+    // cross-split leakage audit: the split CASE is the q_stratified_split
+    // integer draw verbatim; the pair arithmetic is the nearDupPairCte
+    // formula over identical-value group reps; the verdict is the same
+    // (cos desc, nbr asc) argmax the Spark heap top-1 resolves
+    "q_split_leakage" ->
+      s"""WITH sp AS (
+        |  SELECT vec_id,
+        |    CASE WHEN u < 0.8 THEN 'train' WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT vec_id,
+        |          ((((vec_id % 4294967296) * 40503) % 4294967296) * 40503 % 4294967296 + 1)
+        |            / 4294967297.0 AS u
+        |        FROM embeddings) x),
+        |g AS (
+        |  SELECT embedding, min(e.vec_id) AS rep,
+        |    sum(CASE WHEN sp.split = 'train' THEN 1 ELSE 0 END) AS n_train,
+        |    min(CASE WHEN sp.split = 'train' THEN e.vec_id END) AS min_train
+        |  FROM embeddings e JOIN sp ON e.vec_id = sp.vec_id
+        |  GROUP BY embedding),
+        |r0 AS (
+        |  SELECT rep, n_train, min_train, CAST(embedding AS DOUBLE[]) AS v,
+        |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm,
+        |    embedding
+        |  FROM g),
+        |rp AS (
+        |  SELECT a.rep AS ga, b.rep AS gb,
+        |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cos_r
+        |  FROM r0 a JOIN r0 b ON a.rep < b.rep
+        |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $NearDupThreshold),
+        |mem AS (
+        |  SELECT e.vec_id AS id, sp.split, g.rep, g.n_train, g.min_train
+        |  FROM embeddings e JOIN sp ON e.vec_id = sp.vec_id
+        |  JOIN g ON e.embedding = g.embedding
+        |  WHERE sp.split <> 'train'),
+        |sameg AS (
+        |  SELECT mem.id, mem.min_train AS nbr,
+        |    round(list_dot_product(r0.v, r0.v) / (r0.nrm * r0.nrm), 4) AS cos_r
+        |  FROM mem JOIN r0 ON mem.rep = r0.rep WHERE mem.n_train > 0),
+        |crossg AS (
+        |  SELECT mem.id, r2.min_train AS nbr, d.cos_r
+        |  FROM mem
+        |  JOIN (SELECT ga AS g1, gb AS g2, cos_r FROM rp
+        |        UNION ALL SELECT gb, ga, cos_r FROM rp) d ON mem.rep = d.g1
+        |  JOIN r0 r2 ON d.g2 = r2.rep
+        |  WHERE r2.n_train > 0),
+        |cand AS (SELECT * FROM sameg UNION ALL SELECT * FROM crossg),
+        |best AS (
+        |  SELECT id, nbr, cos_r,
+        |    row_number() OVER (PARTITION BY id ORDER BY cos_r DESC, nbr) AS rn
+        |  FROM cand)
+        |SELECT mem.id AS doc_id, mem.split,
+        |  CAST(CASE WHEN b.nbr IS NULL THEN 0 ELSE 1 END AS BIGINT) AS leaked,
+        |  coalesce(b.nbr, -1) AS train_nbr,
+        |  coalesce(b.cos_r, 0.0) AS cos_r
+        |FROM mem LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON mem.id = b.id
+        |ORDER BY doc_id""".stripMargin,
     // full integer replay of the fixed-centroid IVF serving path: quantize,
     // nearest-cell assignment (tie -> lower cell), nProbe=4 probed cells
     // for the vec 0 query, in-cell exact integer L2 rank, top-10

@@ -98,6 +98,7 @@ class SqlParitySpec extends AnyFunSuite {
       "q_knn_classify" -> vecDialect, "q_embed_centroid" ->
         (vecDialect + " + generate_subscripts"),
       "q_embed_neardup" -> vecDialect, "q_multimodal_join" -> vecDialect,
+      "q_split_leakage" -> vecDialect,
       "q_multimodal_frames" -> "unnest(range) pixel-generator explode + // integer division",
       "q_multimodal_features" -> "unnest(range) pixel-generator explode + // integer division",
       "q_dedup_clusters_exact" -> (recursive + " (transitive closure)"),

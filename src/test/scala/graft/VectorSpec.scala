@@ -451,6 +451,41 @@ class VectorSpec extends AnyFunSuite {
     assert(mhGot.nonEmpty && mhGot == rank(mhRaw, Ordering.Double.TotalOrdering.reverse))
   }
 
+  test("split leakage audit equals a brute-force cross-split replay of the raw pair kernel") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val d = TestSpark.sf0001
+    val got = Vectors.splitLeakage(spark, d)
+      .as[(Long, String, Long, Long, Double)].collect().toSeq
+    // independent split replay: the same pure integer draw, in plain Scala
+    def u(id: Long) =
+      ((id % 4294967296L) * 40503 % 4294967296L * 40503 % 4294967296L + 1).toDouble / 4294967297.0
+    def split(id: Long) = {
+      val x = u(id); if (x < 0.8) "train" else if (x < 0.9) "val" else "test"
+    }
+    // brute-force: symmetrize the (spec-only) unbounded member-level pair
+    // list, keep eval→train edges, argmax per eval doc by (cos desc, id)
+    val sym = Vectors.embedNeardupPairs(spark, d).as[(Long, Long, Double)]
+      .collect().toSeq.flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+    val bestMap = sym
+      .filter { case (x, nbr, _) => split(x) != "train" && split(nbr) == "train" }
+      .groupBy(_._1).map { case (x, ns) =>
+        x -> ns.map { case (_, n, c) => (c, n) }
+          .minBy { case (c, n) => (-c, n) }
+      }
+    val evalIds = Tables.embeddings(spark, d).select("vec_id").as[Long]
+      .collect().toSeq.filter(split(_) != "train").sorted
+    val want = evalIds.map { x =>
+      bestMap.get(x) match {
+        case Some((c, n)) => (x, split(x), 1L, n, c)
+        case None         => (x, split(x), 0L, -1L, 0.0)
+      }
+    }
+    assert(got == want)
+    // the fixture must exercise both verdicts, or the equality is vacuous
+    assert(got.exists(_._3 == 1L) && got.exists(_._3 == 0L))
+  }
+
   test("SRP banding prunes: candidate pairs well under the full pair count") {
     val spark = TestSpark.spark
     val n = 2 * Tables.embeddings(spark, TestSpark.sf0001).count()
