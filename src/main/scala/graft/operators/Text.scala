@@ -1160,6 +1160,69 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Exact-substring SCRUB — the transform half of Lee et al.'s exact
+    * substring deduplication ([[substringDedup]] is the detection half
+    * that gates whole documents; production pipelines REMOVE the repeated
+    * span and keep the document): every token covered by a [[SpanK]]-token
+    * shingle that occurs more than once corpus-wide is deleted, and the
+    * document is rebuilt from the surviving tokens (single-space joined —
+    * the canonical token-stream form downstream tokenization consumes).
+    * Output per doc: token counts, removed-token count, and the md5 of the
+    * scrubbed token stream (the hash certifies the rebuilt text itself).
+    *
+    * Scale: the shingle stream is the same Θ(tokens) explode as the
+    * detection key; duplicate shingles resolve in one keyed aggregate;
+    * each document gets back only its dup-span START OFFSETS
+    * (Θ(dup spans/doc) longs — document text never shuffles), and the
+    * rebuild is a stateless typed map re-tokenizing locally and masking
+    * start..start+K−1. */
+  val spanScrub: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val spanRows = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        graft.functions.Tok.shingles(tokenize(text), SpanK).zipWithIndex
+          .map { case (sh, i) => (id, i.toLong, sh) }
+      }
+      .toDF("doc_id", "i", "sh")
+    val dup = spanRows.groupBy(col("sh")).agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select(col("sh"))
+    val starts = spanRows.join(dup, Seq("sh"), "left_semi")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("i"))).as("starts"))
+    val k = SpanK
+    Tables.documents(s, d)
+      .join(starts, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("starts"), array().cast("array<long>")).as("starts"))
+      .as[(Long, String, Seq[Long])]
+      .map { case (id, text, st) =>
+        val ts = tokenize(text)
+        val covered = new Array[Boolean](ts.length)
+        st.foreach { s0 =>
+          var j = s0.toInt
+          val end = math.min(ts.length, s0.toInt + k)
+          while (j < end) { covered(j) = true; j += 1 }
+        }
+        val kept = new StringBuilder
+        var n = 0L
+        var i = 0
+        while (i < ts.length) {
+          if (!covered(i)) {
+            if (kept.nonEmpty || n > 0) kept.append(' ')
+            kept.append(ts(i)); n += 1
+          }
+          i += 1
+        }
+        (id, ts.length.toLong, ts.length.toLong - n, kept.toString)
+      }
+      .toDF("doc_id", "n_tokens", "n_removed", "scrub")
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        md5(col("scrub")).as("scrub_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Hash-split fractions (cumulative: train < 0.8 ≤ val < 0.9 ≤ test) —
     * shared with the oracle. */
   val SplitTrainFrac = 0.8
@@ -1464,6 +1527,7 @@ object Text {
     "q_pii_scrub"       -> piiScrub,
     "q_url_canonicalize" -> urlCanonicalize,
     "q_substring_dedup" -> substringDedup,
+    "q_span_scrub"      -> spanScrub,
     "q_stratified_split" -> stratifiedSplit,
     "q_ngram_entropy"   -> ngramEntropy,
     "q_bloom_dedup"     -> bloomDedup,
@@ -1574,6 +1638,36 @@ object Text {
         |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
     // span = 5-token shingle; duplicated ⇔ ≥2 occurrences corpus-wide;
     // fixed-point fraction via integer floor division in both engines
+    // exact-substring scrub: same shingle stream as q_substring_dedup's
+    // oracle; coverage = generate_series over each dup-span start; rebuild
+    // = position-ordered string_agg over the surviving tokens (including
+    // empty tokens, matching the kernel's single-space join exactly)
+    "q_span_scrub" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |s AS (
+        |  SELECT doc_id, i,
+        |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS sh
+        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i FROM w) x),
+        |g AS (SELECT sh, count(*) AS c FROM s GROUP BY sh),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, unnest(generate_series(i, i + 4)) AS pos
+        |  FROM s JOIN g USING (sh) WHERE g.c > 1),
+        |tok AS (
+        |  SELECT doc_id, unnest(ws) AS t, generate_subscripts(ws, 1) AS pos FROM w),
+        |keep AS (
+        |  SELECT tok.doc_id, tok.t, tok.pos
+        |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+        |  WHERE cov.pos IS NULL),
+        |agg AS (
+        |  SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS scrub,
+        |    count(*) AS n_kept
+        |  FROM keep GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM w)
+        |SELECT tot.doc_id, tot.n_tokens,
+        |  tot.n_tokens - CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+        |  md5(coalesce(agg.scrub, '')) AS scrub_md5
+        |FROM tot LEFT JOIN agg USING (doc_id) ORDER BY tot.doc_id""".stripMargin,
     "q_substring_dedup" ->
       """WITH w AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),

@@ -75,6 +75,8 @@ class SqlParitySpec extends AnyFunSuite {
         "regexp_replace(..., 'g') 4-arg flag — Spark form is the JDK " +
         "Normalizer typed map"),
       "q_substring_dedup" -> (listDialect + " + // integer division"),
+      "q_span_scrub" -> (listDialect +
+        " + generate_series coverage + ordered string_agg"),
       "q_embed_quantize" -> ("CAST(... AS DOUBLE[]) list cast + unnest scalar " +
         "explode + numeric trunc() — Spark form is the array transform kernel"),
       "q_token_count" -> ("regexp_extract_all(s, re, 1) on a zero-group " +

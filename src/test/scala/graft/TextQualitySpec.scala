@@ -436,6 +436,47 @@ class TextQualitySpec extends AnyFunSuite {
     assert(trail == Seq((9L, 0L, 0L, 3L, "a b ")))
   }
 
+  test("span scrub: planted shared span removed on both sides, everything else kept verbatim") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("span_scrub").toString
+    // docs 1 and 2 share exactly one 5-token span; doc 3 is clean. The
+    // shared span sits mid-document so the kept prefix/suffix must survive
+    // verbatim around the hole.
+    val span = "v w x y z"
+    val rows = Seq(
+      (1L, s"a b c $span d e", "en", "src1", 0L),
+      (2L, s"p q $span r s t", "en", "src2", 0L),
+      (3L, "one two three four five six", "en", "src3", 0L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(java.nio.file.Paths.get(dir, "documents.parquet").toString)
+    val got = Text.spanScrub(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    def m(s: String) = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+    // overlapping dup shingles: docs 1/2 share ONLY the 5 tokens of `span`
+    // (the flanking tokens differ), so exactly those 5 positions are covered
+    assert(got(1L) == ((10L, 5L, m("a b c d e"))), s"got ${got(1L)}")
+    assert(got(2L) == ((10L, 5L, m("p q r s t"))), s"got ${got(2L)}")
+    assert(got(3L) == ((6L, 0L, m("one two three four five six"))))
+    // corpus consistency at fixture scale: removal fires exactly on the
+    // docs the detection key flags, and never exceeds the token count
+    val d0 = TestSpark.sf0001
+    val scrub = Text.spanScrub(spark, d0).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val det = Text.substringDedup(spark, d0).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(scrub.keySet == det.keySet)
+    scrub.foreach { case (id, removed) =>
+      assert((removed > 0) == (det(id) > 0), s"doc $id: removed=$removed dupSpans=${det(id)}")
+    }
+    assert(scrub.values.exists(_ > 0) && scrub.values.exists(_ == 0))
+  }
+
   test("NB quality classifier: total coverage, pred contract, learned signal") {
     val d = TestSpark.sf0001
     val rows = Text.qualityClassifier(spark, d).collect()
