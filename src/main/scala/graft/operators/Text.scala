@@ -321,7 +321,9 @@ object Text {
     * (src0–src3 = curated 'hi', the rest 'lo'), trained on the
     * `doc_id % 10 < 7` split and scoring EVERY document with the smoothed
     * log-likelihood ratio llr = ln P(doc|hi) − ln P(doc|lo) + ln-prior
-    * delta. Positive llr ⇒ the doc reads like the curated sources — the
+    * delta (every document with a token stream, that is: a NULL-text doc
+    * contributes no explode rows and is absent here exactly as in every
+    * other token-statistics key; the streaming twin drops it identically). Positive llr ⇒ the doc reads like the curated sources — the
     * standard model-based selection signal (GPT-3 App. A; fastText filters
     * in RefinedWeb/FineWeb), complementing the unsupervised [[lmScore]].
     *

@@ -2190,11 +2190,14 @@ object Vectors {
       .join(groups, Seq("embedding"))
       .select(col("vec_id").as("doc_id"), col("split"), col("rep"),
         col("n_train"), col("min_train"), col("embedding"))
-    // candidate (a): a train member of the SAME value group — all tie at
-    // the self-cosine, min train id wins
+    // candidate (a): a train member of the SAME value group — identical
+    // values are cosine-1 BY DEFINITION (the family's selfScore
+    // convention, [[nearestMAssembly]]): a constant beats re-running the
+    // kernel per eval row, and sidesteps the 0/0 NaN a zero vector would
+    // feed the ranking (NaN sorts above every real cosine in Spark)
     val sameG = evalM.where(col("n_train") > 0)
       .select(col("doc_id"), col("min_train").as("nbr"),
-        round(CosineSimExpr.vec_cosine(vec, vec), 4).as("cos_r"))
+        lit(1.0).as("cos_r"))
     // candidate (b): the min train id of any near-dup NEIGHBOR group, at
     // the rep pair's cosine (exact for every cross-group member pair)
     val gTrain = groups.where(col("n_train") > 0)
@@ -2278,9 +2281,8 @@ object Vectors {
         |  JOIN g ON e.embedding = g.embedding
         |  WHERE sp.split <> 'train'),
         |sameg AS (
-        |  SELECT mem.id, mem.min_train AS nbr,
-        |    round(list_dot_product(r0.v, r0.v) / (r0.nrm * r0.nrm), 4) AS cos_r
-        |  FROM mem JOIN r0 ON mem.rep = r0.rep WHERE mem.n_train > 0),
+        |  SELECT mem.id, mem.min_train AS nbr, 1.0 AS cos_r
+        |  FROM mem WHERE mem.n_train > 0),
         |crossg AS (
         |  SELECT mem.id, r2.min_train AS nbr, d.cos_r
         |  FROM mem

@@ -547,25 +547,44 @@ object Streams {
     val totHi = cnt.valuesIterator.map(_._1).sum.toDouble
     val totLo = cnt.valuesIterator.map(_._2).sum.toDouble
     val v = cnt.size.toDouble
-    val Array(ndHi, ndLo) = graft.operators.Text.nbLabels(spark, trainDir)
+    // per-class doc counts via a total map: a degenerate corpus whose train
+    // split holds a single class must not die on a destructuring mismatch.
+    // Spark's log() yields NULL (not -Inf) on a 0 prior, so the batch key
+    // emits a NULL llr and pred 'lo' there; the stream's nearest total
+    // analogue is NaN — same 'lo' verdict through the r > 0 comparison
+    val byLabel = graft.operators.Text.nbLabels(spark, trainDir)
       .where(col("is_train")).groupBy(col("label")).count()
-      .collect().sortBy(_.getString(0)).map(_.getLong(1))
-    val dprior = math.log(ndHi.toDouble) - math.log(ndLo.toDouble)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ndHi = byLabel.getOrElse("hi", 0L)
+    val ndLo = byLabel.getOrElse("lo", 0L)
+    val dprior =
+      if (ndHi == 0L || ndLo == 0L) Double.NaN
+      else math.log(ndHi.toDouble) - math.log(ndLo.toDouble)
     val bc = spark.sparkContext.broadcast(cnt)
     docsStream(spark, scoreDir)
       .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
+      .flatMap { case (id, text) =>
         val ts = graft.functions.Tok.tokenize(text)
-        val counts = new java.util.TreeMap[String, Long]()
-        ts.foreach(t => counts.merge(t, 1L, (a, x) => a + x))
-        var llr = dprior
-        counts.forEach { (t, c) =>
-          val (cHi, cLo) = bc.value.getOrElse(t, (0L, 0L))
-          llr += c.toDouble * (math.log((cHi + 1.0) / (totHi + v)) -
-            math.log((cLo + 1.0) / (totLo + v)))
+        // a token-less doc (only possible for NULL text — empty text still
+        // yields one empty token) is ABSENT from the batch key's explode
+        // output, so the twin drops it too (the DSIR-twin convention)
+        if (ts.isEmpty) Iterator.empty
+        else {
+          val counts = new java.util.TreeMap[String, Long]()
+          ts.foreach(t => counts.merge(t, 1L, (a, x) => a + x))
+          var llr = dprior
+          counts.forEach { (t, c) =>
+            val (cHi, cLo) = bc.value.getOrElse(t, (0L, 0L))
+            llr += c.toDouble * (math.log((cHi + 1.0) / (totHi + v)) -
+              math.log((cLo + 1.0) / (totLo + v)))
+          }
+          // BigDecimal cannot represent ±Inf/NaN (degenerate one-class
+          // corpus); pass them through unrounded
+          val r =
+            if (llr.isInfinite || llr.isNaN) llr
+            else BigDecimal(llr).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Iterator(NbScore(id, ts.length.toLong, r, if (r > 0) "hi" else "lo"))
         }
-        val r = BigDecimal(llr).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-        NbScore(id, ts.length.toLong, r, if (r > 0) "hi" else "lo")
       }
   }
 
