@@ -11,6 +11,15 @@ import org.apache.spark.sql.SparkSession
   */
 object Hashing {
 
+  /** Hex MD5 over UTF-8 bytes — byte-identical to Spark SQL's `md5()` and
+    * DuckDB's `md5()`, for typed kernels that must hash like the
+    * declarative keys (e.g. the streaming span-scrub twin vs the batch
+    * key's `md5(scrub)` column). */
+  def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    d.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+  }
+
   /** 64-bit FNV-1a — stable, allocation-free, portable. */
   def fnv64(s: String): Long = {
     var h = 0xcbf29ce484222325L

@@ -1178,46 +1178,65 @@ object Text {
     * (Θ(dup spans/doc) longs — document text never shuffles), and the
     * rebuild is a stateless typed map re-tokenizing locally and masking
     * start..start+K−1. */
-  val spanScrub: Q = (s, d) => {
+  /** Per-(doc, start, shingle) span stream — the shared expander under the
+    * scrub key and the twin's offline dup-shingle trainer. */
+  private def spanRows(s: SparkSession, d: String) = {
     val spark = s
     import spark.implicits._
-    val spanRows = Tables.documents(s, d)
+    Tables.documents(s, d)
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
         graft.functions.Tok.shingles(tokenize(text), SpanK).zipWithIndex
           .map { case (sh, i) => (id, i.toLong, sh) }
       }
       .toDF("doc_id", "i", "sh")
-    val dup = spanRows.groupBy(col("sh")).agg(count(lit(1)).as("c"))
+  }
+
+  /** The corpus-duplicated [[SpanK]]-token shingles (global count > 1) —
+    * ONE definition under the batch scrub and the streaming twin's
+    * broadcast model ([[graft.streaming.Streams.spanScrubStream]]). */
+  private[graft] def dupShingles(s: SparkSession, d: String): DataFrame =
+    spanRows(s, d).groupBy(col("sh")).agg(count(lit(1)).as("c"))
       .where(col("c") > 1).select(col("sh"))
-    val starts = spanRows.join(dup, Seq("sh"), "left_semi")
+
+  /** Mask `starts..starts+K−1` and rebuild the single-space token stream —
+    * the one scrub kernel under the batch typed map and the streaming
+    * twin. Returns (n_tokens, n_removed, scrubbed text). */
+  private[graft] def rebuildScrubbed(
+      ts: Array[String], starts: Iterator[Long]): (Long, Long, String) = {
+    val covered = new Array[Boolean](ts.length)
+    starts.foreach { s0 =>
+      var j = s0.toInt
+      val end = math.min(ts.length, s0.toInt + SpanK)
+      while (j < end) { covered(j) = true; j += 1 }
+    }
+    val kept = new StringBuilder
+    var n = 0L
+    var i = 0
+    while (i < ts.length) {
+      if (!covered(i)) {
+        if (n > 0) kept.append(' ')
+        kept.append(ts(i)); n += 1
+      }
+      i += 1
+    }
+    (ts.length.toLong, ts.length.toLong - n, kept.toString)
+  }
+
+  val spanScrub: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val starts = spanRows(s, d).join(dupShingles(s, d), Seq("sh"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("i"))).as("starts"))
-    val k = SpanK
     Tables.documents(s, d)
       .join(starts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("text"),
         coalesce(col("starts"), array().cast("array<long>")).as("starts"))
       .as[(Long, String, Seq[Long])]
       .map { case (id, text, st) =>
-        val ts = tokenize(text)
-        val covered = new Array[Boolean](ts.length)
-        st.foreach { s0 =>
-          var j = s0.toInt
-          val end = math.min(ts.length, s0.toInt + k)
-          while (j < end) { covered(j) = true; j += 1 }
-        }
-        val kept = new StringBuilder
-        var n = 0L
-        var i = 0
-        while (i < ts.length) {
-          if (!covered(i)) {
-            if (kept.nonEmpty || n > 0) kept.append(' ')
-            kept.append(ts(i)); n += 1
-          }
-          i += 1
-        }
-        (id, ts.length.toLong, ts.length.toLong - n, kept.toString)
+        val (nTok, nRem, scrub) = rebuildScrubbed(tokenize(text), st.iterator)
+        (id, nTok, nRem, scrub)
       }
       .toDF("doc_id", "n_tokens", "n_removed", "scrub")
       .select(col("doc_id"), col("n_tokens"), col("n_removed"),

@@ -588,6 +588,48 @@ object Streams {
       }
   }
 
+  case class SpanScrub(docId: Long, nTokens: Long, nRemoved: Long, scrubMd5: String)
+
+  /** Streaming twin of the exact-substring scrub
+    * ([[graft.operators.Text.spanScrub]]): the corpus-duplicated shingle
+    * set is computed OFFLINE on the at-rest corpus (the SAME
+    * [[graft.operators.Text.dupShingles]] relation the batch key
+    * semi-joins, collected and broadcast) and every arriving document
+    * scrubs itself statelessly — tokenize, find its own spans that hit the
+    * dup set, mask and rebuild through the ONE shared
+    * [[graft.operators.Text.rebuildScrubbed]] kernel. Scrub-at-ingestion:
+    * the repeated boilerplate never lands in the lake. No state store, no
+    * watermark, no shuffle. Broadcast ceiling: the dup-shingle set is
+    * Θ(distinct duplicated spans) — beyond driver memory (~10⁸ entries)
+    * the same verdict runs as a stream-static semi-join on the span
+    * stream, the [[bloomScreenStream]] shape; at-rest corpora under the
+    * ceiling (every fixture and most single-tenant corpora) take the
+    * zero-shuffle map. Replay equality vs the batch key is row-exact
+    * (coverage depends only on the doc's own shingles ∩ the global dup
+    * set — no cross-doc FP arithmetic anywhere). */
+  def spanScrubStream(spark: SparkSession, sfDir: String): Dataset[SpanScrub] =
+    spanScrubStream(spark, sfDir, sfDir)
+
+  /** Train-on-`trainDir`, scrub-the-`scoreDir`-stream form. */
+  def spanScrubStream(spark: SparkSession, trainDir: String,
+      scoreDir: String): Dataset[SpanScrub] = {
+    import spark.implicits._
+    val dup: Set[String] = graft.operators.Text.dupShingles(spark, trainDir)
+      .collect().map(_.getString(0)).toSet
+    val bc = spark.sparkContext.broadcast(dup)
+    val k = graft.operators.Text.SpanK
+    docsStream(spark, scoreDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val ts = graft.functions.Tok.tokenize(text)
+        val starts = graft.functions.Tok.shingles(ts, k).zipWithIndex
+          .collect { case (sh, i) if bc.value.contains(sh) => i.toLong }
+        val (nTok, nRem, scrub) = graft.operators.Text.rebuildScrubbed(ts, starts)
+        SpanScrub(id, nTok, nRem,
+          graft.functions.Hashing.md5Hex(scrub))
+      }
+  }
+
   /** Streaming twin of the bloom ingest screen
     * ([[graft.operators.Text.bloomDedup]]): the SAME
     * [[graft.operators.Text.bloomScreen]] kernel applied to the document

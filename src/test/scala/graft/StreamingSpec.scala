@@ -188,6 +188,42 @@ class StreamingSpec extends AnyFunSuite {
       s"got ${got.head} want (_, 2, $expect)")
   }
 
+  test("streaming span scrub replays to batch q_span_scrub exactly, and scrubs arrivals against the at-rest dup set") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // replay equality: same corpus streamed — row-exact incl. the md5
+    val got = Streams.runToCompletion(
+      Streams.spanScrubStream(spark, TestSpark.sf0001).toDF(), "t_scrub", "append")
+      .orderBy(col("docId"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    val want = operators.Text.spanScrub(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got.nonEmpty && got == want)
+    assert(got.exists(_._3 > 0L) && got.exists(_._3 == 0L))
+    // scrub-at-ingestion with DISJOINT corpora: the at-rest corpus holds a
+    // duplicated span; an arriving doc carrying it loses exactly those
+    // tokens, one carrying only novel text is untouched
+    val trainDir = java.nio.file.Files.createTempDirectory("scrub_train").toString
+    val scoreDir = java.nio.file.Files.createTempDirectory("scrub_score").toString
+    def writeDocsFile(dir: String, rows: Seq[(Long, String, String, String, Long)]): Unit =
+      writeSingleParquet(dir, "documents.parquet",
+        rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    val span = "v w x y z"
+    writeDocsFile(trainDir, Seq(
+      (1L, s"a b $span c d", "en", "src1", 0L),
+      (2L, s"p q $span r s", "en", "src2", 0L)))
+    writeDocsFile(scoreDir, Seq(
+      (9L, s"new stuff $span more stuff", "en", "src9", 0L),
+      (10L, "entirely novel tokens here now", "en", "src9", 0L)))
+    val arr = Streams.runToCompletion(
+      Streams.spanScrubStream(spark, trainDir, scoreDir).toDF(),
+      "t_scrub_ingest", "append")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    def m(s: String) = graft.functions.Hashing.md5Hex(s)
+    assert(arr(9L) == ((9L, 5L, m("new stuff more stuff"))), s"got ${arr(9L)}")
+    assert(arr(10L) == ((5L, 0L, m("entirely novel tokens here now"))))
+  }
+
   test("streaming DSIR scorer scores novel-bucket documents at the smoothed prior instead of dying") {
     val spark = TestSpark.spark
     import spark.implicits._
