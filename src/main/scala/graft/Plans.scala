@@ -101,6 +101,12 @@ object Plans {
       "real-codec audio framing: one typed flatMap (WAV decode + windowed features) inside the documents scan, no shuffle before the presentation sort",
     "q_image_dedup" ->
       "perceptual-hash image dedup: per-blob decode+dHash map, one hash-shuffle groupBy on the 64-bit signature, family attach join — Θ(docs)",
+    "q_shard_export" ->
+      "deterministic export manifest: map-side shard hash + 60-bit md5 fingerprint, one map-side-combined ShardCount-row aggregate — text never shuffles",
+    "q_epoch_mix" ->
+      "epoch-mix materialization: map-only CASE targets + portable coin + bounded sequence explode — no shuffle before the presentation sort",
+    "q_domain_reputation" ->
+      "site reputation gate: Θ(sites) partial-agg broadcast back over the doc scan, integer cross-multiply verdict — the doc side never shuffles",
   )
 
   def main(args: Array[String]): Unit = {

@@ -1,0 +1,266 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-export verbs — the LAST stage of the corpus pipeline, after
+  * curation and packing: deterministic sharding with a verifiable manifest,
+  * and epoch-aware mixture materialization (the "2.5 epochs of books, 0.25
+  * of crawl" recipe of the LLaMA/GPT data mixes), plus domain-level
+  * reputation gating (the RefinedWeb/UT1 "judge the site, not just the
+  * page" filter).
+  *
+  * Scale notes common to the module: shard/epoch/site assignment are pure
+  * per-row functions of (doc_id, source, lang) — no shuffle to decide them;
+  * the only aggregations are Θ(shards) / Θ(sites) manifests; document text
+  * never shuffles (the manifest fingerprint travels as one int64 per doc).
+  * The trailing orderBy on each key exists for oracle determinism only and
+  * is dropped in production use.
+  */
+object Export {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Shard fan-out of the export. 8 here; at 100 TB this is #output files
+    * you want (e.g. 8192) — the assignment below is uniform for any count. */
+  val ShardCount = 8
+
+  /** Salt decorrelating the shard draw from the train/val/test split draw
+    * ([[Text.uniformDrawOf]] hashes the UNsalted id): same two-round Knuth
+    * construction, different orbit. */
+  val ShardSalt = 7919L
+
+  /** Salt for the fractional-epoch coin flip, decorrelated from both the
+    * split draw and the shard draw. */
+  val EpochSalt = 104729L
+
+  private def toks(c: Column): Column = split(lower(trim(c)), "\\s+")
+
+  /** Engine-portable shard id: two rounds of 16-bit Knuth multiplicative
+    * hashing over the salted id in 32-bit space (the overflow-safe
+    * construction of [[Text.uniformDrawOf]]), then mod [[ShardCount]].
+    * Pure integer arithmetic — bit-identical on any engine, stable across
+    * reruns, and independent of input order: the property that makes the
+    * export reproducible and the manifest re-checkable. */
+  private[operators] def shardOf(id: Column): Column = {
+    val m32 = lit(4294967296L)
+    val h1 = (id + lit(ShardSalt)) % m32
+    val h2 = (h1 * lit(40503L)) % m32
+    val h3 = (h2 * lit(40503L)) % m32
+    (h3 % ShardCount).cast("long")
+  }
+
+  /** Per-doc content fingerprint: the leading 60 bits of md5(text) as an
+    * int64. XOR-aggregated per shard it yields an order-independent,
+    * O(1)-state shard checksum — the manifest entry a reader can recompute
+    * after any repartition/merge and still match. */
+  private def docFp: Column =
+    conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long")
+
+  /** Deterministic shard manifest — the export side of the corpus: every
+    * doc lands in a pure-hash shard, and the manifest certifies each
+    * shard's content (doc/token/char counts, id range, XOR'd content
+    * fingerprint). Writing the data itself is [[writeShards]]; this key is
+    * the manifest those files must reproduce.
+    *
+    * Scale: shard assignment and the per-doc fingerprint are map-side; the
+    * groupBy shuffles one 5-long row per doc (never the text) and reduces
+    * map-side to ≤ [[ShardCount]] rows per partition. XOR (not sum) keeps
+    * the checksum closed under int64 — no overflow at any corpus size. */
+  val shardExport: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), shardOf(col("doc_id")).as("shard"),
+        size(toks(col("text"))).cast("long").as("n_toks"),
+        length(col("text")).cast("long").as("n_chars"),
+        docFp.as("fp"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"),
+        min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"),
+        expr("bit_xor(fp)").as("fingerprint"))
+      .orderBy(col("shard"))
+
+  /** Per-source epoch targets for [[epochMix]], keyed on the numeric source
+    * index mod 4 — upsampling (2.5), identity (1.0), aggressive
+    * downsampling (0.25) and fractional upsampling (1.75) all exercised.
+    * Expressed as (whole epochs, fractional part) so the integer floor
+    * never passes through double division. */
+  private def epochBase(idx: Column): Column =
+    when(idx % 4 === 0, 2L).when(idx % 4 === 1, 1L)
+      .when(idx % 4 === 2, 0L).otherwise(1L)
+  private def epochFrac(idx: Column): Column =
+    when(idx % 4 === 0, 0.5).when(idx % 4 === 1, 0.0)
+      .when(idx % 4 === 2, 0.25).otherwise(0.75)
+
+  /** Epoch-aware mixture materialization: each source is assigned a target
+    * epoch count e (possibly fractional, possibly < 1); every doc is
+    * emitted floor(e) times plus one more with probability frac(e), decided
+    * by the engine-portable salted coin flip — so the materialized list
+    * hits the target in expectation with zero coordination, and the SAME
+    * docs are the repeated/dropped ones on every engine and every rerun
+    * (the reproducibility a training run needs to resume). frac < 1 with
+    * floor = 0 is deterministic downsampling; floor ≥ 1 is upsampling with
+    * deterministic extra-epoch membership.
+    *
+    * Scale: entirely map-side — a per-row CASE + hash flip + bounded array
+    * explode; output is Θ(docs · epochs), which IS the product being built.
+    * No shuffle anywhere but the oracle-determinism orderBy. */
+  val epochMix: Q = (s, d) => {
+    val idx = substring(col("source"), 4, 10).cast("int")
+    val u = Text.uniformDrawOf(col("doc_id") + lit(EpochSalt))
+    val repCnt = (epochBase(idx) +
+      when(u < epochFrac(idx), 1L).otherwise(0L)).cast("long")
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), repCnt.as("rep_cnt"))
+      .withColumn("rep", explode(
+        when(col("rep_cnt") >= 1, sequence(lit(1L), col("rep_cnt")))
+          .otherwise(array().cast("array<long>"))))
+      .orderBy(col("doc_id"), col("rep"))
+  }
+
+  /** The site key of [[domainReputation]]: canonical host + top path
+    * segment (the granularity at which crawl blocklists operate — a host
+    * serving several language sections is judged per section). Derived
+    * from the same synthetic-URL scheme as q_url_canonicalize. */
+  private def siteOf: Column =
+    concat(col("source"), lit(".example.com/"), col("lang"))
+
+  /** Domain-level reputation gate: aggregate page quality
+    * ([[Text.qualityExpr]], fixed-point ×10⁴) per site, flag sites whose
+    * mean quality sits below the corpus mean, and gate every doc by its
+    * site's verdict — pages on a bad site are dropped even when the page
+    * itself scores fine (the signal page-level filters can't see).
+    *
+    * Determinism: the site-vs-corpus comparison is the integer
+    * cross-multiply sum_q4·n_tot < q_tot·n_site — exact, no FP division,
+    * so the verdict can never flip on summation order. (At extreme corpus
+    * sizes the products need DECIMAL(38) headroom — n_docs·10⁴·n_docs
+    * passes int64 around 10⁹ docs — a widening, not a redesign.)
+    *
+    * Scale: one Θ(sites) aggregate (map-side combined), site verdicts +
+    * corpus totals broadcast back; the doc side never shuffles. */
+  val domainReputation: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val q = docs.select(col("doc_id"), siteOf.as("site"),
+      round(Text.qualityExpr * 10000, 0).cast("long").as("q4"))
+    val sites = q.groupBy(col("site"))
+      .agg(count(lit(1)).as("n_site"), sum(col("q4")).as("sum_q4"))
+    val tot = q.agg(count(lit(1)).as("n_tot"), sum(col("q4")).as("q_tot"))
+    q.join(broadcast(sites), Seq("site"))
+      .crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("site"), col("n_site"),
+        expr("sum_q4 DIV n_site").as("site_mq4"),
+        when(col("sum_q4") * col("n_tot") < col("q_tot") * col("n_site"),
+          lit("drop")).otherwise(lit("keep")).as("verdict"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The offline site-verdict table [[graft.streaming.Streams]] broadcasts
+    * for the streaming gate: Θ(sites) rows, each carrying the exact columns
+    * the verdict needs. */
+  private[graft] def siteVerdicts(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.documents(s, d)
+      .select(siteOf.as("site"), round(Text.qualityExpr * 10000, 0).cast("long").as("q4"))
+    val sites = q.groupBy(col("site"))
+      .agg(count(lit(1)).as("n_site"), sum(col("q4")).as("sum_q4"))
+    val tot = q.agg(count(lit(1)).as("n_tot"), sum(col("q4")).as("q_tot"))
+    sites.crossJoin(broadcast(tot))
+      .select(col("site"), col("n_site"), expr("sum_q4 DIV n_site").as("site_mq4"),
+        when(col("sum_q4") * col("n_tot") < col("q_tot") * col("n_site"),
+          lit("drop")).otherwise(lit("keep")).as("verdict"))
+  }
+
+  /** Site key of a single document, computed from its own columns — the
+    * stateless per-arrival form the streaming twin uses. */
+  private[graft] def siteKeyOf(source: String, lang: String): String =
+    s"$source.example.com/$lang"
+
+  /** Materialize the sharded export on disk: Hive-partitioned by `shard`,
+    * rows sorted inside each shard file by the deterministic md5 order key
+    * (the "global shuffle" of training exports — reproducible, seedless),
+    * text carried verbatim. Returns the manifest the files must match —
+    * the same relation as [[shardExport]], recomputed FROM THE WRITTEN
+    * FILES so the caller verifies the export, not the intent.
+    *
+    * Scale: one repartition on shard (the only time text moves, and it
+    * moves exactly once — this IS the export shuffle), in-partition sort is
+    * per-shard-file; `maxRecordsPerFile` bounds file sizes at real scale. */
+  def writeShards(s: SparkSession, d: String, outPath: String): DataFrame = {
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("source"), col("lang"),
+        shardOf(col("doc_id")).as("shard"),
+        md5(col("doc_id").cast("string")).as("ord"))
+      .repartition(ShardCount, col("shard"))
+      .sortWithinPartitions(col("shard"), col("ord"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outPath)
+    s.read.parquet(outPath)
+      .select(col("shard").cast("long").as("shard"), col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_toks"),
+        length(col("text")).cast("long").as("n_chars"), docFp.as("fp"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"), min(col("doc_id")).as("min_doc_id"),
+        max(col("doc_id")).as("max_doc_id"), expr("bit_xor(fp)").as("fingerprint"))
+      .orderBy(col("shard"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_shard_export"      -> shardExport,
+    "q_epoch_mix"         -> epochMix,
+    "q_domain_reputation" -> domainReputation,
+  )
+
+  /** Shared fixed-point page-quality CTE (×10⁴ integer), mirroring
+    * [[Text.qualityExpr]] exactly — ONE replay under the domain oracle. */
+  private val q4Cte: String =
+    """q AS (
+      |  SELECT doc_id, source || '.example.com/' || lang AS site,
+      |    CAST(round(round(least(CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS DOUBLE) / 100.0, 1.0)
+      |      * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9\s]')) AS DOUBLE)
+      |               / CAST(length(text) AS DOUBLE)), 4) * 10000) AS BIGINT) AS q4
+      |  FROM documents)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_shard_export" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    ((((doc_id + 7919) % 4294967296) * 40503 % 4294967296) * 40503 % 4294967296) % 8 AS shard,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_toks,
+        |    CAST(length(text) AS BIGINT) AS n_chars,
+        |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp
+        |  FROM documents)
+        |SELECT CAST(shard AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_toks) AS BIGINT) AS n_tokens, CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+        |  CAST(bit_xor(fp) AS BIGINT) AS fingerprint
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
+    "q_epoch_mix" ->
+      """WITH e AS (
+        |  SELECT doc_id, source,
+        |    CASE CAST(substr(source, 4) AS INT) % 4
+        |      WHEN 0 THEN 2 WHEN 1 THEN 1 WHEN 2 THEN 0 ELSE 1 END AS base,
+        |    CASE CAST(substr(source, 4) AS INT) % 4
+        |      WHEN 0 THEN 0.5 WHEN 1 THEN 0.0 WHEN 2 THEN 0.25 ELSE 0.75 END AS frac,
+        |    (((((doc_id + 104729) % 4294967296) * 40503) % 4294967296) * 40503 % 4294967296 + 1)
+        |      / 4294967297.0 AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source,
+        |    CAST(base + (CASE WHEN u < frac THEN 1 ELSE 0 END) AS BIGINT) AS rep_cnt
+        |  FROM e)
+        |SELECT doc_id, source, rep_cnt, CAST(rep AS BIGINT) AS rep
+        |FROM (SELECT doc_id, source, rep_cnt, unnest(range(1, rep_cnt + 1)) AS rep FROM r) x
+        |ORDER BY doc_id, rep""".stripMargin,
+    "q_domain_reputation" ->
+      s"""WITH $q4Cte,
+        |s AS (SELECT site, CAST(count(*) AS BIGINT) AS n_site,
+        |        CAST(sum(q4) AS BIGINT) AS sum_q4 FROM q GROUP BY site),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_tot, CAST(sum(q4) AS BIGINT) AS q_tot FROM q)
+        |SELECT q.doc_id, q.site, s.n_site, CAST(s.sum_q4 // s.n_site AS BIGINT) AS site_mq4,
+        |  CASE WHEN s.sum_q4 * g.n_tot < g.q_tot * s.n_site THEN 'drop' ELSE 'keep' END AS verdict
+        |FROM q JOIN s USING (site), g
+        |ORDER BY q.doc_id""".stripMargin,
+  )
+}

@@ -588,6 +588,51 @@ object Streams {
       }
   }
 
+  case class DomainGate(docId: Long, site: String, nSite: Long,
+      siteMq4: Long, verdict: String)
+
+  /** Streaming twin of the domain-reputation gate
+    * ([[graft.operators.Export.domainReputation]]): the Θ(sites) verdict
+    * table is computed OFFLINE on the at-rest corpus (the SAME integer
+    * cross-multiply arithmetic as the batch key, via
+    * [[graft.operators.Export.siteVerdicts]]), collected and broadcast;
+    * every arriving document derives its site key from its OWN columns and
+    * looks the verdict up statelessly — gate-at-ingestion with no state
+    * store, no watermark, no shuffle. A site the at-rest corpus has never
+    * seen defaults to `keep` with n_site = 0 / site_mq4 = −1 (no evidence
+    * against it yet — the conservative admission a rolling blocklist
+    * makes; the sentinel makes the no-evidence case visible downstream).
+    * The verdict pipeline is pure integer arithmetic end to end, so replay
+    * equality vs the batch key is row-EXACT, not ulp-bounded. */
+  def domainGateStream(spark: SparkSession, sfDir: String): Dataset[DomainGate] =
+    domainGateStream(spark, sfDir, sfDir)
+
+  /** Train-on-`trainDir`, gate-the-`scoreDir`-stream form. */
+  def domainGateStream(spark: SparkSession, trainDir: String,
+      scoreDir: String): Dataset[DomainGate] = {
+    import spark.implicits._
+    val verdicts: Map[String, (Long, Long, String)] =
+      graft.operators.Export.siteVerdicts(spark, trainDir)
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getString(3)))
+        .toMap
+    val bc = spark.sparkContext.broadcast(verdicts)
+    docsStream(spark, scoreDir)
+      .select(col("doc_id"), col("source"), col("lang")).as[(Long, String, String)]
+      .flatMap { case (id, source, lang) =>
+        // a NULL source/lang yields a NULL site, which the batch key's
+        // equi-join drops — the twin drops it identically
+        if (source == null || lang == null) Iterator.empty
+        else {
+          val site = graft.operators.Export.siteKeyOf(source, lang)
+          bc.value.get(site) match {
+            case Some((n, mq4, v)) => Iterator(DomainGate(id, site, n, mq4, v))
+            case None => Iterator(DomainGate(id, site, 0L, -1L, "keep"))
+          }
+        }
+      }
+  }
+
   case class SpanScrub(docId: Long, nTokens: Long, nRemoved: Long, scrubMd5: String)
 
   /** Streaming twin of the exact-substring scrub

@@ -149,6 +149,10 @@ class SqlParitySpec extends AnyFunSuite {
       "q_audio_resample" -> "unnest(range) sample-generator explode + // integer division",
       "q_audio_fingerprint" -> "unnest(range) sample-generator explode + // integer division",
       "q_audio_screen_at_rest" -> "unnest(range) sample-generator explode + // integer division",
+      "q_shard_export" -> ("('0x'||hex)::BIGINT literal cast (Spark: conv) + " +
+        listDialect),
+      "q_epoch_mix" -> "unnest(range(1, rep_cnt+1)) per-row explode — Spark: sequence + explode",
+      "q_domain_reputation" -> (listDialect + " + // integer division"),
       "ref_gather_series" ->
         "first(x ORDER BY ...) ordered-aggregate syntax (Spark: window + struct min)",
       "ref_quantize_roundtrip" -> ("float32 promotion: Spark SQL evaluates " +

@@ -188,6 +188,43 @@ class StreamingSpec extends AnyFunSuite {
       s"got ${got.head} want (_, 2, $expect)")
   }
 
+  test("streaming domain gate replays to batch q_domain_reputation exactly") {
+    val spark = TestSpark.spark
+    // integer arithmetic end to end — the replay is row-EXACT
+    val got = Streams.runToCompletion(
+      Streams.domainGateStream(spark, TestSpark.sf0001).toDF(), "t_domgate", "append")
+      .orderBy(col("docId"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSeq
+    val want = operators.Export.domainReputation(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
+  test("streaming domain gate: a never-seen site is admitted with the n_site=0 sentinel") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val trainDir = java.nio.file.Files.createTempDirectory("dom_train").toString
+    val scoreDir = java.nio.file.Files.createTempDirectory("dom_score").toString
+    def writeDocsFile(dir: String, rows: Seq[(Long, String, String, String, Long)]): Unit =
+      writeSingleParquet(dir, "documents.parquet",
+        rows.toDF("doc_id", "text", "lang", "source", "n_chars"))
+    writeDocsFile(trainDir, Seq((1L, "plain words here", "en", "src1", 16L),
+      (2L, "!!!! #### ????", "en", "src2", 14L)))
+    // arriving doc is from a site the at-rest corpus never saw
+    writeDocsFile(scoreDir, Seq((9L, "whatever text", "fr", "src9", 13L)))
+    val got = Streams.runToCompletion(
+      Streams.domainGateStream(spark, trainDir, scoreDir).toDF(),
+      "t_domgate_novel", "append").collect()
+    assert(got.length == 1)
+    assert(got.head.getString(1) == "src9.example.com/fr")
+    assert(got.head.getLong(2) == 0L && got.head.getLong(3) == -1L &&
+      got.head.getString(4) == "keep", s"got ${got.head}")
+  }
+
   test("streaming span scrub replays to batch q_span_scrub exactly, and scrubs arrivals against the at-rest dup set") {
     val spark = TestSpark.spark
     import spark.implicits._
