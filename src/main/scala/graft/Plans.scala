@@ -107,6 +107,8 @@ object Plans {
       "epoch-mix materialization: map-only CASE targets + portable coin + bounded sequence explode — no shuffle before the presentation sort",
     "q_domain_reputation" ->
       "site reputation gate: Θ(sites) partial-agg broadcast back over the doc scan, integer cross-multiply verdict — the doc side never shuffles",
+    "q_corpus_diff" ->
+      "snapshot reconciliation: both sides pre-hashed to (id, md5) before the full outer SMJ — 40 bytes per doc shuffle, text never moves",
   )
 
   def main(args: Array[String]): Unit = {

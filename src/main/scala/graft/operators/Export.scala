@@ -120,6 +120,63 @@ object Export {
       .orderBy(col("doc_id"), col("rep"))
   }
 
+  /** Scalar twin of [[epochMix]]'s per-doc repeat count — the ONE
+    * arithmetic under the batch key, the DuckDB oracle and the streaming
+    * twin ([[graft.streaming.Streams]]): parse the source index, pick
+    * (floor, frac), flip the salted portable coin. Non-numeric/missing
+    * source takes the CASE ELSE branch exactly as the Column form's
+    * `otherwise` does. */
+  private[graft] def repCountOf(docId: Long, source: String): Long = {
+    val m32 = 4294967296L
+    val idx =
+      try { if (source == null) -1 else source.drop(3).toInt % 4 }
+      catch { case _: NumberFormatException => -1 }
+    val (base, frac) = idx match {
+      case 0 => (2L, 0.5)
+      case 1 => (1L, 0.0)
+      case 2 => (0L, 0.25)
+      case _ => (1L, 0.75)
+    }
+    val u = (((docId + EpochSalt) % m32) * 40503L % m32 * 40503L % m32 + 1).toDouble / 4294967297.0
+    base + (if (u < frac) 1L else 0L)
+  }
+
+  /** The simulated OLD snapshot membership/edit rules of [[corpusDiff]],
+    * shared between the Spark form and the oracle: docs with id % 11 = 5
+    * are new arrivals (absent from old), docs with id % 17 = 3 were taken
+    * down (absent from new), docs with id % 13 = 2 were edited in place. */
+  private val DiffAddMod = 11L
+  private val DiffDropMod = 17L
+  private val DiffEditMod = 13L
+
+  /** Corpus snapshot diff — the audit of an incremental refresh: given the
+    * previous and the current snapshot of the corpus, report per doc
+    * whether it was added, removed, changed (content hash differs) or
+    * unchanged. The two snapshots here are deterministic restrictions/
+    * edits of the one documents table (the synthetic-fixture discipline of
+    * q_url_canonicalize); the operator under test is the diff itself.
+    *
+    * Scale: both sides reduce to (id, md5) BEFORE the join — the full
+    * outer equi-join shuffles 40 bytes per doc, never the text; at 100 TB
+    * this is the standard snapshot-reconciliation join, and bucketed
+    * at-rest layouts ([[ScaleJoins.writeBucketed]]) make it shuffle-free. */
+  val corpusDiff: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val old = docs.where(col("doc_id") % DiffAddMod =!= 5)
+      .select(col("doc_id"), md5(col("text")).as("old_md5"))
+    val nw = docs.where(col("doc_id") % DiffDropMod =!= 3)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % DiffEditMod === 2, concat(col("text"), lit(" v2")))
+          .otherwise(col("text"))).as("new_md5"))
+    old.join(nw, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("old_md5"), col("new_md5"),
+        when(col("old_md5").isNull, lit("added"))
+          .when(col("new_md5").isNull, lit("removed"))
+          .when(col("old_md5") =!= col("new_md5"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The site key of [[domainReputation]]: canonical host + top path
     * segment (the granularity at which crawl blocklists operate — a host
     * serving several language sections is judged per section). Derived
@@ -210,6 +267,7 @@ object Export {
     "q_shard_export"      -> shardExport,
     "q_epoch_mix"         -> epochMix,
     "q_domain_reputation" -> domainReputation,
+    "q_corpus_diff"       -> corpusDiff,
   )
 
   /** Shared fixed-point page-quality CTE (×10⁴ integer), mirroring
@@ -253,6 +311,20 @@ object Export {
         |SELECT doc_id, source, rep_cnt, CAST(rep AS BIGINT) AS rep
         |FROM (SELECT doc_id, source, rep_cnt, unnest(range(1, rep_cnt + 1)) AS rep FROM r) x
         |ORDER BY doc_id, rep""".stripMargin,
+    "q_corpus_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, md5(text) AS old_md5 FROM documents WHERE doc_id % 11 <> 5),
+        |nw AS (
+        |  SELECT doc_id,
+        |    md5(CASE WHEN doc_id % 13 = 2 THEN text || ' v2' ELSE text END) AS new_md5
+        |  FROM documents WHERE doc_id % 17 <> 3)
+        |SELECT doc_id, old_md5, new_md5,
+        |  CASE WHEN old_md5 IS NULL THEN 'added'
+        |       WHEN new_md5 IS NULL THEN 'removed'
+        |       WHEN old_md5 <> new_md5 THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM old FULL OUTER JOIN nw USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "q_domain_reputation" ->
       s"""WITH $q4Cte,
         |s AS (SELECT site, CAST(count(*) AS BIGINT) AS n_site,

@@ -588,6 +588,27 @@ object Streams {
       }
   }
 
+  case class EpochRep(docId: Long, source: String, repCnt: Long, rep: Long)
+
+  /** Streaming twin of the epoch-aware mixture materialization
+    * ([[graft.operators.Export.epochMix]]): every arriving document
+    * decides its own repeat count from the ONE shared scalar kernel
+    * ([[graft.operators.Export.repCountOf]] — source-index targets +
+    * salted portable coin, pure integer/exact-double arithmetic) and
+    * emits itself 0..n times statelessly — materialize-at-ingestion, no
+    * state store, no watermark, no shuffle. A doc whose coin lands on 0
+    * repeats is dropped here exactly as the batch key's empty-sequence
+    * explode drops it; replay equality vs the batch key is row-EXACT. */
+  def epochMixStream(spark: SparkSession, sfDir: String): Dataset[EpochRep] = {
+    import spark.implicits._
+    docsStream(spark, sfDir)
+      .select(col("doc_id"), col("source")).as[(Long, String)]
+      .flatMap { case (id, source) =>
+        val n = graft.operators.Export.repCountOf(id, source)
+        (1L to n).iterator.map(r => EpochRep(id, source, n, r))
+      }
+  }
+
   case class DomainGate(docId: Long, site: String, nSite: Long,
       siteMq4: Long, verdict: String)
 

@@ -80,6 +80,26 @@ class ExportSpec extends AnyFunSuite {
     assert(downKept > 0 && downKept < downDocs, s"$downKept of $downDocs kept")
   }
 
+  test("corpus diff: every status branch live and exactly the simulated membership/edit rules") {
+    val ids = Tables.documents(spark, sf).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val got = Export.corpusDiff(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(3))).toMap
+    val inEither = ids.filterNot(id => id % 11 == 5 && id % 17 == 3)
+    assert(got.keySet == inEither, "one verdict per doc id in either snapshot")
+    ids.foreach { id =>
+      val want =
+        if (id % 11 == 5 && id % 17 == 3) null // in neither snapshot — absent
+        else if (id % 11 == 5) "added"
+        else if (id % 17 == 3) "removed"
+        else if (id % 13 == 2) "changed"
+        else "unchanged"
+      if (want == null) assert(!got.contains(id))
+      else assert(got(id) == want, s"doc $id: ${got(id)} vs $want")
+    }
+    assert(got.values.toSet == Set("added", "removed", "changed", "unchanged"))
+  }
+
   test("domain reputation: total coverage and the integer verdict is exactly mean_site < mean_corpus") {
     val docs = Tables.documents(spark, sf)
     val got = Export.domainReputation(spark, sf).collect()

@@ -41,6 +41,8 @@ class SqlParitySpec extends AnyFunSuite {
     "q_exact_dedup", "q_weighted_sample", "q_text_stats",
     // pure integer/CASE arithmetic + floor() fixed-point — no dialect at all
     "q_stratified_split",
+    // md5 + FULL OUTER JOIN USING + CASE — runs verbatim on both engines
+    "q_corpus_diff",
     // plain NOT EXISTS anti-join — no dialect at all
     "q_bloom_dedup",
     // reference-pipeline oracles over the events fixture

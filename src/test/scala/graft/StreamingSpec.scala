@@ -188,6 +188,20 @@ class StreamingSpec extends AnyFunSuite {
       s"got ${got.head} want (_, 2, $expect)")
   }
 
+  test("streaming epoch mix replays to batch q_epoch_mix exactly") {
+    val spark = TestSpark.spark
+    // the repeat decision is the one shared scalar kernel — row-exact
+    val got = Streams.runToCompletion(
+      Streams.epochMixStream(spark, TestSpark.sf0001).toDF(), "t_epochmix", "append")
+      .orderBy(col("docId"), col("rep"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    val want = operators.Export.epochMix(spark, TestSpark.sf0001)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("streaming domain gate replays to batch q_domain_reputation exactly") {
     val spark = TestSpark.spark
     // integer arithmetic end to end — the replay is row-EXACT
