@@ -109,6 +109,8 @@ object Plans {
       "site reputation gate: Θ(sites) partial-agg broadcast back over the doc scan, integer cross-multiply verdict — the doc side never shuffles",
     "q_corpus_diff" ->
       "snapshot reconciliation: both sides pre-hashed to (id, md5) before the full outer SMJ — 40 bytes per doc shuffle, text never moves",
+    "q_domain_pagerank" ->
+      "link-graph power iteration: one Θ(docs) edge pass map-side-combined to Θ(sites²), then 3 fixed steps each joining the cached edge table to a broadcast rank vector — text never enters the graph",
   )
 
   def main(args: Array[String]): Unit = {

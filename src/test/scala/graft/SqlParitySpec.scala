@@ -118,6 +118,8 @@ class SqlParitySpec extends AnyFunSuite {
       "q_dedup_clusters" -> (hugeint + "; " + recursive),
       "q_ann_pq_fixed" -> ("unnest(range) codebook cross join + " +
         "// integer division + row_number argmin"),
+      "q_domain_pagerank" -> ("// integer division in the unrolled power " +
+        "steps — Spark form is the DataFrame iteration with DIV"),
       "q_ann_ivf_fixed" -> ("unnest(range) centroid cross join + " +
         "row_number argmin/probe ranking"),
       "q_ann_ivfpq_fixed" -> ("unnest(range) centroid/codebook cross joins + " +
