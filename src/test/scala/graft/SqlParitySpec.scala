@@ -120,6 +120,8 @@ class SqlParitySpec extends AnyFunSuite {
         "// integer division + row_number argmin"),
       "q_domain_pagerank" -> ("// integer division in the unrolled power " +
         "steps — Spark form is the DataFrame iteration with DIV"),
+      "q_keyword_topk_at_rest" -> (listDialect +
+        " + VALUES CTE — Spark form is the pruned index probe"),
       "q_ann_ivf_fixed" -> ("unnest(range) centroid cross join + " +
         "row_number argmin/probe ranking"),
       "q_ann_ivfpq_fixed" -> ("unnest(range) centroid/codebook cross joins + " +
