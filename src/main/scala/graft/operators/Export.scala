@@ -160,14 +160,26 @@ object Export {
     * outer equi-join shuffles 40 bytes per doc, never the text; at 100 TB
     * this is the standard snapshot-reconciliation join, and bucketed
     * at-rest layouts ([[ScaleJoins.writeBucketed]]) make it shuffle-free. */
-  val corpusDiff: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
-    val old = docs.where(col("doc_id") % DiffAddMod =!= 5)
+  /** The OLD-snapshot relation (doc_id, old_md5) — shared with the
+    * streaming twin ([[graft.streaming.Streams.corpusDiffStream]]), whose
+    * static join side this is. */
+  private[graft] def oldSnapshot(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") % DiffAddMod =!= 5)
       .select(col("doc_id"), md5(col("text")).as("old_md5"))
-    val nw = docs.where(col("doc_id") % DiffDropMod =!= 3)
+
+  /** The NEW-snapshot relation (doc_id, new_md5) — membership and edit
+    * rule single-sourced between the batch key and the streaming twin's
+    * arrival side. */
+  private[graft] def newSnapshot(docs: DataFrame): DataFrame =
+    docs.where(col("doc_id") % DiffDropMod =!= 3)
       .select(col("doc_id"),
         md5(when(col("doc_id") % DiffEditMod === 2, concat(col("text"), lit(" v2")))
           .otherwise(col("text"))).as("new_md5"))
+
+  val corpusDiff: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val old = oldSnapshot(docs)
+    val nw = newSnapshot(docs)
     old.join(nw, Seq("doc_id"), "full_outer")
       .select(col("doc_id"), col("old_md5"), col("new_md5"),
         when(col("old_md5").isNull, lit("added"))

@@ -609,6 +609,27 @@ object Streams {
       }
   }
 
+  /** Streaming twin of the corpus snapshot diff
+    * ([[graft.operators.Export.corpusDiff]]): the OLD snapshot is the
+    * STATIC side of a stream-static left outer join (a real at-rest table
+    * at scale — per-micro-batch hash join, no broadcast-the-corpus
+    * ceiling, no state store); each arriving NEW-snapshot doc hashes
+    * itself through the shared snapshot builders and classifies as
+    * added / changed / unchanged. `removed` is the one verdict absence
+    * can't emit on a stream (a doc that never arrives is not an event) —
+    * that status stays batch-owned, and the replay contract is row-exact
+    * equality with the batch key RESTRICTED to status <> 'removed'. */
+  def corpusDiffStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val old = graft.operators.Export.oldSnapshot(
+      graft.Tables.documents(spark, sfDir))
+    val arrivals = graft.operators.Export.newSnapshot(docsStream(spark, sfDir))
+    arrivals.join(old, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("old_md5"), col("new_md5"),
+        when(col("old_md5").isNull, lit("added"))
+          .when(col("old_md5") =!= col("new_md5"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+  }
+
   case class DomainGate(docId: Long, site: String, nSite: Long,
       siteMq4: Long, verdict: String)
 

@@ -202,6 +202,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("streaming corpus diff replays to the batch key restricted to non-removed statuses") {
+    val spark = TestSpark.spark
+    val got = Streams.runToCompletion(
+      Streams.corpusDiffStream(spark, TestSpark.sf0001), "t_corpusdiff", "append")
+      .orderBy(col("doc_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSeq
+    val want = operators.Export.corpusDiff(spark, TestSpark.sf0001)
+      .where(col("status") =!= "removed")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getString(3))).toSeq
+    assert(got.nonEmpty && got == want)
+    // all three stream-expressible statuses are live in the replay
+    assert(got.map(_._4).toSet == Set("added", "changed", "unchanged"))
+  }
+
   test("streaming domain gate replays to batch q_domain_reputation exactly") {
     val spark = TestSpark.spark
     // integer arithmetic end to end — the replay is row-EXACT
