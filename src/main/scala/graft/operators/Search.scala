@@ -69,8 +69,16 @@ object Search {
   /** Build the inverted index: tokenize once, combine to per-(doc, term)
     * tf with the doc length carried on every posting (denormalized so a
     * probe never joins back to the corpus), land under `tb=` dirs. */
-  def writeKeywordIndex(s: SparkSession, d: String, path: String): Unit =
+  def writeKeywordIndex(s: SparkSession, d: String, path: String): Unit = {
+    // a BUILD is from-scratch: clear any prior layout at the path first —
+    // the append path below uses mode("append"), and appending a rebuild
+    // onto a surviving on-disk index (e.g. a fresh JVM over the memoized
+    // warehouse path) would silently double every posting
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
     appendKeywordIndex(s, path, Tables.documents(s, d))
+  }
 
   /** Partition-APPEND a batch into the persisted layout — new postings
     * land as new files under their existing `tb=` dirs, the stats log
@@ -111,8 +119,14 @@ object Search {
     val st = spark.read.parquet(s"$idx/_statslog")
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
       .select(col("n_docs"), (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
-    val posts = spark.read.parquet(s"$idx/postings")
-      .where(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
+    // tombstoned docs stop matching IMMEDIATELY (broadcast anti-join, the
+    // shared index-lifecycle discipline); their df contribution drops with
+    // them since df derives from the live postings below. The GLOBAL stats
+    // (n_docs, avgdl) refresh at compaction — corpus statistics, not rows.
+    val posts = Vectors.dropTombstoned(s, idx,
+        spark.read.parquet(s"$idx/postings")
+          .where(col("tb").isin(buckets: _*) && col("term").isin(terms: _*)),
+        "doc_id")
       .select(col("term"), col("doc_id"), col("tf").cast("double").as("tf"),
         col("dl").cast("double").as("dl"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -134,6 +148,32 @@ object Search {
       .where(col("rnk") <= k)
       .select(col("query_id"), col("rnk"), col("doc_id"), col("score_r"), col("n_terms"))
       .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** Physical COMPACTION of the keyword layout — [[Vectors.compactIndex]]
+    * over the `tb=`-partitioned postings, then the `_statslog` is REBUILT
+    * to one exact row from the surviving postings' distinct (doc_id, dl)
+    * pairs (staged to a sibling, swapped by FS rename): after compaction
+    * the index is bit-identical to a fresh build over the surviving
+    * corpus — deletes leave no statistical residue. Between takedown and
+    * compaction the global (n_docs, avgdl) intentionally still count the
+    * victims: immediate-takedown correctness is "the doc stops matching",
+    * stats refresh on the maintenance schedule. */
+  def compactKeywordIndex(s: SparkSession, dir: String): Unit = {
+    val had = Vectors.tombstonesOf(s, dir).isDefined
+    Vectors.compactIndex(s, dir, Seq("postings"))
+    if (had) {
+      val conf = s.sparkContext.hadoopConfiguration
+      val fresh = s.read.parquet(s"$dir/postings")
+        .select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+      val tmp = new org.apache.hadoop.fs.Path(s"$dir/_statslog__compact_tmp")
+      fresh.write.mode("overwrite").parquet(tmp.toString)
+      val live = new org.apache.hadoop.fs.Path(s"$dir/_statslog")
+      val fs = live.getFileSystem(conf)
+      fs.delete(live, true)
+      fs.rename(tmp, live)
+    }
   }
 
   /** AT-REST keyword search as a suite key: the memoized index build (like

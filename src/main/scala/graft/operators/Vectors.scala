@@ -1941,7 +1941,7 @@ object Vectors {
           val retained = df.join(
             org.apache.spark.sql.functions.broadcast(
               t.select(col("doc_id").as(idCol))), Seq(idCol), "left_anti")
-          val parts = Seq("band", "bandi", "batch_id", "cluster")
+          val parts = Seq("band", "bandi", "batch_id", "cluster", "tb")
             .filter(df.columns.contains)
           val w = retained.write.mode("overwrite")
           (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)

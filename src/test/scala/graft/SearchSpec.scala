@@ -65,6 +65,38 @@ class SearchSpec extends AnyFunSuite {
     assert(log.map(_.getLong(1)).sum == wantSumDl)
   }
 
+  test("takedown hides a doc immediately; compaction leaves no statistical residue") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf)
+    val idx = freshDir("life")
+    Search.writeKeywordIndex(spark, sf, idx)
+    val before = Search.probeKeywordIndex(spark, idx, Search.Queries, Search.TopK).collect()
+    val victim = before.head.getLong(2) // query 0's top hit
+    val victimDf = Seq(victim).toDF("doc_id")
+    operators.Vectors.deleteFromIndex(spark, idx, victimDf)
+    val after = Search.probeKeywordIndex(spark, idx, Search.Queries, Search.TopK).collect()
+    assert(!after.exists(_.getLong(2) == victim), "tombstoned doc still ranks")
+    assert(after.exists(r => r.getLong(0) == 0L && r.getLong(1) == 1L),
+      "query 0 lost its whole result instead of re-ranking")
+    // physical compaction: postings rewritten without the victim, stats
+    // log rebuilt — from here the index must be BIT-IDENTICAL to a fresh
+    // build over the surviving corpus
+    Search.compactKeywordIndex(spark, idx)
+    val cleanIdx = freshDir("clean")
+    Search.appendKeywordIndex(spark, cleanIdx,
+      docs.where(col("doc_id") =!= victim))
+    val compacted = Search.probeKeywordIndex(spark, idx, Search.Queries, Search.TopK)
+      .collect().map(_.toSeq).toSeq
+    val clean = Search.probeKeywordIndex(spark, cleanIdx, Search.Queries, Search.TopK)
+      .collect().map(_.toSeq).toSeq
+    assert(compacted == clean, "compacted index diverges from a fresh victim-free build")
+    assert(spark.read.parquet(s"$idx/postings")
+      .where(col("doc_id") === victim).count() == 0, "victim rows survived compaction")
+    assert(operators.Vectors.tombstonesOf(spark, idx).isEmpty, "tombstones not cleared")
+    val st = spark.read.parquet(s"$idx/_statslog").collect()
+    assert(st.length == 1 && st.head.getLong(0) == docs.count() - 1)
+  }
+
   test("probe is rerun-deterministic and ranks are dense 1..k per query") {
     val got = Search.keywordTopkAtRest(spark, sf).collect()
     val again = Search.keywordTopkAtRest(spark, sf).collect()
