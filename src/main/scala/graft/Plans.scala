@@ -111,6 +111,8 @@ object Plans {
       "snapshot reconciliation: both sides pre-hashed to (id, md5) before the full outer SMJ — 40 bytes per doc shuffle, text never moves",
     "q_domain_pagerank" ->
       "link-graph power iteration: one Θ(docs) edge pass map-side-combined to Θ(sites²), then 3 fixed steps each joining the cached edge table to a broadcast rank vector — text never enters the graph",
+    "q_curriculum_order" ->
+      "curriculum manifest: pure per-row stage/shard/draw, one window per (stage, shard) — partition count stages×shards, size = the per-shard export sort the writer needs anyway; no global sort",
     "q_keyword_topk_at_rest" ->
       "at-rest keyword serving: probe prunes to the query terms' tb= partition dirs (driver-enumerated crc32 buckets), Θ(df) scoring rows, broadcast stats/df/query joins, heap-lowered per-query top-k — no corpus scan",
   )

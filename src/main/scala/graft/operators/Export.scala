@@ -275,11 +275,60 @@ object Export {
       .orderBy(col("shard"))
   }
 
+  /** Salt for the in-stage curriculum shuffle draw — fourth decorrelated
+    * Knuth orbit (split, shard, epoch, curriculum). */
+  val CurriculumSalt = 1299709L
+
+  /** Quality thresholds (fixed-point ×10⁴) cutting the corpus into
+    * curriculum stages 0..3, cleanest first. FIXED absolute thresholds,
+    * not quantiles — the stage of a doc never depends on what else is in
+    * the corpus, so stages are stable under appends/reshards and
+    * engine-portable with zero coordination (the same property the split/
+    * shard draws have). */
+  val StageCuts: Seq[Long] = Seq(7500L, 5000L, 2500L)
+
+  /** Curriculum ORDER manifest — the "what order to feed it" half of the
+    * export (the shard manifest says where rows live; this says when the
+    * trainer should see them): quality-staged, deterministically shuffled
+    * within stage. Per doc: stage = fixed [[StageCuts]] bucket of the
+    * ×10⁴ quality score (easy/clean stages first — the curriculum-learning
+    * recipe), shard = the SAME [[shardOf]] draw as the shard manifest (a
+    * stage is consumed shard-by-shard), pos = rank within (stage, shard)
+    * by the salted [[CurriculumSalt]] coin — the seedless reproducible
+    * in-stage shuffle, resume-safe like the epoch mixture.
+    *
+    * Scale: stage/shard/draw are pure per-row functions; the only real
+    * work is the per-(stage, shard) rank — a window whose partition count
+    * is stages × [[ShardCount]] and whose partition size is the per-shard
+    * export size the writer needs sorted anyway (at 100 TB you raise
+    * ShardCount, never the partition size; no global sort exists outside
+    * the oracle's presentation ORDER BY). */
+  val curriculumOrder: Q = (s, d) => {
+    import org.apache.spark.sql.expressions.Window
+    val q4 = round(Text.qualityExpr * 10000, 0).cast("long")
+    val m32 = lit(4294967296L)
+    val draw = (((col("doc_id") + lit(CurriculumSalt)) % m32) * lit(40503L) % m32) * lit(40503L) % m32
+    val stage = StageCuts.zipWithIndex
+      .foldLeft(when(lit(false), lit(0L))) { case (acc, (cut, i)) =>
+        acc.when(col("q4") >= cut, lit(i.toLong))
+      }.otherwise(lit(StageCuts.size.toLong))
+    Tables.documents(s, d)
+      .select(col("doc_id"), q4.as("q4"), shardOf(col("doc_id")).as("shard"),
+        draw.as("draw"))
+      .select(col("doc_id"), stage.as("stage"), col("shard"), col("draw"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("stage"), col("shard"))
+          .orderBy(col("draw"), col("doc_id"))).cast("long"))
+      .select(col("doc_id"), col("stage"), col("shard"), col("pos"))
+      .orderBy(col("stage"), col("shard"), col("pos"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_shard_export"      -> shardExport,
     "q_epoch_mix"         -> epochMix,
     "q_domain_reputation" -> domainReputation,
     "q_corpus_diff"       -> corpusDiff,
+    "q_curriculum_order"  -> curriculumOrder,
   )
 
   /** Shared fixed-point page-quality CTE (×10⁴ integer), mirroring
@@ -337,6 +386,22 @@ object Export {
         |       ELSE 'unchanged' END AS status
         |FROM old FULL OUTER JOIN nw USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q_curriculum_order" ->
+      s"""WITH $q4Cte,
+        |c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN q4 >= 7500 THEN 0 WHEN q4 >= 5000 THEN 1
+        |         WHEN q4 >= 2500 THEN 2 ELSE 3 END AS stage,
+        |    ((((doc_id + 7919) % 4294967296) * 40503 % 4294967296)
+        |      * 40503 % 4294967296) % 8 AS shard,
+        |    (((doc_id + 1299709) % 4294967296) * 40503 % 4294967296)
+        |      * 40503 % 4294967296 AS draw
+        |  FROM q)
+        |SELECT doc_id, CAST(stage AS BIGINT) AS stage,
+        |  CAST(shard AS BIGINT) AS shard,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY stage, shard ORDER BY draw, doc_id) AS BIGINT) AS pos
+        |FROM c ORDER BY stage, shard, pos""".stripMargin,
     "q_domain_reputation" ->
       s"""WITH $q4Cte,
         |s AS (SELECT site, CAST(count(*) AS BIGINT) AS n_site,

@@ -159,7 +159,7 @@ object Text {
     * q_quality_score oracle replays (operand order included: the rounded
     * double must be bit-identical across engines for the argmax tie
     * structure to agree). */
-  private[operators] def qualityExpr: Column = {
+  private[graft] def qualityExpr: Column = {
     val ws = toks(col("text"))
     val nChars = length(col("text")).cast("double")
     val nPunct = size(regexp_extract_all(col("text"), lit("[^a-z0-9\\s]"), lit(0))).cast("double")

@@ -100,6 +100,38 @@ class ExportSpec extends AnyFunSuite {
     assert(got.values.toSet == Set("added", "removed", "changed", "unchanged"))
   }
 
+  test("curriculum order: coverage, dense per-(stage,shard) positions, stage/shard consistency") {
+    val docs = Tables.documents(spark, sf)
+    val got = Export.curriculumOrder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSet == docs.select("doc_id").collect().map(_.getLong(0)).toSet,
+      "every doc gets exactly one curriculum slot")
+    // positions are dense 1..n inside every (stage, shard) partition
+    got.groupBy(t => (t._2, t._3)).foreach { case (k, rows) =>
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length.toLong), s"holes in $k")
+    }
+    // stage is exactly the fixed q4 threshold bucket (scalar replay of the
+    // shared quality expression), shard agrees with the shard manifest draw
+    val q4 = docs.select(col("doc_id"),
+        round(operators.Text.qualityExpr * 10000, 0).cast("long").as("q4"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def wantStage(q: Long): Long =
+      if (q >= 7500) 0 else if (q >= 5000) 1 else if (q >= 2500) 2 else 3
+    def knuthShard(id: Long): Long = {
+      val m = 4294967296L
+      ((id + Export.ShardSalt) % m) * 40503L % m * 40503L % m % Export.ShardCount
+    }
+    got.foreach { case (id, st, sh, _) =>
+      assert(st == wantStage(q4(id)), s"doc $id stage")
+      assert(sh == knuthShard(id), s"doc $id shard")
+    }
+    // the curriculum is non-degenerate (>1 stage populated) and rerun-stable
+    assert(got.map(_._2).distinct.length > 1)
+    val again = Export.curriculumOrder(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == again.toSeq)
+  }
+
   test("domain reputation: total coverage and the integer verdict is exactly mean_site < mean_corpus") {
     val docs = Tables.documents(spark, sf)
     val got = Export.domainReputation(spark, sf).collect()
