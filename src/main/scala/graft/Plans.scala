@@ -113,6 +113,8 @@ object Plans {
       "link-graph power iteration: one Θ(docs) edge pass map-side-combined to Θ(sites²), then 3 fixed steps each joining the cached edge table to a broadcast rank vector — text never enters the graph",
     "q_curriculum_order" ->
       "curriculum manifest: pure per-row stage/shard/draw, one window per (stage, shard) — partition count stages×shards, size = the per-shard export sort the writer needs anyway; no global sort",
+    "q_hybrid_rrf" ->
+      "hybrid retrieval: lexical leg Θ(df of probe terms) broadcast-joined, semantic leg broadcast-probe fused cosine, RRF = full outer join of two Θ(probes·topN) relations — no corpus product anywhere",
     "q_keyword_topk_at_rest" ->
       "at-rest keyword serving: probe prunes to the query terms' tb= partition dirs (driver-enumerated crc32 buckets), Θ(df) scoring rows, broadcast stats/df/query joins, heap-lowered per-query top-k — no corpus scan",
   )

@@ -185,8 +185,88 @@ object Search {
     probeKeywordIndex(s, idx, Queries, TopK)
   }
 
+  /** Probe documents of the hybrid query-by-example key: each contributes
+    * its own terms (lexical leg) and its own linked embedding (semantic
+    * leg — vec_id ≡ doc_id, the q_multimodal_join contract). */
+  val HybridProbes: Seq[Long] = Seq(0L, 7L, 42L)
+  val LexTopN = 20
+  val SemTopN = 20
+  val RrfK = 60
+  val HybridK = 10
+
+  /** HYBRID retrieval — reciprocal-rank fusion of a lexical (BM25) and a
+    * semantic (cosine) leg, query-by-example: "find documents like this
+    * one". The modern retrieval default (RRF is how production search
+    * fuses keyword and vector hits without score calibration): each leg
+    * ranks independently on its ROUNDED score with doc_id tie-break (so
+    * ranks, the only thing RRF consumes, are bit-stable on any engine),
+    * then rrf = Σ_leg 1/([[RrfK]] + rank), summed in fixed leg order,
+    * missing legs contributing 0.
+    *
+    * Scale: the lexical leg is Θ(df of the probes' terms) — the posting
+    * rows of ≤ probes·|doc| terms, never a corpus cross product; the
+    * semantic leg is the brute-force cosine of a BROADCAST probe set
+    * (Θ(probes · corpus) flops — the at-rest ANN keys are the indexed
+    * path when probes·corpus outgrows it); fusion is a full outer join of
+    * two Θ(probes · topN) relations. */
+  val hybridRrf: Q = (s, d) => {
+    val docsW = Tables.documents(s, d)
+      .select(col("doc_id"), toks(col("text")).as("ws"))
+    val qt = docsW.where(col("doc_id").isin(HybridProbes: _*))
+      .select(col("doc_id").as("query_id"), explode(array_distinct(col("ws"))).as("term"))
+    val dl = docsW.select(col("doc_id"), size(col("ws")).cast("double").as("dl"))
+    val st = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))
+    val tf = docsW.select(col("doc_id"), explode(col("ws")).as("term"))
+      .join(broadcast(qt.select(col("term")).distinct()), Seq("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val contrib = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+      (col("tf") * (lit(1.2) + lit(1.0))) /
+      (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))
+    val lex = tf
+      .join(broadcast(qt), Seq("term"))
+      .where(col("doc_id") =!= col("query_id"))
+      .join(broadcast(dfT), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(st))
+      .select(col("query_id"), col("doc_id"), contrib.as("contrib"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("contrib")), 4).as("bm"))
+      .withColumn("r_lex", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("bm").desc, col("doc_id"))).cast("long"))
+      .where(col("r_lex") <= LexTopN)
+      .select(col("query_id"), col("doc_id"), col("r_lex"))
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val pv = broadcast(e.where(col("vec_id").isin(HybridProbes: _*))
+      .select(col("vec_id").as("query_id"), col("v").as("pv")))
+    val sem = e.crossJoin(pv)
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        round(graft.functions.CosineSimExpr.vec_cosine(col("v"), col("pv")), 4).as("cos_r"))
+      .withColumn("r_sem", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_r").desc, col("doc_id"))).cast("long"))
+      .where(col("r_sem") <= SemTopN)
+      .select(col("query_id"), col("doc_id"), col("r_sem"))
+    lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"), col("r_lex"), col("r_sem"),
+        round(coalesce(lit(1.0) / (lit(RrfK) + col("r_lex")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(RrfK) + col("r_sem")), lit(0.0)), 4).as("rrf_r"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf_r").desc, col("doc_id"))).cast("long"))
+      .where(col("rnk") <= HybridK)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("rrf_r"),
+        col("r_lex"), col("r_sem"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_keyword_topk_at_rest" -> keywordTopkAtRest,
+    "q_hybrid_rrf"           -> hybridRrf,
   )
 
   /** The oracle replays the CONTRACT (BM25 ranking from the corpus), not
@@ -230,6 +310,61 @@ object Search {
          |  FROM g)
          |SELECT CAST(query_id AS BIGINT) AS query_id, rnk, doc_id, score_r, n_terms
          |FROM r WHERE rnk <= $TopK
+         |ORDER BY query_id, rnk""".stripMargin
+    },
+    "q_hybrid_rrf" -> {
+      val probes = HybridProbes.mkString(", ")
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+         |qt AS (
+         |  SELECT doc_id AS query_id, unnest(list_distinct(ws)) AS term
+         |  FROM w WHERE doc_id IN ($probes)),
+         |dl AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM w),
+         |st AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+         |t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM t
+         |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |lexsc AS (
+         |  SELECT qt.query_id, tf.doc_id,
+         |    ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+         |      (tf.tf * (1.2 + 1.0)) /
+         |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS contrib
+         |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+         |    JOIN dl USING (doc_id) CROSS JOIN st
+         |  WHERE tf.doc_id <> qt.query_id),
+         |lexg AS (
+         |  SELECT query_id, doc_id, round(sum(contrib), 4) AS bm
+         |  FROM lexsc GROUP BY query_id, doc_id),
+         |lex AS (
+         |  SELECT query_id, doc_id, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY bm DESC, doc_id) AS BIGINT) AS r_lex
+         |  FROM lexg),
+         |lexc AS (SELECT query_id, doc_id, r_lex FROM lex WHERE r_lex <= $LexTopN),
+         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |pv AS (SELECT vec_id AS query_id, v AS p FROM e WHERE vec_id IN ($probes)),
+         |semsc AS (
+         |  SELECT pv.query_id, e.vec_id AS doc_id,
+         |    round(list_dot_product(e.v, pv.p) /
+         |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(pv.p, pv.p))), 4) AS cos_r
+         |  FROM e, pv WHERE e.vec_id <> pv.query_id),
+         |sem AS (
+         |  SELECT query_id, doc_id, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos_r DESC, doc_id) AS BIGINT) AS r_sem
+         |  FROM semsc),
+         |semc AS (SELECT query_id, doc_id, r_sem FROM sem WHERE r_sem <= $SemTopN),
+         |f AS (
+         |  SELECT query_id, doc_id, r_lex, r_sem,
+         |    round(coalesce(1.0 / ($RrfK + r_lex), 0.0)
+         |        + coalesce(1.0 / ($RrfK + r_sem), 0.0), 4) AS rrf_r
+         |  FROM lexc FULL OUTER JOIN semc USING (query_id, doc_id)),
+         |r AS (
+         |  SELECT f.*, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY rrf_r DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM f)
+         |SELECT query_id, rnk, doc_id, rrf_r, r_lex, r_sem
+         |FROM r WHERE rnk <= $HybridK
          |ORDER BY query_id, rnk""".stripMargin
     },
   )

@@ -97,6 +97,34 @@ class SearchSpec extends AnyFunSuite {
     assert(st.length == 1 && st.head.getLong(0) == docs.count() - 1)
   }
 
+  test("hybrid RRF: fusion arithmetic replays from the leg ranks, legs both live, probes excluded") {
+    val got = Search.hybridRrf(spark, sf).collect()
+    assert(got.length == Search.HybridProbes.size * Search.HybridK)
+    got.foreach { r =>
+      val rl = if (r.isNullAt(4)) None else Some(r.getLong(4))
+      val rs = if (r.isNullAt(5)) None else Some(r.getLong(5))
+      // BigDecimal.decimal = valueOf semantics, matching Spark's round()
+      val want = BigDecimal.decimal(
+          rl.map(x => 1.0 / (Search.RrfK + x)).getOrElse(0.0) +
+          rs.map(x => 1.0 / (Search.RrfK + x)).getOrElse(0.0))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getDouble(3) - want) < 1e-9,
+        s"rrf of (${r.getLong(0)}, ${r.getLong(2)}): ${r.getDouble(3)} vs $want")
+      assert(rl.nonEmpty || rs.nonEmpty, "a fused row with no leg")
+      assert(!Search.HybridProbes.contains(r.getLong(2)), "a probe retrieved itself")
+    }
+    // fusion is meaningful: some results carry both legs, and within each
+    // query the rrf score is non-increasing with rank
+    assert(got.exists(r => !r.isNullAt(4) && !r.isNullAt(5)), "no doc ranked by both legs")
+    got.groupBy(_.getLong(0)).foreach { case (qid, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to Search.HybridK.toLong))
+      val byRank = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b }, s"query $qid order")
+    }
+    val again = Search.hybridRrf(spark, sf).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("probe is rerun-deterministic and ranks are dense 1..k per query") {
     val got = Search.keywordTopkAtRest(spark, sf).collect()
     val again = Search.keywordTopkAtRest(spark, sf).collect()

@@ -123,6 +123,7 @@ class SqlParitySpec extends AnyFunSuite {
       "q_keyword_topk_at_rest" -> (listDialect +
         " + VALUES CTE — Spark form is the pruned index probe"),
       "q_curriculum_order" -> ("quality-score q4 CTE — " + listDialect),
+      "q_hybrid_rrf" -> (listDialect + "; " + vecDialect),
       "q_ann_ivf_fixed" -> ("unnest(range) centroid cross join + " +
         "row_number argmin/probe ranking"),
       "q_ann_ivfpq_fixed" -> ("unnest(range) centroid/codebook cross joins + " +
