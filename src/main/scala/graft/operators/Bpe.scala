@@ -310,10 +310,39 @@ object Bpe {
     * subword/UNK accounting. */
   val tokenPackBpe: Q = (s, d) => Text.packByCounts(docBpeCounts(s, d))
 
+  /** Tokenizer FERTILITY per source — the tokenizer-health report every
+    * pretraining pipeline tracks (a source whose fertility spikes is
+    * paying more sequence budget per word — code, non-English, or noisy
+    * text under an ill-fitting vocab): per source, whitespace words,
+    * trained-BPE subword count (UNK = 1 for ineligible tokens — the
+    * [[tokenPackBpe]] accounting verbatim), characters, and the two
+    * ratios — fertility (subwords/word) and compression (chars/subword).
+    * Ratios divide two int64-exact counts once, then round — identical on
+    * any engine, no summation-order exposure.
+    *
+    * Scale: one Θ(corpus tokens) explode + map-side-combined Θ(sources)
+    * aggregate; the word→count table is the broadcast vocabulary. */
+  val bpeFertility: Q = (s, d) => {
+    val nTok = wordTokenCounts(s, d)
+    Tables.documents(s, d)
+      .select(col("source"),
+        explode(split(lower(trim(col("text"))), "\\s+")).as("word"))
+      .join(nTok, Seq("word"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(coalesce(col("n"), lit(1L))).as("n_bpe"),
+        sum(length(col("word")).cast("long")).as("n_chars"))
+      .select(col("source"), col("n_words"), col("n_bpe"), col("n_chars"),
+        round(col("n_bpe").cast("double") / col("n_words"), 4).as("fertility_r"),
+        round(col("n_chars").cast("double") / col("n_bpe"), 4).as("cpt_r"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q_bpe_train"      -> bpeTrain,
     "q_bpe_tokenize"   -> bpeTokenize,
     "q_token_pack_bpe" -> tokenPackBpe,
+    "q_bpe_fertility"  -> bpeFertility,
   )
 
   /** The unrolled training chain as a DuckDB CTE fragment ending in
@@ -361,6 +390,19 @@ object Bpe {
          |elig AS (SELECT doc_id, word FROM docw WHERE regexp_matches(word,'^[a-z0-9]+$$'))
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, CAST(sum(n.n) AS BIGINT) AS n_bpe
          |FROM elig e JOIN ntok n USING (word) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_bpe_fertility" ->
+      s"""WITH $trainCte,
+         |ntok AS (SELECT word, CAST(len(string_split(seq[2:-2],'><')) AS BIGINT) AS n FROM s_$NumMerges),
+         |dw AS (SELECT source, unnest(string_split_regex(lower(trim(text)),'\\s+')) AS word FROM documents),
+         |g AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+         |    CAST(sum(coalesce(n.n, 1)) AS BIGINT) AS n_bpe,
+         |    CAST(sum(length(dw.word)) AS BIGINT) AS n_chars
+         |  FROM dw LEFT JOIN ntok n USING (word) GROUP BY source)
+         |SELECT source, n_words, n_bpe, n_chars,
+         |  round(CAST(n_bpe AS DOUBLE) / n_words, 4) AS fertility_r,
+         |  round(CAST(n_chars AS DOUBLE) / n_bpe, 4) AS cpt_r
+         |FROM g ORDER BY source""".stripMargin,
     // the whitespace pack's arithmetic verbatim, counts swapped for the
     // subword/UNK accounting (docw already carries EVERY whitespace token)
     "q_token_pack_bpe" ->

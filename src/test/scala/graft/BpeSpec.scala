@@ -201,4 +201,27 @@ class BpeSpec extends AnyFunSuite {
     val totW = rows.map(_._1).sum
     assert(totBpe < rows.map(_._3).sum && totBpe > totW)
   }
+
+  test("fertility report: per-source accounting consistent with the pack counts and ratio bounds") {
+    val spark = TestSpark.spark
+    val sf = TestSpark.sf0001
+    val got = operators.Bpe.bpeFertility(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    val sources = Tables.documents(spark, sf).select("source").distinct().count()
+    assert(got.length == sources, "one fertility row per source")
+    got.foreach { case (src, nw, nb, nc, fert, cpt) =>
+      assert(nb >= nw, s"$src: every word yields >= 1 token")
+      assert(fert >= 1.0 && cpt > 0.0, s"$src ratios")
+      assert(math.abs(fert - BigDecimal.decimal(nb.toDouble / nw)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      assert(math.abs(cpt - BigDecimal.decimal(nc.toDouble / nb)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    }
+    // the subword totals are the SAME accounting the BPE pack runs on:
+    // corpus-wide sums agree exactly across the two keys
+    val packTotal = operators.Bpe.tokenPackBpe(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens")).head().getLong(0)
+    assert(got.map(_._3).sum == packTotal, "fertility vs pack subword totals")
+  }
 }

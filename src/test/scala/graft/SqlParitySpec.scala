@@ -136,6 +136,8 @@ class SqlParitySpec extends AnyFunSuite {
         "generate_subscripts + chr() (unrolled training stages)"),
       "q_token_pack_bpe" -> ("MATERIALIZED CTEs + string_split_regex + " +
         "generate_subscripts + chr() + // integer division (unrolled training stages)"),
+      "q_bpe_fertility" -> ("MATERIALIZED CTEs + string_split_regex + " +
+        "generate_subscripts + chr() (unrolled training stages)"),
       "q_corpus_curate" -> (recursive + " + list dialect (stitched stages)"),
       "q_curation_report" -> (recursive + " + list dialect (stitched stages)"),
       "q_curate_batch" -> (hugeint + "; " + recursive +
