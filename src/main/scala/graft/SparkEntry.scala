@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Audio, Events, Export, Graph, Multimodal, RefOps, Relational, Search, Text, Vectors}
+import graft.operators.{Audio, Events, Export, Graph, Multimodal, RefOps, Relational, Search, Text, Vectors, Video}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -24,7 +24,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Events.queries ++ RefOps.queries ++
       Text.queries ++ Vectors.queries ++ Multimodal.queries ++
-      Audio.queries ++ Export.queries ++ Graph.queries ++ Search.queries ++
+      Audio.queries ++ Video.queries ++ Export.queries ++ Graph.queries ++
+      Search.queries ++
       operators.CorpusCurate.queries ++ operators.Bpe.queries ++
       Map(
         "q_dedup_clusters" ->
@@ -49,7 +50,8 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Events.oracles ++ RefOps.oracles ++
       Text.oracles ++ Vectors.oracles ++ Multimodal.oracles ++
-      Audio.oracles ++ Export.oracles ++ Graph.oracles ++ Search.oracles ++
+      Audio.oracles ++ Video.oracles ++ Export.oracles ++ Graph.oracles ++
+      Search.oracles ++
       operators.CorpusCurate.oracles ++ operators.Bpe.oracles ++
       operators.DedupCluster.oracles
 }

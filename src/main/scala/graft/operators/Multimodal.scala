@@ -54,7 +54,7 @@ object Multimodal {
   /** Hand-written 24bpp BMP encoder: 54-byte header, bottom-up rows padded
     * to 4 bytes, BGR byte order — deterministic output, so blob length
     * (54 + H·⌈3W/4⌉·4) is oracle arithmetic. */
-  private def writeBmpHeader(out: Array[Byte], w: Int, h: Int,
+  private[graft] def writeBmpHeader(out: Array[Byte], w: Int, h: Int,
       dataSize: Int): Unit = {
     def put32(off: Int, v: Int): Unit = {
       out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
@@ -180,7 +180,7 @@ object Multimodal {
   /** Fixed-point mean: floor(sum·10⁴ / cnt) in LONG arithmetic, then one
     * exact integer ÷ 10⁴ — IEEE-identical in both engines (a float mean
     * hits round-half ties that rint and SQL round() break differently). */
-  private def fp(sum: Long, cnt: Long): Double =
+  private[graft] def fp(sum: Long, cnt: Long): Double =
     if (cnt == 0) 0.0 else (sum * 10000L / cnt).toDouble / 10000.0
 
   /** Per-image metadata from the DECODED grid: true dimensions, real blob

@@ -1,0 +1,374 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Video-column operators — the VIDEO leg of the multimodal story
+  * (north-star extension; image = [[Multimodal]], audio = [[Audio]]).
+  *
+  * Same architecture and REAL-codec discipline as the siblings: media as an
+  * opaque `binary` column, every kernel a distributed per-blob transform.
+  * Each query materializes a deterministic multi-frame video CONTAINER per
+  * document — a 20-byte header (magic `GVID`, frame count, fps, geometry)
+  * followed by length-prefixed 24bpp BMP frames, the trivial public
+  * demuxable layout — then DEMUXES the container byte-for-byte, decodes
+  * every frame with `javax.imageio.ImageIO` (the JDK's stock BMP reader),
+  * and computes its output from the DECODED pixel grids. Frame pixels are
+  * a pinned integer function of the document's bytes plus a per-frame
+  * motion offset ([[frameDelta]]): consecutive frames differ by a +1
+  * channel shift (slow motion) except at deterministic CUT transitions
+  * where the shift jumps by +128 — so per-pixel mean absolute difference
+  * between adjacent decoded frames is ≈2 within a scene and exactly 128
+  * across a cut, and threshold-based shot-boundary detection
+  * ([[CutThreshold]]) is exact, not statistical. The DuckDB oracle replays
+  * the generator arithmetic per pixel per frame and re-derives the same
+  * frame diffs, scene segmentation, and keyframe features — a hash match
+  * certifies container demux (header fields, frame offsets/lengths) AND a
+  * real codec round trip per frame AND the detection arithmetic on the
+  * decoded values. A length-prefix slip, a frame-order bug, or any pixel
+  * corruption shows up as an oracle mismatch.
+  *
+  * At 100 TB the shape is unchanged: one task per blob, frames never leave
+  * their blob's task (scene detection is a sequential scan over an
+  * already-in-memory handful of frames — the per-doc state is Θ(2 frames),
+  * not Θ(video)), output is Θ(frames)/Θ(scenes), and swapping BMP-in-GVID
+  * for H.264-in-MP4 changes [[parseContainer]] + [[Multimodal.decode]]
+  * only. */
+object Video {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Fixed frame rate of the synthesized containers. */
+  private[graft] val Fps = 4
+
+  /** Shot-boundary threshold on the per-transition mean absolute pixel
+    * difference: within-scene motion measures ≈2 (a +1 mod-256 channel
+    * shift: |diff| is 1 except the ~1/256 of channels that wrap to 255),
+    * a cut measures exactly 128 (a +128 shift is ±128 for every channel
+    * in mod-256 arithmetic) — 64 sits in the dead middle. */
+  private[graft] val CutThreshold = 64.0
+
+  /** Frame count for a payload of n bytes: 3–6, varies per document so
+    * frame-count handling is actually exercised. */
+  private[graft] def frameCount(n: Long): Int = (3 + n % 4).toInt
+
+  /** Pinned cut schedule: transition into frame f (f ≥ 1) is a cut iff the
+    * payload byte at index (31·f mod n) is ≡ 0 (mod 4) — ~25 % of
+    * transitions, deterministic per document. */
+  private[graft] def cutFlag(bytes: Array[Byte], f: Int): Boolean = {
+    val v = if (bytes.length == 0) 0 else bytes((f * 31) % bytes.length) & 0xff
+    v % 4 == 0
+  }
+
+  /** Per-frame motion offsets: Δ₀ = 0; Δ_f = Δ_{f−1} + (cut ? 128 : 1).
+    * Closed form Δ_f = f + 127·(cuts ≤ f) — the oracle's window-sum
+    * spelling. Applied mod 256 at the pixel site only, so the stored
+    * offsets stay monotone (and DuckDB needs no modular cumsum). */
+  private[graft] def frameDeltas(bytes: Array[Byte]): Array[Int] = {
+    val out = new Array[Int](frameCount(bytes.length))
+    var f = 1
+    while (f < out.length) {
+      out(f) = out(f - 1) + (if (cutFlag(bytes, f)) 128 else 1)
+      f += 1
+    }
+    out
+  }
+
+  /** One frame's BMP blob: [[Multimodal.pixelChannels]] shifted by the
+    * frame's motion offset, laid out straight into BMP bytes (bottom-up
+    * padded rows — the [[Multimodal.mediaBlob]] path with a delta). */
+  private[graft] def frameBmp(bytes: Array[Byte], delta: Int): Array[Byte] = {
+    val (w, h) = Multimodal.dims(bytes.length)
+    val rowSize = (3 * w + 3) / 4 * 4
+    val out = new Array[Byte](54 + rowSize * h)
+    Multimodal.writeBmpHeader(out, w, h, rowSize * h)
+    var y = 0
+    while (y < h) {
+      val rowOff = 54 + (h - 1 - y) * rowSize // positive height ⇒ bottom-up
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = Multimodal.pixelChannels(bytes, w, x, y)
+        val o = rowOff + 3 * x
+        out(o) = ((b + delta) % 256).toByte
+        out(o + 1) = ((g + delta) % 256).toByte
+        out(o + 2) = ((r + delta) % 256).toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  private def put32(out: Array[Byte], off: Int, v: Int): Unit = {
+    out(off) = v.toByte; out(off + 1) = (v >> 8).toByte
+    out(off + 2) = (v >> 16).toByte; out(off + 3) = (v >> 24).toByte
+  }
+
+  private def get32(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  /** Synthesize the deterministic container for one payload: `GVID` magic,
+    * u32le frame count / fps / width / height, then per frame a u32le
+    * length prefix + the frame's BMP blob. */
+  private[graft] def videoBlob(bytes: Array[Byte]): Array[Byte] = {
+    val (w, h) = Multimodal.dims(bytes.length)
+    val frames = frameDeltas(bytes).map(frameBmp(bytes, _))
+    val out = new Array[Byte](20 + frames.map(4 + _.length).sum)
+    out(0) = 'G'; out(1) = 'V'; out(2) = 'I'; out(3) = 'D'
+    put32(out, 4, frames.length); put32(out, 8, Fps)
+    put32(out, 12, w); put32(out, 16, h)
+    var off = 20
+    frames.foreach { fb =>
+      put32(out, off, fb.length)
+      System.arraycopy(fb, 0, out, off + 4, fb.length)
+      off += 4 + fb.length
+    }
+    out
+  }
+
+  /** Demux a container: header fields + the length-prefixed frame blobs,
+    * validated (magic, bounds, full consumption) — a malformed container
+    * is a correctness failure here, not something to paper over. */
+  private[graft] def parseContainer(
+      blob: Array[Byte]): (Int, Int, Int, Int, Array[Array[Byte]]) = {
+    require(blob.length >= 20 && blob(0) == 'G' && blob(1) == 'V' &&
+      blob(2) == 'I' && blob(3) == 'D', "not a GVID container")
+    val nf = get32(blob, 4); val fps = get32(blob, 8)
+    val w = get32(blob, 12); val h = get32(blob, 16)
+    val frames = new Array[Array[Byte]](nf)
+    var off = 20
+    var f = 0
+    while (f < nf) {
+      val len = get32(blob, off)
+      require(off + 4 + len <= blob.length, s"frame $f overruns container")
+      frames(f) = java.util.Arrays.copyOfRange(blob, off + 4, off + 4 + len)
+      off += 4 + len
+      f += 1
+    }
+    require(off == blob.length, "trailing bytes after last frame")
+    (nf, fps, w, h, frames)
+  }
+
+  /** Decoded BGR grids of every frame — demux + one REAL ImageIO decode
+    * per frame. The shared first stage of every kernel. */
+  private def decodedFrames(text: String): (Int, Int, Int, Array[Array[Byte]]) = {
+    val blob = videoBlob(
+      (if (text == null) "" else text).getBytes("UTF-8"))
+    val (nf, fps, w, h, frames) = parseContainer(blob)
+    val px = frames.map(fb => Multimodal.bgrBytes(Multimodal.decode(fb)))
+    px.foreach(p => require(p.length == 3 * w * h, "decoded size mismatch"))
+    (fps, w, h, px) // nf == px.length by construction
+  }
+
+  /** Per-transition sum of absolute channel differences between two
+    * decoded frames. */
+  private def sad(a: Array[Byte], b: Array[Byte]): Long = {
+    var s = 0L; var i = 0
+    while (i < a.length) { s += math.abs((a(i) & 0xff) - (b(i) & 0xff)); i += 1 }
+    s
+  }
+
+  /** Scene ids per frame from the decoded grids: frame 0 opens scene 0, a
+    * new scene starts wherever the transition's mean absolute difference
+    * exceeds [[CutThreshold]]. */
+  private def sceneIds(w: Int, h: Int, px: Array[Array[Byte]]): Array[Int] = {
+    val ids = new Array[Int](px.length)
+    var f = 1
+    while (f < px.length) {
+      val madiff = Multimodal.fp(sad(px(f), px(f - 1)), 3L * w * h)
+      ids(f) = ids(f - 1) + (if (madiff > CutThreshold) 1 else 0)
+      f += 1
+    }
+    ids
+  }
+
+  /** Container + per-frame decode metadata: true header geometry, real
+    * container size, duration, mean luma over every decoded frame. */
+  val videoMeta: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val blob = videoBlob((if (text == null) "" else text).getBytes("UTF-8"))
+        val (nf, fps, w, h, frames) = parseContainer(blob)
+        var sum = 0L
+        frames.foreach { fb =>
+          val px = Multimodal.bgrBytes(Multimodal.decode(fb))
+          var i = 0
+          while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+        }
+        (id, nf.toLong, fps.toLong, w.toLong, h.toLong,
+          nf.toLong * 1000L / fps, blob.length.toLong,
+          Multimodal.fp(sum, 3L * w * h * nf))
+      }
+      .toDF("doc_id", "n_frames", "fps", "width", "height", "duration_ms",
+        "n_bytes", "mean_luma")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Shot-boundary detection → scene table: one row per detected scene
+    * with its frame span. The per-doc kernel is a sequential two-frame
+    * sliding pass over the decoded grids — Θ(2 frames) state. */
+  val videoScenes: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val (_, w, h, px) = decodedFrames(text)
+        val ids = sceneIds(w, h, px)
+        val spans = scala.collection.mutable.LinkedHashMap.empty[Int, (Int, Int)]
+        var f = 0
+        while (f < ids.length) {
+          val cur = spans.getOrElse(ids(f), (f, f))
+          spans(ids(f)) = (math.min(cur._1, f), math.max(cur._2, f))
+          f += 1
+        }
+        spans.iterator.map { case (sid, (a, b)) =>
+          (id, sid.toLong, a.toLong, b.toLong, (b - a + 1).toLong)
+        }
+      }
+      .toDF("doc_id", "scene_id", "start_frame", "end_frame", "n_frames")
+      .orderBy(col("doc_id"), col("scene_id"))
+  }
+
+  /** Keyframe extraction: the first frame of each detected scene, with a
+    * 4-bin normalized luma histogram of its DECODED grid — the fixed-size
+    * per-keyframe feature a downstream vision encoder would consume. */
+  val videoKeyframes: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        val (_, w, h, px) = decodedFrames(text)
+        val ids = sceneIds(w, h, px)
+        (0 until px.length).iterator
+          .filter(f => f == 0 || ids(f) != ids(f - 1))
+          .map { f =>
+            val p = px(f)
+            val hist = new Array[Long](4)
+            var i = 0
+            while (i < p.length) {
+              val luma = ((p(i) & 0xff) + (p(i + 1) & 0xff) + (p(i + 2) & 0xff)) / 3
+              hist(luma >> 6) += 1L
+              i += 3
+            }
+            val n = w.toLong * h
+            (id, ids(f).toLong, f.toLong,
+              Multimodal.fp(hist(0), n), Multimodal.fp(hist(1), n),
+              Multimodal.fp(hist(2), n), Multimodal.fp(hist(3), n))
+          }
+      }
+      .toDF("doc_id", "scene_id", "frame_idx", "b0", "b1", "b2", "b3")
+      .orderBy(col("doc_id"), col("scene_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "q_video_meta"      -> videoMeta,
+    "q_video_scenes"    -> videoScenes,
+    "q_video_keyframes" -> videoKeyframes,
+  )
+
+  /** Shared oracle CTE: per-frame generator replay. `del` re-derives the
+    * motion offsets with the closed form Δ_f = f + 127·cumcuts; `pc` is
+    * the per-(frame, pixel) channel grid the decoded rasters must equal;
+    * `md`/`sid` re-run the DETECTION arithmetic (lag + mean |diff| +
+    * threshold + cumsum) on those pixels, exactly as the Spark kernel does
+    * on the decoded bytes. */
+  private val videoCte =
+    s"""t AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n FROM documents),
+       |d AS (SELECT doc_id, text, n,
+       |  16 + n % 17 AS w, 8 + n % 9 AS h, 3 + n % 4 AS nf FROM t),
+       |fr AS (SELECT doc_id, text, n, w, h, nf,
+       |  unnest(range(0, nf)) AS f FROM d),
+       |cuts AS (
+       |  SELECT doc_id, f,
+       |    CASE WHEN f = 0 THEN 0
+       |      WHEN (CASE WHEN n = 0 THEN 0
+       |        ELSE ascii(substr(text, CAST(((f * 31) % n) + 1 AS INT), 1)) END)
+       |        % 4 = 0 THEN 1 ELSE 0 END AS cg
+       |  FROM fr),
+       |del AS (
+       |  SELECT doc_id, f, f + 127 * sum(cg)
+       |    OVER (PARTITION BY doc_id ORDER BY f) AS delta
+       |  FROM cuts),
+       |px AS (
+       |  SELECT doc_id, text, n, w, h, nf, f,
+       |    unnest(range(0, w * h)) AS i FROM fr),
+       |v AS (
+       |  SELECT doc_id, w, h, nf, f, i % w AS x, i // w AS y,
+       |    CASE WHEN n = 0 THEN 0
+       |         ELSE ascii(substr(text, CAST((i % n) + 1 AS INT), 1)) END AS vb
+       |  FROM px),
+       |pc AS (
+       |  SELECT v.doc_id, v.w, v.h, v.nf, v.f, v.x, v.y,
+       |    (vb + delta) % 256 AS r,
+       |    (vb + x + delta) % 256 AS g,
+       |    (vb + y + delta) % 256 AS b
+       |  FROM v JOIN del ON del.doc_id = v.doc_id AND del.f = v.f),
+       |sd AS (
+       |  SELECT doc_id, w, h, nf, f,
+       |    abs(r - lag(r) OVER pw) + abs(g - lag(g) OVER pw)
+       |      + abs(b - lag(b) OVER pw) AS sad
+       |  FROM pc
+       |  WINDOW pw AS (PARTITION BY doc_id, x, y ORDER BY f)),
+       |md AS (
+       |  SELECT doc_id, f,
+       |    CAST(CAST(sum(sad) AS BIGINT) * 10000 // (3 * w * h) AS DOUBLE)
+       |      / 10000.0 AS madiff
+       |  FROM sd WHERE f > 0 GROUP BY doc_id, f, w, h),
+       |sid AS (
+       |  SELECT fr.doc_id, fr.f, fr.w, fr.h,
+       |    sum(CASE WHEN md.madiff > ${CutThreshold} THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY fr.doc_id ORDER BY fr.f) AS scene_id
+       |  FROM fr LEFT JOIN md ON md.doc_id = fr.doc_id AND md.f = fr.f)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_video_meta" ->
+      s"""WITH $videoCte
+         |SELECT pc.doc_id,
+         |  CAST(nf AS BIGINT) AS n_frames, CAST(${Fps} AS BIGINT) AS fps,
+         |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |  CAST(nf * 1000 // ${Fps} AS BIGINT) AS duration_ms,
+         |  CAST(20 + nf * (4 + 54 + h * ((3 * w + 3) // 4 * 4)) AS BIGINT)
+         |    AS n_bytes,
+         |  CAST(CAST(sum(r + g + b) AS BIGINT) * 10000
+         |    // (3 * w * h * nf) AS DOUBLE) / 10000.0 AS mean_luma
+         |FROM pc GROUP BY pc.doc_id, w, h, nf ORDER BY doc_id""".stripMargin,
+    "q_video_scenes" ->
+      s"""WITH $videoCte
+         |SELECT doc_id, CAST(scene_id AS BIGINT) AS scene_id,
+         |  CAST(min(f) AS BIGINT) AS start_frame,
+         |  CAST(max(f) AS BIGINT) AS end_frame,
+         |  CAST(count(*) AS BIGINT) AS n_frames
+         |FROM sid GROUP BY doc_id, scene_id
+         |ORDER BY doc_id, scene_id""".stripMargin,
+    "q_video_keyframes" ->
+      s"""WITH $videoCte,
+         |kf AS (
+         |  SELECT doc_id, scene_id, min(f) AS frame_idx
+         |  FROM sid GROUP BY doc_id, scene_id),
+         |bins AS (
+         |  SELECT kf.doc_id, kf.scene_id, kf.frame_idx, pc.w, pc.h,
+         |    ((r + g + b) // 3) // 64 AS bin
+         |  FROM kf JOIN pc
+         |    ON pc.doc_id = kf.doc_id AND pc.f = kf.frame_idx),
+         |hh AS (
+         |  SELECT doc_id, scene_id, frame_idx, max(w * h) AS np,
+         |    CAST(sum(CASE WHEN bin = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+         |    CAST(sum(CASE WHEN bin = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |    CAST(sum(CASE WHEN bin = 2 THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+         |    CAST(sum(CASE WHEN bin = 3 THEN 1 ELSE 0 END) AS BIGINT) AS c3
+         |  FROM bins GROUP BY doc_id, scene_id, frame_idx)
+         |SELECT doc_id, CAST(scene_id AS BIGINT) AS scene_id,
+         |  CAST(frame_idx AS BIGINT) AS frame_idx,
+         |  CAST(c0 * 10000 // np AS DOUBLE) / 10000.0 AS b0,
+         |  CAST(c1 * 10000 // np AS DOUBLE) / 10000.0 AS b1,
+         |  CAST(c2 * 10000 // np AS DOUBLE) / 10000.0 AS b2,
+         |  CAST(c3 * 10000 // np AS DOUBLE) / 10000.0 AS b3
+         |FROM hh ORDER BY doc_id, scene_id""".stripMargin,
+  )
+}

@@ -159,6 +159,9 @@ class SqlParitySpec extends AnyFunSuite {
       "q_audio_resample" -> "unnest(range) sample-generator explode + // integer division",
       "q_audio_fingerprint" -> "unnest(range) sample-generator explode + // integer division",
       "q_audio_screen_at_rest" -> "unnest(range) sample-generator explode + // integer division",
+      "q_video_meta" -> "unnest(range) frame×pixel-generator explode + // integer division",
+      "q_video_scenes" -> "unnest(range) frame×pixel-generator explode + // integer division",
+      "q_video_keyframes" -> "unnest(range) frame×pixel-generator explode + // integer division",
       "q_shard_export" -> ("('0x'||hex)::BIGINT literal cast (Spark: conv) + " +
         listDialect),
       "q_epoch_mix" -> "unnest(range(1, rep_cnt+1)) per-row explode — Spark: sequence + explode",
