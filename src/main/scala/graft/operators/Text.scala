@@ -1109,6 +1109,73 @@ object Text {
       .orderBy(col("canonical_url"))
   }
 
+  /** Embedded public-suffix sample (the PSL shape: single- AND multi-label
+    * suffixes, with `uk`/`au` alongside `co.uk`/`com.au` so a naive
+    * last-label match provably mis-extracts). A real deployment swaps in
+    * the full publicsuffix.org list; the kernel is unchanged. */
+  private[graft] val PublicSuffixes: Set[String] =
+    Set("com", "org", "net", "io", "uk", "co.uk", "ac.uk", "au", "com.au")
+
+  /** Pinned registrable-domain blocklist: (source, suffix) COMBOS, not
+    * whole sources — the gate must key on the extracted eTLD+1, and a
+    * source-keyed shortcut would block all eight of a source's suffixes. */
+  private[graft] val EtldBlocklist: Set[String] =
+    Set("src3.com", "src7.co.uk", "src11.io", "src15.com.au", "src4.uk")
+
+  /** Registrable domain (eTLD+1) by longest-suffix match over
+    * [[PublicSuffixes]]; an unmatched TLD defaults to one label (the PSL
+    * `*` rule). The oracle unrolls the match to the sample's max suffix
+    * depth (2 labels). */
+  private[graft] def registrableDomain(host: String): String = {
+    val labels = host.split('.')
+    var best = -1
+    var k = 1
+    while (k < labels.length) {
+      if (PublicSuffixes(labels.takeRight(k).mkString("."))) best = k
+      k += 1
+    }
+    if (best < 0) best = 1
+    labels.takeRight(math.min(best + 1, labels.length)).mkString(".")
+  }
+
+  /** Crawl-frontier domain gate: synthesize each doc's host (variable
+    * subdomain depth × eight public suffixes), extract the REGISTRABLE
+    * domain with the longest-suffix PSL algorithm, and gate it against the
+    * pinned eTLD+1 blocklist — the takedown/compliance filter a crawl
+    * pipeline applies before any content work. The blocklist keys on
+    * eTLD+1, so `www.src3.com` and `a.cdn.src3.com` block together while
+    * `src3.co.uk` (same source, different registrable domain) passes — the
+    * property a host-string or source-column gate gets wrong.
+    *
+    * Scale: suffix set and blocklist are O(bytes) broadcast literals; the
+    * kernel is one compiled map per row (no shuffle, no join — a
+    * blocklist of millions would become a broadcast semi-join on the
+    * extracted eTLD+1, same plan shape as the contamination gate). */
+  val etldGate: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    // suffix keyed on doc_id DIV 8 so it decorrelates from the corpus's
+    // source assignment (source is doc_id-residue-correlated; a % 8 pick
+    // would give each source only two of the eight suffixes)
+    val suffix = element_at(
+      array(Seq("com", "org", "net", "io", "co.uk", "ac.uk", "com.au", "uk")
+        .map(lit): _*),
+      (expr("(doc_id DIV 8) % 8") + 1).cast("int"))
+    val prefix = when(col("doc_id") % 3 === 1, lit("www."))
+      .when(col("doc_id") % 3 === 2, lit("a.cdn."))
+      .otherwise(lit(""))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat(prefix, col("source"), lit("."), suffix).as("host"))
+      .as[(Long, String)]
+      .map { case (id, host) =>
+        val etld1 = registrableDomain(host)
+        (id, host, etld1, if (EtldBlocklist(etld1)) 1 else 0)
+      }
+      .toDF("doc_id", "host", "etld1", "is_blocked")
+      .orderBy(col("doc_id"))
+  }
+
   /** Span width (tokens) for substring-level duplicate detection and the
     * keep ceiling on the duplicated fraction — shared with the oracle. */
   val SpanK = 5
@@ -1547,6 +1614,7 @@ object Text {
     "q_source_mix"      -> sourceMix,
     "q_pii_scrub"       -> piiScrub,
     "q_url_canonicalize" -> urlCanonicalize,
+    "q_etld_gate" -> etldGate,
     "q_substring_dedup" -> substringDedup,
     "q_span_scrub"      -> spanScrub,
     "q_stratified_split" -> stratifiedSplit,
@@ -1657,6 +1725,34 @@ object Text {
         |  FROM u)
         |SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS keep_doc_id
         |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin,
+    // eTLD+1 gate: longest-suffix match unrolled to the sample's max
+    // depth (2 labels), then the pinned registrable-domain blocklist
+    "q_etld_gate" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 3 = 1 THEN 'www.'
+        |          WHEN doc_id % 3 = 2 THEN 'a.cdn.' ELSE '' END)
+        |    || source || '.' ||
+        |    (CASE CAST(floor(doc_id / 8) AS BIGINT) % 8 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+        |      WHEN 2 THEN 'net' WHEN 3 THEN 'io' WHEN 4 THEN 'co.uk'
+        |      WHEN 5 THEN 'ac.uk' WHEN 6 THEN 'com.au' ELSE 'uk' END) AS host
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, host,
+        |    regexp_extract(host, '([^.]+)$', 1) AS l1,
+        |    regexp_extract(host, '([^.]+\.[^.]+)$', 1) AS l2,
+        |    regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1) AS l3
+        |  FROM h),
+        |r AS (
+        |  SELECT doc_id, host,
+        |    CASE WHEN l2 IN ('co.uk', 'ac.uk', 'com.au') THEN l3
+        |         WHEN l1 IN ('com', 'org', 'net', 'io', 'uk', 'au') THEN l2
+        |         ELSE l2 END AS etld1
+        |  FROM m)
+        |SELECT doc_id, host, etld1,
+        |  CAST(CASE WHEN etld1 IN ('src3.com', 'src7.co.uk', 'src11.io',
+        |    'src15.com.au', 'src4.uk') THEN 1 ELSE 0 END AS INT) AS is_blocked
+        |FROM r ORDER BY doc_id""".stripMargin,
     // span = 5-token shingle; duplicated ⇔ ≥2 occurrences corpus-wide;
     // fixed-point fraction via integer floor division in both engines
     // exact-substring scrub: same shingle stream as q_substring_dedup's

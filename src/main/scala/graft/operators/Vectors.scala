@@ -1116,6 +1116,49 @@ object Vectors {
       .orderBy(col("adc"), col("vec_id")).limit(10)
   }
 
+  /** Topic-mix report — the embedding-space sibling of the source-mix /
+    * temperature-mix verbs: every document's vector is assigned to its
+    * nearest pinned integer centroid ([[fixedCellEntry]], the "topic" —
+    * exact Long arithmetic, tie → lower cell, the same assignment the
+    * oracle-graduated IVF/semantic keys certify), then one 16-group
+    * aggregate reports per-topic corpus composition (doc count, distinct
+    * sources, mean length, share) plus the uniform-target resampling
+    * weight w = total DIV (k·n) — the multiplier a topic-balancing
+    * sampler would apply, in the same bit-deterministic integer
+    * fixed-point as the quota verbs (a weight that differs between a
+    * 32-partition and a 32,768-partition run is not a weight).
+    *
+    * Scale: assignment is one typed map over the vectors (k·dim integer
+    * ops per row, no shuffle), the doc join is an equi hash join on the
+    * id, and the report shuffles Θ(k) partial rows per partition —
+    * map-side combined, never Θ(docs). The 1-row total is a broadcast
+    * crossJoin (the lang-cap pattern). */
+  val topicMix: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val assigned = Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        (id, fixedCellsTopP(quantizeFixed(v), 1)(0).toLong)
+      }
+      .toDF("doc_id", "topic")
+    val perTopic = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .join(assigned, "doc_id")
+      .groupBy(col("topic"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars").cast("long")).as("sum_chars"))
+    val total = perTopic.agg(sum(col("n_docs")).as("total"))
+    perTopic.crossJoin(broadcast(total))
+      .select(col("topic"), col("n_docs"), col("n_sources"),
+        (expr("sum_chars * 10000 DIV n_docs") / 10000.0).as("mean_chars"),
+        (expr("n_docs * 10000 DIV total") / 10000.0).as("share"),
+        (expr(s"total * 10000 DIV ($IvfFixedCells * n_docs)") / 10000.0)
+          .as("weight"))
+      .orderBy(col("topic"))
+  }
+
   /** Multi-probe count of the fixed-centroid semantic dedup key: p=2 keeps
     * the DuckDB replay quadratic-within-cell mass bounded while still
     * exercising the multi-probe union semantics of the shipping
@@ -2244,6 +2287,7 @@ object Vectors {
     "q_simhash_dedup"   -> simhashDedup,
     "q_multimodal_join" -> multimodalJoin,
     "q_embed_quantize"  -> embedQuantize,
+    "q_topic_mix"       -> topicMix,
   )
 
   val oracles: Map[String, String] = Map(
@@ -2603,6 +2647,41 @@ object Vectors {
         |SELECT doc_id, CAST(rn AS BIGINT) AS rn, nbr AS neighbor_id,
         |  CAST(hamming AS BIGINT) AS hamming
         |FROM rk WHERE rn <= $NearestM ORDER BY doc_id, rn""".stripMargin,
+    // topic mix: the ivf_fixed nearest-cell assignment replay feeding a
+    // per-topic composition report with integer fixed-point share/weight
+    "q_topic_mix" ->
+      """WITH e AS (
+        |  SELECT vec_id, j - 1 AS j,
+        |    CAST(floor(CAST(val AS DOUBLE) * 1000) AS BIGINT) AS q
+        |  FROM (SELECT vec_id, unnest(embedding) AS val,
+        |          generate_subscripts(embedding, 1) AS j FROM embeddings)),
+        |cb AS (
+        |  SELECT c, j,
+        |    CAST((((c*41 + j*13) % 23) - 11) * 10 AS BIGINT) AS v
+        |  FROM (SELECT unnest(range(16)) AS c),
+        |       (SELECT unnest(range(64)) AS j)),
+        |d2 AS (
+        |  SELECT e.vec_id, cb.c,
+        |    CAST(sum((e.q - cb.v) * (e.q - cb.v)) AS BIGINT) AS d2
+        |  FROM e JOIN cb ON cb.j = e.j
+        |  GROUP BY e.vec_id, cb.c),
+        |assign AS (
+        |  SELECT vec_id, c,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+        |  FROM d2),
+        |top AS (SELECT vec_id, c AS topic FROM assign WHERE rn = 1),
+        |a AS (
+        |  SELECT t.topic, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+        |    CAST(sum(d.n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents d JOIN top t ON t.vec_id = d.doc_id
+        |  GROUP BY t.topic),
+        |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total FROM a)
+        |SELECT CAST(a.topic AS BIGINT) AS topic, a.n_docs, a.n_sources,
+        |  CAST(a.sum_chars * 10000 // a.n_docs AS DOUBLE) / 10000.0 AS mean_chars,
+        |  CAST(a.n_docs * 10000 // tot.total AS DOUBLE) / 10000.0 AS share,
+        |  CAST(tot.total * 10000 // (16 * a.n_docs) AS DOUBLE) / 10000.0 AS weight
+        |FROM a, tot ORDER BY topic""".stripMargin,
     "q_multimodal_join" ->
       """SELECT d.doc_id, d.lang, d.n_chars,
         | CAST(len(e.embedding) AS BIGINT) AS n_dim,

@@ -43,6 +43,8 @@ class SqlParitySpec extends AnyFunSuite {
     "q_stratified_split",
     // md5 + FULL OUTER JOIN USING + CASE — runs verbatim on both engines
     "q_corpus_diff",
+    // || concat + regexp_extract + CASE — runs verbatim on both engines
+    "q_etld_gate",
     // plain NOT EXISTS anti-join — no dialect at all
     "q_bloom_dedup",
     // reference-pipeline oracles over the events fixture
@@ -162,6 +164,7 @@ class SqlParitySpec extends AnyFunSuite {
       "q_video_meta" -> "unnest(range) frame×pixel-generator explode + // integer division",
       "q_video_scenes" -> "unnest(range) frame×pixel-generator explode + // integer division",
       "q_video_keyframes" -> "unnest(range) frame×pixel-generator explode + // integer division",
+      "q_topic_mix" -> "unnest/generate_subscripts vector explode + // integer division",
       "q_shard_export" -> ("('0x'||hex)::BIGINT literal cast (Spark: conv) + " +
         listDialect),
       "q_epoch_mix" -> "unnest(range(1, rep_cnt+1)) per-row explode — Spark: sequence + explode",

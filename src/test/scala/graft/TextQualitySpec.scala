@@ -508,4 +508,36 @@ class TextQualitySpec extends AnyFunSuite {
     assert(meanLlr(hi) > meanLlr(lo),
       f"no learned signal: mean llr hi=${meanLlr(hi)}%.3f lo=${meanLlr(lo)}%.3f")
   }
+
+  test("registrable domain: longest-suffix match, PSL default, depth-invariance") {
+    import graft.operators.Text.registrableDomain
+    // multi-label suffix wins over its single-label tail
+    assert(registrableDomain("src5.co.uk") == "src5.co.uk")
+    assert(registrableDomain("www.src5.co.uk") == "src5.co.uk")
+    // single-label suffixes strip any subdomain depth
+    assert(registrableDomain("a.cdn.src3.com") == "src3.com")
+    assert(registrableDomain("src3.com") == "src3.com")
+    // unknown TLD: PSL default = one suffix label
+    assert(registrableDomain("x.y.zz") == "y.zz")
+    // bare suffix-only host degrades to itself, never throws
+    assert(registrableDomain("co.uk") == "co.uk")
+  }
+
+  test("etld gate blocks by registrable domain, not by source or host string") {
+    val spark = TestSpark.spark
+    val rows = graft.operators.Text.etldGate(spark, TestSpark.sf0001)
+      .select("host", "etld1", "is_blocked").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    // every blocked row's etld1 is on the list; every on-list etld1 row is
+    // blocked regardless of subdomain depth
+    rows.foreach { case (host, etld1, b) =>
+      assert((b == 1) == graft.operators.Text.EtldBlocklist(etld1), host)
+      assert(host == etld1 || host.endsWith("." + etld1), s"$host vs $etld1")
+    }
+    // same source, different suffix ⇒ independent verdicts (src3.com is
+    // listed; src3 under any other suffix must pass)
+    val src3 = rows.filter(_._2.startsWith("src3."))
+    assert(src3.exists(_._3 == 1) && src3.exists(_._3 == 0))
+  }
 }

@@ -681,4 +681,26 @@ class VectorSpec extends AnyFunSuite {
     assert(got == want)
     assert(got == Vectors.annIvfPqFixed(spark, d).as[(Long, Long)].collect().toSeq)
   }
+
+  test("topic mix: covers the joined corpus, shares sum to ~1, weights invert shares") {
+    val spark = TestSpark.spark
+    val rows = Vectors.topicMix(spark, TestSpark.sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 16)
+    val total = rows.map(_.getLong(1)).sum
+    // every embedded doc lands in exactly one topic
+    val joined = graft.Tables.documents(spark, TestSpark.sf0001)
+      .join(graft.Tables.embeddings(spark, TestSpark.sf0001),
+        org.apache.spark.sql.functions.col("doc_id") ===
+          org.apache.spark.sql.functions.col("vec_id")).count()
+    assert(total == joined)
+    // fixed-point floors: shares sum to 1 from below, within k floors
+    val shareSum = rows.map(_.getDouble(4)).sum
+    assert(shareSum <= 1.0 + 1e-9 && shareSum > 1.0 - rows.length * 1e-4)
+    // weight is the uniform-target inverse of the share: w·k·n == total
+    // up to the fixed-point floor
+    rows.foreach { r =>
+      val n = r.getLong(1); val w = r.getDouble(5)
+      assert(math.abs(w - total.toDouble / (16.0 * n)) <= 1e-4)
+    }
+  }
 }
