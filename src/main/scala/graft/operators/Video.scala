@@ -208,6 +208,27 @@ object Video {
       .orderBy(col("doc_id"))
   }
 
+  /** One document's scene table — the shared per-doc kernel of
+    * [[videoScenes]] and the streaming twin
+    * ([[graft.streaming.Streams.videoScenesStream]]): demux, decode every
+    * frame for real, segment. One definition so the two descriptions of
+    * the detector cannot fork. */
+  private[graft] def sceneRowsOf(
+      id: Long, text: String): Iterator[(Long, Long, Long, Long, Long)] = {
+    val (_, w, h, px) = decodedFrames(text)
+    val ids = sceneIds(w, h, px)
+    val spans = scala.collection.mutable.LinkedHashMap.empty[Int, (Int, Int)]
+    var f = 0
+    while (f < ids.length) {
+      val cur = spans.getOrElse(ids(f), (f, f))
+      spans(ids(f)) = (math.min(cur._1, f), math.max(cur._2, f))
+      f += 1
+    }
+    spans.iterator.map { case (sid, (a, b)) =>
+      (id, sid.toLong, a.toLong, b.toLong, (b - a + 1).toLong)
+    }
+  }
+
   /** Shot-boundary detection → scene table: one row per detected scene
     * with its frame span. The per-doc kernel is a sequential two-frame
     * sliding pass over the decoded grids — Θ(2 frames) state. */
@@ -216,22 +237,58 @@ object Video {
     import spark.implicits._
     Tables.documents(s, d)
       .select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val (_, w, h, px) = decodedFrames(text)
-        val ids = sceneIds(w, h, px)
-        val spans = scala.collection.mutable.LinkedHashMap.empty[Int, (Int, Int)]
-        var f = 0
-        while (f < ids.length) {
-          val cur = spans.getOrElse(ids(f), (f, f))
-          spans(ids(f)) = (math.min(cur._1, f), math.max(cur._2, f))
-          f += 1
-        }
-        spans.iterator.map { case (sid, (a, b)) =>
-          (id, sid.toLong, a.toLong, b.toLong, (b - a + 1).toLong)
-        }
-      }
+      .flatMap { case (id, text) => sceneRowsOf(id, text) }
       .toDF("doc_id", "scene_id", "start_frame", "end_frame", "n_frames")
       .orderBy(col("doc_id"), col("scene_id"))
+  }
+
+  /** One document's perceptual video signature: the XOR of the 64-bit
+    * dHashes ([[Multimodal.dhash]]) of its scene-opening keyframes, plus
+    * the scene count — content-derived, frame-exact, and invariant to
+    * container-level byte differences that decode to the same pixels. */
+  private[graft] def videoSignature(text: String): (Long, Long, Long) = {
+    val (_, w, h, px) = decodedFrames(text)
+    val ids = sceneIds(w, h, px)
+    var hi = 0L; var lo = 0L; var scenes = 0L
+    var f = 0
+    while (f < px.length) {
+      if (f == 0 || ids(f) != ids(f - 1)) {
+        val (dh, dl) = Multimodal.dhash(px(f), w, h)
+        hi ^= dh; lo ^= dl; scenes += 1
+      }
+      f += 1
+    }
+    (hi, lo, scenes)
+  }
+
+  /** Video near-dedup by perceptual signature — the video member of the
+    * dedup verdict family (image = [[Multimodal.imageDedup]], text =
+    * exact/minhash/simhash): decode every video, hash its keyframes,
+    * group identical (signature, scene-count) pairs into families, keep
+    * the min-id representative. One hash-shuffle keyed on 17 bytes per
+    * video — Θ(videos) at any corpus size; the frames never move. */
+  val videoDedup: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val sigs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val (hi, lo, scenes) = videoSignature(text)
+        (id, hi, lo, scenes)
+      }
+      .toDF("doc_id", "sig_hi", "sig_lo", "n_scenes")
+    // family stats via an unordered window over the signature — ONE decode
+    // pass and ONE hash-shuffle (the imageDedup plan shape)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sig_hi"), col("sig_lo"), col("n_scenes"))
+    sigs
+      .select(col("doc_id"), col("sig_hi"), col("sig_lo"), col("n_scenes"),
+        min(col("doc_id")).over(w).as("rep_id"),
+        count(lit(1)).over(w).cast("long").as("family_size"))
+      .select(col("doc_id"), col("sig_hi"), col("sig_lo"), col("n_scenes"),
+        col("rep_id"), col("family_size"),
+        (col("doc_id") =!= col("rep_id")).cast("int").as("is_dup"))
+      .orderBy(col("doc_id"))
   }
 
   /** Keyframe extraction: the first frame of each detected scene, with a
@@ -270,6 +327,7 @@ object Video {
     "q_video_meta"      -> videoMeta,
     "q_video_scenes"    -> videoScenes,
     "q_video_keyframes" -> videoKeyframes,
+    "q_video_dedup"     -> videoDedup,
   )
 
   /** Shared oracle CTE: per-frame generator replay. `del` re-derives the
@@ -370,5 +428,50 @@ object Video {
          |  CAST(c2 * 10000 // np AS DOUBLE) / 10000.0 AS b2,
          |  CAST(c3 * 10000 // np AS DOUBLE) / 10000.0 AS b3
          |FROM hh ORDER BY doc_id, scene_id""".stripMargin,
+    // perceptual video signature: per-keyframe dHash (the q_image_dedup
+    // sampling/bit chain, per keyframe), XOR-folded per doc, then
+    // identical-signature families with min-id representative
+    "q_video_dedup" ->
+      s"""WITH $videoCte,
+         |kf AS (SELECT doc_id, scene_id, min(f) AS fi
+         |       FROM sid GROUP BY doc_id, scene_id),
+         |lum AS (SELECT doc_id, f, x, y, (r + g + b) // 3 AS luma FROM pc),
+         |grid AS (
+         |  SELECT kf.doc_id, kf.fi, d.w, d.h, unnest(range(0, 8)) AS gy
+         |  FROM kf JOIN d ON d.doc_id = kf.doc_id),
+         |gg AS (
+         |  SELECT doc_id, fi, w, h, gy, unnest(range(0, 9)) AS gx FROM grid),
+         |sampled AS (
+         |  SELECT gg.doc_id, gg.fi, gg.gy, gg.gx, lum.luma
+         |  FROM gg JOIN lum ON lum.doc_id = gg.doc_id AND lum.f = gg.fi
+         |    AND lum.x = (gg.gx * gg.w) // 9 AND lum.y = (gg.gy * gg.h) // 8),
+         |bits AS (
+         |  SELECT doc_id, fi, gy, gx, luma,
+         |    lead(luma) OVER (PARTITION BY doc_id, fi, gy ORDER BY gx) AS nxt
+         |  FROM sampled),
+         |hh AS (
+         |  SELECT doc_id, fi,
+         |    CAST(sum(CASE WHEN gy >= 4 AND gx < 8 AND nxt > luma
+         |      THEN CAST(1 AS BIGINT) << (8 * (gy % 4) + gx) ELSE 0 END)
+         |      AS BIGINT) AS dhi,
+         |    CAST(sum(CASE WHEN gy < 4 AND gx < 8 AND nxt > luma
+         |      THEN CAST(1 AS BIGINT) << (8 * (gy % 4) + gx) ELSE 0 END)
+         |      AS BIGINT) AS dlo
+         |  FROM bits GROUP BY doc_id, fi),
+         |sig AS (
+         |  SELECT doc_id, CAST(bit_xor(dhi) AS BIGINT) AS sig_hi,
+         |    CAST(bit_xor(dlo) AS BIGINT) AS sig_lo,
+         |    CAST(count(*) AS BIGINT) AS n_scenes
+         |  FROM hh GROUP BY doc_id),
+         |fam AS (
+         |  SELECT sig_hi, sig_lo, n_scenes, min(doc_id) AS rep_id,
+         |    CAST(count(*) AS BIGINT) AS family_size
+         |  FROM sig GROUP BY sig_hi, sig_lo, n_scenes)
+         |SELECT s.doc_id, s.sig_hi, s.sig_lo, s.n_scenes, f.rep_id,
+         |  f.family_size,
+         |  CAST(CASE WHEN s.doc_id <> f.rep_id THEN 1 ELSE 0 END AS INT)
+         |    AS is_dup
+         |FROM sig s JOIN fam f USING (sig_hi, sig_lo, n_scenes)
+         |ORDER BY s.doc_id""".stripMargin,
   )
 }

@@ -419,6 +419,23 @@ object Streams {
       .toDF("doc_id", "window_idx", "n_in_window", "energy", "zero_crossings")
   }
 
+  /** Streaming twin of the video shot-boundary detector
+    * ([[graft.operators.Video.videoScenes]]): scene-segment-at-ingestion
+    * for video arriving on a stream — each doc demuxes its GVID container
+    * and REALLY decodes every frame (JDK ImageIO) inside the stream
+    * flatMap, emitting the per-scene span rows. Stateless typed flatMap on
+    * the ONE shared [[graft.operators.Video.sceneRowsOf]] kernel (the
+    * detector state is Θ(2 frames) inside a single doc's row — no state
+    * store, no watermark, no shuffle); StreamingSpec asserts row-exact
+    * replay equality. */
+  def videoScenesStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docsStream(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) => graft.operators.Video.sceneRowsOf(id, text) }
+      .toDF("doc_id", "scene_id", "start_frame", "end_frame", "n_frames")
+  }
+
   case class ContamSnap(docId: Long, nSh: Long, nHit: Long, hitFracR: Double,
       contaminated: Long)
 

@@ -491,6 +491,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("streaming video scene detection replays to batch q_video_scenes exactly") {
+    val spark = TestSpark.spark
+    val got = Streams.runToCompletion(
+      Streams.videoScenesStream(spark, TestSpark.sf0001),
+      "t_video_scenes", "append")
+      .orderBy(col("doc_id"), col("scene_id"))
+      .collect().map(_.toSeq).toSeq
+    val want = operators.Video.videoScenes(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("streaming audio screen replays to batch on BOTH paths (broadcast / static join)") {
     val spark = TestSpark.spark
     def run(ceiling: Long, name: String) = Streams.runToCompletion(
