@@ -117,6 +117,12 @@ object Plans {
       "hybrid retrieval: lexical leg Θ(df of probe terms) broadcast-joined, semantic leg broadcast-probe fused cosine, RRF = full outer join of two Θ(probes·topN) relations — no corpus product anywhere",
     "q_keyword_topk_at_rest" ->
       "at-rest keyword serving: probe prunes to the query terms' tb= partition dirs (driver-enumerated crc32 buckets), Θ(df) scoring rows, broadcast stats/df/query joins, heap-lowered per-query top-k — no corpus scan",
+    "q_video_scenes" ->
+      "video shot detection: one typed flatMap (container demux + per-frame ImageIO decode + two-frame sliding madiff) inside the documents scan — frames never leave their blob's task, no shuffle before the presentation sort",
+    "q_video_dedup" ->
+      "perceptual video dedup: per-blob decode+keyframe-dHash-XOR map, one hash-shuffle window on the 17-byte signature — the imageDedup plan shape, Θ(videos)",
+    "q_topic_mix" ->
+      "topic mix: typed nearest-pinned-centroid map (no shuffle), id equi-join, Θ(k)-row map-side-combined aggregate + 1-row broadcast total crossJoin",
   )
 
   def main(args: Array[String]): Unit = {
