@@ -323,11 +323,71 @@ object Video {
       .orderBy(col("doc_id"), col("scene_id"))
   }
 
+  /** Per-doc signature frame — the shared decode+hash pass of
+    * [[videoDedup]] and the at-rest screen family. */
+  private def sigFrame(s: SparkSession, docs: DataFrame): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val (hi, lo, scenes) = videoSignature(text)
+        (id, hi, lo, scenes)
+      }
+      .toDF("doc_id", "sig_hi", "sig_lo", "n_scenes")
+  }
+
+  /** Persist the at-rest video-signature index: one 32-byte (doc_id,
+    * sig_hi, sig_lo, n_scenes) row per at-rest video — the frames never
+    * move again. The video member of the screen-index family, sharing its
+    * lifecycle verbs: [[appendVsigIndex]], [[Vectors.deleteFromIndex]]
+    * (tombstones respected by [[vsigScreenOf]]), and
+    * [[Vectors.compactIndex]] over the `vsigs` subdir. */
+  def writeVsigIndex(s: SparkSession, d: String, dir: String): Unit =
+    sigFrame(s, Tables.documents(s, d)
+        .where(col("source") =!= Vectors.MinhashBatchSource))
+      .write.mode("overwrite").parquet(s"$dir/vsigs")
+
+  /** Partition-append a batch's signature rows — screen → append →
+    * ingest, no rebuild. */
+  def appendVsigIndex(s: SparkSession, dir: String, batch: DataFrame): Unit =
+    sigFrame(s, batch).write.mode("append").parquet(s"$dir/vsigs")
+
+  /** Screen an incoming batch against the at-rest signature index: a
+    * batch video is a dup iff an at-rest video shares its (signature,
+    * scene-count); best match = the min at-rest id. The index side
+    * contracts per signature to its min ref — exact under equality — and
+    * tombstoned ids are dropped before the contraction, so takedowns bite
+    * immediately. Θ(batch) output; at-rest frames never re-decoded. */
+  def vsigScreenOf(s: SparkSession, idx: String, newDocs: DataFrame): DataFrame = {
+    val refs = Vectors.dropTombstoned(s, idx,
+        s.read.parquet(s"$idx/vsigs"), "doc_id")
+      .groupBy(col("sig_hi"), col("sig_lo"), col("n_scenes"))
+      .agg(min(col("doc_id")).as("ref_id"))
+    sigFrame(s, newDocs)
+      .join(refs, Seq("sig_hi", "sig_lo", "n_scenes"), "left")
+      .select(col("doc_id"),
+        col("ref_id").isNotNull.cast("long").as("is_dup"),
+        coalesce(col("ref_id"), lit(-1L)).as("best_match_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** AT-REST video screen as a suite key — "has this incoming video's
+    * perceptual signature been seen before?" against the persisted index
+    * (memoized build, the screen-family pattern). With this, all FIVE
+    * perceptual/content screens (minhash, simhash, dhash, afp, vsig)
+    * have at-rest batch forms. */
+  val videoScreenAtRest: Q = (s, d) => {
+    val idx = Vectors.ensureIndex(s, "vsig", d)(p => writeVsigIndex(s, d, p))
+    vsigScreenOf(s, idx, Tables.documents(s, d)
+      .where(col("source") === Vectors.MinhashBatchSource))
+  }
+
   val queries: Map[String, Q] = Map(
-    "q_video_meta"      -> videoMeta,
-    "q_video_scenes"    -> videoScenes,
-    "q_video_keyframes" -> videoKeyframes,
-    "q_video_dedup"     -> videoDedup,
+    "q_video_meta"           -> videoMeta,
+    "q_video_scenes"         -> videoScenes,
+    "q_video_keyframes"      -> videoKeyframes,
+    "q_video_dedup"          -> videoDedup,
+    "q_video_screen_at_rest" -> videoScreenAtRest,
   )
 
   /** Shared oracle CTE: per-frame generator replay. `del` re-derives the
@@ -473,5 +533,52 @@ object Video {
          |    AS is_dup
          |FROM sig s JOIN fam f USING (sig_hi, sig_lo, n_scenes)
          |ORDER BY s.doc_id""".stripMargin,
+    // at-rest screen: same signature chain split at-rest/batch by source;
+    // batch verdict = left join on the contracted (signature -> min ref)
+    "q_video_screen_at_rest" ->
+      s"""WITH $videoCte,
+         |kf AS (SELECT doc_id, scene_id, min(f) AS fi
+         |       FROM sid GROUP BY doc_id, scene_id),
+         |lum AS (SELECT doc_id, f, x, y, (r + g + b) // 3 AS luma FROM pc),
+         |grid AS (
+         |  SELECT kf.doc_id, kf.fi, d.w, d.h, unnest(range(0, 8)) AS gy
+         |  FROM kf JOIN d ON d.doc_id = kf.doc_id),
+         |gg AS (
+         |  SELECT doc_id, fi, w, h, gy, unnest(range(0, 9)) AS gx FROM grid),
+         |sampled AS (
+         |  SELECT gg.doc_id, gg.fi, gg.gy, gg.gx, lum.luma
+         |  FROM gg JOIN lum ON lum.doc_id = gg.doc_id AND lum.f = gg.fi
+         |    AND lum.x = (gg.gx * gg.w) // 9 AND lum.y = (gg.gy * gg.h) // 8),
+         |bits AS (
+         |  SELECT doc_id, fi, gy, gx, luma,
+         |    lead(luma) OVER (PARTITION BY doc_id, fi, gy ORDER BY gx) AS nxt
+         |  FROM sampled),
+         |hh AS (
+         |  SELECT doc_id, fi,
+         |    CAST(sum(CASE WHEN gy >= 4 AND gx < 8 AND nxt > luma
+         |      THEN CAST(1 AS BIGINT) << (8 * (gy % 4) + gx) ELSE 0 END)
+         |      AS BIGINT) AS dhi,
+         |    CAST(sum(CASE WHEN gy < 4 AND gx < 8 AND nxt > luma
+         |      THEN CAST(1 AS BIGINT) << (8 * (gy % 4) + gx) ELSE 0 END)
+         |      AS BIGINT) AS dlo
+         |  FROM bits GROUP BY doc_id, fi),
+         |sig AS (
+         |  SELECT doc_id, CAST(bit_xor(dhi) AS BIGINT) AS sig_hi,
+         |    CAST(bit_xor(dlo) AS BIGINT) AS sig_lo,
+         |    CAST(count(*) AS BIGINT) AS n_scenes
+         |  FROM hh GROUP BY doc_id),
+         |cls AS (
+         |  SELECT sig.doc_id, sig_hi, sig_lo, n_scenes, d2.source
+         |  FROM sig JOIN documents d2 ON d2.doc_id = sig.doc_id),
+         |refs AS (
+         |  SELECT sig_hi, sig_lo, n_scenes, min(doc_id) AS ref_id
+         |  FROM cls WHERE source <> '${Vectors.MinhashBatchSource}'
+         |  GROUP BY sig_hi, sig_lo, n_scenes)
+         |SELECT c.doc_id,
+         |  CAST(CASE WHEN r.ref_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup,
+         |  coalesce(r.ref_id, CAST(-1 AS BIGINT)) AS best_match_id
+         |FROM cls c LEFT JOIN refs r USING (sig_hi, sig_lo, n_scenes)
+         |WHERE c.source = '${Vectors.MinhashBatchSource}'
+         |ORDER BY c.doc_id""".stripMargin,
   )
 }

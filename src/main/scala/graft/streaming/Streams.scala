@@ -1103,6 +1103,53 @@ object Streams {
         .map { case (id, dup, ref) => DhashVerdict(id, dup, ref) }
   }
 
+  /** Streaming twin of the at-rest video screen
+    * ([[graft.operators.Video.videoScreenAtRest]]): arriving videos demux
+    * + REALLY decode only themselves inside the stream map and probe by
+    * (signature, scene-count) equality against the contracted at-rest
+    * index — broadcast verdict map under the ceiling (stateless typed
+    * map), stream-static left equality join above it (no broadcast of the
+    * corpus, no state store; hash equality yields at most one contracted
+    * ref per probe, so no reduceGroups). Tombstoned at-rest ids are
+    * dropped index-side before either path, so takedowns bite the stream
+    * immediately. */
+  def vsigScreenStream(spark: SparkSession, sfDir: String,
+      maxBroadcastRefs: Long = BroadcastScreenCeiling): Dataset[DhashVerdict] = {
+    import spark.implicits._
+    import graft.operators.{Vectors, Video}
+    val idx = Vectors.ensureIndex(spark, "vsig", sfDir)(p =>
+      Video.writeVsigIndex(spark, sfDir, p))
+    val refs = Vectors.dropTombstoned(spark, idx,
+        spark.read.parquet(s"$idx/vsigs"), "doc_id")
+      .groupBy(col("sig_hi"), col("sig_lo"), col("n_scenes"))
+      .agg(min(col("doc_id")).as("ref_id"))
+    val probes = docsStream(spark, sfDir)
+      .where(col("source") === Vectors.MinhashBatchSource)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val (hi, lo, ns) = Video.videoSignature(text)
+        (id, hi, lo, ns)
+      }
+      .toDF("doc_id", "sig_hi", "sig_lo", "n_scenes")
+    if (spark.read.parquet(s"$idx/vsigs").count() <= maxBroadcastRefs) {
+      val refMap: Map[(Long, Long, Long), Long] = refs
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+      val bc = spark.sparkContext.broadcast(refMap)
+      probes.as[(Long, Long, Long, Long)].map { case (id, hi, lo, ns) =>
+        bc.value.get((hi, lo, ns)) match {
+          case Some(ref) => DhashVerdict(id, 1L, ref)
+          case None      => DhashVerdict(id, 0L, -1L)
+        }
+      }
+    } else
+      probes.join(refs, Seq("sig_hi", "sig_lo", "n_scenes"), "left")
+        .select(col("doc_id"),
+          col("ref_id").isNotNull.cast("long").as("is_dup"),
+          coalesce(col("ref_id"), lit(-1L)).as("best_match_id"))
+        .as[(Long, Long, Long)]
+        .map { case (id, dup, ref) => DhashVerdict(id, dup, ref) }
+  }
+
   /** EXACTLY-ONCE streaming ingest into an at-rest MinHash index layout
     * (r8 verdict #7 — closes the screen → append → ingest loop with a
     * crash-safe sink). `foreachBatch` is at-least-once: after a crash the

@@ -503,6 +503,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("streaming video screen replays to batch on BOTH paths (broadcast / static join)") {
+    val spark = TestSpark.spark
+    def run(ceiling: Long, name: String) = Streams.runToCompletion(
+      Streams.vsigScreenStream(spark, TestSpark.sf0001,
+        maxBroadcastRefs = ceiling).toDF(), name, "append")
+      .orderBy(col("docId"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val want = operators.Video.videoScreenAtRest(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val broadcast = run(Long.MaxValue, "t_vsig_screen_bc")
+    assert(broadcast.nonEmpty && broadcast == want)
+    val static = run(0L, "t_vsig_screen_ss")
+    assert(static == want)
+  }
+
   test("streaming audio screen replays to batch on BOTH paths (broadcast / static join)") {
     val spark = TestSpark.spark
     def run(ceiling: Long, name: String) = Streams.runToCompletion(

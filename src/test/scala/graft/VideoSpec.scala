@@ -112,6 +112,33 @@ class VideoSpec extends AnyFunSuite {
     assert(kf == scenes.map(s => (s._1, s._2, s._3)).toSet)
   }
 
+  test("vsig at-rest screen lifecycle: append => self-dup, delete restores, compact is physical") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Vectors
+    val d = TestSpark.sf0001
+    val batch = Tables.documents(spark, d)
+      .where(col("source") === Vectors.MinhashBatchSource)
+    val batchIds = batch.select("doc_id").as[Long].collect().toSeq
+    val idx = java.nio.file.Files.createTempDirectory("vsigidx").toString
+    Video.writeVsigIndex(spark, d, idx)
+    val rows0 = spark.read.parquet(s"$idx/vsigs").count()
+    def screen() = Video.vsigScreenOf(spark, idx, batch).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val v1 = screen()
+    assert(v1.size == batchIds.size)
+    Video.appendVsigIndex(spark, idx, batch)
+    val v2 = screen()
+    assert(v2.forall { case (id, dup, ref) => dup == 1L && ref <= id })
+    Vectors.deleteFromIndex(spark, idx, batchIds.toDF("doc_id"))
+    assert(screen() == v1)
+    Vectors.compactIndex(spark, idx, Seq("vsigs"))
+    assert(spark.read.parquet(s"$idx/vsigs").count() == rows0)
+    assert(Vectors.tombstonesOf(spark, idx).isEmpty)
+    assert(screen() == v1)
+  }
+
   test("meta query agrees with the scene table on total frame counts") {
     val spark = TestSpark.spark
     val meta = Video.videoMeta(spark, TestSpark.sf0001)
