@@ -323,6 +323,50 @@ object Video {
       .orderBy(col("doc_id"), col("scene_id"))
   }
 
+  /** Temporal 2× downsample — the video transform sibling of
+    * [[Audio.audioResample]] / [[Multimodal.multimodalResize]]: demux,
+    * keep every 2nd frame, REALLY decode each survivor and re-encode it
+    * through the codec ([[Multimodal.encodeBmp]]), re-mux a new GVID
+    * container, then demux + decode THAT and report its stats — a full
+    * demux → decode → transform → encode → mux → demux → decode round
+    * trip, every number oracle-replayable. Per-blob task, Θ(frames)
+    * work, nothing leaves the task but the stat row. */
+  val videoSample: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val blob = videoBlob((if (text == null) "" else text).getBytes("UTF-8"))
+        val (nf, fps, w, h, frames) = parseContainer(blob)
+        val kept = (0 until nf).filter(_ % 2 == 0).map { f =>
+          Multimodal.encodeBmp(Multimodal.decode(frames(f)))
+        }
+        val out = new Array[Byte](20 + kept.map(4 + _.length).sum)
+        out(0) = 'G'; out(1) = 'V'; out(2) = 'I'; out(3) = 'D'
+        put32(out, 4, kept.length); put32(out, 8, fps)
+        put32(out, 12, w); put32(out, 16, h)
+        var off = 20
+        kept.foreach { fb =>
+          put32(out, off, fb.length)
+          System.arraycopy(fb, 0, out, off + 4, fb.length)
+          off += 4 + fb.length
+        }
+        val (nf2, fps2, w2, h2, frames2) = parseContainer(out)
+        var sum = 0L
+        frames2.foreach { fb =>
+          val px = Multimodal.bgrBytes(Multimodal.decode(fb))
+          var i = 0
+          while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+        }
+        (id, nf.toLong, nf2.toLong, nf2.toLong * 1000L / fps2,
+          out.length.toLong, Multimodal.fp(sum, 3L * w2 * h2 * nf2))
+      }
+      .toDF("doc_id", "n_frames_in", "n_frames_out", "duration_ms_out",
+        "n_bytes_out", "mean_luma_out")
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-doc signature frame — the shared decode+hash pass of
     * [[videoDedup]] and the at-rest screen family. */
   private def sigFrame(s: SparkSession, docs: DataFrame): DataFrame = {
@@ -388,6 +432,7 @@ object Video {
     "q_video_keyframes"      -> videoKeyframes,
     "q_video_dedup"          -> videoDedup,
     "q_video_screen_at_rest" -> videoScreenAtRest,
+    "q_video_sample"         -> videoSample,
   )
 
   /** Shared oracle CTE: per-frame generator replay. `del` re-derives the
@@ -456,6 +501,21 @@ object Video {
          |  CAST(CAST(sum(r + g + b) AS BIGINT) * 10000
          |    // (3 * w * h * nf) AS DOUBLE) / 10000.0 AS mean_luma
          |FROM pc GROUP BY pc.doc_id, w, h, nf ORDER BY doc_id""".stripMargin,
+    // temporal 2x downsample: surviving frames f%2=0 from the generator,
+    // halved-count header/byte arithmetic, mean over the kept frames only
+    "q_video_sample" ->
+      s"""WITH $videoCte
+         |SELECT pc.doc_id,
+         |  CAST(nf AS BIGINT) AS n_frames_in,
+         |  CAST((nf + 1) // 2 AS BIGINT) AS n_frames_out,
+         |  CAST(((nf + 1) // 2) * 1000 // ${Fps} AS BIGINT) AS duration_ms_out,
+         |  CAST(20 + ((nf + 1) // 2) * (4 + 54 + h * ((3 * w + 3) // 4 * 4))
+         |    AS BIGINT) AS n_bytes_out,
+         |  CAST(CAST(sum(r + g + b) AS BIGINT) * 10000
+         |    // (3 * w * h * ((nf + 1) // 2)) AS DOUBLE) / 10000.0
+         |    AS mean_luma_out
+         |FROM pc WHERE f % 2 = 0
+         |GROUP BY pc.doc_id, w, h, nf ORDER BY doc_id""".stripMargin,
     "q_video_scenes" ->
       s"""WITH $videoCte
          |SELECT doc_id, CAST(scene_id AS BIGINT) AS scene_id,

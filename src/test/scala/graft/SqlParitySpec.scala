@@ -166,6 +166,7 @@ class SqlParitySpec extends AnyFunSuite {
       "q_video_keyframes" -> "unnest(range) frame×pixel-generator explode + // integer division",
       "q_video_dedup" -> "unnest(range) frame×pixel-generator explode + bit_xor aggregate + // integer division",
       "q_video_screen_at_rest" -> "unnest(range) frame×pixel-generator explode + bit_xor aggregate + // integer division",
+      "q_video_sample" -> "unnest(range) frame×pixel-generator explode + // integer division",
       "q_topic_mix" -> "unnest/generate_subscripts vector explode + // integer division",
       "q_shard_export" -> ("('0x'||hex)::BIGINT literal cast (Spark: conv) + " +
         listDialect),
