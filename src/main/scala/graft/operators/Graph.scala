@@ -54,6 +54,54 @@ object Graph {
     ((((id + lit(salt)) % m32) * lit(40503L) % m32) * lit(40503L)) % m32
   }
 
+  /** Generic fixed-point integer PageRank kernel over an arbitrary node
+    * dimension (`site` column) and weighted edge relation (`src`, `dst`,
+    * `w`) that MAY contain dangling nodes (nodes with no outlinks — a real
+    * link graph always has them: leaf pages, binary assets, robots-blocked
+    * targets). With `redistributeDangling = true`, each step first sums the
+    * rank mass sitting on dangling nodes (a bounded Θ(nodes) aggregate →
+    * one driver scalar per step, [[Iterations]]-bounded) and spreads it
+    * uniformly — the standard teleport-on-dangling completion that keeps
+    * total mass conserved up to floor drift; without it dangling mass
+    * simply evaporates each step and ranks are no longer comparable across
+    * graphs with different dangling fractions. With `false` the per-step
+    * action is skipped entirely — callers who can PROVE every node has an
+    * outlink (the fixture's every-site-has-a-doc guarantee) pay zero extra.
+    *
+    * Scale shape is identical to [[domainPagerank]]'s: the rank vector is
+    * broadcast Θ(nodes), only Θ(edges) partial sums shuffle per step, and
+    * the dangling aggregate is a broadcast-anti-join + one-row reduce. */
+  def pagerankRanks(nodes: DataFrame, edges: DataFrame, iterations: Int,
+                    redistributeDangling: Boolean): DataFrame = {
+    val n = nodes.count() // bounded driver scalar: #nodes
+    val base = PrScale / n
+    val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
+    val e = edges.join(deg, "src")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var rank = nodes.select(col("site"), lit(base).as("pr"))
+    for (_ <- 1 to iterations) {
+      val contrib = e
+        .join(broadcast(rank.select(col("site").as("src"), col("pr").as("src_pr"))), "src")
+        .groupBy(col("dst"))
+        .agg(sum(expr("(src_pr * w) DIV outw")).as("mass"))
+      // uniform share of the mass stranded on outlink-less nodes this step
+      val dangShare: Long =
+        if (!redistributeDangling) 0L
+        else {
+          val dang = rank
+            .join(broadcast(deg.select(col("src").as("site"))), Seq("site"), "left_anti")
+            .agg(coalesce(sum(col("pr")), lit(0L)).as("d"))
+            .head.getLong(0)
+          dang / n
+        }
+      rank = nodes.select(col("site"))
+        .join(contrib.withColumnRenamed("dst", "site"), Seq("site"), "left")
+        .select(col("site"),
+          expr(s"(${15L * base} + 85 * (coalesce(mass, 0) + $dangShare)) DIV 100").as("pr"))
+    }
+    rank
+  }
+
   /** Domain PageRank — fixed-point integer power iteration over the
     * site-level link graph:
     *
@@ -88,28 +136,17 @@ object Graph {
         (row_number().over(Window.orderBy(col("site"))) - 1).cast("long"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = sites.count() // bounded driver scalar: #sites
-    val base = PrScale / n
     // one Θ(docs) map pass → Θ(sites²) aggregated multigraph
     val edges = docs
       .select(siteCol.as("src"), (knuth32(col("doc_id"), LinkSalt) % n).as("dst_idx"))
       .join(broadcast(sites), col("dst_idx") === col("site_idx"))
       .groupBy(col("src"), col("site").as("dst"))
       .agg(count(lit(1)).as("w"))
+    // fixture guarantee: every site has >= 1 doc hence >= 1 outlink, so the
+    // dangling-redistribution leg (and its per-step driver scalar) is off
+    val rank = pagerankRanks(sites.select(col("site")), edges, Iterations,
+      redistributeDangling = false)
     val deg = edges.groupBy(col("src")).agg(sum(col("w")).as("outw"))
-    // (src, dst, w, outw) — reused by every iteration; Θ(sites²), cached
-    val e = edges.join(deg, "src")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var rank = sites.select(col("site"), lit(base).as("pr"))
-    for (_ <- 1 to Iterations) {
-      val contrib = e
-        .join(broadcast(rank.select(col("site").as("src"), col("pr").as("src_pr"))), "src")
-        .groupBy(col("dst"))
-        .agg(sum(expr("(src_pr * w) DIV outw")).as("mass"))
-      rank = sites.select(col("site"))
-        .join(contrib.withColumnRenamed("dst", "site"), Seq("site"), "left")
-        .select(col("site"),
-          expr(s"(${15L * base} + 85 * coalesce(mass, 0)) DIV 100").as("pr"))
-    }
     val out = rank
       .join(deg.withColumnRenamed("src", "site"), "site")
       .select(col("site"), col("outw").as("out_w"), col("pr"))
@@ -129,8 +166,8 @@ object Graph {
       def step(prev: String, next: String): String =
         s"""$next AS (
            |  SELECT s.site,
-           |    (15 * (SELECT $PrScale // n FROM n)
-           |     + 85 * coalesce(sum(($prev.pr * e.w) // e.outw), 0)) // 100 AS pr
+           |    CAST((15 * (SELECT $PrScale // n FROM n)
+           |     + 85 * coalesce(sum(($prev.pr * e.w) // e.outw), 0)) // 100 AS BIGINT) AS pr
            |  FROM sites s
            |  LEFT JOIN e ON e.dst = s.site
            |  LEFT JOIN $prev ON $prev.site = e.src
@@ -151,7 +188,7 @@ object Graph {
          |  SELECT l.src, s.site AS dst, CAST(count(*) AS BIGINT) AS w
          |  FROM links l JOIN sites s ON l.dst_idx = s.site_idx
          |  GROUP BY 1, 2),
-         |deg AS (SELECT src, sum(w) AS outw FROM edges GROUP BY 1),
+         |deg AS (SELECT src, CAST(sum(w) AS BIGINT) AS outw FROM edges GROUP BY 1),
          |e AS (SELECT edges.src, edges.dst, edges.w, deg.outw
          |      FROM edges JOIN deg USING (src)),
          |r0 AS (SELECT site, (SELECT $PrScale // n FROM n) AS pr FROM sites),

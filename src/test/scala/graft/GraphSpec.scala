@@ -71,4 +71,47 @@ class GraphSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(2)))
     assert(rows.toSeq == rerun.toSeq)
   }
+
+  test("pagerank kernel: dangling-node redistribution conserves mass; scalar replay exact") {
+    import spark.implicits._
+    // c and e are dangling (no outlinks) — a real link graph always has
+    // leaf pages; the fixture never does, so this is the kernel's own case
+    val nodes = Seq("a", "b", "c", "d", "e").toDF("site")
+    val edges = Seq(("a", "b", 1L), ("a", "c", 2L), ("b", "c", 1L),
+      ("d", "a", 3L), ("d", "e", 1L)).toDF("src", "dst", "w")
+    val n = 5L
+    val base = Graph.PrScale / n
+    val outw = Map("a" -> 3L, "b" -> 1L, "d" -> 4L)
+    val edgeList = Seq(("a", "b", 1L), ("a", "c", 2L), ("b", "c", 1L),
+      ("d", "a", 3L), ("d", "e", 1L))
+    val sites = Seq("a", "b", "c", "d", "e")
+
+    def replay(redistribute: Boolean): Map[String, Long] = {
+      var pr: Map[String, Long] = sites.map(_ -> base).toMap
+      for (_ <- 1 to Graph.Iterations) {
+        val mass = edgeList
+          .map { case (s, d, w) => d -> (pr(s) * w) / outw(s) }
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        val dshare = if (redistribute) sites.filterNot(outw.contains).map(pr).sum / n else 0L
+        pr = sites.map(s =>
+          s -> (15L * base + 85L * (mass.getOrElse(s, 0L) + dshare)) / 100L).toMap
+      }
+      pr
+    }
+
+    for (redistribute <- Seq(true, false)) {
+      val got = Graph.pagerankRanks(nodes, edges, Graph.Iterations, redistribute)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val want = replay(redistribute)
+      assert(got == want, s"redistribute=$redistribute scalar replay")
+    }
+    // with redistribution the dangling mass is recycled: conserved up to
+    // floor drift; without it, 2 dangling sites' mass evaporates each step
+    val withD = replay(true).values.sum
+    val withoutD = replay(false).values.sum
+    assert(withD <= Graph.PrScale && withD > Graph.PrScale * 99L / 100L,
+      s"redistributed mass $withD not conserved")
+    assert(withoutD < Graph.PrScale * 80L / 100L,
+      s"leak contrast: expected >20% evaporation without redistribution, got $withoutD")
+  }
 }
