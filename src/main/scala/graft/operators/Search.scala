@@ -251,6 +251,13 @@ object Search {
           .orderBy(col("cos_r").desc, col("doc_id"))).cast("long"))
       .where(col("r_sem") <= SemTopN)
       .select(col("query_id"), col("doc_id"), col("r_sem"))
+    fuseRrf(lex, sem)
+  }
+
+  /** RRF fusion shared by the brute and indexed hybrid forms: full outer
+    * join of the two Θ(probes · topN) ranked legs, rrf = Σ 1/(K + rank)
+    * with missing legs contributing 0, per-query heap-lowered cut. */
+  private def fuseRrf(lex: DataFrame, sem: DataFrame): DataFrame =
     lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
       .select(col("query_id"), col("doc_id"), col("r_lex"), col("r_sem"),
         round(coalesce(lit(1.0) / (lit(RrfK) + col("r_lex")), lit(0.0)) +
@@ -262,11 +269,111 @@ object Search {
       .select(col("query_id"), col("rnk"), col("doc_id"), col("rrf_r"),
         col("r_lex"), col("r_sem"))
       .orderBy(col("query_id"), col("rnk"))
+
+  /** Retrieval slack on the semantic leg's index cut: [[queryIvfIndex]]
+    * orders on the UNROUNDED cosine while the hybrid contract ranks on the
+    * ROUNDED score with doc_id tie-break, so the index retrieves a few
+    * extra rows and the leg re-ranks/cuts on the contract's key — the
+    * retrieved set then matches the brute leg's whenever index recall
+    * reaches the cut (SearchSpec measures it). */
+  val SemSlack = 10
+
+  /** INDEXED hybrid retrieval — [[hybridRrf]]'s contract served entirely
+    * from the two persisted at-rest indexes instead of corpus scans: the
+    * lexical leg prunes the keyword index to the probe docs' terms'
+    * `tb=` buckets (Θ(df) posting rows, the [[probeKeywordIndex]] read
+    * shape, self-hit excluded), and the semantic leg runs
+    * [[Vectors.queryIvfIndex]] per probe — nProbe/k of the vector data via
+    * directory-level partition pruning, NOT a corpus cross product. This is
+    * the serving topology a production fused retriever runs at 100 TB: the
+    * brute-force [[hybridRrf]] stays as the exact oracle contract (and the
+    * recall referee), this key is the scale path — Θ(df + nProbe/k·corpus)
+    * per probe set instead of Θ(probes · corpus) flops.
+    *
+    * Rows-only by the same declaration as the trained ANN keys (the IVF
+    * codebook is FP-trained k-means). SearchSpec pins the contract in two
+    * halves: fused-output EQUALITY with [[hybridRrf]] at `nProbe` = all
+    * cells (recall 1 by exhaustive scan — validates the lexical leg, the
+    * slacked re-rank, and the fusion bit-for-bit), and at the serving
+    * `nProbe` a measured recall floor + PartitionFilters pruning (the
+    * fixture's near-uniform random embeddings scatter true neighbors
+    * across cells, so recall < 1 there is a fixture artifact — real
+    * embedding corpora cluster, which is the premise of IVF itself). */
+  val hybridRrfIndexed: Q = (s, d) => hybridRrfIndexedWith(s, d, nProbe = 4)
+
+  def hybridRrfIndexedWith(s: SparkSession, d: String, nProbe: Int): DataFrame = {
+    val kwIdx = Vectors.ensureIndex(s, "keyword", d)(p => writeKeywordIndex(s, d, p))
+    val ivfIdx = Vectors.ensureIndex(s, "ivf", d)(p => Vectors.writeIvfIndex(s, d, p))
+    val spark = s
+    import spark.implicits._
+    // probe materialization: 3 pushed-down point reads (text + embedding) —
+    // bounded by |probes|, never a scan
+    val probeTerms: Seq[(Long, String)] = Tables.documents(s, d)
+      .where(col("doc_id").isin(HybridProbes: _*))
+      .select(col("doc_id"), col("text")).collect().toSeq
+      .flatMap(r => r.getString(1).trim.toLowerCase.split("\\s+").distinct
+        .map(t => (r.getLong(0), t)))
+    val probeVecs: Seq[(Long, Array[Double])] = Tables.embeddings(s, d)
+      .where(col("vec_id").isin(HybridProbes: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Array[Double])].collect().toSeq
+
+    // lexical leg at rest: bucket-pruned postings, BM25 with df from the
+    // live postings and exact-summation global stats — the probeKeywordIndex
+    // arithmetic with the query-by-example self-exclusion
+    val terms = probeTerms.map(_._2).distinct
+    val buckets = terms.map(tbOfStr).distinct
+    val qt = probeTerms.toDF("query_id", "term")
+    val st = spark.read.parquet(s"$kwIdx/_statslog")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .select(col("n_docs"), (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val posts = Vectors.dropTombstoned(s, kwIdx,
+        spark.read.parquet(s"$kwIdx/postings")
+          .where(col("tb").isin(buckets: _*) && col("term").isin(terms: _*)),
+        "doc_id")
+      .select(col("term"), col("doc_id"), col("tf").cast("double").as("tf"),
+        col("dl").cast("double").as("dl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfT = posts.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
+    val contrib = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+      (col("tf") * (lit(1.2) + lit(1.0))) /
+      (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))
+    val lex = posts
+      .join(broadcast(qt), Seq("term"))
+      .where(col("doc_id") =!= col("query_id"))
+      .join(broadcast(dfT), Seq("term"))
+      .crossJoin(broadcast(st))
+      .select(col("query_id"), col("doc_id"), contrib.as("contrib"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("contrib")), 4).as("bm"))
+      .withColumn("r_lex", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("bm").desc, col("doc_id"))).cast("long"))
+      .where(col("r_lex") <= LexTopN)
+      .select(col("query_id"), col("doc_id"), col("r_lex"))
+
+    // semantic leg at rest: per-probe partition-pruned IVF scan, then the
+    // contract's (rounded score, doc_id) re-rank over the slacked retrieval
+    val sem = probeVecs
+      .map { case (pid, pv) =>
+        Vectors.queryIvfIndex(s, ivfIdx, pv,
+            topK = SemTopN + SemSlack, nProbe = nProbe, excludeId = Some(pid))
+          .withColumn("query_id", lit(pid))
+      }
+      .reduce(_ unionByName _)
+      .withColumn("r_sem", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cos_r").desc, col("vec_id"))).cast("long"))
+      .where(col("r_sem") <= SemTopN)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("r_sem"))
+
+    fuseRrf(lex, sem)
   }
 
   val queries: Map[String, Q] = Map(
     "q_keyword_topk_at_rest" -> keywordTopkAtRest,
     "q_hybrid_rrf"           -> hybridRrf,
+    "q_hybrid_rrf_indexed"   -> hybridRrfIndexed,
   )
 
   /** The oracle replays the CONTRACT (BM25 ranking from the corpus), not

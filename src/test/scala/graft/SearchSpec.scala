@@ -125,6 +125,74 @@ class SearchSpec extends AnyFunSuite {
     assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("indexed hybrid: both legs index-served (plan-pruned), fused output equals brute when recall@SemTopN = 1") {
+    val brute = Search.hybridRrf(spark, sf)
+    val indexed = Search.hybridRrfIndexed(spark, sf)
+    val gotIdx = indexed.collect()
+    // both legs come off the persisted layouts: the postings scan prunes on
+    // tb= and the vector scan prunes on cluster= (directory-level, the whole
+    // point of the indexed mode)
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*tb".r.findFirstIn(plan).isDefined,
+      "lexical leg not pruned to term buckets")
+    assert("PartitionFilters: \\[[^\\]]*cluster".r.findFirstIn(plan).isDefined,
+      "semantic leg not pruned to probed clusters")
+    assert(!plan.contains("documents.parquet") && !plan.contains("embeddings.parquet"),
+      "indexed mode still scans the corpus")
+
+    // referee: the brute semantic leg's top-SemTopN per probe, replayed
+    // driver-side on the fixture (bounded: |fixture| vectors)
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Array[Double])].collect()
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def r4(x: Double): Double =
+      BigDecimal.decimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byId = vecs.toMap
+    val bruteTop: Map[Long, Seq[Long]] = Search.HybridProbes.map { pid =>
+      val pv = byId(pid)
+      pid -> vecs.filter(_._1 != pid)
+        .map { case (id, v) => (id, r4(cos(v, pv))) }
+        .sortBy { case (id, c) => (-c, id) }
+        .take(Search.SemTopN).map(_._1).toSeq
+    }.toMap
+    val idxIvf = operators.Vectors.ensureIndex(spark, "ivf", sf)(
+      p => operators.Vectors.writeIvfIndex(spark, sf, p))
+    val recalls = Search.HybridProbes.map { pid =>
+      val retrieved = operators.Vectors.queryIvfIndex(spark, idxIvf, byId(pid),
+          topK = Search.SemTopN + Search.SemSlack, nProbe = 4, excludeId = Some(pid))
+        .collect().map(_.getLong(0)).toSet
+      bruteTop(pid).count(retrieved).toDouble / Search.SemTopN
+    }
+    // serving-nProbe recall floor: measured, not assumed — the fixture's
+    // near-uniform embeddings scatter neighbors across cells, so this bar
+    // is a degeneracy tripwire, not a quality claim (equality is proven at
+    // exhaustive nProbe below)
+    assert(recalls.forall(_ >= 0.4), s"IVF recall@${Search.SemTopN} collapsed: $recalls")
+    if (recalls.forall(_ == 1.0)) {
+      assert(brute.collect().map(_.toSeq).toSeq == gotIdx.map(_.toSeq).toSeq,
+        "recall@SemTopN = 1 but fused outputs diverge")
+    } else info(s"serving-nProbe recall on fixture: $recalls")
+    val again = Search.hybridRrfIndexed(spark, sf).collect()
+    assert(gotIdx.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq, "rerun determinism")
+  }
+
+  test("indexed hybrid at exhaustive nProbe: fused output bit-equal to brute hybridRrf") {
+    // nProbe = all 16 cells ⇒ the semantic retrieval covers every vector,
+    // recall@SemTopN = 1 by construction — this pins the lexical leg, the
+    // slacked (rounded score, doc_id) re-rank, and the RRF fusion against
+    // the brute contract bit-for-bit; partition PRUNING is covered by the
+    // serving-nProbe case above
+    val brute = Search.hybridRrf(spark, sf).collect()
+    val exhaustive = Search.hybridRrfIndexedWith(spark, sf, nProbe = 16).collect()
+    assert(brute.map(_.toSeq).toSeq == exhaustive.map(_.toSeq).toSeq)
+  }
+
   test("probe is rerun-deterministic and ranks are dense 1..k per query") {
     val got = Search.keywordTopkAtRest(spark, sf).collect()
     val again = Search.keywordTopkAtRest(spark, sf).collect()
