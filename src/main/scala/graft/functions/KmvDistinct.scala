@@ -21,8 +21,15 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * group regardless of input size: the 100 TB-friendly alternative to exact
   * COUNT(DISTINCT)'s two-shuffle expansion.
   *
-  * Hashing delegates to Spark's own XxHash64 expression so any input type
-  * works and the hash is computed on unsafe rows without boxing.
+  * Hashing: integral keys (the common distinct-count case — ids) go through
+  * the engine-portable splitmix64 chain ([[Hashing.mix64]] over the
+  * golden-ratio increment — exactly splitmix64's `next()` with the key as
+  * state), the same wrapping-arithmetic family every oracle-replayed hash in
+  * the engine uses, so the k-minimum hash set and hence the ESTIMATE are
+  * bit-replayable in DuckDB (the `ref_kmv_distinct` oracle stages the chain
+  * in HUGEINT CTEs). Every other input type falls back to Spark's XxHash64
+  * on the unsafe row — the sketch stays correct, only the exact estimate's
+  * engine-portability is integral-key-only.
   */
 case class KmvDistinct(
     child: Expression,
@@ -37,6 +44,23 @@ case class KmvDistinct(
   require(k >= 2, s"kmv_distinct needs k >= 2 minimum values, got $k")
 
   private lazy val hasher = XxHash64(Seq(child), 42L)
+
+  private lazy val integralKey: Boolean = child.dataType match {
+    case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType |
+         org.apache.spark.sql.types.ShortType | org.apache.spark.sql.types.ByteType => true
+    case _ => false
+  }
+
+  /** splitmix64(key): wrapping golden-ratio increment + full avalanche. */
+  @inline private def splitmixOf(v: Any): Long = {
+    val l = v match {
+      case x: Long => x
+      case x: Int => x.toLong
+      case x: Short => x.toLong
+      case x: Byte => x.toLong
+    }
+    Hashing.mix64(l + 0x9E3779B97F4A7C15L)
+  }
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
@@ -58,8 +82,11 @@ case class KmvDistinct(
 
   override def update(buf: java.util.TreeSet[Long], input: InternalRow): java.util.TreeSet[Long] = {
     val v = child.eval(input)
-    if (v != null)
-      put(buf, hasher.eval(input).asInstanceOf[Long] ^ Long.MinValue)
+    if (v != null) {
+      val h = if (integralKey) splitmixOf(v)
+              else hasher.eval(input).asInstanceOf[Long]
+      put(buf, h ^ Long.MinValue)
+    }
     buf
   }
 

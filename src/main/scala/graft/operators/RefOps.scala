@@ -217,8 +217,15 @@ object RefOps {
   val refDgfPipeline: Q = (s, _) =>
     graft.sources.SeisPipeline.dgfPipeline(s, graft.sources.SeisFixture.ensure())
 
-  /** R5/R6/E3: element point-lookup read path on the fixture (non-oracle;
-    * exact permutation semantics pinned by PipelineSpec). */
+  /** R5/R6/E3: element point-lookup read path on the fixture.
+    * Oracle-checked: the fixture's ibool is deterministic state and the
+    * (k,j,i) transposed permutation is pinned reference semantics
+    * (`ibool_reader.py:81-86`), so the expected 27 (pos, gll) rows
+    * materialize as a VALUES relation from an independent replay of
+    * [[graft.sources.SeisFixture.iboolIds]] — the hash check then
+    * certifies the on-disk path (Fortran record read, 1→0 shift, the
+    * point filter, the reorder). Exact permutation semantics additionally
+    * pinned by PipelineSpec/SinkSpec. */
   val refElementLookup: Q = (s, _) => {
     val dir = graft.sources.SeisFixture.ensure()
     graft.sources.SeisPipeline.elementLookup(s, dir, indexElement = 2, use27 = true)
@@ -247,24 +254,41 @@ object RefOps {
       .orderBy(col("gll"))
   }
 
-  /** R12: valid-step scan over the fixture's 3 force dirs (non-oracle). */
+  /** R12: valid-step scan over the fixture's 3 force dirs. Oracle-checked:
+    * the fixture's snapshot listing is deterministic state
+    * ([[graft.sources.SeisFixture.Steps]] written to all three force dirs),
+    * so the expected semi-join survivors materialize as a VALUES relation —
+    * the hash check then certifies the whole metadata path (binaryFile
+    * listing, the force/step regex parse, the 3-dir completeness gate). */
   val refValidSteps: Q = (s, _) => {
     val dir = graft.sources.SeisFixture.ensure()
     graft.sources.SeisPipeline.validSteps(s, dir, 0, 101, 10)
   }
 
-  /** Sketch surface: approximate distinct (HLL++) — non-oracle by design
-    * (approx results differ engine to engine; SURVEY §7.4 bans approx_* in
-    * oracle-checked queries). */
+  /** Sketch surface: approximate distinct (HLL++). The raw estimate differs
+    * engine to engine by design (SURVEY §7.4 bans approx_* VALUES in
+    * oracle-checked outputs), so the key emits the sketch's CONTRACT
+    * instead: the exact distinct count beside `hll_ok`, the deterministic
+    * relative-error bound |approx − exact| ≤ exact/10 + 1 (rsd = 0.02, so
+    * the 10% bar is ≥5σ at any group size) — which makes the whole row
+    * oracle-checkable (the oracle asserts the bound holds as TRUE) while
+    * the HLL++ sketch still runs and its estimate still gates the output. */
   val refApproxDistinct: Q = (s, d) =>
     Tables.events(s, d)
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")).cast("double") <=
+          col("exact_users").cast("double") / 10.0 + 1.0).as("hll_ok"))
       .orderBy(col("event_type"))
 
-  /** Custom TypedImperativeAggregate sketch (KMV) beside the exact count —
-    * non-oracle (sketches are engine-specific by design). */
+  /** Custom TypedImperativeAggregate sketch (KMV) beside the exact count.
+    * Oracle-checked: on integral keys the sketch hashes through the
+    * engine-portable splitmix64 chain, so the k-minimum set and the
+    * (k−1)/u(k) estimate replay bit-exactly in DuckDB (staged HUGEINT
+    * wrapping-arithmetic CTEs — the q_minhash_lsh discipline). */
   val refKmvDistinct: Q = (s, d) =>
     Tables.events(s, d)
       .groupBy(col("event_type"))
@@ -355,5 +379,76 @@ object RefOps {
         | round(max(value) - min(value), 4) AS scale_r,
         | count(*) AS est_bytes
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ref_valid_steps" -> {
+      // deterministic fixture state: SeisFixture.Steps lands in all 3 force
+      // dirs, and the query's [0,101) stride-10 range covers exactly them
+      val vals = graft.sources.SeisFixture.Steps.map(s => s"($s)").mkString(", ")
+      s"""SELECT CAST(step AS INT) AS step FROM (VALUES $vals) AS t(step)
+         |ORDER BY step""".stripMargin
+    },
+    "ref_element_lookup" -> {
+      // independent replay of the reference permutation over the fixture's
+      // deterministic ibool: spec 2's 125 local ids, 27-lattice selection in
+      // k-major order, emitted (i,j,k) <- [k][j][i] (ibool_reader.py:81-86),
+      // 1-based ids shifted to 0
+      val ids = graft.sources.SeisFixture.iboolIds()
+      val n = graft.sources.SeisFixture.NGLL_LOCAL
+      val sel = graft.sources.SeisFixture.Index27.map(p => (ids(2 * n + p) - 1).toLong)
+      val out = for (i <- 0 until 3; j <- 0 until 3; k <- 0 until 3) yield sel(k * 9 + j * 3 + i)
+      val vals = out.zipWithIndex.map { case (g, p) => s"($p, $g)" }.mkString(", ")
+      s"""SELECT CAST(pos AS INT) AS pos, CAST(gll AS BIGINT) AS gll
+         |FROM (VALUES $vals) AS t(pos, gll) ORDER BY pos""".stripMargin
+    },
+    "ref_approx_distinct" ->
+      // the sketch's CONTRACT, not its value: the oracle asserts the
+      // engine's HLL++ estimate sat inside the deterministic 10% bound by
+      // pinning hll_ok TRUE beside the exact counts
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        | TRUE AS hll_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ref_kmv_distinct" -> {
+      // bit-exact DuckDB replay of the KMV sketch on integral keys: the
+      // splitmix64 chain (golden-ratio increment + 3-stage avalanche) in
+      // staged HUGEINT wrapping arithmetic — the q_minhash_lsh discipline —
+      // then per-group k-th-minimum and the (k-1)/u(k) double estimate with
+      // math.round's floor(x+0.5) tie rule
+      val M64 = "18446744073709551616::HUGEINT"
+      val M32 = "4294967296::HUGEINT"
+      // signed BIGINT view of an unsigned HUGEINT in [0, 2^64)
+      def sgn(x: String) =
+        s"CAST(CASE WHEN $x >= 9223372036854775808::HUGEINT THEN $x - $M64 ELSE $x END AS BIGINT)"
+      // unsigned HUGEINT view of a signed BIGINT
+      def uns(x: String) =
+        s"(CASE WHEN $x < 0 THEN CAST($x AS HUGEINT) + $M64 ELSE CAST($x AS HUGEINT) END)"
+      // x ^ (x >>> s) on the unsigned view (div = 2^s; quotient fits BIGINT)
+      def xs(x: String, div: Long) =
+        uns(s"xor(${sgn(x)}, CAST($x // $div::HUGEINT AS BIGINT))")
+      // wrapping multiply by the 64-bit constant c (cLo = c mod 2^32)
+      def wm(x: String, c: String, cLo: String) =
+        s"((($x % $M32) * $c::HUGEINT + ((($x // $M32) * $cLo::HUGEINT) % $M32) * $M32) % $M64)"
+      val k = 256
+      s"""WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+         |h0 AS (SELECT event_type,
+         |  ((${uns("user_id")}) + 11400714819323198485::HUGEINT) % $M64 AS u0 FROM du),
+         |h1 AS (SELECT event_type, ${wm(xs("u0", 1073741824L), "13787848793156543929", "484763065")} AS u1 FROM h0),
+         |h2 AS (SELECT event_type, ${wm(xs("u1", 134217728L), "10723151780598845931", "321982955")} AS u2 FROM h1),
+         |h3 AS (SELECT event_type, xor(${sgn("u2")}, CAST(u2 // 2147483648::HUGEINT AS BIGINT)) AS h FROM h2),
+         |f AS (SELECT DISTINCT event_type, xor(h, -9223372036854775808) AS flip FROM h3),
+         |r AS (SELECT event_type, flip,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY flip) AS rn,
+         |        count(*) OVER (PARTITION BY event_type) AS nh FROM f),
+         |est AS (SELECT event_type,
+         |  CASE WHEN max(nh) < $k THEN CAST(max(nh) AS BIGINT)
+         |       ELSE CAST(floor(${k - 1}.0 /
+         |         (CAST(max(CASE WHEN rn = $k THEN flip END) AS DOUBLE) / 1.8446744073709552e19 + 0.5)
+         |         + 0.5) AS BIGINT) END AS kmv_users
+         |  FROM r GROUP BY event_type),
+         |ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users
+         |       FROM events GROUP BY event_type)
+         |SELECT est.event_type, est.kmv_users, ex.exact_users
+         |FROM est JOIN ex USING (event_type)
+         |ORDER BY est.event_type""".stripMargin
+    },
   )
 }

@@ -49,7 +49,11 @@ class SqlParitySpec extends AnyFunSuite {
     "q_bloom_dedup",
     // reference-pipeline oracles over the events fixture
     "ref_monotone_dedup", "ref_subsample", "ref_minmax_normalize",
-    "ref_header_stats", "ref_tensor_reconstruct")
+    "ref_header_stats", "ref_tensor_reconstruct",
+    // deterministic-fixture VALUES relations — inline tables parse on both
+    "ref_valid_steps", "ref_element_lookup",
+    // exact counts + the pinned TRUE bound — no dialect at all
+    "ref_approx_distinct")
 
   /** Oracle keys that CANNOT run on spark.sql, each with the blocking
     * DuckDB construct. Kept exhaustive on purpose: the classification test
@@ -172,6 +176,7 @@ class SqlParitySpec extends AnyFunSuite {
         listDialect),
       "q_epoch_mix" -> "unnest(range(1, rep_cnt+1)) per-row explode — Spark: sequence + explode",
       "q_domain_reputation" -> (listDialect + " + // integer division"),
+      "ref_kmv_distinct" -> (hugeint + " (splitmix64 wrapping chain)"),
       "ref_gather_series" ->
         "first(x ORDER BY ...) ordered-aggregate syntax (Spark: window + struct min)",
       "ref_quantize_roundtrip" -> ("float32 promotion: Spark SQL evaluates " +
