@@ -80,15 +80,36 @@ object Bpe {
   /** Vocab row count at or under which training runs on the driver. */
   private[operators] val DriverVocabThreshold = 200000L
 
-  /** Memoized merge tables per (session identity, dataset dir). Training
-    * runs OUTSIDE any map lock (plain get / putIfAbsent — a rare race
-    * trains twice and keeps the first, both deterministic and identical),
-    * so an in-flight training job never blocks unrelated keys. Entries
-    * assume the dataset under `dir` is immutable for the JVM's lifetime
-    * (true for the driver's generated fixtures); [[invalidate]] is the
-    * explicit reset hook for anything that regenerates data in-place. */
+  /** Memoized merge tables per (session identity, dataset dir, dataset
+    * fingerprint). Training runs OUTSIDE any map lock (plain get /
+    * putIfAbsent — a rare race trains twice and keeps the first, both
+    * deterministic and identical), so an in-flight training job never
+    * blocks unrelated keys. The FINGERPRINT (documents file listing:
+    * names, sizes, mtimes — one driver metadata call) makes in-place
+    * dataset regeneration a cache MISS instead of a silent stale hit;
+    * [[invalidate]] remains the explicit reset hook. */
   private val trained =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Seq[(Long, String, String, Long)]]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), Seq[(Long, String, String, Long)]]()
+
+  /** Cheap dataset fingerprint: FNV/splitmix fold over the documents
+    * table's file listing metadata. Rewritten-in-place data changes sizes
+    * or mtimes, so a memoized merge table cannot outlive its corpus. */
+  private def datasetFingerprint(s: SparkSession, d: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else {
+      val it = fs.listFiles(p, true)
+      var h = 0xcbf29ce484222325L
+      while (it.hasNext) {
+        val f = it.next()
+        h = graft.functions.Hashing.mix64(h ^ f.getPath.getName.hashCode.toLong)
+        h = graft.functions.Hashing.mix64(h ^ f.getLen)
+        h = graft.functions.Hashing.mix64(h ^ f.getModificationTime)
+      }
+      h
+    }
+  }
 
   /** Drop all memoized merge tables (tests / in-place dataset rewrites). */
   private[graft] def invalidate(): Unit = trained.clear()
@@ -103,9 +124,9 @@ object Bpe {
   /** Enclosed-token character sequence of a word: abc → `<a><b><c>`. */
   private def seqInit = regexp_replace(col("word"), "(.)", "<$1>")
 
-  /** The learned merge table, memoized per (session, dataset). */
+  /** The learned merge table, memoized per (session, dataset, fingerprint). */
   private[graft] def merges(s: SparkSession, d: String): Seq[(Long, String, String, Long)] = {
-    val key = (System.identityHashCode(s), d)
+    val key = (System.identityHashCode(s), d, datasetFingerprint(s, d))
     val hit = trained.get(key)
     if (hit != null) hit
     else {
@@ -220,17 +241,22 @@ object Bpe {
         .groupBy(col("a"), col("b")).agg(sum(col("f")).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1).collect()
-      if (prev != null) prev.unpersist(blocking = false)
+      if (prev != null) { prev.unpersist(blocking = false); prev = null }
       if (best.isEmpty) done = true
       else {
         val r = best(0)
         val (a, b, cnt) = (r.getString(0), r.getString(1), r.getLong(2))
         out += ((rank, a, b, cnt))
-        prev = seqs
-        // a, b are [a-z0-9]+ by construction — safe as SQL literals
-        seqs = seqs.withColumn("seq",
-            expr(s"replace(seq, '<$a><$b>', '<$a$b>')"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // the LAST merge needs no further pair counts: skip the replace +
+        // persist handoff that would otherwise stage a never-materialized
+        // final frame (the r8 ADVICE item)
+        if (rank < NumMerges) {
+          prev = seqs
+          // a, b are [a-z0-9]+ by construction — safe as SQL literals
+          seqs = seqs.withColumn("seq",
+              expr(s"replace(seq, '<$a><$b>', '<$a$b>')"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        }
         rank += 1
       }
     }
