@@ -167,6 +167,7 @@ class SqlParitySpec extends AnyFunSuite {
       "q_audio_screen_at_rest" -> "unnest(range) sample-generator explode + // integer division",
       "q_video_meta" -> "unnest(range) frame×pixel-generator explode + // integer division",
       "q_video_scenes" -> "unnest(range) frame×pixel-generator explode + // integer division",
+      "q_video_scenes_avi" -> "unnest(range) frame×pixel-generator explode + // integer division",
       "q_video_keyframes" -> "unnest(range) frame×pixel-generator explode + // integer division",
       "q_video_dedup" -> "unnest(range) frame×pixel-generator explode + bit_xor aggregate + // integer division",
       "q_video_screen_at_rest" -> "unnest(range) frame×pixel-generator explode + bit_xor aggregate + // integer division",

@@ -87,6 +87,42 @@ class VideoSpec extends AnyFunSuite {
     }
   }
 
+  test("AVI leg: strict RIFF demux, PNG frames decode pixel-equal to GVID, scene parity") {
+    for (p <- payloads) {
+      val bytes = p.getBytes("UTF-8")
+      val avi = Video.aviBlob(bytes)
+      val (nf, fps, w, h, pngFrames) = Video.parseAviContainer(avi)
+      val (gn, gf, gw, gh, bmpFrames) = Video.parseContainer(Video.videoBlob(bytes))
+      assert((nf, fps, w, h) == ((gn, gf, gw, gh)), "header parity with GVID")
+      // PNG is lossless: every decoded grid bit-equal to the GVID frame's
+      pngFrames.zip(bmpFrames).foreach { case (png, bmp) =>
+        assert(png.take(8).toSeq ==
+          Seq(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte), "real PNG frames")
+        assert(Multimodal.bgrBytes(Multimodal.decode(png)).toSeq ==
+          Multimodal.bgrBytes(Multimodal.decode(bmp)).toSeq)
+      }
+      // the shared kernel sees identical pixels => identical scene rows
+      assert(Video.sceneRowsOfAvi(7L, p).toSeq == Video.sceneRowsOf(7L, p).toSeq)
+    }
+  }
+
+  test("malformed AVI containers are rejected: magic, RIFF size, idx1 disagreement") {
+    val avi = Video.aviBlob("fixture bytes for the avi leg".getBytes("UTF-8"))
+    val badMagic = avi.clone(); badMagic(9) = 'X'
+    intercept[IllegalArgumentException] { Video.parseAviContainer(badMagic) }
+    intercept[IllegalArgumentException] { Video.parseAviContainer(avi.take(avi.length - 4)) }
+    // corrupt one idx1 size field (last entry's final 4 bytes)
+    val badIdx = avi.clone(); badIdx(avi.length - 1) = (badIdx(avi.length - 1) ^ 1).toByte
+    intercept[IllegalArgumentException] { Video.parseAviContainer(badIdx) }
+  }
+
+  test("AVI suite key equals the GVID scenes key row-for-row") {
+    val spark = TestSpark.spark
+    val gvid = Video.videoScenes(spark, TestSpark.sf0001).collect().map(_.toSeq).toSeq
+    val avi = Video.videoScenesAvi(spark, TestSpark.sf0001).collect().map(_.toSeq).toSeq
+    assert(gvid == avi)
+  }
+
   test("scene table partitions the frame range; keyframes open each scene") {
     val spark = TestSpark.spark
     val scenes = Video.videoScenes(spark, TestSpark.sf0001)
