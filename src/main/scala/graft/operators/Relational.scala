@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -24,10 +24,17 @@ import graft.Tables
 object Relational {
   type Q = (SparkSession, String) => DataFrame
 
-  /** Memoized self-tuned bucket width for [[joinRange]], keyed like the
-    * at-rest index builds: (session identity, dataset dir) → W. */
-  private val rangeWidthCache =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Double]()
+  /** Memoized self-tuned grid for [[joinRange]], keyed like the at-rest
+    * index builds: (session identity, dataset dir) → (finest cell width w0,
+    * level count L). */
+  private val rangeGridCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (Double, Int)]()
+
+  /** [[joinRange]] grid constants: branching factor between levels, target
+    * fact rows per finest cell (bounds the row-level edge join), level cap. */
+  private val RangeB = 16
+  private val RangeRowsPerCell = 8.0
+  private val RangeMaxLevels = 6
 
   /** Scan + projection + pushed-down predicate. `.explain` shows the filter
     * and the 5-column ReadSchema reaching the parquet scan (PushedFilters). */
@@ -236,50 +243,44 @@ object Relational {
     // The intervals are dense: the naive (even bucketized) range join
     // materializes ~50M intersecting pairs at sf0.1 just to count/sum them.
     // Since the aggregate only needs COUNT and SUM of prices inside each
-    // part's interval, we discretize the price axis into fixed-width
-    // buckets and split every interval into
-    //   (a) interior buckets — fully covered, answered wholesale from a
-    //       tiny per-bucket (count, sum) aggregate (broadcast), and
-    //   (b) the ≤2 boundary buckets — answered exactly by an equi-join on
-    //       bucket id with the residual range predicate, touching only the
-    //       rows that share a bucket with an interval endpoint.
-    // Everything is a scan + equi-join + partial aggregate: no driver
-    // collect (round 1 collected the full price column — a driver OOM at
-    // 100 TB), no pair materialization, and both joins broadcast the small
-    // side. Zero-match brands drop out naturally (inner-join semantics,
-    // matching the oracle).
-    // W trades boundary-join fan-out against interior-explode width: the
-    // interior term costs Θ(|part| · intervalWidth / W) explode rows, the
-    // boundary term Θ(|part| · n_li·W / range) joined rows — so at a FIXED
-    // W the boundary term grows quadratically when both sides scale
-    // together (10× parts × 10× rows-per-bucket measured 12.9× wall at
-    // sf1, the one 12–15× query of the r7 scaling pair). Balancing the two
-    // terms gives W* = sqrt(avgIntervalWidth · priceRange / n_li), which
-    // W is now computed AS: one tiny two-sided statistics job (min/max/
-    // count of the price column, avg interval width — aggregate-only,
-    // broadcast-sized) replaces the hand-tuned constant, so the operator
-    // re-balances itself at ANY scale factor instead of inheriting the
-    // sf0.1 tuning. At sf0.1 the formula lands on ~9 (the constant the
-    // round-2 hand-tuning found was 10); at sf1 it tightens to ~2.9 and
-    // the boundary fan-out stays Θ(sqrt) instead of Θ(linear-in-density).
-    // Clamped to [0.01, 1000] so degenerate statistics (empty/constant
-    // tables) cannot zero the bucket width.
+    // part's interval, the price axis is discretized into a MULTI-LEVEL
+    // grid (the segment-tree decomposition): level-k cells have width
+    // w0·B^k, each level's (count, sum) table rolls up from the one below
+    // by integer division — so every cell aggregate past level 0 is pure
+    // int64 bucket arithmetic, immune to float boundary drift. A part's
+    // interval [lo, hi] then decomposes into
+    //   (a) ≤ 2(B−1) cells per level + a bounded top-level run — fully
+    //       covered, answered wholesale from the level tables
+    //       (Θ(B·L) probe rows per part, joined on (lvl, cell)), and
+    //   (b) the ≤ 2 finest boundary cells — answered exactly by an equi
+    //       join against the fact rows with the residual range predicate.
+    // Exactness at the float boundary: a wholesale cell c satisfies
+    // b_lo < c ≤ ... ≤ c' < b_hi in finest units, and floor monotonicity
+    // of the SAME double division (price/w0 vs lo/w0) guarantees every row
+    // in it obeys lo < price < hi — no ε-sliver double counting.
+    //
+    // Scale: the single-level form balanced interior explode vs boundary
+    // fan-out at W* = sqrt(wAvg·range/nLi) — Θ(|part|·sqrt(nLi)) total, a
+    // measured 13–17× per decade (the suite's one superlinear key through
+    // r9). The multi-level grid makes every term LINEAR per decade:
+    //   build  = one fact pass + Θ(cells) integer roll-ups,
+    //   probe  = Θ(|part| · B·L) cover rows (L ≤ 6),
+    //   edges  = Θ(|part| · rows-per-finest-cell) with
+    //            w0 = RowsPerCell·range/nLi pinning rows-per-cell ≈ 8.
+    // No driver collect (round 1 collected the full price column — a
+    // driver OOM at 100 TB), no pair materialization; AQE picks broadcast
+    // vs shuffle per join as sizes allow. Zero-match brands drop out
+    // naturally (inner-join semantics, matching the oracle).
     val liRaw = Tables.lineitem(s, d).select(col("l_extendedprice").as("price"))
-    // ONE statistics job (the r7 form ran two eager head() jobs per
-    // invocation — the only per-key bench regression of that round): both
-    // sides' aggregates cross-joined into a single 1-row action, and the
-    // resulting W memoized per (session, dataset) like the at-rest index
-    // builds — repeat invocations (bench min-of-N, verify replays, bucket
-    // reuse) pay zero statistics jobs. Dataset statistics don't move under
-    // a fixed dir; a changed dir is a new cache key.
-    // computed OUTSIDE the map lock (get / putIfAbsent — a rare race runs
-    // the statistics job twice and keeps the first, both identical), so an
-    // in-flight statistics job never blocks unrelated cache keys; same
-    // discipline as Bpe.merges
+    // ONE statistics job (min/max/count of the price column + avg interval
+    // width, aggregate-only), memoized per (session, dataset) like the
+    // at-rest index builds — repeat invocations (bench min-of-N, verify
+    // replays) pay zero statistics jobs. Computed OUTSIDE the map lock
+    // (get / putIfAbsent — a rare race runs it twice, keeps the first).
     val wKey = (System.identityHashCode(s), d)
-    val W = {
-      val hit = rangeWidthCache.get(wKey)
-      if (hit != null) hit.doubleValue()
+    val (w0, levels) = {
+      val hit = rangeGridCache.get(wKey)
+      if (hit != null) hit
       else {
         // each part's interval is [10p, 10.5p] — width 0.5·p_retailprice
         val st = liRaw
@@ -292,38 +293,96 @@ object Relational {
           else (math.max(st.getDouble(1) - st.getDouble(0), 1e-6),
             math.max(st.getLong(2), 1L))
         val wAvg = if (st.isNullAt(3)) range else st.getDouble(3)
-        val w = java.lang.Double.valueOf(
-          math.min(1000.0, math.max(0.01, math.sqrt(wAvg * range / nLi.toDouble))))
-        val prev = rangeWidthCache.putIfAbsent(wKey, w)
-        (if (prev != null) prev else w).doubleValue()
+        val w = math.max(RangeRowsPerCell * range / nLi.toDouble, 1e-9)
+        val l = math.min(RangeMaxLevels, math.max(1,
+          math.ceil(math.log(math.max(wAvg / w, 1.0)) / math.log(RangeB.toDouble)).toInt + 1))
+        val grid = (w, l)
+        val prev = rangeGridCache.putIfAbsent(wKey, grid)
+        if (prev != null) prev else grid
       }
     }
-    val li = liRaw.select(col("price"), floor(col("price") / W).as("bkt"))
-    val bucketAgg = li.groupBy(col("bkt"))
+    val B = RangeB
+    val li = liRaw.select(col("price"), floor(col("price") / w0).cast("long").as("bkt"))
+    // level tables: level 0 from the fact scan (the only float division),
+    // levels 1..L−1 by integer roll-up — persisted so the union's branches
+    // share the one fact pass (lazy, reclaimed by the ContextCleaner)
+    val lvl0 = li.groupBy(col("bkt"))
       .agg(count(lit(1)).as("bn"), sum(col("price")).as("bs"))
-    val parts = Tables.part(s, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val levelTables = (1 until levels).scanLeft(lvl0) { (prev, _) =>
+      prev.select(expr(s"bkt DIV $B").as("bkt"), col("bn"), col("bs"))
+        .groupBy(col("bkt"))
+        .agg(sum(col("bn")).as("bn"), sum(col("bs")).as("bs"))
+    }
+    val aggAll = levelTables.zipWithIndex
+      .map { case (t, k) => t.withColumn("lvl", lit(k)) }
+      .reduce(_ unionAll _)
+    // STAR CONTRACTION on the probe side (the dedup-family discipline):
+    // parts collapse to (brand, interval) multiplicities and the expensive
+    // decomposition runs once per DISTINCT interval — duplicated catalog
+    // prices (the common case; the 100-copy scale decade is all of them)
+    // cost nothing extra, and the worst all-distinct case degrades to the
+    // uncontracted shape. Grouping on the derived doubles is exact (same
+    // bits on every row that shares a retailprice).
+    val brandIv = Tables.part(s, d)
       .select(col("p_brand"), (col("p_retailprice") * 10.0).as("lo"),
         (col("p_retailprice") * 10.5).as("hi"))
-      .withColumn("b_lo", floor(col("lo") / W))
-      .withColumn("b_hi", floor(col("hi") / W))
-    val interior = parts.where(col("b_hi") - col("b_lo") >= 2)
-      .select(col("p_brand"), explode(sequence(col("b_lo") + 1, col("b_hi") - 1)).as("bkt"))
-      .join(broadcast(bucketAgg), Seq("bkt"))
-      .select(col("p_brand"), col("bn").as("n_rows"), col("bs").as("sum_price"))
-    // edges derives from the full part table (~2 rows/part), so no forced
-    // broadcast hint — AQE converts to broadcast while it fits and degrades
-    // to a shuffle join when part outgrows memory (a hard hint here would
-    // re-create the driver-OOM failure mode this rewrite removed)
+      .groupBy(col("p_brand"), col("lo"), col("hi"))
+      .agg(count(lit(1)).as("mult"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val parts = brandIv
+      .select(col("lo"), col("hi")).distinct()
+      .withColumn("b_lo", floor(col("lo") / w0).cast("long"))
+      .withColumn("b_hi", floor(col("hi") / w0).cast("long"))
+    // canonical cover of (b_lo, b_hi) exclusive: per level, the ≤ B−1 cells
+    // left of the next-coarser boundary and the ≤ B right of it; the top
+    // level takes the remaining middle run. All bounds are int64-derived
+    // from (b_lo, b_hi); cell ids stay < range/w0 ≈ nLi/RowsPerCell ≪ 2^53
+    // so the floor() long division is exact.
+    val emptyRun = array().cast("array<struct<lvl:int,bkt:bigint>>")
+    def run(k: Int, a: Column, b: Column): Column =
+      when(a <= b, transform(sequence(a, b),
+        x => struct(lit(k).as("lvl"), x.as("bkt")))).otherwise(emptyRun)
+    def idiv(c: Column): Column = floor(c / B).cast("long")
+    val pieces = scala.collection.mutable.ArrayBuffer[Column]()
+    var S: Column = col("b_lo") + 1
+    var E: Column = col("b_hi") - 1
+    for (k <- 0 until levels - 1) {
+      val sNext = idiv(S + (B - 1))        // ceil(S / B): first coarser cell
+      val eNext = idiv(E + 1) - 1          // last coarser cell fully inside
+      val leftEnd = least(sNext * B - 1, E)
+      pieces += run(k, S, leftEnd)
+      pieces += run(k, greatest(eNext * B + B, leftEnd + 1), E)
+      S = sNext; E = eNext
+    }
+    pieces += run(levels - 1, S, E)
+    val cover = parts
+      .select(col("lo"), col("hi"), explode(concat(pieces.toSeq: _*)).as("pc"))
+      .select(col("lo"), col("hi"), col("pc.lvl").as("lvl"), col("pc.bkt").as("bkt"))
+    val interior = cover.join(aggAll, Seq("lvl", "bkt"))
+      .select(col("lo"), col("hi"), col("bn").as("n_rows"), col("bs").as("sum_price"))
+    // edge cells derive from the distinct-interval table (≤ 2 rows each), so
+    // no forced broadcast hint — AQE converts to broadcast while it fits and
+    // degrades to a shuffle join when the catalog outgrows memory (a hard
+    // hint here would re-create the driver-OOM failure mode this design
+    // removed)
     val edges = parts
-      .select(col("p_brand"), col("lo"), col("hi"),
+      .select(col("lo"), col("hi"),
         explode(array_distinct(array(col("b_lo"), col("b_hi")))).as("bkt"))
     val edgeContrib = edges.join(li, Seq("bkt"))
       .where(col("price") >= col("lo") && col("price") <= col("hi"))
-      .select(col("p_brand"), lit(1L).as("n_rows"), col("price").as("sum_price"))
-    interior.unionAll(edgeContrib)
+      .select(col("lo"), col("hi"), lit(1L).as("n_rows"), col("price").as("sum_price"))
+    // per-distinct-interval totals, then multiplicities re-expand to brands
+    // (inner joins end to end: zero-match intervals and hence zero-match
+    // brands drop out, matching the oracle)
+    val ivTotals = interior.unionAll(edgeContrib)
+      .groupBy(col("lo"), col("hi"))
+      .agg(sum(col("n_rows")).as("ivn"), sum(col("sum_price")).as("ivs"))
+    brandIv.join(ivTotals, Seq("lo", "hi"))
       .groupBy(col("p_brand"))
-      .agg(sum(col("n_rows")).as("n"),
-        round(sum(col("sum_price")) / sum(col("n_rows")), 4).as("avg_price"))
+      .agg(sum(col("mult") * col("ivn")).as("n"),
+        round(sum(col("mult").cast("double") * col("ivs")) /
+          sum(col("mult") * col("ivn")), 4).as("avg_price"))
       .orderBy(col("p_brand"))
   }
 
