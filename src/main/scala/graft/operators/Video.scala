@@ -181,17 +181,78 @@ object Video {
     b(off) == s.charAt(0).toByte && b(off + 1) == s.charAt(1).toByte &&
       b(off + 2) == s.charAt(2).toByte && b(off + 3) == s.charAt(3).toByte
 
+  /** Minimal standards-compliant PNG encoder for one frame: 8-bit RGB
+    * (color type 2), filter-0 scanlines, a single zlib IDAT
+    * (Deflater BEST_SPEED), CRC-correct chunks — the frame-codec member
+    * of the hand-written writer family (BMP header, WAV RIFF header, AVI
+    * RIFF mux). Synthesis stays cheap and deterministic; the READ side
+    * decodes through the real JDK PNG reader, and VideoSpec pins the
+    * decoded grid bit-equal to the BMP path's. (`ImageIO.write` spends
+    * ~1 ms/call on writer + stream setup — at 4–6 frames per doc that
+    * made the AVI key the suite's most expensive; this encoder is the
+    * same fix as the r9 raster/no-disk-cache decode optimization.) */
+  private[graft] def encodePng(bytes: Array[Byte], delta: Int): Array[Byte] = {
+    val (w, h) = Multimodal.dims(bytes.length)
+    val raw = new Array[Byte](h * (1 + 3 * w))
+    var o = 0
+    var y = 0
+    while (y < h) {
+      raw(o) = 0 // filter type 0 (None) per scanline
+      o += 1
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = Multimodal.pixelChannels(bytes, w, x, y)
+        raw(o) = ((r + delta) % 256).toByte
+        raw(o + 1) = ((g + delta) % 256).toByte
+        raw(o + 2) = ((b + delta) % 256).toByte
+        o += 3
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+    defl.setInput(raw); defl.finish()
+    val idat = new Array[Byte](raw.length + 64) // stored-block worst case
+    var idatLen = 0
+    while (!defl.finished())
+      idatLen += defl.deflate(idat, idatLen, idat.length - idatLen)
+    defl.end()
+    val out = new Array[Byte](8 + 25 + (12 + idatLen) + 12)
+    var p = 0
+    Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
+      .foreach { v => out(p) = v.toByte; p += 1 }
+    def be32(v: Int): Unit = {
+      out(p) = (v >> 24).toByte; out(p + 1) = (v >> 16).toByte
+      out(p + 2) = (v >> 8).toByte; out(p + 3) = v.toByte; p += 4
+    }
+    def chunk(typ: String, data: Array[Byte], len: Int): Unit = {
+      be32(len)
+      val t = typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      System.arraycopy(t, 0, out, p, 4); p += 4
+      System.arraycopy(data, 0, out, p, len); p += len
+      val crc = new java.util.zip.CRC32
+      crc.update(t); crc.update(data, 0, len)
+      be32(crc.getValue.toInt)
+    }
+    val ihdr = new Array[Byte](13)
+    ihdr(0) = (w >> 24).toByte; ihdr(1) = (w >> 16).toByte
+    ihdr(2) = (w >> 8).toByte; ihdr(3) = w.toByte
+    ihdr(4) = (h >> 24).toByte; ihdr(5) = (h >> 16).toByte
+    ihdr(6) = (h >> 8).toByte; ihdr(7) = h.toByte
+    ihdr(8) = 8; ihdr(9) = 2 // bit depth 8, color type 2 (truecolor RGB)
+    chunk("IHDR", ihdr, 13)
+    chunk("IDAT", idat, idatLen)
+    chunk("IEND", Array.emptyByteArray, 0)
+    require(p == out.length, "PNG size accounting")
+    out
+  }
+
   /** Mux one payload's frames as Motion-PNG in AVI. Every size field,
     * even-padding rule, and index entry follows the public RIFF/AVI
     * layout (AVIMAINHEADER / AVISTREAMHEADER / BITMAPINFOHEADER). */
   private[graft] def aviBlob(bytes: Array[Byte]): Array[Byte] = {
     val (w, h) = Multimodal.dims(bytes.length)
-    val frames: Array[Array[Byte]] = frameDeltas(bytes).map { dl =>
-      val img = Multimodal.decode(frameBmp(bytes, dl))
-      val baos = new java.io.ByteArrayOutputStream()
-      require(javax.imageio.ImageIO.write(img, "png", baos), "no PNG writer")
-      baos.toByteArray
-    }
+    val frames: Array[Array[Byte]] = frameDeltas(bytes).map(encodePng(bytes, _))
     val nf = frames.length
     def padded(n: Int) = n + (n & 1) // RIFF chunks are word-aligned
     val moviData = 4 + frames.map(f => 8 + padded(f.length)).sum
@@ -316,12 +377,34 @@ object Video {
     (nf, fps, w, h, frames)
   }
 
+  /** Thread-local reusable JDK PNG reader: `ImageIO.read` pays an SPI
+    * reader lookup + stream wrapper per call, which at 4–6 frames per doc
+    * dominates the decode. Reusing one reader instance per task thread is
+    * the standard ImageIO serving idiom; it is still the REAL JDK PNG
+    * codec doing every inflate and defilter (VideoSpec bit-parity pins
+    * the decoded grids). */
+  private val pngReader = new ThreadLocal[javax.imageio.ImageReader] {
+    override def initialValue(): javax.imageio.ImageReader = {
+      val it = javax.imageio.ImageIO.getImageReadersByFormatName("png")
+      require(it.hasNext, "no JDK PNG reader")
+      it.next()
+    }
+  }
+
+  /** REAL JDK PNG decode via the reused reader. */
+  private[graft] def decodePng(blob: Array[Byte]): java.awt.image.BufferedImage = {
+    val r = pngReader.get()
+    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(blob))
+    try { r.setInput(iis); r.read(0) } finally { iis.close() }
+  }
+
   /** AVI twin of [[decodedFrames]] — the standard-container path into the
     * same kernels. */
   private def decodedFramesAvi(text: String): (Int, Int, Int, Array[Array[Byte]]) = {
     val blob = aviBlob((if (text == null) "" else text).getBytes("UTF-8"))
     val (_, fps, w, h, frames) = parseAviContainer(blob)
-    val px = frames.map(fb => Multimodal.bgrBytes(Multimodal.decode(fb)))
+    val px = frames.map(fb => Multimodal.bgrBytes(decodePng(fb)))
     px.foreach(p => require(p.length == 3 * w * h, "decoded size mismatch"))
     (fps, w, h, px)
   }
