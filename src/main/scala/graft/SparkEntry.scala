@@ -25,7 +25,7 @@ object SparkEntry {
     Relational.queries ++ Events.queries ++ RefOps.queries ++
       Text.queries ++ Vectors.queries ++ Multimodal.queries ++
       Audio.queries ++ Video.queries ++ Export.queries ++ Graph.queries ++
-      Search.queries ++
+      Search.queries ++ operators.Html.queries ++
       operators.CorpusCurate.queries ++ operators.Bpe.queries ++
       Map(
         "q_dedup_clusters" ->
@@ -51,7 +51,7 @@ object SparkEntry {
     Relational.oracles ++ Events.oracles ++ RefOps.oracles ++
       Text.oracles ++ Vectors.oracles ++ Multimodal.oracles ++
       Audio.oracles ++ Video.oracles ++ Export.oracles ++ Graph.oracles ++
-      Search.oracles ++
+      Search.oracles ++ operators.Html.oracles ++
       operators.CorpusCurate.oracles ++ operators.Bpe.oracles ++
       operators.DedupCluster.oracles
 }

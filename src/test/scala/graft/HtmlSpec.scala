@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Html
+
+/** HTML text extraction. The driver gate hash-checks the content contract
+  * (extracted text ≡ the corpus words); these specs pin the PARSER from
+  * first principles: it is generator-blind, boilerplate falls to the link
+  * -density rule (not tag names), inline markup unwraps, entities decode,
+  * script/style bodies vanish, and adversarial markup parses. */
+class HtmlSpec extends AnyFunSuite {
+
+  private val payloads = Seq(
+    "", "one", "a b c", "the quick brown fox jumps over the lazy dog again",
+    ("lorem ipsum " * 40).trim,
+    "ampersand & angle < bracket > chars &already;",
+    "  leading   and trailing   whitespace  ")
+
+  test("round trip: extraction restores the corpus words exactly") {
+    for (p <- payloads) {
+      val words = p.trim.split("\\s+").filter(_.nonEmpty)
+      val (title, nWords, kept, dropped, clean) = Html.extract(Html.htmlOf(p))
+      assert(clean == words.mkString(" "), s"payload '$p'")
+      assert(title == words.take(3).mkString(" "))
+      assert(nWords == words.length.toLong)
+      assert(kept == (words.length + 9) / 10)
+      assert(dropped == 2L, "nav + footer, nothing else")
+    }
+  }
+
+  test("boilerplate falls to link density, not tag identity") {
+    // a <p> that is pure links must drop; a <nav> that is mostly prose must survive
+    val html = "<html><head><title>t</title></head><body>" +
+      "<p><a href=\"/x\">spam</a> <a href=\"/y\">links</a></p>" +
+      "<nav>this navigation block is mostly honest prose <a href=\"/\">home</a></nav>" +
+      "<p>real content paragraph</p></body></html>"
+    val (_, _, kept, dropped, clean) = Html.extract(html)
+    assert(kept == 2L && dropped == 1L)
+    assert(clean ==
+      "this navigation block is mostly honest prose home real content paragraph")
+  }
+
+  test("script and style bodies vanish; inline tags unwrap; entities decode") {
+    val html = "<html><head><title>a &amp; b</title>" +
+      "<style>p { content: \"not text\" }</style>" +
+      "<script>if (x < 2) { alert(\"not text either\") }</script></head>" +
+      "<body><p>keep <b>bold</b> and <a href=\"/l\">one link</a> plus &lt;tag&gt; text</p></body></html>"
+    val (title, _, kept, dropped, clean) = Html.extract(html)
+    assert(title == "a & b")
+    assert(kept == 1L && dropped == 0L)
+    assert(clean == "keep bold and one link plus <tag> text")
+  }
+
+  test("suite key matches a driver-side replay on the fixture") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = Html.htmlStrip(spark, TestSpark.sf0001).collect()
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+      .as[(Long, String)].collect().toMap
+    assert(got.length == docs.size)
+    got.foreach { r =>
+      val words = docs(r.getLong(0)).trim.split("\\s+").filter(_.nonEmpty)
+      assert(r.getString(1) == words.take(3).mkString(" "), s"title of ${r.getLong(0)}")
+      assert(r.getLong(2) == words.length.toLong)
+      assert(r.getLong(4) == 2L)
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(words.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(r.getString(5) == md, s"clean_md5 of ${r.getLong(0)}")
+    }
+    val again = Html.htmlStrip(spark, TestSpark.sf0001).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+}

@@ -94,6 +94,7 @@ class SqlParitySpec extends AnyFunSuite {
       "q_perplexity_buckets" -> listDialect,
       "q_temperature_mix" -> varcharCast,
       "q_dsir_weights" -> (hugeint + "; " + recursive),
+      "q_html_strip" -> ("list_filter/array_to_string — " + listDialect),
       "q_gopher_rules" -> listDialect, "q_source_overlap" -> listDialect,
       "q_contamination" -> listDialect, "q_bm25" -> listDialect,
       "q_heavy_hitters" -> listDialect, "q_lm_score" -> listDialect,
