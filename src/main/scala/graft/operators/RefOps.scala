@@ -198,7 +198,13 @@ object RefOps {
 
   /** R1–R4/R14 binary ingest smoke over the synthetic SPECFEM fixture
     * (FIXTURES.md §B): per (force, step) record counts + checksums of the
-    * reconstructed tensor. Non-oracle (DuckDB can't read Fortran bins). */
+    * reconstructed tensor. Oracle-checked since r10: DuckDB can't read
+    * Fortran bins, but the fixture is deterministic state — the oracle is
+    * a VALUES relation from an INDEPENDENT float32-exact replay of the
+    * generator truth + the reader's reconstruction arithmetic (same
+    * discipline as ref_element_lookup), so a hash match certifies the
+    * whole on-disk path: record framing, little-endian float parse,
+    * tensor reconstruction, and the per-file summation order. */
   val refFortranScan: Q = (s, _) => {
     val dir = graft.sources.SeisFixture.ensure()
     graft.sources.SeisPipeline.readStrain(s, dir)
@@ -379,6 +385,44 @@ object RefOps {
         | round(max(value) - min(value), 4) AS scale_r,
         | count(*) AS est_bytes
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "ref_fortran_scan" -> {
+      // independent replay: generator truth (strainTruth + the deviatoric
+      // encoding) chained through the reader's float32 reconstruction
+      // (xx = xx_dev + tr/3f etc.) and the exact per-point emission order
+      // (xx, yy, zz, xy, xz, yz) — each (force, step) group is one file =
+      // one task, so the double summation order is pinned too. The final
+      // round replicates Spark's BigDecimal.valueOf HALF_UP.
+      import graft.sources.SeisFixture
+      val nPoints = SeisFixture.NSPEC * SeisFixture.NGLL_LOCAL
+      val rows = for {
+        (fi, step) <- SeisFixture.Forces.indices
+          .flatMap(fi => SeisFixture.Steps.map(st => (fi, st)))
+      } yield {
+        val phase = fi * 100000
+        def truth(p: Int, pt: Int): Float = SeisFixture.strainTruth(p, pt + phase, step)
+        var sum = 0.0
+        var pt = 0
+        while (pt < nPoints) {
+          val xx0 = truth(0, pt); val yy0 = truth(1, pt); val zz0 = truth(2, pt)
+          val tr = xx0 + yy0 + zz0
+          val xx = (xx0 - tr / 3f) + tr / 3f
+          val yy = (yy0 - tr / 3f) + tr / 3f
+          val zz = tr - xx - yy
+          sum += xx.toDouble; sum += yy.toDouble; sum += zz.toDouble
+          sum += truth(3, pt).toDouble; sum += truth(4, pt).toDouble
+          sum += truth(5, pt).toDouble
+          pt += 1
+        }
+        val scaled = BigDecimal.decimal(sum * 1e7)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        s"($fi, $step, ${6L * nPoints}, $scaled)"
+      }
+      s"""SELECT CAST(force AS INT) AS force, CAST(step AS INT) AS step,
+         |  CAST(n_values AS BIGINT) AS n_values,
+         |  CAST(sum_scaled AS DOUBLE) AS sum_scaled
+         |FROM (VALUES ${rows.mkString(", ")}) AS t(force, step, n_values, sum_scaled)
+         |ORDER BY force, step""".stripMargin
+    },
     "ref_valid_steps" -> {
       // deterministic fixture state: SeisFixture.Steps lands in all 3 force
       // dirs, and the query's [0,101) stride-10 range covers exactly them

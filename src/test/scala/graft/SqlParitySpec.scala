@@ -51,7 +51,7 @@ class SqlParitySpec extends AnyFunSuite {
     "ref_monotone_dedup", "ref_subsample", "ref_minmax_normalize",
     "ref_header_stats", "ref_tensor_reconstruct",
     // deterministic-fixture VALUES relations — inline tables parse on both
-    "ref_valid_steps", "ref_element_lookup",
+    "ref_valid_steps", "ref_element_lookup", "ref_fortran_scan",
     // exact counts + the pinned TRUE bound — no dialect at all
     "ref_approx_distinct")
 
