@@ -97,6 +97,15 @@ object Html {
     (title, nWords, kept.length.toLong, dropped, clean)
   }
 
+  /** The ONE per-document kernel behind the batch key and the streaming
+    * twin ([[graft.streaming.Streams.htmlStripStream]]): synthesize the
+    * page, extract, emit the stat row (clean text still raw — the md5 is
+    * a codegen'd projection on top in both forms). */
+  private[graft] def rowOf(id: Long, text: String): (Long, String, Long, Long, Long, String) = {
+    val (title, nWords, nKept, nDropped, clean) = extract(htmlOf(text))
+    (id, title, nWords, nKept, nDropped, clean)
+  }
+
   /** Suite key: synthesize each doc's page, extract, report the content
     * stats + an md5 of the clean text. The oracle derives every column
     * from `documents.text` alone (see object doc). */
@@ -105,10 +114,7 @@ object Html {
     import spark.implicits._
     Tables.documents(s, d)
       .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
-        val (title, nWords, nKept, nDropped, clean) = extract(htmlOf(text))
-        (id, title, nWords, nKept, nDropped, clean)
-      }
+      .map { case (id, text) => rowOf(id, text) }
       .toDF("doc_id", "title", "n_words", "n_blocks_kept", "n_blocks_dropped", "clean")
       .select(col("doc_id"), col("title"), col("n_words"),
         col("n_blocks_kept"), col("n_blocks_dropped"),

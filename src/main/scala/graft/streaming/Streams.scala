@@ -387,6 +387,24 @@ object Streams {
       fLen * fMwl * fRep * fDr)
   }
 
+  /** Streaming twin of the HTML extractor
+    * ([[graft.operators.Html.htmlStrip]]): extraction-at-ingestion — the
+    * very front of a crawl pipeline, where raw pages arrive continuously
+    * and only clean text flows downstream. Stateless typed map on the ONE
+    * shared [[graft.operators.Html.rowOf]] kernel (no state store, no
+    * watermark, no shuffle) with the same codegen'd md5 projection;
+    * StreamingSpec asserts row-exact replay equality with the batch key. */
+  def htmlStripStream(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    docsStream(spark, sfDir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => graft.operators.Html.rowOf(id, text) }
+      .toDF("doc_id", "title", "n_words", "n_blocks_kept", "n_blocks_dropped", "clean")
+      .select(col("doc_id"), col("title"), col("n_words"),
+        col("n_blocks_kept"), col("n_blocks_dropped"),
+        md5(col("clean")).as("clean_md5"))
+  }
+
   /** Streaming twin of the overlapping token-window chunker
     * ([[graft.operators.Text.chunkTokens]]): chunk-at-ingestion for a
     * retrieval index that stays fresh as documents arrive. Stateless typed

@@ -399,6 +399,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got == want)
   }
 
+  test("streaming HTML extractor replays to batch q_html_strip exactly") {
+    val spark = TestSpark.spark
+    val got = Streams.runToCompletion(
+      Streams.htmlStripStream(spark, TestSpark.sf0001), "t_html", "append")
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5))).toSeq
+    val want = operators.Html.htmlStrip(spark, TestSpark.sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getString(5))).toSeq
+    assert(got.nonEmpty && got == want)
+  }
+
   test("streaming bloom screen replays to batch q_bloom_dedup exactly") {
     val spark = TestSpark.spark
     val got = Streams.runToCompletion(
