@@ -301,9 +301,23 @@ object Search {
     * embedding corpora cluster, which is the premise of IVF itself). */
   val hybridRrfIndexed: Q = (s, d) => hybridRrfIndexedWith(s, d, nProbe = 4)
 
-  def hybridRrfIndexedWith(s: SparkSession, d: String, nProbe: Int): DataFrame = {
+  /** `semLeg` picks the at-rest vector index serving the semantic leg:
+    * "ivf" (partition-pruned cluster scan, `nProbe` of the cells — the
+    * suite key's mode) or "pq" (ADC over the 8-byte codes table with
+    * `pqCand` exact-refined candidates — the 32×-less-I/O mode for when
+    * even the pruned full-vector scan is too much). Both re-rank the
+    * slacked retrieval on the contract's (rounded score, doc_id) key;
+    * SearchSpec pins BOTH modes' fused output bit-equal to the brute
+    * contract at exhaustive settings (nProbe = all cells / pqCand ≥
+    * corpus). */
+  def hybridRrfIndexedWith(s: SparkSession, d: String, nProbe: Int,
+      semLeg: String = "ivf", pqCand: Int = 50): DataFrame = {
     val kwIdx = Vectors.ensureIndex(s, "keyword", d)(p => writeKeywordIndex(s, d, p))
-    val ivfIdx = Vectors.ensureIndex(s, "ivf", d)(p => Vectors.writeIvfIndex(s, d, p))
+    val ivfIdx =
+      if (semLeg == "ivf")
+        Vectors.ensureIndex(s, "ivf", d)(p => Vectors.writeIvfIndex(s, d, p))
+      else
+        Vectors.ensureIndex(s, "pq", d)(p => Vectors.writePqIndex(s, d, p))
     val spark = s
     import spark.implicits._
     // probe materialization: 3 pushed-down point reads (text + embedding) —
@@ -356,8 +370,12 @@ object Search {
     // contract's (rounded score, doc_id) re-rank over the slacked retrieval
     val sem = probeVecs
       .map { case (pid, pv) =>
-        Vectors.queryIvfIndex(s, ivfIdx, pv,
+        (if (semLeg == "ivf")
+          Vectors.queryIvfIndex(s, ivfIdx, pv,
             topK = SemTopN + SemSlack, nProbe = nProbe, excludeId = Some(pid))
+        else
+          Vectors.queryPqIndex(s, d, ivfIdx, pv,
+            topK = SemTopN + SemSlack, excludeId = Some(pid), cand = pqCand))
           .withColumn("query_id", lit(pid))
       }
       .reduce(_ unionByName _)

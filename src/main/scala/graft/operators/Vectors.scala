@@ -1231,7 +1231,7 @@ object Vectors {
     * filter. */
   def queryPqIndex(s: SparkSession, d: String, indexDir: String,
       probe: Array[Double], topK: Int = 10,
-      excludeId: Option[Long] = None): DataFrame = {
+      excludeId: Option[Long] = None, cand: Int = PqCand): DataFrame = {
     val spark = s
     import spark.implicits._
     val cbRows = spark.read.parquet(s"$indexDir/_pq_codebook")
@@ -1252,7 +1252,7 @@ object Vectors {
         (id, score)
       }
       .toDF("vec_id", "adc")
-      .orderBy(col("adc").desc, col("vec_id")).limit(PqCand)
+      .orderBy(col("adc").desc, col("vec_id")).limit(cand)
     val candIds = scored.select(col("vec_id")).as[Long].collect().toSeq
     val pn = normA(probe)
     // candidate point-reads: the IN filter lands in PushedFilters, so the

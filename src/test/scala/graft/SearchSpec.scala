@@ -193,6 +193,21 @@ class SearchSpec extends AnyFunSuite {
     assert(brute.map(_.toSeq).toSeq == exhaustive.map(_.toSeq).toSeq)
   }
 
+  test("indexed hybrid PQ leg: exhaustive-candidate fused output bit-equal to brute; serving mode deterministic") {
+    // pqCand >= fixture corpus makes the exact refine cover every vector —
+    // recall 1 by construction, pinning the ADC plumbing + fusion exactly
+    val brute = Search.hybridRrf(spark, sf).collect()
+    val pq = Search.hybridRrfIndexedWith(spark, sf, nProbe = 16,
+      semLeg = "pq", pqCand = 100000).collect()
+    assert(brute.map(_.toSeq).toSeq == pq.map(_.toSeq).toSeq)
+    // serving config (50 ADC candidates): well-formed + rerun-deterministic
+    val serve = Search.hybridRrfIndexedWith(spark, sf, nProbe = 16, semLeg = "pq")
+    val got = serve.collect()
+    assert(got.length == Search.HybridProbes.size * Search.HybridK)
+    val again = Search.hybridRrfIndexedWith(spark, sf, nProbe = 16, semLeg = "pq").collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("probe is rerun-deterministic and ranks are dense 1..k per query") {
     val got = Search.keywordTopkAtRest(spark, sf).collect()
     val again = Search.keywordTopkAtRest(spark, sf).collect()
