@@ -22,7 +22,7 @@ object Plans {
     "q_join_multiway" ->
       "dimension tables broadcast; no shuffle on the small sides",
     "q_join_range" ->
-      "bucketized range join: broadcast equi-joins, no pair materialization",
+      "multi-level grid range join: int64 level roll-ups, distinct-interval cover equi-join + bounded edge join — no pair materialization, every term linear per decade",
     "q_sort_limit" ->
       "TakeOrderedAndProject — per-partition top-k, no global sort",
     "q_topk_per_group" ->
@@ -123,6 +123,12 @@ object Plans {
       "perceptual video dedup: per-blob decode+keyframe-dHash-XOR map, one hash-shuffle window on the 17-byte signature — the imageDedup plan shape, Θ(videos)",
     "q_topic_mix" ->
       "topic mix: typed nearest-pinned-centroid map (no shuffle), id equi-join, Θ(k)-row map-side-combined aggregate + 1-row broadcast total crossJoin",
+    "q_hybrid_rrf_indexed" ->
+      "indexed hybrid retrieval: tb=-pruned postings (PartitionFilters) + cluster=-pruned IVF scans — both legs served from the at-rest layouts, no documents/embeddings scan in the plan",
+    "q_video_scenes_avi" ->
+      "standard-container video: one typed flatMap (RIFF/AVI demux + per-frame real PNG decode + sliding madiff) inside the documents scan — same shape as the GVID leg, frames never leave their task",
+    "q_html_strip" ->
+      "HTML extraction: one typed map (page synthesis + parse + link-density classification) with a codegen'd md5 projection — map-only until the presentation sort",
   )
 
   def main(args: Array[String]): Unit = {
