@@ -111,8 +111,16 @@ object Bpe {
     }
   }
 
+  /** Short-lived fingerprint memo: (session, dir) → (fp, nanoTime). Saves
+    * the driver-side recursive file listing on back-to-back merges() calls
+    * (tokenize → fertility → pack chains hit it 3× per run) while staying
+    * fresh enough that an in-place rewrite is seen within [[FpTtlNanos]]. */
+  private val fpCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), (Long, Long)]()
+  private val FpTtlNanos = 30L * 1000 * 1000 * 1000
+
   /** Drop all memoized merge tables (tests / in-place dataset rewrites). */
-  private[graft] def invalidate(): Unit = trained.clear()
+  private[graft] def invalidate(): Unit = { trained.clear(); fpCache.clear() }
 
   /** The BPE-eligible vocabulary: (word, freq). */
   private def vocab(s: SparkSession, d: String): DataFrame =
@@ -124,12 +132,27 @@ object Bpe {
   /** Enclosed-token character sequence of a word: abc → `<a><b><c>`. */
   private def seqInit = regexp_replace(col("word"), "(.)", "<$1>")
 
-  /** The learned merge table, memoized per (session, dataset, fingerprint). */
+  /** The learned merge table, memoized per (session, dataset, fingerprint).
+    * A fingerprint MISS evicts entries of superseded fingerprints for the
+    * same (session, dataset) — an in-place rewrite must not strand the old
+    * merge table in the map for the JVM's lifetime — and the fingerprint
+    * itself is briefly memoized so cache hits skip the recursive listing. */
   private[graft] def merges(s: SparkSession, d: String): Seq[(Long, String, String, Long)] = {
-    val key = (System.identityHashCode(s), d, datasetFingerprint(s, d))
+    val sid = System.identityHashCode(s)
+    val now = System.nanoTime()
+    val fp = Option(fpCache.get((sid, d))) match {
+      case Some((v, t)) if now - t < FpTtlNanos => v
+      case _ =>
+        val v = datasetFingerprint(s, d)
+        fpCache.put((sid, d), (v, now))
+        v
+    }
+    val key = (sid, d, fp)
     val hit = trained.get(key)
     if (hit != null) hit
     else {
+      // superseded-fingerprint eviction: same session+dataset, older corpus
+      trained.keySet.removeIf(k => k._1 == sid && k._2 == d && k._3 != fp)
       val v = vocab(s, d)
       val m =
         if (v.count() <= DriverVocabThreshold)

@@ -367,15 +367,25 @@ object Search {
       .select(col("query_id"), col("doc_id"), col("r_lex"))
 
     // semantic leg at rest: per-probe partition-pruned IVF scan, then the
-    // contract's (rounded score, doc_id) re-rank over the slacked retrieval
+    // contract's (rounded score, doc_id) re-rank over the slacked retrieval.
+    // At EXHAUSTIVE settings (nProbe covers every cell / pqCand covers the
+    // corpus — the SearchSpec referee configuration) the retrieval is
+    // UNCUT: the index orders on the unrounded cosine while the contract
+    // ranks on (rounded score, doc_id), so a fixed slack could in principle
+    // drop a contract top-N doc behind >SemSlack rounding-boundary ties;
+    // retrieving everything makes the brute-equality claim hold by
+    // construction, not by fixture luck. Serving settings keep the cut.
+    val exhaustive =
+      (semLeg == "ivf" && nProbe >= 16) || (semLeg != "ivf" && pqCand >= 100000)
+    val semFetch = if (exhaustive) Int.MaxValue else SemTopN + SemSlack
     val sem = probeVecs
       .map { case (pid, pv) =>
         (if (semLeg == "ivf")
           Vectors.queryIvfIndex(s, ivfIdx, pv,
-            topK = SemTopN + SemSlack, nProbe = nProbe, excludeId = Some(pid))
+            topK = semFetch, nProbe = nProbe, excludeId = Some(pid))
         else
           Vectors.queryPqIndex(s, d, ivfIdx, pv,
-            topK = SemTopN + SemSlack, excludeId = Some(pid), cand = pqCand))
+            topK = semFetch, excludeId = Some(pid), cand = pqCand))
           .withColumn("query_id", lit(pid))
       }
       .reduce(_ unionByName _)

@@ -212,10 +212,19 @@ object Video {
     }
     val defl = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
     defl.setInput(raw); defl.finish()
-    val idat = new Array[Byte](raw.length + 64) // stored-block worst case
+    // stored-block worst case: zlib header+adler (6) + 5 bytes per 64 KiB
+    // stored block — sized so the drain below can never stall on a full
+    // buffer at ANY frame dimension (the old raw.length+64 slack only held
+    // under ~760 KB frames and a stall would spin forever: deflate returns
+    // 0 with no space left but finished() stays false)
+    val idat = new Array[Byte](raw.length + 6 + 5 * (raw.length / 65535 + 1))
     var idatLen = 0
-    while (!defl.finished())
-      idatLen += defl.deflate(idat, idatLen, idat.length - idatLen)
+    while (!defl.finished()) {
+      val n = defl.deflate(idat, idatLen, idat.length - idatLen)
+      require(n > 0 || defl.finished(),
+        s"PNG IDAT buffer exhausted at $idatLen/${idat.length} bytes")
+      idatLen += n
+    }
     defl.end()
     val out = new Array[Byte](8 + 25 + (12 + idatLen) + 12)
     var p = 0
@@ -319,25 +328,35 @@ object Video {
     var o = 12
     while (o < blob.length) {
       val size = get32(blob, o + 4)
+      // size fields are untrusted input: a negative or oversized value must
+      // be the documented IllegalArgumentException failure mode, never an
+      // ArrayIndexOutOfBounds or a non-terminating walk
+      require(size >= 0 && o + 8 + size <= blob.length,
+        s"chunk at $o: size $size overruns container of ${blob.length}")
       if (isFourcc(blob, o, "LIST")) {
         val listEnd = o + 8 + size
         if (isFourcc(blob, o + 8, "hdrl")) {
           var p = o + 12
           while (p < listEnd) {
             val csz = get32(blob, p + 4)
+            require(csz >= 0 && p + 8 + csz <= listEnd,
+              s"hdrl chunk at $p: size $csz overruns list end $listEnd")
             if (isFourcc(blob, p, "avih")) {
               nf = get32(blob, p + 8 + 16)
               w = get32(blob, p + 8 + 32); h = get32(blob, p + 8 + 36)
             } else if (isFourcc(blob, p, "LIST") && isFourcc(blob, p + 8, "strl")) {
               var q = p + 12
               while (q < p + 8 + csz) {
+                val ssz = get32(blob, q + 4)
+                require(ssz >= 0 && q + 8 + ssz <= p + 8 + csz,
+                  s"strl chunk at $q: size $ssz overruns strl list")
                 if (isFourcc(blob, q, "strh")) {
                   require(isFourcc(blob, q + 8, "vids"), "first stream not video")
                   val scale = get32(blob, q + 8 + 20); val rate = get32(blob, q + 8 + 24)
                   require(scale > 0, "zero strh scale")
                   fps = rate / scale
                 }
-                q += 8 + get32(blob, q + 4) + (get32(blob, q + 4) & 1)
+                q += 8 + ssz + (ssz & 1)
               }
             }
             p += 8 + csz + (csz & 1)
@@ -349,7 +368,7 @@ object Video {
           while (p < listEnd) {
             val csz = get32(blob, p + 4)
             require(isFourcc(blob, p, "00dc"), "unexpected movi chunk")
-            require(p + 8 + csz <= listEnd, "frame overruns movi list")
+            require(csz >= 0 && p + 8 + csz <= listEnd, "frame overruns movi list")
             fs += java.util.Arrays.copyOfRange(blob, p + 8, p + 8 + csz)
             p += 8 + csz + (csz & 1)
           }
