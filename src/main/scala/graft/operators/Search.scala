@@ -310,31 +310,35 @@ object Search {
     * SearchSpec pins BOTH modes' fused output bit-equal to the brute
     * contract at exhaustive settings (nProbe = all cells / pqCand ≥
     * corpus). */
-  def hybridRrfIndexedWith(s: SparkSession, d: String, nProbe: Int,
-      semLeg: String = "ivf", pqCand: Int = 50): DataFrame = {
-    val kwIdx = Vectors.ensureIndex(s, "keyword", d)(p => writeKeywordIndex(s, d, p))
-    val ivfIdx =
-      if (semLeg == "ivf")
-        Vectors.ensureIndex(s, "ivf", d)(p => Vectors.writeIvfIndex(s, d, p))
-      else
-        Vectors.ensureIndex(s, "pq", d)(p => Vectors.writePqIndex(s, d, p))
+  /** Probe embeddings via pushed-down point reads — bounded by |probes|. */
+  private def probeVecsOf(s: SparkSession, d: String): Seq[(Long, Array[Double])] = {
     val spark = s
     import spark.implicits._
-    // probe materialization: 3 pushed-down point reads (text + embedding) —
-    // bounded by |probes|, never a scan
-    val probeTerms: Seq[(Long, String)] = Tables.documents(s, d)
+    Tables.embeddings(s, d)
+      .where(col("vec_id").isin(HybridProbes: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Array[Double])].collect().toSeq
+  }
+
+  /** Probe materialization: pushed-down point reads of the probe docs'
+    * distinct terms — bounded by |probes|, never a scan. */
+  private def probeTermsOf(s: SparkSession, d: String): Seq[(Long, String)] =
+    Tables.documents(s, d)
       .where(col("doc_id").isin(HybridProbes: _*))
       .select(col("doc_id"), col("text")).collect().toSeq
       .flatMap(r => r.getString(1).trim.toLowerCase.split("\\s+").distinct
         .map(t => (r.getLong(0), t)))
-    val probeVecs: Seq[(Long, Array[Double])] = Tables.embeddings(s, d)
-      .where(col("vec_id").isin(HybridProbes: _*))
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .as[(Long, Array[Double])].collect().toSeq
 
-    // lexical leg at rest: bucket-pruned postings, BM25 with df from the
-    // live postings and exact-summation global stats — the probeKeywordIndex
-    // arithmetic with the query-by-example self-exclusion
+  /** The at-rest LEXICAL leg shared by every indexed hybrid form: ensure
+    * the keyword index, prune the probes' terms' `tb=` buckets, BM25 with
+    * df from the live postings and exact-summation global stats — the
+    * [[probeKeywordIndex]] arithmetic with the query-by-example
+    * self-exclusion. Returns (query_id, doc_id, r_lex) cut at [[LexTopN]]. */
+  private def lexLegAtRest(s: SparkSession, d: String): DataFrame = {
+    val kwIdx = Vectors.ensureIndex(s, "keyword", d)(p => writeKeywordIndex(s, d, p))
+    val spark = s
+    import spark.implicits._
+    val probeTerms = probeTermsOf(s, d)
     val terms = probeTerms.map(_._2).distinct
     val buckets = terms.map(tbOfStr).distinct
     val qt = probeTerms.toDF("query_id", "term")
@@ -352,7 +356,7 @@ object Search {
     val contrib = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
       (col("tf") * (lit(1.2) + lit(1.0))) /
       (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))
-    val lex = posts
+    posts
       .join(broadcast(qt), Seq("term"))
       .where(col("doc_id") =!= col("query_id"))
       .join(broadcast(dfT), Seq("term"))
@@ -365,6 +369,20 @@ object Search {
           .orderBy(col("bm").desc, col("doc_id"))).cast("long"))
       .where(col("r_lex") <= LexTopN)
       .select(col("query_id"), col("doc_id"), col("r_lex"))
+  }
+
+  def hybridRrfIndexedWith(s: SparkSession, d: String, nProbe: Int,
+      semLeg: String = "ivf", pqCand: Int = 50): DataFrame = {
+    val ivfIdx =
+      if (semLeg == "ivf")
+        Vectors.ensureIndex(s, "ivf", d)(p => Vectors.writeIvfIndex(s, d, p))
+      else
+        Vectors.ensureIndex(s, "pq", d)(p => Vectors.writePqIndex(s, d, p))
+    val spark = s
+    import spark.implicits._
+    val probeVecs = probeVecsOf(s, d)
+
+    val lex = lexLegAtRest(s, d)
 
     // semantic leg at rest: per-probe partition-pruned IVF scan, then the
     // contract's (rounded score, doc_id) re-rank over the slacked retrieval.
@@ -398,11 +416,127 @@ object Search {
     fuseRrf(lex, sem)
   }
 
+  /** ORACLE-GRADUATED indexed hybrid (r10 verdict #1) — the `_fixed`-twin
+    * discipline applied to the fused serving topology: the at-rest lexical
+    * leg ([[lexLegAtRest]] — the oracle-checked BM25 arithmetic over the
+    * persisted keyword index) fused with a semantic leg served from the
+    * PERSISTED fixed-centroid IVF layout ([[Vectors.writeIvfFixedIndex]] —
+    * pinned integer centroids, `cell=` directory pruning at nProbe=4,
+    * exact integer L2 rank by (d2 asc, vec_id asc)). Every step of both
+    * legs and the [[fuseRrf]] tail is engine-replayable, so the DuckDB
+    * oracle hash-certifies the END-TO-END at-rest fused path that the
+    * trained [[hybridRrfIndexed]] (FP k-means codebook) can only pin by
+    * spec equality. No retrieval slack: the semantic ranking key IS the
+    * integer the index orders by, so the cut is exact by construction.
+    *
+    * Scale: identical serving shape to the trained key — Θ(df) pruned
+    * posting reads + nProbe/[[Vectors.IvfFixedCells]] of the vectors via
+    * partition pruning, fusion over two Θ(probes·topN) relations. */
+  val hybridRrfIndexedFixed: Q = (s, d) => {
+    val idx = Vectors.ensureIndex(s, "ivf_fixed", d)(
+      p => Vectors.writeIvfFixedIndex(s, d, p))
+    val lex = lexLegAtRest(s, d)
+    val sem = probeVecsOf(s, d)
+      .map { case (pid, pv) =>
+        Vectors.queryIvfFixedIndex(s, idx, pv,
+          topK = SemTopN, nProbe = 4, excludeId = Some(pid))
+          .withColumn("query_id", lit(pid))
+      }
+      .reduce(_ unionByName _)
+      .withColumn("r_sem", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("d2"), col("vec_id"))).cast("long"))
+      .where(col("r_sem") <= SemTopN)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("r_sem"))
+    fuseRrf(lex, sem)
+  }
+
+  /** The PQ-mode sibling of [[hybridRrfIndexedFixed]] (r10 verdict #9):
+    * the semantic leg is an ADC scan of the PERSISTED fixed-codebook
+    * 8-byte codes table ([[Vectors.writePqFixedIndex]] /
+    * [[Vectors.queryPqFixedIndex]]) — the 32×-less-I/O serving mode the
+    * trained `semLeg="pq"` option exercises, here in exact Long arithmetic
+    * ranked by (adc asc, vec_id asc) so the oracle replays encode, table
+    * lookup, rank, and fusion bit-for-bit. Scale: the scan body is
+    * [[Vectors.PqM]] bytes per vector (vs 512 for the raw doubles) and the
+    * lexical leg is shared with every other indexed form. */
+  val hybridRrfPqFixed: Q = (s, d) => {
+    val idx = Vectors.ensureIndex(s, "pq_fixed", d)(
+      p => Vectors.writePqFixedIndex(s, d, p))
+    val lex = lexLegAtRest(s, d)
+    val sem = probeVecsOf(s, d)
+      .map { case (pid, pv) =>
+        Vectors.queryPqFixedIndex(s, idx, pv,
+          topK = SemTopN, excludeId = Some(pid))
+          .withColumn("query_id", lit(pid))
+      }
+      .reduce(_ unionByName _)
+      .withColumn("r_sem", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("adc"), col("vec_id"))).cast("long"))
+      .where(col("r_sem") <= SemTopN)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("r_sem"))
+    fuseRrf(lex, sem)
+  }
+
   val queries: Map[String, Q] = Map(
     "q_keyword_topk_at_rest" -> keywordTopkAtRest,
     "q_hybrid_rrf"           -> hybridRrf,
     "q_hybrid_rrf_indexed"   -> hybridRrfIndexed,
+    "q_hybrid_rrf_indexed_fixed" -> hybridRrfIndexedFixed,
+    "q_hybrid_rrf_pq_fixed"  -> hybridRrfPqFixed,
   )
+
+  /** Shared lexical-leg CTE fragment of the hybrid oracles (w … lexc):
+    * query-by-example BM25 from the corpus with self-exclusion — replays
+    * both the brute lex leg and [[lexLegAtRest]] (the at-rest leg's df/
+    * avgdl/tf are pruned-postings-derived but value-identical). */
+  private def lexCteSql: String = {
+    val probes = HybridProbes.mkString(", ")
+    s"""w AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+       |qt AS (
+       |  SELECT doc_id AS query_id, unnest(list_distinct(ws)) AS term
+       |  FROM w WHERE doc_id IN ($probes)),
+       |dl AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM w),
+       |st AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+       |t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM t
+       |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY doc_id, term),
+       |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+       |lexsc AS (
+       |  SELECT qt.query_id, tf.doc_id,
+       |    ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+       |      (tf.tf * (1.2 + 1.0)) /
+       |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS contrib
+       |  FROM qt JOIN tf USING (term) JOIN df USING (term)
+       |    JOIN dl USING (doc_id) CROSS JOIN st
+       |  WHERE tf.doc_id <> qt.query_id),
+       |lexg AS (
+       |  SELECT query_id, doc_id, round(sum(contrib), 4) AS bm
+       |  FROM lexsc GROUP BY query_id, doc_id),
+       |lex AS (
+       |  SELECT query_id, doc_id, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY bm DESC, doc_id) AS BIGINT) AS r_lex
+       |  FROM lexg),
+       |lexc AS (SELECT query_id, doc_id, r_lex FROM lex WHERE r_lex <= $LexTopN)""".stripMargin
+  }
+
+  /** Shared RRF fusion tail of the hybrid oracles (expects lexc + semc). */
+  private def rrfTailSql: String =
+    s"""f AS (
+       |  SELECT query_id, doc_id, r_lex, r_sem,
+       |    round(coalesce(1.0 / ($RrfK + r_lex), 0.0)
+       |        + coalesce(1.0 / ($RrfK + r_sem), 0.0), 4) AS rrf_r
+       |  FROM lexc FULL OUTER JOIN semc USING (query_id, doc_id)),
+       |r AS (
+       |  SELECT f.*, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY rrf_r DESC, doc_id) AS BIGINT) AS rnk
+       |  FROM f)
+       |SELECT query_id, rnk, doc_id, rrf_r, r_lex, r_sem
+       |FROM r WHERE rnk <= $HybridK
+       |ORDER BY query_id, rnk""".stripMargin
 
   /** The oracle replays the CONTRACT (BM25 ranking from the corpus), not
     * the index layout — exactly the at-rest screens' oracle discipline:
@@ -449,34 +583,7 @@ object Search {
     },
     "q_hybrid_rrf" -> {
       val probes = HybridProbes.mkString(", ")
-      s"""WITH w AS (
-         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
-         |qt AS (
-         |  SELECT doc_id AS query_id, unnest(list_distinct(ws)) AS term
-         |  FROM w WHERE doc_id IN ($probes)),
-         |dl AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM w),
-         |st AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
-         |t AS (SELECT doc_id, unnest(ws) AS term FROM w),
-         |tf AS (
-         |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM t
-         |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY doc_id, term),
-         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
-         |lexsc AS (
-         |  SELECT qt.query_id, tf.doc_id,
-         |    ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
-         |      (tf.tf * (1.2 + 1.0)) /
-         |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS contrib
-         |  FROM qt JOIN tf USING (term) JOIN df USING (term)
-         |    JOIN dl USING (doc_id) CROSS JOIN st
-         |  WHERE tf.doc_id <> qt.query_id),
-         |lexg AS (
-         |  SELECT query_id, doc_id, round(sum(contrib), 4) AS bm
-         |  FROM lexsc GROUP BY query_id, doc_id),
-         |lex AS (
-         |  SELECT query_id, doc_id, CAST(row_number() OVER (
-         |    PARTITION BY query_id ORDER BY bm DESC, doc_id) AS BIGINT) AS r_lex
-         |  FROM lexg),
-         |lexc AS (SELECT query_id, doc_id, r_lex FROM lex WHERE r_lex <= $LexTopN),
+      s"""WITH $lexCteSql,
          |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |pv AS (SELECT vec_id AS query_id, v AS p FROM e WHERE vec_id IN ($probes)),
          |semsc AS (
@@ -489,18 +596,94 @@ object Search {
          |    PARTITION BY query_id ORDER BY cos_r DESC, doc_id) AS BIGINT) AS r_sem
          |  FROM semsc),
          |semc AS (SELECT query_id, doc_id, r_sem FROM sem WHERE r_sem <= $SemTopN),
-         |f AS (
-         |  SELECT query_id, doc_id, r_lex, r_sem,
-         |    round(coalesce(1.0 / ($RrfK + r_lex), 0.0)
-         |        + coalesce(1.0 / ($RrfK + r_sem), 0.0), 4) AS rrf_r
-         |  FROM lexc FULL OUTER JOIN semc USING (query_id, doc_id)),
-         |r AS (
-         |  SELECT f.*, CAST(row_number() OVER (
-         |    PARTITION BY query_id ORDER BY rrf_r DESC, doc_id) AS BIGINT) AS rnk
-         |  FROM f)
-         |SELECT query_id, rnk, doc_id, rrf_r, r_lex, r_sem
-         |FROM r WHERE rnk <= $HybridK
-         |ORDER BY query_id, rnk""".stripMargin
+         |$rrfTailSql""".stripMargin
+    },
+    // full integer replay of the fixed indexed-hybrid serving path: the
+    // shared lex CTEs + the q_ann_ivf_fixed cell assignment generalized to
+    // the probe set (nProbe=4 pruned cells, exact integer L2 rank) + the
+    // shared RRF fusion tail
+    "q_hybrid_rrf_indexed_fixed" -> {
+      val probes = HybridProbes.mkString(", ")
+      s"""WITH $lexCteSql,
+         |e AS (
+         |  SELECT vec_id, j - 1 AS j,
+         |    CAST(floor(CAST(val AS DOUBLE) * 1000) AS BIGINT) AS q
+         |  FROM (SELECT vec_id, unnest(embedding) AS val,
+         |          generate_subscripts(embedding, 1) AS j FROM embeddings)),
+         |cb AS (
+         |  SELECT c, j,
+         |    CAST((((c*41 + j*13) % 23) - 11) * 10 AS BIGINT) AS v
+         |  FROM (SELECT unnest(range(16)) AS c),
+         |       (SELECT unnest(range(64)) AS j)),
+         |cd2 AS (
+         |  SELECT e.vec_id, cb.c,
+         |    CAST(sum((e.q - cb.v) * (e.q - cb.v)) AS BIGINT) AS d2
+         |  FROM e JOIN cb ON cb.j = e.j
+         |  GROUP BY e.vec_id, cb.c),
+         |assign AS (
+         |  SELECT vec_id, c,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) AS rn
+         |  FROM cd2),
+         |cells AS (SELECT vec_id, c FROM assign WHERE rn = 1),
+         |probecells AS (
+         |  SELECT vec_id AS query_id, c FROM assign
+         |  WHERE vec_id IN ($probes) AND rn <= 4),
+         |pq AS (SELECT vec_id AS query_id, j, q FROM e WHERE vec_id IN ($probes)),
+         |pd AS (
+         |  SELECT pq.query_id, e.vec_id AS doc_id,
+         |    CAST(sum((e.q - pq.q) * (e.q - pq.q)) AS BIGINT) AS d2
+         |  FROM e JOIN pq ON pq.j = e.j
+         |  WHERE e.vec_id <> pq.query_id
+         |  GROUP BY pq.query_id, e.vec_id),
+         |semk AS (
+         |  SELECT pd.query_id, pd.doc_id, pd.d2
+         |  FROM pd JOIN cells ON cells.vec_id = pd.doc_id
+         |  JOIN probecells pc ON pc.query_id = pd.query_id AND pc.c = cells.c),
+         |sem AS (
+         |  SELECT query_id, doc_id, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY d2, doc_id) AS BIGINT) AS r_sem
+         |  FROM semk),
+         |semc AS (SELECT query_id, doc_id, r_sem FROM sem WHERE r_sem <= $SemTopN),
+         |$rrfTailSql""".stripMargin
+    },
+    // the PQ-mode twin: the q_ann_pq_fixed encode/ADC arithmetic
+    // generalized to the probe set, fused through the shared RRF tail
+    "q_hybrid_rrf_pq_fixed" -> {
+      val probes = HybridProbes.mkString(", ")
+      s"""WITH $lexCteSql,
+         |e AS (
+         |  SELECT vec_id, j - 1 AS j,
+         |    CAST(floor(CAST(val AS DOUBLE) * 1000) AS BIGINT) AS q
+         |  FROM (SELECT vec_id, unnest(embedding) AS val,
+         |          generate_subscripts(embedding, 1) AS j FROM embeddings)),
+         |cb AS (
+         |  SELECT m, k, j,
+         |    CAST((((k*37 + m*11 + j*7) % 19) - 9) * 10 AS BIGINT) AS c
+         |  FROM (SELECT unnest(range(8)) AS m),
+         |       (SELECT unnest(range(16)) AS k),
+         |       (SELECT unnest(range(8)) AS j)),
+         |d2 AS (
+         |  SELECT e.vec_id, cb.m, cb.k,
+         |    CAST(sum((e.q - cb.c) * (e.q - cb.c)) AS BIGINT) AS d2
+         |  FROM e JOIN cb ON cb.m = e.j // 8 AND cb.j = e.j % 8
+         |  GROUP BY e.vec_id, cb.m, cb.k),
+         |codes AS (
+         |  SELECT vec_id, m, k,
+         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+         |  FROM d2),
+         |t2 AS (SELECT vec_id AS query_id, m, k, d2 AS tv FROM d2
+         |       WHERE vec_id IN ($probes)),
+         |adc AS (
+         |  SELECT t2.query_id, c.vec_id AS doc_id, CAST(sum(t2.tv) AS BIGINT) AS adc
+         |  FROM codes c JOIN t2 ON t2.m = c.m AND t2.k = c.k
+         |  WHERE c.rn = 1 AND c.vec_id <> t2.query_id
+         |  GROUP BY t2.query_id, c.vec_id),
+         |sem AS (
+         |  SELECT query_id, doc_id, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY adc, doc_id) AS BIGINT) AS r_sem
+         |  FROM adc),
+         |semc AS (SELECT query_id, doc_id, r_sem FROM sem WHERE r_sem <= $SemTopN),
+         |$rrfTailSql""".stripMargin
     },
   )
 }

@@ -771,7 +771,7 @@ object Vectors {
   // is the difference between scanning the corpus and scanning 3 TB.
   // ---------------------------------------------------------------------
 
-  private[operators] val PqM = 8          // subspaces (64-dim → 8×8)
+  private[graft] val PqM = 8              // subspaces (64-dim → 8×8)
   private[operators] val PqK = 16         // sub-centroids per subspace
   private[operators] val PqCand = 50      // ADC candidates refined exactly
 
@@ -986,7 +986,7 @@ object Vectors {
   /** Quantize a vector to the fixed integer grid shared by the
     * fixed-codebook keys: ⌊v·1000⌋ per coordinate (float→double is exact,
     * ×1000 and floor are IEEE-identical across engines). */
-  private def quantizeFixed(v: Array[Double]): Array[Long] = {
+  private[operators] def quantizeFixed(v: Array[Double]): Array[Long] = {
     val q = new Array[Long](v.length)
     var j = 0
     while (j < v.length) { q(j) = math.floor(v(j) * PqFixedScale).toLong; j += 1 }
@@ -1006,7 +1006,7 @@ object Vectors {
   /** Top-`p` fixed cells of a quantized vector by (integer L2 asc, cell
     * asc) — the deterministic assignment shared by [[annIvfFixed]] and
     * [[semanticCellEdgesFixed]]. */
-  private def fixedCellsTopP(q: Array[Long], p: Int): Array[Int] =
+  private[operators] def fixedCellsTopP(q: Array[Long], p: Int): Array[Int] =
     (0 until IvfFixedCells).map(c => (fixedCellD2(q, c), c))
       .sortBy(identity).take(p).map(_._2).toArray
 
@@ -1114,6 +1114,123 @@ object Vectors {
     }
       .toDF("vec_id", "adc")
       .orderBy(col("adc"), col("vec_id")).limit(10)
+  }
+
+  /** Build the PERSISTED fixed-centroid IVF layout — the at-rest twin of
+    * [[annIvfFixed]] (r10 verdict #1's machinery): every vector is
+    * quantized to the exact integer grid (⌊v·1000⌋, [[quantizeFixed]]) and
+    * landed under its nearest pinned [[fixedCellEntry]] cell as a `cell=`
+    * partition dir. Because assignment is pure Long arithmetic (no trained
+    * codebook), the ENTIRE persisted layout is engine-replayable — what
+    * lets the fixed indexed-hybrid key hash-check its at-rest serving path
+    * end to end where the trained [[writeIvfIndex]] family stays rows-only.
+    * Scale shape is identical to the trained layout: one assignment map
+    * over the vectors, a probe reads nProbe/[[IvfFixedCells]] of the data
+    * via directory-level partition pruning. */
+  def writeIvfFixedIndex(s: SparkSession, d: String, outDir: String): Unit = {
+    val spark = s
+    import spark.implicits._
+    Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val q = quantizeFixed(v)
+        (id, q, fixedCellsTopP(q, 1)(0))
+      }
+      .toDF("vec_id", "q", "cell")
+      .write.mode("overwrite").partitionBy("cell").parquet(outDir)
+  }
+
+  /** Query the fixed IVF layout: directory-pruned scan of the probe's
+    * `nProbe` nearest pinned cells (integer L2, tie → lower cell), exact
+    * integer L2 rank by (d2 asc, vec_id asc) — the [[annIvfFixed]]
+    * arithmetic served from the persisted [[writeIvfFixedIndex]] dirs. */
+  def queryIvfFixedIndex(s: SparkSession, indexDir: String, probe: Array[Double],
+      topK: Int, nProbe: Int = 4, excludeId: Option[Long] = None): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val pq = quantizeFixed(probe)
+    val cells = fixedCellsTopP(pq, nProbe).toSeq
+    val bc = spark.sparkContext.broadcast(pq)
+    val scan = spark.read.parquet(indexDir)
+      .where(col("cell").isin(cells.map(Integer.valueOf): _*))
+      .select(col("vec_id"), col("q"))
+      .as[(Long, Array[Long])]
+    excludeId.fold(scan)(id => scan.filter(_._1 != id))
+      .map { case (id, q) =>
+        val p = bc.value
+        var d2 = 0L; var j = 0
+        while (j < q.length) { val dd = q(j) - p(j); d2 += dd * dd; j += 1 }
+        (id, d2)
+      }
+      .toDF("vec_id", "d2")
+      .orderBy(col("d2"), col("vec_id")).limit(topK)
+  }
+
+  /** Build the PERSISTED fixed-codebook PQ codes table — the at-rest twin
+    * of [[annPqFixed]]: each vector encoded per subspace against the pinned
+    * [[fixedCodebookEntry]] codebook (integer L2 argmin, tie → lower k) to
+    * [[PqM]] one-byte codes. The 8-byte-per-vector table is the 32×-less-
+    * I/O scan body of the PQ family, here with NO trained state, so an ADC
+    * probe over it is exact Long arithmetic both engines replay. */
+  def writePqFixedIndex(s: SparkSession, d: String, outDir: String): Unit = {
+    val spark = s
+    import spark.implicits._
+    Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
+      .as[(Long, Array[Double])]
+      .map { case (id, v) =>
+        val q = quantizeFixed(v)
+        val sub = q.length / PqM
+        val codes = new Array[Byte](PqM)
+        var m = 0
+        while (m < PqM) {
+          var bestD = Long.MaxValue; var bestK = 0; var k = 0
+          while (k < PqK) {
+            var d2 = 0L; var j = 0
+            while (j < sub) {
+              val dd = q(m * sub + j) - fixedCodebookEntry(m, k, j)
+              d2 += dd * dd; j += 1
+            }
+            if (d2 < bestD) { bestD = d2; bestK = k }
+            k += 1
+          }
+          codes(m) = bestK.toByte
+          m += 1
+        }
+        (id, codes)
+      }
+      .toDF("vec_id", "codes")
+      .write.mode("overwrite").parquet(s"$outDir/codes")
+  }
+
+  /** ADC probe over the persisted fixed-codebook codes table: the probe's
+    * integer lookup tables t(m)(k) = Σ_j (q_j − c_{m,k,j})² broadcast to a
+    * scan of the 8-byte codes rows, ranked by (adc asc, vec_id asc) — the
+    * [[annPqFixed]] serving arithmetic reading at-rest state. */
+  def queryPqFixedIndex(s: SparkSession, indexDir: String, probe: Array[Double],
+      topK: Int, excludeId: Option[Long] = None): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val pq = quantizeFixed(probe)
+    val sub = pq.length / PqM
+    val tables = Array.tabulate(PqM, PqK) { (m, k) =>
+      var t = 0L; var j = 0
+      while (j < sub) {
+        val dd = pq(m * sub + j) - fixedCodebookEntry(m, k, j)
+        t += dd * dd; j += 1
+      }
+      t
+    }
+    val bc = spark.sparkContext.broadcast(tables)
+    val codes = spark.read.parquet(s"$indexDir/codes").as[(Long, Array[Byte])]
+    excludeId.fold(codes)(id => codes.filter(_._1 != id))
+      .map { case (id, cs) =>
+        val t = bc.value
+        var adc = 0L; var m = 0
+        while (m < cs.length) { adc += t(m)(cs(m) & 0xff); m += 1 }
+        (id, adc)
+      }
+      .toDF("vec_id", "adc")
+      .orderBy(col("adc"), col("vec_id")).limit(topK)
   }
 
   /** Topic-mix report — the embedding-space sibling of the source-mix /

@@ -208,6 +208,56 @@ class SearchSpec extends AnyFunSuite {
     assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("fixed indexed hybrid: sem leg cell-pruned at rest, no corpus scan, deterministic") {
+    val df = Search.hybridRrfIndexedFixed(spark, sf)
+    val got = df.collect()
+    // both legs come off persisted layouts: postings prune on tb=, the
+    // fixed-IVF vectors prune on cell= (directory-level)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*tb".r.findFirstIn(plan).isDefined,
+      "lexical leg not pruned to term buckets")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      "semantic leg not pruned to probed fixed cells")
+    assert(!plan.contains("documents.parquet") && !plan.contains("embeddings.parquet"),
+      "fixed indexed mode still scans the corpus")
+    // fused contract shape: dense ranks, non-increasing rrf within a query
+    Search.HybridProbes.foreach { qid =>
+      val rows = got.filter(_.getLong(0) == qid)
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (1L to Search.HybridK.toLong))
+      val byRank = rows.sortBy(_.getLong(1)).map(_.getDouble(3))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b }, s"query $qid order")
+      assert(!rows.exists(_.getLong(2) == qid), s"query $qid includes itself")
+    }
+    val again = Search.hybridRrfIndexedFixed(spark, sf).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
+  test("fixed PQ hybrid: sem leg is an 8-byte-codes ADC scan, deterministic, lex leg shared") {
+    val df = Search.hybridRrfPqFixed(spark, sf)
+    val got = df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("documents.parquet") && !plan.contains("embeddings.parquet"),
+      "fixed PQ mode still scans the corpus")
+    // the persisted codes table really is PqM bytes per vector
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val codesDir = s"$wh/graft_index/pq_fixed_" + sf.replaceAll("[^A-Za-z0-9._-]", "_")
+    val codes = spark.read.parquet(s"$codesDir/codes")
+    import spark.implicits._
+    val lens = codes.select(length(col("codes"))).distinct().as[Int].collect().toSeq
+    assert(lens == Seq(graft.operators.Vectors.PqM),
+      s"codes rows are $lens bytes, expected ${graft.operators.Vectors.PqM}")
+    // the lexical ranks agree with the IVF-mode fixed key (shared leg)
+    val ivf = Search.hybridRrfIndexedFixed(spark, sf).collect()
+    def lexRanks(rows: Array[org.apache.spark.sql.Row]) =
+      rows.flatMap(r => Option(r.get(4)).map(v => ((r.getLong(0), r.getLong(2)), v)))
+        .toMap
+    val shared = lexRanks(got).keySet.intersect(lexRanks(ivf).keySet)
+    assert(shared.nonEmpty)
+    shared.foreach(k => assert(lexRanks(got)(k) == lexRanks(ivf)(k), s"lex rank differs at $k"))
+    val again = Search.hybridRrfPqFixed(spark, sf).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("probe is rerun-deterministic and ranks are dense 1..k per query") {
     val got = Search.keywordTopkAtRest(spark, sf).collect()
     val again = Search.keywordTopkAtRest(spark, sf).collect()

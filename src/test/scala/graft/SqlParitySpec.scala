@@ -131,6 +131,12 @@ class SqlParitySpec extends AnyFunSuite {
         " + VALUES CTE — Spark form is the pruned index probe"),
       "q_curriculum_order" -> ("quality-score q4 CTE — " + listDialect),
       "q_hybrid_rrf" -> (listDialect + "; " + vecDialect),
+      "q_hybrid_rrf_indexed_fixed" -> (listDialect +
+        " + unnest(range) centroid cross join + row_number argmin — the " +
+        "q_ann_ivf_fixed sem leg generalized to the probe set + RRF tail"),
+      "q_hybrid_rrf_pq_fixed" -> (listDialect +
+        " + unnest(range) codebook cross join + // integer division + " +
+        "row_number argmin — the q_ann_pq_fixed ADC leg + RRF tail"),
       "q_ann_ivf_fixed" -> ("unnest(range) centroid cross join + " +
         "row_number argmin/probe ranking"),
       "q_ann_ivfpq_fixed" -> ("unnest(range) centroid/codebook cross joins + " +
