@@ -173,8 +173,13 @@ object RefOps {
       .orderBy(col("user_id"))
 
   /** R17–R22 fused as the typed [[graft.functions.SeriesEncodeStats]]
-    * Aggregator on events-as-proxy series (non-oracle: binary payload;
-    * verified by the round-trip bound in the output + property tests). */
+    * Aggregator on events-as-proxy series. ORACLE-CHECKED since r11 (r10
+    * verdict #2 family): the hashed columns are the zlib-FREE half of the
+    * encode chain — offset/scale stats and the decoded round-trip error,
+    * all order-independent quantize arithmetic DuckDB replays directly over
+    * `events` — while the Aggregator still deflates/inflates the real
+    * payload (maxErr is computed from the INFLATED bytes, so a corrupted
+    * zlib round trip cannot hash-pass). */
   val refBlobEncode: Q = (s, d) => {
     val spark = s
     import spark.implicits._
@@ -190,8 +195,9 @@ object RefOps {
       .agg(graft.functions.SeriesEncodeStats.toColumn.name("enc"))
       .toDF("user_id", "enc")
       .select(col("user_id"), col("enc.n").as("n"),
-        col("enc.payloadLen").as("payload_len"), col("enc.crc").as("crc"),
-        col("enc.maxErr").as("max_err"),
+        round(col("enc.offset"), 12).as("offset_r"),
+        round(col("enc.scale"), 12).as("scale_r"),
+        round(col("enc.maxErr"), 6).as("max_err_r"),
         (col("enc.maxErr") <= col("enc.scale") / 255.0 + lit(1e-12)).as("within_bound"))
       .orderBy(col("user_id"))
   }
@@ -214,12 +220,21 @@ object RefOps {
       .orderBy(col("force"), col("step"))
   }
 
-  /** E1 end-to-end: full SGT build on the fixture (non-oracle; golden test
-    * asserts the quantization bound). */
+  /** E1 end-to-end: full SGT build on the fixture. ORACLE-CHECKED since
+    * r11 (r10 verdict #2): the oracle is a VALUES relation from an
+    * independent driver-side replay — generator truth → deviatoric encode →
+    * float32 reconstruction → 27-subsample + monotone dedup → series order →
+    * quantize/dequantize stats ([[graft.sources.SeisFixture.sgtSeriesReplay]]
+    * chain) — so a hash match certifies the ENTIRE pipeline: Fortran
+    * framing, tensor math, the dedup scan order, the gather join, and the
+    * encode arithmetic. zlib bytes stay out of the contract (PipelineSpec
+    * still drives the real deflate/inflate through maxErr). */
   val refSgtPipeline: Q = (s, _) =>
     graft.sources.SeisPipeline.sgtPipeline(s, graft.sources.SeisFixture.ensure())
 
-  /** E2 end-to-end: DGF build on the fixture. */
+  /** E2 end-to-end: DGF build on the fixture — oracle-checked by the same
+    * replay discipline as [[refSgtPipeline]] (comp-major series order,
+    * `DDGF.py:128-132`). */
   val refDgfPipeline: Q = (s, _) =>
     graft.sources.SeisPipeline.dgfPipeline(s, graft.sources.SeisFixture.ensure())
 
@@ -242,21 +257,26 @@ object RefOps {
     * database, read it back through the consumer API ([[graft.sources
     * .SeisPipeline.readSgtDb]]), and report per-point decode stats — sample
     * count, the `step × dt` derived time span the stored `dt` enables, and
-    * whether every decoded sample is inside the uint16 quantization bound.
-    * Non-oracle (zlib payloads are engine-specific; SinkSpec pins the
-    * value-level round trip). */
+    * two POSITIONAL decoded samples (the first sample and the
+    * (force=1, param=3, step=50) one), which pin the blob's (major, minor,
+    * step) decomposition as well as the dequantize arithmetic.
+    * ORACLE-CHECKED since r11 (r10 verdict #2): a generator-replay VALUES
+    * relation through quantize→dequantize at 16 bits — zlib bytes stay out
+    * of the contract but a corrupted inflate could not reproduce the
+    * decoded samples. */
   val refDbRoundtrip: Q = (s, _) => {
     val dir = graft.sources.SeisFixture.ensure()
     val out = graft.sources.SeisFixture.defaultDir + "_dbrt"
     graft.sources.SeisPipeline.createSgtDb(s, dir, out, "CI", "RT", bits = 16)
-    val blobs = s.read.parquet(out).select(col("gll"), col("scale"))
     graft.sources.SeisPipeline.readSgtDb(s, out)
-      .join(blobs, Seq("gll"))
       .groupBy(col("gll"))
       .agg(count(lit(1)).as("n_samples"),
-        round(max(col("t_sec")), 4).as("t_max"),
+        round(max(col("t_sec")), 4).as("t_max_r"),
         max(col("step")).cast("long").as("step_max"),
-        (max(abs(col("value"))) <= max(col("scale")) + abs(min(col("value")))).as("sane"))
+        round(sum(when(col("force") === 0 && col("param") === 0 &&
+          col("step") === 0, col("value"))) * 1e7, 4).as("v_first_r"),
+        round(sum(when(col("force") === 1 && col("param") === 3 &&
+          col("step") === 50, col("value"))) * 1e7, 4).as("v_mid_r"))
       .orderBy(col("gll"))
   }
 
@@ -423,6 +443,94 @@ object RefOps {
          |FROM (VALUES ${rows.mkString(", ")}) AS t(force, step, n_values, sum_scaled)
          |ORDER BY force, step""".stripMargin
     },
+    "ref_sgt_pipeline" -> {
+      // independent replay: generator truth → float32 reconstruction →
+      // 27-subsample + monotone dedup → (force, param, step) series order →
+      // 8-bit quantize/dequantize stats; Spark's round replicated via
+      // BigDecimal.valueOf HALF_UP (the ref_fortran_scan discipline)
+      import graft.sources.SeisFixture
+      def r12(x: Double): Double =
+        BigDecimal.decimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val rows = SeisFixture.keptIndexReplay().sortBy(_._3).map { case (spec, p, g) =>
+        val vals = SeisFixture.sgtSeriesReplay(spec, p)
+        val (o, sc, me, _) = SeisFixture.encodeRoundtripReplay(vals, 8)
+        val wb = me <= sc / 255.0 + 1e-12
+        s"($g, ${vals.length}, ${r12(o)}, ${r12(sc)}, ${r12(me)}, $wb)"
+      }
+      s"""SELECT CAST(gll AS BIGINT) AS gll, CAST(n AS INT) AS n,
+         |  CAST(offset_r AS DOUBLE) AS offset_r, CAST(scale_r AS DOUBLE) AS scale_r,
+         |  CAST(max_err_r AS DOUBLE) AS max_err_r,
+         |  CAST(within_bound AS BOOLEAN) AS within_bound
+         |FROM (VALUES ${rows.mkString(", ")})
+         |  AS t(gll, n, offset_r, scale_r, max_err_r, within_bound)
+         |ORDER BY gll""".stripMargin
+    },
+    "ref_dgf_pipeline" -> {
+      // same replay discipline, comp-major series order (DDGF.py:128-132);
+      // retained points are the distinct kept glls of the subsample replay
+      import graft.sources.SeisFixture
+      def r12(x: Double): Double =
+        BigDecimal.decimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val rows = SeisFixture.keptIndexReplay().map(_._3).distinct.sorted.map { g =>
+        val vals = SeisFixture.dgfSeriesReplay(g)
+        val (o, sc, me, _) = SeisFixture.encodeRoundtripReplay(vals, 8)
+        val wb = me <= sc / 255.0 + 1e-12
+        s"($g, ${vals.length}, ${r12(o)}, ${r12(sc)}, ${r12(me)}, $wb)"
+      }
+      s"""SELECT CAST(gll AS BIGINT) AS gll, CAST(n AS INT) AS n,
+         |  CAST(offset_r AS DOUBLE) AS offset_r, CAST(scale_r AS DOUBLE) AS scale_r,
+         |  CAST(max_err_r AS DOUBLE) AS max_err_r,
+         |  CAST(within_bound AS BOOLEAN) AS within_bound
+         |FROM (VALUES ${rows.mkString(", ")})
+         |  AS t(gll, n, offset_r, scale_r, max_err_r, within_bound)
+         |ORDER BY gll""".stripMargin
+    },
+    "ref_db_roundtrip" -> {
+      // generator replay through the 16-bit quantize→dequantize: positional
+      // decoded samples pin the (major, minor, step) blob decomposition;
+      // t_max = max(step)·dt in the same double arithmetic as the reader
+      import graft.sources.SeisFixture
+      def r4(x: Double): Double =
+        BigDecimal.decimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      val nStep = SeisFixture.Steps.length
+      val stepMax = SeisFixture.Steps.max
+      val tMax = r4(stepMax.toLong * SeisFixture.Dt)
+      // series index of (force=1, param=3, step=50): force·(6·nStep) +
+      // param·nStep + indexOf(step)
+      val iMid = 1 * (6 * nStep) + 3 * nStep + SeisFixture.Steps.indexOf(50)
+      val rows = SeisFixture.keptIndexReplay().sortBy(_._3).map { case (spec, p, g) =>
+        val vals = SeisFixture.sgtSeriesReplay(spec, p)
+        val (_, _, _, deq) = SeisFixture.encodeRoundtripReplay(vals, 16)
+        s"($g, ${vals.length}, $stepMax, $tMax, ${r4(deq(0) * 1e7)}, ${r4(deq(iMid) * 1e7)})"
+      }
+      s"""SELECT CAST(gll AS BIGINT) AS gll, CAST(n_samples AS BIGINT) AS n_samples,
+         |  CAST(t_max_r AS DOUBLE) AS t_max_r, CAST(step_max AS BIGINT) AS step_max,
+         |  CAST(v_first_r AS DOUBLE) AS v_first_r, CAST(v_mid_r AS DOUBLE) AS v_mid_r
+         |FROM (VALUES ${rows.mkString(", ")})
+         |  AS t(gll, n_samples, step_max, t_max_r, v_first_r, v_mid_r)
+         |ORDER BY gll""".stripMargin
+    },
+    // the zlib-free half of the encode chain replays directly over events:
+    // offset/scale window stats + truncating quantize/dequantize error —
+    // the ref_quantize_roundtrip arithmetic with the blob key's rounding
+    "ref_blob_encode" ->
+      """WITH x AS (
+        |  SELECT user_id, value,
+        |    min(value) OVER (PARTITION BY user_id) AS o,
+        |    max(value) OVER (PARTITION BY user_id) - min(value) OVER (PARTITION BY user_id) AS s
+        |  FROM events),
+        |q AS (
+        |  SELECT user_id, value, o, s,
+        |    CASE WHEN s = 0.0 THEN 0
+        |         ELSE CAST(floor((value - o) / s * 255.0) AS BIGINT) END AS code
+        |  FROM x),
+        |e AS (
+        |  SELECT user_id, o, s, abs(value - (code / 255.0 * s + o)) AS err FROM q)
+        |SELECT user_id, CAST(count(*) AS INT) AS n,
+        |  round(min(o), 12) AS offset_r, round(max(s), 12) AS scale_r,
+        |  round(max(err), 6) AS max_err_r,
+        |  (max(err) <= max(s) / 255.0 + 1e-12) AS within_bound
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin,
     "ref_valid_steps" -> {
       // deterministic fixture state: SeisFixture.Steps lands in all 3 force
       // dirs, and the query's [0,101) stride-10 range covers exactly them

@@ -196,4 +196,83 @@ object SeisFixture {
   /** Default on-disk location (inside the repo workspace, never /root/testdata). */
   val defaultDir = "/root/repo/target/seis_fixture"
   def ensure(): String = { generate(defaultDir); defaultDir }
+
+  // -------------------------------------------------------------------
+  // Driver-side ORACLE REPLAYS (r10 verdict #2 — the ref_fortran_scan
+  // discipline extended through the whole encode chain): each helper
+  // re-derives pipeline truth INDEPENDENTLY from the fixture constants so
+  // the DuckDB oracle can materialize the expected rows as a VALUES
+  // relation and hash-certify the Spark pipeline end to end. zlib stays
+  // out of the contract — the replay computes post-inflate decoded values
+  // (quantize→dequantize is exact integer+float arithmetic).
+  // -------------------------------------------------------------------
+
+  /** Replay of the 27-subsample + monotone first-occurrence dedup
+    * (`ibool_reader.py:133-173` semantics): kept (spec, p, gll0) rows in
+    * scan order — spec-major, then position within [[Index27]], keeping a
+    * row only when its 0-based gll strictly exceeds the running max. */
+  def keptIndexReplay(): Seq[(Int, Int, Long)] = {
+    val ids = iboolIds()
+    val out = Seq.newBuilder[(Int, Int, Long)]
+    var max = Long.MinValue
+    for (spec <- 0 until NSPEC; p <- Index27) {
+      val g = (ids(spec * NGLL_LOCAL + p) - 1).toLong
+      if (g > max) { max = g; out += ((spec, p, g)) }
+    }
+    out.result()
+  }
+
+  /** Replay of one retained point's SGT series in the encoder's
+    * (force, param, step) order: generator truth → deviatoric encoding →
+    * the reader's float32 reconstruction (`strainfield_reader.py:48-59`),
+    * widened to double exactly as the scan emits it. */
+  def sgtSeriesReplay(spec: Int, p: Int): Array[Double] = {
+    val pt = spec * NGLL_LOCAL + p
+    val out = Array.newBuilder[Double]
+    for (fi <- 0 until 3; param <- 0 until 6; step <- Steps) {
+      val phase = fi * 100000
+      def tr(pr: Int): Float = strainTruth(pr, pt + phase, step)
+      val xx0 = tr(0); val yy0 = tr(1); val zz0 = tr(2)
+      val t = xx0 + yy0 + zz0
+      val xxD = xx0 - t / 3f; val yyD = yy0 - t / 3f
+      val xx = xxD + t / 3f; val yy = yyD + t / 3f
+      val zz = t - xx - yy
+      val v: Float = param match {
+        case 0 => xx; case 1 => yy; case 2 => zz
+        case 3 => tr(3); case 4 => tr(4); case 5 => tr(5)
+      }
+      out += v.toDouble
+    }
+    out.result()
+  }
+
+  /** Replay of one retained point's DGF series in the encoder's comp-major
+    * (comp, force, step) order (`DDGF.py:128-132`). */
+  def dgfSeriesReplay(g: Long): Array[Double] = {
+    val out = Array.newBuilder[Double]
+    for (c <- 0 until 3; fi <- 0 until 3; step <- Steps)
+      out += dispTruth(c + fi * 3, g.toInt, step).toDouble
+    out.result()
+  }
+
+  /** Replay of the truncating quantize→dequantize round trip at encoding
+    * level `bits` ([[graft.functions.Codec]] arithmetic verbatim):
+    * (offset, scale, maxErr, decoded values). */
+  def encodeRoundtripReplay(vals: Array[Double], bits: Int)
+      : (Double, Double, Double, Array[Double]) = {
+    val offset = if (vals.isEmpty) 0.0 else vals.min
+    val scale = if (vals.isEmpty) 0.0 else vals.max - offset
+    val maxCode = (1 << bits) - 1
+    val maxCodeD = maxCode.toDouble
+    var maxErr = 0.0
+    val deq = vals.map { v =>
+      val norm = if (scale == 0.0) 0.0 else (v - offset) / scale
+      val code = (norm * maxCode).toInt
+      val d = code / maxCodeD * scale + offset
+      val e = math.abs(v - d)
+      if (e > maxErr) maxErr = e
+      d
+    }
+    (offset, scale, maxErr, deq)
+  }
 }

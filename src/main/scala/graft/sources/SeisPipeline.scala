@@ -125,12 +125,15 @@ object SeisPipeline {
     gathered.groupByKey(_.gll)
       .agg(SeriesEncodeStats.toColumn.name("enc"))
       .toDF("gll", "enc")
+      // the hashed contract is zlib-FREE (r10 verdict #2): offset/scale and
+      // the decoded round-trip error are deterministic quantize arithmetic
+      // the oracle replays; payload bytes/crc stay an implementation detail
+      // (the zlib round trip is still exercised — maxErr is computed from
+      // the inflated payload, so a mangled byte stream would blow it)
       .select(col("gll"), col("enc.n").as("n"),
-        round(col("enc.offset"), 12).as("offset"),
-        round(col("enc.scale"), 12).as("scale"),
-        col("enc.payloadLen").as("payload_len"),
-        col("enc.crc").as("crc"),
-        col("enc.maxErr").as("max_err"),
+        round(col("enc.offset"), 12).as("offset_r"),
+        round(col("enc.scale"), 12).as("scale_r"),
+        round(col("enc.maxErr"), 12).as("max_err_r"),
         (col("enc.maxErr") <= col("enc.scale") / 255.0 + lit(1e-12)).as("within_bound"))
       .orderBy(col("gll"))
   }
@@ -402,8 +405,11 @@ object SeisPipeline {
     gathered.groupByKey(_.gll)
       .agg(SeriesEncodeStats.toColumn.name("enc"))
       .toDF("gll", "enc")
-      .select(col("gll"), col("enc.n").as("n"), col("enc.payloadLen").as("payload_len"),
-        col("enc.maxErr").as("max_err"),
+      // zlib-free hashed contract, like [[sgtPipeline]] (r10 verdict #2)
+      .select(col("gll"), col("enc.n").as("n"),
+        round(col("enc.offset"), 12).as("offset_r"),
+        round(col("enc.scale"), 12).as("scale_r"),
+        round(col("enc.maxErr"), 12).as("max_err_r"),
         (col("enc.maxErr") <= col("enc.scale") / 255.0 + lit(1e-12)).as("within_bound"))
       .orderBy(col("gll"))
   }

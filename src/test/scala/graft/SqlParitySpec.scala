@@ -52,6 +52,7 @@ class SqlParitySpec extends AnyFunSuite {
     "ref_header_stats", "ref_tensor_reconstruct",
     // deterministic-fixture VALUES relations — inline tables parse on both
     "ref_valid_steps", "ref_element_lookup", "ref_fortran_scan",
+    "ref_sgt_pipeline", "ref_dgf_pipeline", "ref_db_roundtrip",
     // exact counts + the pinned TRUE bound — no dialect at all
     "ref_approx_distinct")
 
@@ -190,6 +191,9 @@ class SqlParitySpec extends AnyFunSuite {
       "ref_quantize_roundtrip" -> ("float32 promotion: Spark SQL evaluates " +
         "(value-o)/s in FLOAT before widening, DuckDB and the DataFrame " +
         "kernel promote to DOUBLE — codes differ by one ulp at bin edges"),
+      "ref_blob_encode" -> ("same float32-promotion gap as " +
+        "ref_quantize_roundtrip (identical quantize arithmetic, blob-key " +
+        "rounding)"),
     )
   }
 
