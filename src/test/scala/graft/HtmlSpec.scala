@@ -28,6 +28,64 @@ class HtmlSpec extends AnyFunSuite {
     }
   }
 
+  test("adversarial round trip: unclosed/uppercase/commented/nested markup restores the words") {
+    for (p <- payloads) {
+      val words = p.trim.split("\\s+").filter(_.nonEmpty)
+      val (title, nWords, kept, dropped, clean) = Html.extract(Html.messyHtmlOf(p))
+      assert(clean == words.mkString(" "), s"payload '$p'")
+      assert(title == words.take(3).mkString(" "))
+      assert(nWords == words.length.toLong)
+      assert(kept == (words.length + 9) / 10)
+      assert(dropped == 4L, "3 nav <li> items + the footer table row")
+    }
+  }
+
+  test("unclosed <p> blocks are implicitly closed by the next block tag") {
+    val html = "<html><body><p>first block words<p>second block words" +
+      "<footer><a href=\"/x\">x</a></footer></body></html>"
+    val (_, _, kept, dropped, clean) = Html.extract(html)
+    assert(kept == 2L && dropped == 1L)
+    assert(clean == "first block words second block words")
+  }
+
+  test("comments and CDATA never leak decoy markup or text") {
+    val html = "<html><body><!-- <p>decoy</p> --><p>real <!-- inline note --> words</p>" +
+      "<![CDATA[<p>cdata decoy</p>]]></body></html>"
+    val (_, n, kept, dropped, clean) = Html.extract(html)
+    assert(kept == 1L && dropped == 0L)
+    assert(clean == "real words", s"got '$clean'")
+    assert(n == 2L)
+  }
+
+  test("attribute clutter, shuffled attr order, and uppercase tags parse") {
+    val html = "<html><body><P CLASS=\"a\" data-x=\"1\">keep " +
+      "<A rel=\"nofollow\" href=\"/w\">tiny</A> link words here now ok</P></body></html>"
+    val (_, _, kept, dropped, clean) = Html.extract(html)
+    assert(kept == 1L && dropped == 0L)
+    assert(clean == "keep tiny link words here now ok")
+  }
+
+  test("nested list nav and table footer classify per innermost block") {
+    val html = "<html><body><ul><li><a href=\"/\">home</a><li><a href=\"/a\">archive</a></ul>" +
+      "<p>content words live here</p>" +
+      "<footer><table><tr><td><a href=\"/t\">tos</a></td></tr></table></footer></body></html>"
+    val (_, _, kept, dropped, clean) = Html.extract(html)
+    assert(kept == 1L && dropped == 3L, "2 li blocks + 1 tr block dropped")
+    assert(clean == "content words live here")
+  }
+
+  test("link schedule is bounded: a URL-sized token never sinks a content block") {
+    // 9 one-char words + one very long word at index 4: an unbounded
+    // schedule would link it and exceed 50% of the block's characters
+    val long = "x" * 400
+    val p = s"a b c d $long f g h i"
+    val (_, nWords, kept, dropped, clean) = Html.extract(Html.htmlOf(p))
+    assert(clean == p, "content block must survive")
+    assert(kept == 1L && dropped == 2L && nWords == 9L)
+    val (_, nw2, k2, d2, c2) = Html.extract(Html.messyHtmlOf(p))
+    assert(c2 == p && k2 == 1L && d2 == 4L && nw2 == 9L)
+  }
+
   test("boilerplate falls to link density, not tag identity") {
     // a <p> that is pure links must drop; a <nav> that is mostly prose must survive
     val html = "<html><head><title>t</title></head><body>" +
@@ -64,7 +122,8 @@ class HtmlSpec extends AnyFunSuite {
       val words = docs(r.getLong(0)).trim.split("\\s+").filter(_.nonEmpty)
       assert(r.getString(1) == words.take(3).mkString(" "), s"title of ${r.getLong(0)}")
       assert(r.getLong(2) == words.length.toLong)
-      assert(r.getLong(4) == 2L)
+      assert(r.getLong(4) == (if (r.getLong(0) % 3 == 1) 4L else 2L),
+        s"boilerplate count of ${r.getLong(0)}")
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(words.mkString(" ").getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
