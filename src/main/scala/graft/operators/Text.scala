@@ -1245,15 +1245,16 @@ object Text {
     * (Θ(dup spans/doc) longs — document text never shuffles), and the
     * rebuild is a stateless typed map re-tokenizing locally and masking
     * start..start+K−1. */
-  /** Per-(doc, start, shingle) span stream — the shared expander under the
-    * scrub key and the twin's offline dup-shingle trainer. */
-  private def spanRows(s: SparkSession, d: String) = {
-    val spark = s
+  /** Per-(doc, start, shingle) span stream at shingle width `k` — the
+    * shared expander under the scrub keys and the twin's offline
+    * dup-shingle trainer. `docs` needs (doc_id, text). */
+  private def spanRowsOn(docs: DataFrame, k: Int) = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    Tables.documents(s, d)
+    docs
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .flatMap { case (id, text) =>
-        graft.functions.Tok.shingles(tokenize(text), SpanK).zipWithIndex
+        graft.functions.Tok.shingles(tokenize(text), k).zipWithIndex
           .map { case (sh, i) => (id, i.toLong, sh) }
       }
       .toDF("doc_id", "i", "sh")
@@ -1263,18 +1264,19 @@ object Text {
     * ONE definition under the batch scrub and the streaming twin's
     * broadcast model ([[graft.streaming.Streams.spanScrubStream]]). */
   private[graft] def dupShingles(s: SparkSession, d: String): DataFrame =
-    spanRows(s, d).groupBy(col("sh")).agg(count(lit(1)).as("c"))
+    spanRowsOn(Tables.documents(s, d), SpanK)
+      .groupBy(col("sh")).agg(count(lit(1)).as("c"))
       .where(col("c") > 1).select(col("sh"))
 
-  /** Mask `starts..starts+K−1` and rebuild the single-space token stream —
+  /** Mask `starts..starts+k−1` and rebuild the single-space token stream —
     * the one scrub kernel under the batch typed map and the streaming
     * twin. Returns (n_tokens, n_removed, scrubbed text). */
   private[graft] def rebuildScrubbed(
-      ts: Array[String], starts: Iterator[Long]): (Long, Long, String) = {
+      ts: Array[String], starts: Iterator[Long], k: Int = SpanK): (Long, Long, String) = {
     val covered = new Array[Boolean](ts.length)
     starts.foreach { s0 =>
       var j = s0.toInt
-      val end = math.min(ts.length, s0.toInt + SpanK)
+      val end = math.min(ts.length, s0.toInt + k)
       while (j < end) { covered(j) = true; j += 1 }
     }
     val kept = new StringBuilder
@@ -1290,19 +1292,27 @@ object Text {
     (ts.length.toLong, ts.length.toLong - n, kept.toString)
   }
 
-  val spanScrub: Q = (s, d) => {
-    val spark = s
+  /** The scrub pipeline over an arbitrary (doc_id, text) relation at
+    * shingle width `k` — factored so the L-ladder keys and the planted-span
+    * spec share one kernel. Same plan at any k: Θ(tokens) shingle stream,
+    * one keyed dup aggregate, start-offset lists back to the doc, stateless
+    * rebuild map. */
+  private[graft] def spanScrubOn(docs: DataFrame, k: Int): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    val starts = spanRows(s, d).join(dupShingles(s, d), Seq("sh"), "left_semi")
+    val rows = spanRowsOn(docs, k)
+    val dups = rows.groupBy(col("sh")).agg(count(lit(1)).as("c"))
+      .where(col("c") > 1).select(col("sh"))
+    val starts = rows.join(dups, Seq("sh"), "left_semi")
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("i"))).as("starts"))
-    Tables.documents(s, d)
+    docs
       .join(starts, Seq("doc_id"), "left")
       .select(col("doc_id"), col("text"),
         coalesce(col("starts"), array().cast("array<long>")).as("starts"))
       .as[(Long, String, Seq[Long])]
       .map { case (id, text, st) =>
-        val (nTok, nRem, scrub) = rebuildScrubbed(tokenize(text), st.iterator)
+        val (nTok, nRem, scrub) = rebuildScrubbed(tokenize(text), st.iterator, k)
         (id, nTok, nRem, scrub)
       }
       .toDF("doc_id", "n_tokens", "n_removed", "scrub")
@@ -1310,6 +1320,21 @@ object Text {
         md5(col("scrub")).as("scrub_md5"))
       .orderBy(col("doc_id"))
   }
+
+  val spanScrub: Q = (s, d) => spanScrubOn(Tables.documents(s, d), SpanK)
+
+  /** Long-span width of the dedup ladder — Lee et al. (ACL 2022) dedups
+    * arbitrary ≥L-token duplicated spans; a duplicated span of length
+    * S ≥ L is exactly the set of positions covered by its S−L+1 duplicated
+    * L-shingles, so the [[spanScrubOn]] kernel at width L IS the ≥L-token
+    * span semantics. L=20 catches long boilerplate (licence headers,
+    * templated footers) that the [[SpanK]]=5 key fragment-matches — and,
+    * conversely, leaves short incidental 5-token echoes alone (precision:
+    * common phrases are not boilerplate). */
+  val SpanL = 20
+
+  /** The ≥[[SpanL]]-token member of the span-dedup ladder (r10 verdict #5). */
+  val spanScrubL20: Q = (s, d) => spanScrubOn(Tables.documents(s, d), SpanL)
 
   /** Hash-split fractions (cumulative: train < 0.8 ≤ val < 0.9 ≤ test) —
     * shared with the oracle. */
@@ -1541,6 +1566,46 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** The SAMPLED-CUTPOINT twin of [[perplexityBuckets]] — CCNet's actual
+    * production shape (r10 verdict #6): perplexity cutpoints are estimated
+    * ONCE from a deterministic hash-sample (`doc_id % 10 < 3`) per
+    * language — cut1/cut2 = the sample's tercile-boundary scores (ranks
+    * ⌈n/3⌉ and ⌈2n/3⌉ on (rounded score desc, doc_id)) — and every document
+    * then buckets by a STATELESS threshold map (score ≥ cut1 → head,
+    * ≥ cut2 → middle, else tail; a language absent from the sample defaults
+    * to head).
+    *
+    * Scale: this is why CCNet ships it — the exact form ranks EVERY
+    * document through a per-language window (a low-cardinality shuffle
+    * funnel at 100 TB), while here the window runs over the sample only
+    * (fixed-size in production) and assignment is a broadcast map-side
+    * join: no corpus-wide rank at any scale. The cutpoints are rounded
+    * scores, so the whole chain replays on any engine. */
+  val perplexityBucketsSampled: Q = (s, d) => {
+    val lm = lmScore(s, d).select(col("doc_id"), col("mean_lnp_r"))
+    val scored = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .join(lm, Seq("doc_id"))
+    val sample = scored.where(col("doc_id") % 10 < 3)
+    val ranked = sample
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("mean_lnp_r").desc, col("doc_id"))))
+      .withColumn("n_s", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    val cuts = ranked
+      .where(col("rn") === expr("(n_s + 2) DIV 3") ||
+        col("rn") === expr("(2 * n_s + 2) DIV 3"))
+      .groupBy(col("lang"))
+      .agg(
+        max(when(col("rn") === expr("(n_s + 2) DIV 3"), col("mean_lnp_r"))).as("cut1"),
+        max(when(col("rn") === expr("(2 * n_s + 2) DIV 3"), col("mean_lnp_r"))).as("cut2"))
+    scored.join(broadcast(cuts), Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), col("mean_lnp_r"),
+        when(col("cut1").isNull || col("mean_lnp_r") >= col("cut1"), "head")
+          .when(col("mean_lnp_r") >= col("cut2"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Temperature exponent for [[temperatureMix]] — the standard τ ≈ 0.7
     * multilingual/multi-source flattening (T5, XLM-R recipes). */
   val TemperatureTau = 0.7
@@ -1617,11 +1682,13 @@ object Text {
     "q_etld_gate" -> etldGate,
     "q_substring_dedup" -> substringDedup,
     "q_span_scrub"      -> spanScrub,
+    "q_span_scrub_l20"  -> spanScrubL20,
     "q_stratified_split" -> stratifiedSplit,
     "q_ngram_entropy"   -> ngramEntropy,
     "q_bloom_dedup"     -> bloomDedup,
     "q_dsir_weights"    -> dsirWeights,
     "q_perplexity_buckets" -> perplexityBuckets,
+    "q_perplexity_buckets_sampled" -> perplexityBucketsSampled,
     "q_temperature_mix" -> temperatureMix,
     "q_chunk_tokens"    -> chunkTokens,
     "q_unicode_normalize" -> unicodeNormalize,
@@ -1665,6 +1732,36 @@ object Text {
       |ch AS (
       |  SELECT doc_id, count(*) AS hits FROM cds
       |  WHERE source <> 'src0' AND sh IN (SELECT sh FROM cbench) GROUP BY doc_id)""".stripMargin
+
+  /** Width-parameterized q_span_scrub oracle — one template serves the
+    * 5/20 span-dedup ladder ([[SpanK]]/[[SpanL]]). */
+  private def spanScrubOracle(k: Int): String = {
+    val concat = (0 until k).map(j => s"ws[i+$j]").mkString(" || ' ' || ")
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+       |s AS (
+       |  SELECT doc_id, i, $concat AS sh
+       |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - ${k - 1})) AS i FROM w) x),
+       |g AS (SELECT sh, count(*) AS c FROM s GROUP BY sh),
+       |cov AS (
+       |  SELECT DISTINCT doc_id, unnest(generate_series(i, i + ${k - 1})) AS pos
+       |  FROM s JOIN g USING (sh) WHERE g.c > 1),
+       |tok AS (
+       |  SELECT doc_id, unnest(ws) AS t, generate_subscripts(ws, 1) AS pos FROM w),
+       |keep AS (
+       |  SELECT tok.doc_id, tok.t, tok.pos
+       |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+       |  WHERE cov.pos IS NULL),
+       |agg AS (
+       |  SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS scrub,
+       |    count(*) AS n_kept
+       |  FROM keep GROUP BY doc_id),
+       |tot AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM w)
+       |SELECT tot.doc_id, tot.n_tokens,
+       |  tot.n_tokens - CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+       |  md5(coalesce(agg.scrub, '')) AS scrub_md5
+       |FROM tot LEFT JOIN agg USING (doc_id) ORDER BY tot.doc_id""".stripMargin
+  }
 
   /** Bigram-LM scoring CTE fragment (c12/c1/vv/lsc) over [[docTokenStatsCte]]'s
     * `bg` (bigram rows) and `t` (token rows). ONE definition under the
@@ -1753,38 +1850,14 @@ object Text {
         |  CAST(CASE WHEN etld1 IN ('src3.com', 'src7.co.uk', 'src11.io',
         |    'src15.com.au', 'src4.uk') THEN 1 ELSE 0 END AS INT) AS is_blocked
         |FROM r ORDER BY doc_id""".stripMargin,
-    // span = 5-token shingle; duplicated ⇔ ≥2 occurrences corpus-wide;
-    // fixed-point fraction via integer floor division in both engines
+    // span = k-token shingle; duplicated ⇔ ≥2 occurrences corpus-wide;
     // exact-substring scrub: same shingle stream as q_substring_dedup's
     // oracle; coverage = generate_series over each dup-span start; rebuild
     // = position-ordered string_agg over the surviving tokens (including
-    // empty tokens, matching the kernel's single-space join exactly)
-    "q_span_scrub" ->
-      """WITH w AS (
-        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
-        |s AS (
-        |  SELECT doc_id, i,
-        |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS sh
-        |  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 4)) AS i FROM w) x),
-        |g AS (SELECT sh, count(*) AS c FROM s GROUP BY sh),
-        |cov AS (
-        |  SELECT DISTINCT doc_id, unnest(generate_series(i, i + 4)) AS pos
-        |  FROM s JOIN g USING (sh) WHERE g.c > 1),
-        |tok AS (
-        |  SELECT doc_id, unnest(ws) AS t, generate_subscripts(ws, 1) AS pos FROM w),
-        |keep AS (
-        |  SELECT tok.doc_id, tok.t, tok.pos
-        |  FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
-        |  WHERE cov.pos IS NULL),
-        |agg AS (
-        |  SELECT doc_id, string_agg(t, ' ' ORDER BY pos) AS scrub,
-        |    count(*) AS n_kept
-        |  FROM keep GROUP BY doc_id),
-        |tot AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM w)
-        |SELECT tot.doc_id, tot.n_tokens,
-        |  tot.n_tokens - CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
-        |  md5(coalesce(agg.scrub, '')) AS scrub_md5
-        |FROM tot LEFT JOIN agg USING (doc_id) ORDER BY tot.doc_id""".stripMargin,
+    // empty tokens, matching the kernel's single-space join exactly).
+    // One width-parameterized template serves the 5/20 ladder.
+    "q_span_scrub" -> spanScrubOracle(SpanK),
+    "q_span_scrub_l20" -> spanScrubOracle(SpanL),
     "q_substring_dedup" ->
       """WITH w AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
@@ -2321,6 +2394,33 @@ object Text {
         |  CASE WHEN tile = 1 THEN 'head' WHEN tile = 2 THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |FROM bkt ORDER BY doc_id""".stripMargin,
+    // the sampled-cutpoint twin: cutpoints from the doc_id % 10 < 3 hash
+    // sample's tercile-boundary ROUNDED scores, then a stateless threshold
+    // CASE — integer rank arithmetic and the shared lm chain replay exactly
+    "q_perplexity_buckets_sampled" ->
+      s"""WITH $docTokenStatsCte,
+        |$lmScoreCte,
+        |lm AS (SELECT doc_id, round(avg(lp), 4) AS mean_lnp_r FROM lsc GROUP BY doc_id),
+        |j AS (
+        |  SELECT d.doc_id, d.lang, lm.mean_lnp_r
+        |  FROM documents d JOIN lm USING (doc_id)),
+        |smp AS (SELECT * FROM j WHERE doc_id % 10 < 3),
+        |rk AS (
+        |  SELECT lang, doc_id, mean_lnp_r,
+        |    row_number() OVER (PARTITION BY lang ORDER BY mean_lnp_r DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n_s
+        |  FROM smp),
+        |cuts AS (
+        |  SELECT lang,
+        |    max(CASE WHEN rn = (n_s + 2) // 3 THEN mean_lnp_r END) AS cut1,
+        |    max(CASE WHEN rn = (2 * n_s + 2) // 3 THEN mean_lnp_r END) AS cut2
+        |  FROM rk GROUP BY lang)
+        |SELECT j.doc_id, j.lang, j.mean_lnp_r,
+        |  CASE WHEN cuts.cut1 IS NULL OR j.mean_lnp_r >= cuts.cut1 THEN 'head'
+        |       WHEN j.mean_lnp_r >= cuts.cut2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM j LEFT JOIN cuts USING (lang)
+        |ORDER BY j.doc_id""".stripMargin,
     // integer fixed-point quota arithmetic (floor(n^tau * 1e6), N*w DIV W)
     // mirrors the Spark columns token-for-token; md5 draw as in q_source_mix
     "q_temperature_mix" ->

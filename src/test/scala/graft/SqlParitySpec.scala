@@ -86,6 +86,8 @@ class SqlParitySpec extends AnyFunSuite {
       "q_substring_dedup" -> (listDialect + " + // integer division"),
       "q_span_scrub" -> (listDialect +
         " + generate_series coverage + ordered string_agg"),
+      "q_span_scrub_l20" -> (listDialect +
+        " + generate_series coverage + ordered string_agg (width-20 ladder)"),
       "q_embed_quantize" -> ("CAST(... AS DOUBLE[]) list cast + unnest scalar " +
         "explode + numeric trunc() — Spark form is the array transform kernel"),
       "q_token_count" -> ("regexp_extract_all(s, re, 1) on a zero-group " +
@@ -93,6 +95,8 @@ class SqlParitySpec extends AnyFunSuite {
       "q_repetition_stats" -> listDialect,
       "q_ngram_entropy" -> listDialect,
       "q_perplexity_buckets" -> listDialect,
+      "q_perplexity_buckets_sampled" -> (listDialect +
+        " + // integer division in the tercile-rank arithmetic"),
       "q_temperature_mix" -> varcharCast,
       "q_dsir_weights" -> (hugeint + "; " + recursive),
       "q_html_strip" -> ("list_filter/array_to_string — " + listDialect),

@@ -477,6 +477,52 @@ class TextQualitySpec extends AnyFunSuite {
     assert(scrub.values.exists(_ > 0) && scrub.values.exists(_ == 0))
   }
 
+  test("sampled-cutpoint perplexity twin: same coverage, tercile agreement within tolerance") {
+    val exact = Text.perplexityBuckets(spark, TestSpark.sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    val sampled = Text.perplexityBucketsSampled(spark, TestSpark.sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    // identical coverage (both exclude <2-token docs through the lm chain)
+    assert(sampled.keySet == exact.keySet)
+    // the sampled cutpoints are estimates — agreement must be high, not exact
+    val agree = sampled.count { case (id, b) => exact(id) == b }
+    val frac = agree.toDouble / sampled.size
+    assert(frac >= 0.7, s"bucket agreement $frac below tolerance")
+    assert(sampled.values.toSet == Set("head", "middle", "tail"),
+      "all three buckets populated")
+    // determinism: same cutpoints, same buckets on rerun
+    val again = Text.perplexityBucketsSampled(spark, TestSpark.sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(again == sampled)
+  }
+
+  test("span ladder: L=20 catches long boilerplate whole, leaves short echoes that L=5 scrubs") {
+    val spark2 = spark
+    import spark2.implicits._
+    // docs 1/2 share a 25-token boilerplate span (a licence-header shape);
+    // docs 3/4 share only a short 5-token echo (a common phrase)
+    val boiler = (1 to 25).map(i => s"lic$i").mkString(" ")
+    val echo = "all rights strictly reserved worldwide"
+    val docs = Seq(
+      (1L, s"alpha beta $boiler gamma delta"),
+      (2L, s"mu nu $boiler xi omicron"),
+      (3L, s"intro words $echo closing remark here"),
+      (4L, s"other start $echo different tail words")).toDF("doc_id", "text")
+    val at20 = Text.spanScrubOn(docs, 20).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // a 25-token duplicated span is exactly covered by its 6 duplicated
+    // 20-shingles: whole span removed, flanks untouched
+    assert(at20(1L) == ((29L, 25L)), s"got ${at20(1L)}")
+    assert(at20(2L) == ((29L, 25L)), s"got ${at20(2L)}")
+    // the short echo is invisible at L=20 (precision: phrases aren't boilerplate)
+    assert(at20(3L)._2 == 0L && at20(4L)._2 == 0L)
+    val at5 = Text.spanScrubOn(docs, 5).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // L=5 fragment-counts differently: it also scrubs the 5-token echo
+    assert(at5(1L) == 25L && at5(2L) == 25L)
+    assert(at5(3L) == 5L && at5(4L) == 5L)
+  }
+
   test("NB quality classifier: total coverage, pred contract, learned signal") {
     val d = TestSpark.sf0001
     val rows = Text.qualityClassifier(spark, d).collect()
