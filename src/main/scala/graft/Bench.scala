@@ -85,6 +85,14 @@ object Bench {
       val dir = new java.io.File("bench"); dir.mkdirs()
       java.nio.file.Files.writeString(
         java.nio.file.Paths.get("bench/driver_full_last.json"), fullLine + "\n")
+      // per-leg archive (r10 verdict #7): a multi-leg scaling run sets
+      // SPARK_GRAFT_BENCH_OUT per leg so every leg's FULL per-key map
+      // survives as a committed artifact instead of only the last one
+      sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+        Option(java.nio.file.Paths.get(p).getParent)
+          .foreach(d => java.nio.file.Files.createDirectories(d))
+        java.nio.file.Files.writeString(java.nio.file.Paths.get(p), fullLine + "\n")
+      }
     } catch { case _: Throwable => () }
     println(fullLine)
     val budget = 1400 // chars for the per-query map in the compact line

@@ -129,6 +129,14 @@ object Plans {
       "standard-container video: one typed flatMap (RIFF/AVI demux + per-frame real PNG decode + sliding madiff) inside the documents scan — same shape as the GVID leg, frames never leave their task",
     "q_html_strip" ->
       "HTML extraction: one typed map (page synthesis + parse + link-density classification) with a codegen'd md5 projection — map-only until the presentation sort",
+    "q_hybrid_rrf_indexed_fixed" ->
+      "oracle-graduated indexed hybrid: tb=-pruned postings + cell=-pruned fixed-IVF scan (integer L2 typed map) — the hash-certified at-rest fused serving path",
+    "q_hybrid_rrf_pq_fixed" ->
+      "fixed-PQ hybrid: ADC scan of the persisted 8-byte codes table under broadcast lookup tables + the shared at-rest lex leg — the 32×-less-I/O fused mode",
+    "q_span_scrub_l20" ->
+      "≥20-token span dedup: the width-parameterized shingle stream (same Θ(tokens) plan as the K=5 rung), dup-keyed aggregate, start offsets back to the doc, stateless rebuild",
+    "q_perplexity_buckets_sampled" ->
+      "sampled-cutpoint perplexity buckets: the per-language window runs on the hash-sample only; assignment is a broadcast threshold map join — no corpus-wide rank",
   )
 
   def main(args: Array[String]): Unit = {

@@ -189,6 +189,20 @@ object Search {
     * its own terms (lexical leg) and its own linked embedding (semantic
     * leg — vec_id ≡ doc_id, the q_multimodal_join contract). */
   val HybridProbes: Seq[Long] = Seq(0L, 7L, 42L)
+
+  /** Corpus ceiling for the BRUTE hybrid's full probe set (r10 verdict #3):
+    * the brute key's semantic leg is Θ(probes · corpus) BY DESIGN — it is
+    * the oracle contract and recall referee for the indexed forms, which
+    * serve the same fusion at Θ(df + nProbe/k·corpus). Past this ceiling
+    * (between the sf1 and sf10 fixtures; the oracle gates run far below
+    * it) the referee runs ONE probe instead of three — the r8 re-contract
+    * precedent: bound the bench-time role of a deliberately-exact key
+    * without touching its oracle-gated contract. */
+  val BruteProbeCeiling = 50000L
+
+  private def bruteProbes(s: SparkSession, d: String): Seq[Long] =
+    if (Tables.embeddings(s, d).count() > BruteProbeCeiling) HybridProbes.take(1)
+    else HybridProbes
   val LexTopN = 20
   val SemTopN = 20
   val RrfK = 60
@@ -210,9 +224,10 @@ object Search {
     * path when probes·corpus outgrows it); fusion is a full outer join of
     * two Θ(probes · topN) relations. */
   val hybridRrf: Q = (s, d) => {
+    val probes = bruteProbes(s, d)
     val docsW = Tables.documents(s, d)
       .select(col("doc_id"), toks(col("text")).as("ws"))
-    val qt = docsW.where(col("doc_id").isin(HybridProbes: _*))
+    val qt = docsW.where(col("doc_id").isin(probes: _*))
       .select(col("doc_id").as("query_id"), explode(array_distinct(col("ws"))).as("term"))
     val dl = docsW.select(col("doc_id"), size(col("ws")).cast("double").as("dl"))
     val st = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))
@@ -240,7 +255,7 @@ object Search {
       .select(col("query_id"), col("doc_id"), col("r_lex"))
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    val pv = broadcast(e.where(col("vec_id").isin(HybridProbes: _*))
+    val pv = broadcast(e.where(col("vec_id").isin(probes: _*))
       .select(col("vec_id").as("query_id"), col("v").as("pv")))
     val sem = e.crossJoin(pv)
       .where(col("vec_id") =!= col("query_id"))
