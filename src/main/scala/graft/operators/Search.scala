@@ -224,17 +224,42 @@ object Search {
     * path when probes·corpus outgrows it); fusion is a full outer join of
     * two Θ(probes · topN) relations. */
   val hybridRrf: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
     val probes = bruteProbes(s, d)
-    val docsW = Tables.documents(s, d)
-      .select(col("doc_id"), toks(col("text")).as("ws"))
-    val qt = docsW.where(col("doc_id").isin(probes: _*))
-      .select(col("doc_id").as("query_id"), explode(array_distinct(col("ws"))).as("term"))
-    val dl = docsW.select(col("doc_id"), size(col("ws")).cast("double").as("dl"))
-    val st = dl.agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))
-    val tf = docsW.select(col("doc_id"), explode(col("ws")).as("term"))
-      .join(broadcast(qt.select(col("term")).distinct()), Seq("term"))
+    // probe terms via pushed-down point reads; Tok.tokenize is the proven
+    // bit-identical replica of the declarative toks spelling, and only the
+    // SET of (query_id, term) matters (array_distinct order never did)
+    val probeTerms: Seq[(Long, String)] = Tables.documents(s, d)
+      .where(col("doc_id").isin(probes: _*))
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect().toSeq
+      .flatMap { case (id, t) =>
+        graft.functions.Tok.tokenize(t).distinct.map(id -> _)
+      }
+    val qt = probeTerms.toDF("query_id", "term")
+    val bcTerms = spark.sparkContext.broadcast(probeTerms.map(_._2).toSet)
+    // ONE tokenize pass over the corpus (was two — dl and the tf explode —
+    // plus a 500k-row dl shuffle join): per doc emit one sentinel row
+    // carrying dl for the global stats and one row per PROBE-TERM HIT
+    // (the broadcast set filters in-task, so only Θ(df of probe terms)
+    // rows materialize instead of the full exploded token stream). The
+    // BM25 arithmetic below is unchanged; dl rides the tf rows.
+    val stream = Tables.documents(s, d)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, t) =>
+        val ts = graft.functions.Tok.tokenize(t)
+        val set = bcTerms.value
+        val dl = ts.length.toDouble
+        Iterator((id, dl, null: String)) ++
+          ts.iterator.filter(set.contains).map(w => (id, dl, w))
+      }
+      .toDF("doc_id", "dl", "term")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val st = stream.where(col("term").isNull)
+      .agg(avg(col("dl")).as("avgdl"), count(lit(1)).as("n_docs"))
+    val tf = stream.where(col("term").isNotNull)
       .groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).cast("double").as("tf"))
+      .agg(count(lit(1)).cast("double").as("tf"), max(col("dl")).as("dl"))
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).cast("double").as("df"))
     val contrib = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
       (col("tf") * (lit(1.2) + lit(1.0))) /
@@ -243,7 +268,6 @@ object Search {
       .join(broadcast(qt), Seq("term"))
       .where(col("doc_id") =!= col("query_id"))
       .join(broadcast(dfT), Seq("term"))
-      .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(st))
       .select(col("query_id"), col("doc_id"), contrib.as("contrib"))
       .groupBy(col("query_id"), col("doc_id"))
