@@ -86,6 +86,20 @@ class HtmlSpec extends AnyFunSuite {
     assert(c2 == p && k2 == 1L && d2 == 4L && nw2 == 9L)
   }
 
+  test("pageOf dispatches the adversarial variant on doc_id % 3 == 1 only") {
+    val p = "the quick brown fox jumps over the lazy dog again"
+    assert(Html.pageOf(0L, p) == Html.htmlOf(p))
+    assert(Html.pageOf(1L, p) == Html.messyHtmlOf(p))
+    assert(Html.pageOf(2L, p) == Html.htmlOf(p))
+    assert(Html.pageOf(4L, p) == Html.messyHtmlOf(p))
+    // both variants restore the same content; only the boilerplate census differs
+    val clean = Html.extract(Html.htmlOf(p))
+    val messy = Html.extract(Html.messyHtmlOf(p))
+    assert(clean._1 == messy._1 && clean._2 == messy._2 &&
+      clean._3 == messy._3 && clean._5 == messy._5)
+    assert(clean._4 == 2L && messy._4 == 4L)
+  }
+
   test("boilerplate falls to link density, not tag identity") {
     // a <p> that is pure links must drop; a <nav> that is mostly prose must survive
     val html = "<html><head><title>t</title></head><body>" +

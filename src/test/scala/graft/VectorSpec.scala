@@ -682,6 +682,66 @@ class VectorSpec extends AnyFunSuite {
     assert(got == Vectors.annIvfPqFixed(spark, d).as[(Long, Long)].collect().toSeq)
   }
 
+  test("persisted fixed-IVF query equals the in-query oracle-graduated twin at every nProbe") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val d = TestSpark.sf0001
+    val idx = java.nio.file.Files.createTempDirectory("ivf_fixed").toString
+    Vectors.writeIvfFixedIndex(spark, d, idx)
+    val probe = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .where(col("vec_id") === 0).select(col("v"))
+      .as[Array[Double]].head()
+    // the at-rest serving path IS the annIvfFixed arithmetic: same cells,
+    // same integer L2, same (d2, vec_id) order — the oracle that certifies
+    // the in-query key transitively certifies the persisted layout
+    val atRest = Vectors.queryIvfFixedIndex(spark, idx, probe,
+      topK = 10, nProbe = 4, excludeId = Some(0L))
+      .as[(Long, Long)].collect().toSeq
+    val inQuery = Vectors.annIvfFixed(spark, d).as[(Long, Long)].collect().toSeq
+    assert(atRest == inQuery)
+    // the cell= partition pruning is real: serving touches a strict subset
+    // of the cell dirs at nProbe < IvfFixedCells
+    val dirs = new java.io.File(idx).listFiles().count(_.getName.startsWith("cell="))
+    assert(dirs > 4, s"fixture spread over only $dirs cells")
+    // exhaustive probe = brute integer L2 over everything
+    val exhaustive = Vectors.queryIvfFixedIndex(spark, idx, probe,
+      topK = 10, nProbe = Vectors.IvfFixedCells, excludeId = Some(0L))
+      .as[(Long, Long)].collect().toSeq
+    val vecs = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Array[Double])].collect()
+    def q(v: Array[Double]): Array[Long] = v.map(x => math.floor(x * 1000.0).toLong)
+    val pq = q(probe)
+    val want = vecs.filter(_._1 != 0L)
+      .map { case (id, v) =>
+        val qv = q(v)
+        (id, qv.indices.map { j => val dd = qv(j) - pq(j); dd * dd }.sum)
+      }
+      .sortBy { case (id, d2) => (d2, id) }.take(10).toSeq
+    assert(exhaustive == want)
+  }
+
+  test("persisted fixed-PQ codes query equals the in-query oracle-graduated twin") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val d = TestSpark.sf0001
+    val idx = java.nio.file.Files.createTempDirectory("pq_fixed").toString
+    Vectors.writePqFixedIndex(spark, d, idx)
+    val probe = Tables.embeddings(spark, d)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .where(col("vec_id") === 0).select(col("v"))
+      .as[Array[Double]].head()
+    val atRest = Vectors.queryPqFixedIndex(spark, idx, probe,
+      topK = 10, excludeId = Some(0L))
+      .as[(Long, Long)].collect().toSeq
+    val inQuery = Vectors.annPqFixed(spark, d).as[(Long, Long)].collect().toSeq
+    assert(atRest == inQuery)
+    // rerun determinism (pure arithmetic, no training)
+    assert(atRest == Vectors.queryPqFixedIndex(spark, idx, probe,
+      topK = 10, excludeId = Some(0L)).as[(Long, Long)].collect().toSeq)
+  }
+
   test("topic mix: covers the joined corpus, shares sum to ~1, weights invert shares") {
     val spark = TestSpark.spark
     val rows = Vectors.topicMix(spark, TestSpark.sf0001).collect()
