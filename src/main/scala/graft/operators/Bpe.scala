@@ -93,7 +93,11 @@ object Bpe {
 
   /** Cheap dataset fingerprint: FNV/splitmix fold over the documents
     * table's file listing metadata. Rewritten-in-place data changes sizes
-    * or mtimes, so a memoized merge table cannot outlive its corpus. */
+    * or mtimes, so a memoized merge table cannot outlive its corpus by
+    * more than the [[FpTtlNanos]] window ([[fpCache]] trades a bounded
+    * 30 s staleness horizon for skipping the recursive listing on
+    * back-to-back calls; [[invalidate]] clears both caches immediately
+    * for same-process rewrite-then-query flows like the specs'). */
   private def datasetFingerprint(s: SparkSession, d: String): Long = {
     val p = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)

@@ -181,6 +181,13 @@ object Html {
         inAnchor = !isClose
       }
     }
+    // a TRUNCATED page can end mid-block with no further tag: flush the
+    // tail text so the last block's content is not silently dropped
+    if (inBlock && pos < noScript.length) {
+      val txt = noScript.substring(pos)
+      buf.append(txt)
+      if (inAnchor) linked += txt.length
+    }
     finishBlock()
     val clean = unescape(kept.mkString(" "))
     val nWords = if (clean.isEmpty) 0L else clean.split(" ").length.toLong

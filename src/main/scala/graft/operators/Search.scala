@@ -249,7 +249,10 @@ object Search {
       .flatMap { case (id, t) =>
         val ts = graft.functions.Tok.tokenize(t)
         val set = bcTerms.value
-        val dl = ts.length.toDouble
+        // null text ⇒ dl NULL (size(split(NULL)) and DuckDB len(NULL) are
+        // NULL): the doc still counts in n_docs but stays out of avgdl,
+        // matching the declarative form and the oracle exactly
+        val dl: Option[Double] = if (t == null) None else Some(ts.length.toDouble)
         Iterator((id, dl, null: String)) ++
           ts.iterator.filter(set.contains).map(w => (id, dl, w))
       }
@@ -317,6 +320,16 @@ object Search {
     * reaches the cut (SearchSpec measures it). */
   val SemSlack = 10
 
+  /** Cell count of the trained at-rest IVF layout ([[Vectors.writeIvfIndex]]
+    * default k) — `nProbe >=` this means every cell is probed. */
+  val TrainedIvfCells = 16
+
+  /** PQ candidate count that declares the refine exhaustive — must exceed
+    * the corpus it is used against (SearchSpec's referee configuration;
+    * the fixtures are orders of magnitude below it). A config intending
+    * exhaustive PQ on a larger corpus must pass `pqCand >=` that corpus. */
+  val ExhaustivePqCand = 100000
+
   /** INDEXED hybrid retrieval — [[hybridRrf]]'s contract served entirely
     * from the two persisted at-rest indexes instead of corpus scans: the
     * lexical leg prunes the keyword index to the probe docs' terms'
@@ -360,12 +373,16 @@ object Search {
   }
 
   /** Probe materialization: pushed-down point reads of the probe docs'
-    * distinct terms — bounded by |probes|, never a scan. */
+    * distinct terms — bounded by |probes|, never a scan. Tokenizes through
+    * [[graft.functions.Tok.tokenize]], the proven bit-identical replica of
+    * the declarative `toks` spelling — Java's `String.trim`/`toLowerCase`
+    * diverge on non-space whitespace and locale-sensitive case, which
+    * would silently shift the hash-gated BM25 term set. */
   private def probeTermsOf(s: SparkSession, d: String): Seq[(Long, String)] =
     Tables.documents(s, d)
       .where(col("doc_id").isin(HybridProbes: _*))
       .select(col("doc_id"), col("text")).collect().toSeq
-      .flatMap(r => r.getString(1).trim.toLowerCase.split("\\s+").distinct
+      .flatMap(r => graft.functions.Tok.tokenize(r.getString(1)).distinct
         .map(t => (r.getLong(0), t)))
 
   /** The at-rest LEXICAL leg shared by every indexed hybrid form: ensure
@@ -433,7 +450,8 @@ object Search {
     // retrieving everything makes the brute-equality claim hold by
     // construction, not by fixture luck. Serving settings keep the cut.
     val exhaustive =
-      (semLeg == "ivf" && nProbe >= 16) || (semLeg != "ivf" && pqCand >= 100000)
+      (semLeg == "ivf" && nProbe >= TrainedIvfCells) ||
+        (semLeg != "ivf" && pqCand >= ExhaustivePqCand)
     val semFetch = if (exhaustive) Int.MaxValue else SemTopN + SemSlack
     val sem = probeVecs
       .map { case (pid, pv) =>
@@ -581,7 +599,13 @@ object Search {
     * the index layout — exactly the at-rest screens' oracle discipline:
     * the persisted index is the implementation, the ranked answer is the
     * semantics. Same arithmetic as the q_bm25 oracle, extended with the
-    * query dimension and the per-query row_number cut. */
+    * query dimension and the per-query row_number cut.
+    *
+    * SCOPE: the hybrid oracles always replay the FULL [[HybridProbes]]
+    * set, so they are valid only below [[BruteProbeCeiling]] embeddings —
+    * where every oracle gate runs. Past the ceiling the Spark brute key
+    * deliberately degrades to one probe (referee mode, r10 verdict #3)
+    * and these oracle strings must not be compared against it. */
   val oracles: Map[String, String] = Map(
     "q_keyword_topk_at_rest" -> {
       val qvals = Queries

@@ -327,19 +327,23 @@ object Video {
     var moviStart = -1
     var o = 12
     while (o < blob.length) {
+      // size fields are untrusted input: a negative, oversized, or
+      // Int-OVERFLOWING value (o + 8 + size wrapping negative) must be the
+      // documented IllegalArgumentException failure mode, never an
+      // ArrayIndexOutOfBounds or a non-terminating walk — hence the Long
+      // arithmetic and the truncated-header pre-check before get32 reads
+      require(o + 8 <= blob.length, s"truncated chunk header at $o")
       val size = get32(blob, o + 4)
-      // size fields are untrusted input: a negative or oversized value must
-      // be the documented IllegalArgumentException failure mode, never an
-      // ArrayIndexOutOfBounds or a non-terminating walk
-      require(size >= 0 && o + 8 + size <= blob.length,
+      require(size >= 0 && o + 8 + size.toLong <= blob.length,
         s"chunk at $o: size $size overruns container of ${blob.length}")
       if (isFourcc(blob, o, "LIST")) {
         val listEnd = o + 8 + size
         if (isFourcc(blob, o + 8, "hdrl")) {
           var p = o + 12
           while (p < listEnd) {
+            require(p + 8 <= listEnd, s"truncated hdrl chunk header at $p")
             val csz = get32(blob, p + 4)
-            require(csz >= 0 && p + 8 + csz <= listEnd,
+            require(csz >= 0 && p + 8 + csz.toLong <= listEnd,
               s"hdrl chunk at $p: size $csz overruns list end $listEnd")
             if (isFourcc(blob, p, "avih")) {
               nf = get32(blob, p + 8 + 16)
@@ -347,8 +351,9 @@ object Video {
             } else if (isFourcc(blob, p, "LIST") && isFourcc(blob, p + 8, "strl")) {
               var q = p + 12
               while (q < p + 8 + csz) {
+                require(q + 8 <= p + 8 + csz, s"truncated strl chunk header at $q")
                 val ssz = get32(blob, q + 4)
-                require(ssz >= 0 && q + 8 + ssz <= p + 8 + csz,
+                require(ssz >= 0 && q + 8 + ssz.toLong <= p + 8 + csz,
                   s"strl chunk at $q: size $ssz overruns strl list")
                 if (isFourcc(blob, q, "strh")) {
                   require(isFourcc(blob, q + 8, "vids"), "first stream not video")
@@ -366,9 +371,10 @@ object Video {
           val fs = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
           var p = o + 12
           while (p < listEnd) {
+            require(p + 8 <= listEnd, s"truncated movi chunk header at $p")
             val csz = get32(blob, p + 4)
             require(isFourcc(blob, p, "00dc"), "unexpected movi chunk")
-            require(csz >= 0 && p + 8 + csz <= listEnd, "frame overruns movi list")
+            require(csz >= 0 && p + 8 + csz.toLong <= listEnd, "frame overruns movi list")
             fs += java.util.Arrays.copyOfRange(blob, p + 8, p + 8 + csz)
             p += 8 + csz + (csz & 1)
           }

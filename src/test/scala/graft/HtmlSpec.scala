@@ -40,6 +40,18 @@ class HtmlSpec extends AnyFunSuite {
     }
   }
 
+  test("truncated page: tail text after the last tag still lands in its block") {
+    val (_, n, kept, dropped, clean) =
+      Html.extract("<html><body><p>first words<p>last words of a truncated crawl page")
+    assert(kept == 2L && dropped == 0L)
+    assert(clean == "first words last words of a truncated crawl page")
+    assert(n == 9L)
+    // truncated mid-anchor: the linked chars still count toward density
+    val (_, _, k2, d2, c2) =
+      Html.extract("<body><p><a href=\"/x\">all link text to the end")
+    assert(k2 == 0L && d2 == 1L && c2 == "")
+  }
+
   test("unclosed <p> blocks are implicitly closed by the next block tag") {
     val html = "<html><body><p>first block words<p>second block words" +
       "<footer><a href=\"/x\">x</a></footer></body></html>"

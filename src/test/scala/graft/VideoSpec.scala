@@ -114,6 +114,26 @@ class VideoSpec extends AnyFunSuite {
     // corrupt one idx1 size field (last entry's final 4 bytes)
     val badIdx = avi.clone(); badIdx(avi.length - 1) = (badIdx(avi.length - 1) ^ 1).toByte
     intercept[IllegalArgumentException] { Video.parseAviContainer(badIdx) }
+    // untrusted size fields: negative, container-overrunning, and
+    // Int-OVERFLOWING (o + 8 + size wraps negative) values must all throw
+    // the documented failure, never OOB or a non-terminating walk. The
+    // first chunk after the 12-byte RIFF header has its size at offset 16.
+    def withSize(v: Int): Array[Byte] = {
+      val b = avi.clone()
+      b(16) = (v & 0xff).toByte; b(17) = ((v >> 8) & 0xff).toByte
+      b(18) = ((v >> 16) & 0xff).toByte; b(19) = ((v >> 24) & 0xff).toByte
+      b
+    }
+    intercept[IllegalArgumentException] { Video.parseAviContainer(withSize(-8)) }
+    intercept[IllegalArgumentException] { Video.parseAviContainer(withSize(avi.length)) }
+    intercept[IllegalArgumentException] { Video.parseAviContainer(withSize(0x7ffffff8)) }
+    // truncated mid-header: a size-consistent RIFF envelope whose body
+    // ends 2 bytes into a chunk header (get32 must not read past the end)
+    val tiny = new Array[Byte](14)
+    "RIFF".getBytes("US-ASCII").copyToArray(tiny, 0)
+    tiny(4) = 6 // little-endian RIFF size = blob.length - 8
+    "AVI ".getBytes("US-ASCII").copyToArray(tiny, 8)
+    intercept[IllegalArgumentException] { Video.parseAviContainer(tiny) }
   }
 
   test("AVI suite key equals the GVID scenes key row-for-row") {
