@@ -20,6 +20,28 @@ object Bench {
     val spark = GraftSession.create(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
 
+    // Leg-exclusivity guard (r11 verdict #3): a concurrent sbt/Spark JVM
+    // contends for all 32 cores and uniformly inflates a leg 20–40% (the
+    // r11 sf1 adjudication: 252.6 s vs a same-binary 202.3 s). min-of-2
+    // passes absorbs per-key spikes but NOT steady contention, so a leg is
+    // only comparable when it ran alone — warn loudly if it didn't.
+    Try {
+      var anc = Set.empty[Long]
+      var cur = java.util.Optional.of(ProcessHandle.current())
+      var i = 0
+      while (cur.isPresent && i < 10) {
+        anc += cur.get.pid(); cur = cur.get.parent(); i += 1
+      }
+      val others = ProcessHandle.allProcesses().filter { h =>
+        val cmd = h.info().commandLine().orElse("")
+        (cmd.contains("sbt-launch") || cmd.contains("SparkSubmit")) &&
+          !anc.contains(h.pid())
+      }.count()
+      if (others > 0) System.err.println(
+        s"[bench] WARNING: $others concurrent sbt/Spark JVM(s) detected — " +
+          "this leg's timings are contended and not comparable")
+    }
+
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>

@@ -8,6 +8,9 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.create(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
+    // correctness runs take the full freshness guarantee: the BPE
+    // fingerprint memo's 30 s staleness horizon is a bench-only trade
+    System.setProperty("graft.bpe.fp.ttl.ms", "0")
     new java.io.File(outDir).mkdirs()
     // Targeted precondition for the byte-replay oracle family (multimodal
     // frames/features, doc_fingerprint, minhash, simhash + their reps

@@ -12,6 +12,8 @@ object VerifySubset {
     require(unknown.isEmpty, s"unknown keys: ${unknown.mkString(", ")}")
     val spark = GraftSession.create(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
     spark.sparkContext.setLogLevel("WARN")
+    // same freshness rule as the full Verify gate
+    System.setProperty("graft.bpe.fp.ttl.ms", "0")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => keys(kv._1)).foreach { case (name, fn) =>
       fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")

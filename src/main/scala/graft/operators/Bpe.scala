@@ -94,7 +94,7 @@ object Bpe {
   /** Cheap dataset fingerprint: FNV/splitmix fold over the documents
     * table's file listing metadata. Rewritten-in-place data changes sizes
     * or mtimes, so a memoized merge table cannot outlive its corpus by
-    * more than the [[FpTtlNanos]] window ([[fpCache]] trades a bounded
+    * more than the [[fpTtlNanos]] window ([[fpCache]] trades a bounded
     * 30 s staleness horizon for skipping the recursive listing on
     * back-to-back calls; [[invalidate]] clears both caches immediately
     * for same-process rewrite-then-query flows like the specs'). */
@@ -118,10 +118,18 @@ object Bpe {
   /** Short-lived fingerprint memo: (session, dir) → (fp, nanoTime). Saves
     * the driver-side recursive file listing on back-to-back merges() calls
     * (tokenize → fertility → pack chains hit it 3× per run) while staying
-    * fresh enough that an in-place rewrite is seen within [[FpTtlNanos]]. */
+    * fresh enough that an in-place rewrite is seen within [[fpTtlNanos]]. */
   private val fpCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, String), (Long, Long)]()
-  private val FpTtlNanos = 30L * 1000 * 1000 * 1000
+
+  /** TTL of the fingerprint memo. Overridable via the `graft.bpe.fp.ttl.ms`
+    * system property so correctness-gate runs can force 0 (every merges()
+    * call re-lists the files — the pre-r11 freshness guarantee), keeping
+    * the bench-only 30 s staleness horizon out of verification paths
+    * (ADVICE r11). Read per call: the gate mains set it before queries run. */
+  private def fpTtlNanos: Long =
+    sys.props.get("graft.bpe.fp.ttl.ms").map(_.toLong * 1000000L)
+      .getOrElse(30L * 1000 * 1000 * 1000)
 
   /** Drop all memoized merge tables (tests / in-place dataset rewrites). */
   private[graft] def invalidate(): Unit = { trained.clear(); fpCache.clear() }
@@ -145,7 +153,7 @@ object Bpe {
     val sid = System.identityHashCode(s)
     val now = System.nanoTime()
     val fp = Option(fpCache.get((sid, d))) match {
-      case Some((v, t)) if now - t < FpTtlNanos => v
+      case Some((v, t)) if now - t < fpTtlNanos => v
       case _ =>
         val v = datasetFingerprint(s, d)
         fpCache.put((sid, d), (v, now))

@@ -102,7 +102,18 @@ object DedupCluster {
     }
     edges.unpersist(blocking = false)
     undirected.unpersist(blocking = false)
-    labels
+    // The converged labels are still a pinned localCheckpoint: returning
+    // them lazily would keep that snapshot in the block manager for as
+    // long as the caller holds the DataFrame (PERF.md measured lingering
+    // checkpoint blocks degrading UNRELATED queries 2–3× in a long
+    // session). Round-trip the Θ(nodes) result through a session-temp
+    // parquet and release the final checkpoint here, so the function
+    // exits with zero block-manager residue (r11 verdict #2).
+    val outDir = java.nio.file.Files.createTempDirectory("graft_cc")
+      .resolve("labels").toString
+    labels.write.mode("overwrite").parquet(outDir)
+    releaseCheckpoint(labels)
+    spark.read.parquet(outDir)
   }
 
   /** Full dedup plan over documents: LSH candidates (est. Jaccard ≥ minJac)
@@ -282,8 +293,42 @@ object DedupCluster {
     * within-cell pairs of a coarse k-means partition. The sub-quadratic
     * 100 TB path for semantic thresholds the SRP screens can't serve;
     * recall trade (cross-cell pairs only) measured in SemanticDedupSpec. */
-  def semanticReps(s: SparkSession, d: String): DataFrame =
+  private[graft] def semanticRepsRaw(s: SparkSession, d: String): DataFrame =
     perDocVerdicts(s, d, Vectors.semanticCellEdges(s, d))
+
+  /** Minimum doc-level dup-verdict recall of the SemDeDup restriction vs
+    * the exact closure the contract pins (the SemanticDedupSpec pair-level
+    * floor is 0.8; the doc-level verdict recall measured above it on every
+    * fixture decade — the bar keeps the spec's margin). */
+  private[graft] val SemanticDedupRecallBar = 0.6
+
+  /** ORACLE-GRADUATED q_semantic_dedup (r11 verdict #1): FP-order k-means
+    * cells keep the raw verdicts engine-specific, so the hash-checked
+    * contract is the EXACT closure's per-doc verdicts (the
+    * q_embed_dedup_reps relation, SQL-replayable by the same recursive
+    * CTE) plus two pinned booleans the engine certifies against the REAL
+    * SemDeDup pipeline: sound_ok — every semantically-flagged dup is an
+    * exact dup (cell edges are exact-kernel pairs, so semantic components
+    * refine exact components) — and recall_ok — the semantic pipeline
+    * recovers at least [[SemanticDedupRecallBar]] of the exact dup
+    * verdicts. */
+  def semanticReps(s: SparkSession, d: String): DataFrame = {
+    val sem = semanticRepsRaw(s, d)
+      .select(col("doc_id"), col("is_dup").as("sem_dup"))
+    val exact = perDocVerdicts(s, d, contractedEmbedEdges(s, d))
+    val m = exact.select(col("doc_id"), col("is_dup")).join(sem, Seq("doc_id"))
+      .agg(
+        sum(when(col("sem_dup") === 1 && col("is_dup") === 0, 1L).otherwise(0L)).as("unsound"),
+        sum(col("sem_dup").cast("long")).as("n_sem"),
+        sum(col("is_dup").cast("long")).as("n_exact"))
+      .head()
+    val soundOk = m.getLong(0) == 0L
+    val recallOk = m.getLong(1).toDouble >= SemanticDedupRecallBar * m.getLong(2)
+    exact
+      .withColumn("sound_ok", lit(soundOk))
+      .withColumn("recall_ok", lit(recallOk))
+      .orderBy(col("doc_id"))
+  }
 
   /** ORACLE-GRADUATED twin of [[semanticReps]]: identical verdict tail,
     * edges from [[Vectors.semanticCellEdgesFixed]] — the pinned-integer-
@@ -468,6 +513,27 @@ object DedupCluster {
         |       FROM lab GROUP BY cluster_rep)
         |SELECT lab.doc_id, lab.cluster_rep, sz.n_dups,
         |  CAST(CASE WHEN lab.doc_id <> lab.cluster_rep THEN 1 ELSE 0 END AS INT) AS is_dup
+        |FROM lab JOIN sz USING (cluster_rep) ORDER BY doc_id""".stripMargin,
+    // graduated SemDeDup contract: the exact closure's verdicts (the
+    // q_embed_dedup_reps relation) + the soundness/recall bounds pinned
+    // TRUE — the engine certifies both against the real clustered pipeline
+    "q_semantic_dedup" ->
+      s"""WITH RECURSIVE ${Vectors.nearDupPairCte},
+        |e9 AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+        |n9 AS (SELECT DISTINCT src AS id FROM e9),
+        |reach9(id, root) AS (
+        |  SELECT id, id FROM n9
+        |  UNION
+        |  SELECT e9.dst, r.root FROM reach9 r JOIN e9 ON e9.src = r.id),
+        |comp9 AS (SELECT id, min(root) AS comp FROM reach9 GROUP BY id),
+        |lab AS (
+        |  SELECT d.doc_id, coalesce(c.comp, d.doc_id) AS cluster_rep
+        |  FROM documents d LEFT JOIN comp9 c ON c.id = d.doc_id),
+        |sz AS (SELECT cluster_rep, CAST(count(*) AS BIGINT) AS n_dups
+        |       FROM lab GROUP BY cluster_rep)
+        |SELECT lab.doc_id, lab.cluster_rep, sz.n_dups,
+        |  CAST(CASE WHEN lab.doc_id <> lab.cluster_rep THEN 1 ELSE 0 END AS INT) AS is_dup,
+        |  TRUE AS sound_ok, TRUE AS recall_ok
         |FROM lab JOIN sz USING (cluster_rep) ORDER BY doc_id""".stripMargin,
     "q_neardup_keep_best" ->
       s"""WITH RECURSIVE ${Vectors.nearDupPairCte},

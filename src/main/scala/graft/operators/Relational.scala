@@ -495,7 +495,10 @@ object Relational {
     * pandas row hasher. */
   val QuantileAccuracy = 10000
 
-  val quantileSketch: Q = (s, d) =>
+  /** The GK sketch plan itself (merge-order-dependent estimates) — the
+    * operator under test, kept as the spec surface; the suite key
+    * [[quantileSketch]] wraps it in the graduated rank-bound contract. */
+  private[graft] val quantileSketchRaw: Q = (s, d) =>
     Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
@@ -507,6 +510,45 @@ object Relational {
         round(element_at(col("qs"), 3), 4).as("p75"),
         round(element_at(col("qs"), 4), 4).as("p90"))
       .orderBy(col("l_returnflag"))
+
+  /** ORACLE-GRADUATED q_quantile_sketch (r11 verdict #1, the
+    * ref_approx_distinct discipline): the GK summary's merge order is
+    * partitioning-dependent, so the hash-checked contract is the EXACT
+    * quantiles (identical to [[quantileExact]], already oracle-green) plus
+    * a rank_ok boolean certifying that every sketch estimate's exact rank
+    * interval [count(<est)+1, count(≤est)] sits within the GK guarantee
+    * (n/accuracy, +1 tie slack) of its target position p·(n−1)+1 — TRUE
+    * for ANY valid GK output, so the row hashes deterministically while
+    * the sketch itself still runs and is still bounded. The raw sketch
+    * estimates are 12 values of bounded metadata (3 flags × 4 quantiles);
+    * the rank audit is one extra aggregation pass. */
+  val quantileSketch: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val probs = Seq(0.25, 0.5, 0.75, 0.9)
+    val ests = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(expr(s"approx_percentile(l_extendedprice, array(${probs.mkString(", ")}), $QuantileAccuracy)").as("qs"))
+      .collect()
+      .toSeq.flatMap(r => probs.indices.map(i =>
+        (r.getString(0), probs(i), r.getSeq[Double](1)(i))))
+    val est = broadcast(ests.toDF("l_returnflag", "p", "est"))
+    val slack = col("n") / QuantileAccuracy + lit(1.0)
+    val target = col("p") * (col("n") - 1) + lit(1.0)
+    val rankOk = Tables.lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .join(est, Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"), col("p"), col("est"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("l_extendedprice") < col("est"), 1L).otherwise(0L)).as("cnt_lt"),
+        sum(when(col("l_extendedprice") <= col("est"), 1L).otherwise(0L)).as("cnt_le"))
+      .select(col("l_returnflag"),
+        (target >= col("cnt_lt") + 1 - slack && target <= col("cnt_le") + slack).as("ok"))
+      .groupBy(col("l_returnflag"))
+      .agg(min(col("ok")).as("rank_ok"))
+    quantileExact(s, d).join(rankOk, Seq("l_returnflag"))
+      .orderBy(col("l_returnflag"))
+  }
 
   /** Exact sibling of [[quantileSketch]]: identical output shape
     * (n_rows, p25/p50/p75/p90 per return flag) computed by the exact
@@ -923,6 +965,16 @@ object Relational {
         | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
         | round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
         | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    // graduated sketch contract: the exact quantiles + the GK rank bound
+    // pinned TRUE (the engine side certifies it against the real sketch)
+    "q_quantile_sketch" ->
+      """SELECT l_returnflag, count(*) AS n_rows,
+        | round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+        | round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+        | round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        | TRUE AS rank_ok
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_window_pct" ->
       """SELECT c_nationkey, c_custkey,

@@ -201,8 +201,16 @@ object Search {
   val BruteProbeCeiling = 50000L
 
   private def bruteProbes(s: SparkSession, d: String): Seq[Long] =
-    if (Tables.embeddings(s, d).count() > BruteProbeCeiling) HybridProbes.take(1)
-    else HybridProbes
+    if (Tables.embeddings(s, d).count() > BruteProbeCeiling) {
+      // the hybrid oracles replay ALL probes, so comparing them against
+      // this degraded referee would hash-mismatch confusingly — make the
+      // degradation loud instead of a scaladoc footnote (ADVICE r11)
+      System.err.println(
+        s"[search] q_hybrid_rrf referee degraded to 1/${HybridProbes.size} " +
+          s"probes above $BruteProbeCeiling embeddings ($d) — the hybrid " +
+          "oracle SQL is NOT valid against this run")
+      HybridProbes.take(1)
+    } else HybridProbes
   val LexTopN = 20
   val SemTopN = 20
   val RrfK = 60
@@ -353,6 +361,54 @@ object Search {
     * embedding corpora cluster, which is the premise of IVF itself). */
   val hybridRrfIndexed: Q = (s, d) => hybridRrfIndexedWith(s, d, nProbe = 4)
 
+  /** Memoized brute fused referee per (session, dataset): ≤ probes ×
+    * [[HybridK]] rows of bounded metadata (the ensureIndex discipline), so
+    * the graduated serving key pays the Θ(probes·corpus) referee once per
+    * dataset and keeps its index-serving cost on repeated passes. */
+  private val bruteFusedMemo = new java.util.concurrent.ConcurrentHashMap[
+    (Int, String), Seq[(Long, Long, Long, Double, Option[Long], Option[Long])]]()
+
+  private def bruteFused(s: SparkSession, d: String)
+      : Seq[(Long, Long, Long, Double, Option[Long], Option[Long])] = {
+    val spark = s
+    import spark.implicits._
+    bruteFusedMemo.computeIfAbsent((System.identityHashCode(s), d), _ =>
+      hybridRrf(s, d)
+        .as[(Long, Long, Long, Double, Option[Long], Option[Long])]
+        .collect().toSeq)
+  }
+
+  /** Minimum per-query |indexed-top10 ∩ brute-top10| the graduated
+    * contract pins — the SearchSpec serving-nProbe floor's fused
+    * counterpart (measured ≥ 0.8 on every fixture decade; the lexical leg
+    * is shared, so fused agreement sits well above the semantic-leg
+    * recall floor). */
+  private[graft] val HybridAgreeBar = 5
+
+  /** ORACLE-GRADUATED q_hybrid_rrf_indexed (r11 verdict #1): the trained
+    * IVF codebook keeps the indexed fused ranking engine-specific, so the
+    * hash-checked contract is the BRUTE fused contract rows (the
+    * q_hybrid_rrf relation, SQL-replayable) plus an agree_ok boolean the
+    * engine certifies by running the REAL at-rest serving path and
+    * checking per-probe fused-top-[[HybridK]] overlap ≥ [[HybridAgreeBar]].
+    * Above [[BruteProbeCeiling]] the referee degrades to one probe (its
+    * standing bench contract) and agreement is checked on that probe. */
+  val hybridRrfIndexedContract: Q = (s, d) => {
+    val spark = s
+    import spark.implicits._
+    val brute = bruteFused(s, d)
+    val bruteIds = brute.groupBy(_._1).view.mapValues(_.map(_._3).toSet).toMap
+    val served = hybridRrfIndexed(s, d)
+      .select(col("query_id"), col("doc_id"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val agree = bruteIds.forall { case (q, ids) =>
+      served.getOrElse(q, Set.empty[Long]).intersect(ids).size >= HybridAgreeBar }
+    brute.toDF("query_id", "rnk", "doc_id", "rrf_r", "r_lex", "r_sem")
+      .withColumn("agree_ok", lit(agree))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** `semLeg` picks the at-rest vector index serving the semantic leg:
     * "ivf" (partition-pruned cluster scan, `nProbe` of the cells — the
     * suite key's mode) or "pq" (ADC over the 8-byte codes table with
@@ -452,6 +508,15 @@ object Search {
     val exhaustive =
       (semLeg == "ivf" && nProbe >= TrainedIvfCells) ||
         (semLeg != "ivf" && pqCand >= ExhaustivePqCand)
+    // [[ExhaustivePqCand]] is a fixed proxy for "pqCand covers the corpus";
+    // on a corpus LARGER than the proxy the ADC refine would genuinely
+    // truncate and the uncut-retrieval brute-equality rationale would not
+    // hold — assert the real condition when the branch is taken (ADVICE r11)
+    if (exhaustive && semLeg != "ivf") {
+      val n = Tables.embeddings(s, d).count()
+      require(pqCand >= n,
+        s"exhaustive PQ mode requires pqCand >= corpus size ($pqCand < $n)")
+    }
     val semFetch = if (exhaustive) Int.MaxValue else SemTopN + SemSlack
     val sem = probeVecs
       .map { case (pid, pv) =>
@@ -539,7 +604,7 @@ object Search {
   val queries: Map[String, Q] = Map(
     "q_keyword_topk_at_rest" -> keywordTopkAtRest,
     "q_hybrid_rrf"           -> hybridRrf,
-    "q_hybrid_rrf_indexed"   -> hybridRrfIndexed,
+    "q_hybrid_rrf_indexed"   -> hybridRrfIndexedContract,
     "q_hybrid_rrf_indexed_fixed" -> hybridRrfIndexedFixed,
     "q_hybrid_rrf_pq_fixed"  -> hybridRrfPqFixed,
   )
@@ -606,6 +671,27 @@ object Search {
     * where every oracle gate runs. Past the ceiling the Spark brute key
     * deliberately degrades to one probe (referee mode, r10 verdict #3)
     * and these oracle strings must not be compared against it. */
+  /** The brute fused-hybrid oracle body — shared between q_hybrid_rrf and
+    * the graduated q_hybrid_rrf_indexed contract (which wraps it with the
+    * pinned agreement boolean). */
+  private def bruteHybridSql: String = {
+    val probes = HybridProbes.mkString(", ")
+    s"""WITH $lexCteSql,
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |pv AS (SELECT vec_id AS query_id, v AS p FROM e WHERE vec_id IN ($probes)),
+       |semsc AS (
+       |  SELECT pv.query_id, e.vec_id AS doc_id,
+       |    round(list_dot_product(e.v, pv.p) /
+       |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(pv.p, pv.p))), 4) AS cos_r
+       |  FROM e, pv WHERE e.vec_id <> pv.query_id),
+       |sem AS (
+       |  SELECT query_id, doc_id, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos_r DESC, doc_id) AS BIGINT) AS r_sem
+       |  FROM semsc),
+       |semc AS (SELECT query_id, doc_id, r_sem FROM sem WHERE r_sem <= $SemTopN),
+       |$rrfTailSql""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_keyword_topk_at_rest" -> {
       val qvals = Queries
@@ -644,23 +730,14 @@ object Search {
          |FROM r WHERE rnk <= $TopK
          |ORDER BY query_id, rnk""".stripMargin
     },
-    "q_hybrid_rrf" -> {
-      val probes = HybridProbes.mkString(", ")
-      s"""WITH $lexCteSql,
-         |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-         |pv AS (SELECT vec_id AS query_id, v AS p FROM e WHERE vec_id IN ($probes)),
-         |semsc AS (
-         |  SELECT pv.query_id, e.vec_id AS doc_id,
-         |    round(list_dot_product(e.v, pv.p) /
-         |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(pv.p, pv.p))), 4) AS cos_r
-         |  FROM e, pv WHERE e.vec_id <> pv.query_id),
-         |sem AS (
-         |  SELECT query_id, doc_id, CAST(row_number() OVER (
-         |    PARTITION BY query_id ORDER BY cos_r DESC, doc_id) AS BIGINT) AS r_sem
-         |  FROM semsc),
-         |semc AS (SELECT query_id, doc_id, r_sem FROM sem WHERE r_sem <= $SemTopN),
-         |$rrfTailSql""".stripMargin
-    },
+    "q_hybrid_rrf" -> bruteHybridSql,
+    // graduated indexed-hybrid contract: the brute fused relation + the
+    // per-probe fused-agreement bound pinned TRUE (the engine certifies it
+    // against the real at-rest serving path)
+    "q_hybrid_rrf_indexed" ->
+      s"""SELECT query_id, rnk, doc_id, rrf_r, r_lex, r_sem, TRUE AS agree_ok
+         |FROM ($bruteHybridSql) t
+         |ORDER BY query_id, rnk""".stripMargin,
     // full integer replay of the fixed indexed-hybrid serving path: the
     // shared lex CTEs + the q_ann_ivf_fixed cell assignment generalized to
     // the probe set (nProbe=4 pruned cells, exact integer L2 rank) + the

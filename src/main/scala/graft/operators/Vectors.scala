@@ -506,18 +506,18 @@ object Vectors {
     * [[nearestMAssembly]] emits each vector's nearest-m matches. No pair
     * ever carries a vector through the dedup, and the exact kernel touches
     * only surviving rep candidates. */
-  val embedNeardupSrp: Q = (s, d) => {
+  /** The shared SRP stages: planted corpus → distinct-value groups →
+    * banded candidates → exact-verified rep pairs at [[SrpThreshold]].
+    * Returns (corpus, groups, repPairs); `corpus` is persisted (four
+    * subtrees read it — reclaimed by the ContextCleaner, same note as
+    * minhashScreenAtRest's newSigs). */
+  private def srpStages(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val spark = s
     import spark.implicits._
-    // lazy persist: the perturbed corpus feeds four subtrees (groups,
-    // member attach, banding, exact verify) — without it each one re-runs
-    // the typed perturbation map over the base table; reclaimed by the
-    // ContextCleaner (same note as minhashScreenAtRest's newSigs)
     val corpus = srpCorpus(s, d).toDF("vec_id", "v")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val groups = corpus.groupBy(col("v")).agg(min(col("vec_id")).as("rep"))
-    val memberRep = corpus.join(groups, Seq("v"))
-      .select(col("vec_id").as("id"), col("rep"))
     val reps = groups.select(col("rep").as("vec_id"), col("v"))
     val banded = srpBandedKeys(reps.as[(Long, Array[Double])])
     val cands = banded.select(col("vec_id").as("rep_a"), col("band"), col("key"))
@@ -533,11 +533,46 @@ object Vectors {
         CosineSimExpr.vec_cosine(col("va"), col("vb")).as("cos"))
       .where(col("cos") >= SrpThreshold)
       .select(col("rep_a"), col("rep_b"), round(col("cos"), 4).as("score"))
+    (corpus, groups, repPairs)
+  }
+
+  /** The full nearest-m presentation over the SRP pipeline — the spec
+    * surface (VectorSpec's driver replay ranks every neighbor row). */
+  private[graft] val embedNeardupSrpRaw: Q = (s, d) => {
+    val (corpus, groups, repPairs) = srpStages(s, d)
+    val memberRep = corpus.join(groups, Seq("v"))
+      .select(col("vec_id").as("id"), col("rep"))
     nearestMAssembly(memberRep, repPairs, selfScore = 1.0, scoreAsc = false,
         m = NearestM, selfDominates = false)
       .select(col("id").as("vec_id"), col("rn"), col("nbr").as("neighbor_id"),
         col("score").as("cos_r"))
       .orderBy(col("vec_id"), col("rn"))
+  }
+
+  /** ORACLE-GRADUATED q_embed_neardup_srp (r11 verdict #1): the planted-
+    * recall contract. The fixture corpus carries exactly one seeded
+    * near-dup twin per DISTINCT base embedding (ids offset by
+    * [[SrpPlantOffset]], cos ≈ 0.996 ≥ [[SrpThreshold]]), so the
+    * deterministic, SQL-computable relation is "every base distinct-value
+    * rep has its twin" — the oracle derives the rep set (min vec_id per
+    * embedding) and the twin arithmetic in plain SQL and pins
+    * planted_found TRUE; the engine side certifies the boolean by running
+    * the real banding + exact-verify kernel and probing the verified pair
+    * set for each (rep, rep+offset) pair. A banding miss (p ≈ 5e-7/pair,
+    * seeded planes) would fail the hash loudly — that is the contract. */
+  val embedNeardupSrp: Q = (s, d) => {
+    val (_, groups, repPairs) = srpStages(s, d)
+    // planted pairs always order (base rep, base rep + offset): base ids
+    // sit far below the offset on every fixture decade
+    val found = repPairs
+      .where(col("rep_b") === col("rep_a") + SrpPlantOffset)
+      .select(col("rep_a").as("vec_id"), lit(true).as("f"))
+    groups.select(col("rep").as("vec_id"))
+      .where(col("vec_id") < SrpPlantOffset)
+      .join(found, Seq("vec_id"), "left")
+      .select(col("vec_id"), (col("vec_id") + SrpPlantOffset).as("twin_id"),
+        coalesce(col("f"), lit(false)).as("planted_found"))
+      .orderBy(col("vec_id"))
   }
 
   /** IVF-style ANN (non-oracle; recall property-tested vs brute force):
@@ -639,7 +674,7 @@ object Vectors {
       .limit(CodebookSampleSize)
       .select(col("vec_id"), col("v"))
 
-  val annIvf: Q = (s, d) => {
+  private[graft] val annIvfRaw: Q = (s, d) => {
     val spark = s
     import spark.implicits._
     val edf = Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
@@ -860,7 +895,7 @@ object Vectors {
     * candidate-count vectors. Rows-only (k-means assignment is FP-order
     * sensitive across engines); VectorSpec pins recall@10 vs the exact
     * [[cosineTopk]] and determinism across runs. */
-  val annPq: Q = (s, d) => {
+  private[graft] val annPqRaw: Q = (s, d) => {
     val spark = s
     import spark.implicits._
     val edf = Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
@@ -1410,9 +1445,79 @@ object Vectors {
     val key = (System.identityHashCode(s), path)
     if (!indexBuiltAt.contains(key))
       indexBuiltAt.synchronized {
-        if (!indexBuiltAt.contains(key)) { build(path); indexBuiltAt.add(key) }
+        if (!indexBuiltAt.contains(key)) {
+          // Cross-process commit protocol (r11 verdict #6): build into a
+          // PRIVATE staging sibling, commit by filesystem rename — the
+          // `__compact_tmp` discipline applied to the initial build. Two
+          // sessions racing the same warehouse dir each build privately;
+          // whoever renames first wins, the loser discards its staging. A
+          // crashed builder leaves only an orphaned `__build_*` dir, never
+          // a half-written committed path. (Each session still refreshes
+          // the index once — the warehouse dir can carry a stale vintage
+          // from an earlier process. Maintenance verbs — append / delete /
+          // compact — remain single-active-writer per index dir, like any
+          // un-catalogued hive layout; see COVERAGE.md.)
+          val conf = s.sparkContext.hadoopConfiguration
+          val target = new org.apache.hadoop.fs.Path(path)
+          val fs = target.getFileSystem(conf)
+          val tag = java.util.UUID.randomUUID().toString.take(8)
+          val tmp = new org.apache.hadoop.fs.Path(s"${path}__build_$tag")
+          build(tmp.toString)
+          val old = new org.apache.hadoop.fs.Path(s"${path}__replaced_$tag")
+          if (fs.exists(target)) fs.rename(target, old)
+          if (!fs.rename(tmp, target)) fs.delete(tmp, true)
+          fs.delete(old, true)
+          indexBuiltAt.add(key)
+        }
       }
     path
+  }
+
+  // ---------------------------------------------------------------------
+  // Bounded-contract graduation of the trained ANN keys (r11 verdict #1,
+  // the ref_approx_distinct precedent): FP-order k-means makes the trained
+  // retrieval SET engine-specific, so the contract the oracle hash-checks
+  // is "the exact brute top-10 plus a pinned recall bound" — each key
+  // emits the exact [[cosineTopk]] rows (bit-replayable in SQL, the same
+  // arithmetic the green q_cosine_topk oracle already certifies) and a
+  // recall_ok boolean = |ann-top10 ∩ exact-top10| ≥ [[AnnRecallBar]],
+  // which the oracle pins TRUE. The exact referee is collected once per
+  // (session, dataset) — 10 rows of referee metadata, the ensureIndex
+  // memo discipline — so the at-rest serving keys keep their index-scan
+  // cost on repeated passes.
+  // ---------------------------------------------------------------------
+
+  /** Minimum |ann ∩ exact| of 10 the contract pins — the VectorSpec 0.5
+    * recall floor (measured ≥ 0.9 on every fixture decade; the bar keeps
+    * the spec's margin, not the measurement's). */
+  private[graft] val AnnRecallBar = 5
+
+  private val exactTop10Memo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), Array[(Long, Double)]]()
+
+  /** The exact brute top-10 (vec_id, cos_r) for the shared probe, memoized
+    * per (session, dataset). */
+  private[operators] def exactTop10(s: SparkSession, d: String): Array[(Long, Double)] = {
+    val spark = s
+    import spark.implicits._
+    exactTop10Memo.computeIfAbsent((System.identityHashCode(s), d),
+      _ => cosineTopk(s, d).as[(Long, Double)].collect())
+  }
+
+  /** Wrap a trained-ANN plan in the graduated contract: run it, measure
+    * overlap with the exact referee, emit the referee rows ordered on the
+    * ROUNDED score (the oracle's emission order — ties on the unrounded
+    * cosine differ across engines only below the rounding) with the bound
+    * boolean. Both collects are 10 rows. */
+  private def annRecallContract(s: SparkSession, d: String, ann: DataFrame): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val exact = exactTop10(s, d)
+    val annIds = ann.select(col("vec_id")).as[Long].collect().toSet
+    val overlap = exact.count { case (id, _) => annIds.contains(id) }
+    exact.toSeq.toDF("vec_id", "cos_r")
+      .withColumn("recall_ok", lit(overlap >= AnnRecallBar))
+      .orderBy(col("cos_r").desc, col("vec_id"))
   }
 
   /** AT-REST IVF serving path as a suite key: query the persisted
@@ -1423,7 +1528,7 @@ object Vectors {
     * no full scan) and correctness covers the path a service actually
     * runs. Rows-only by the same declaration as q_ann_ivf (FP-order
     * k-means); VectorSpec pins persisted ≡ in-query. */
-  val annIvfAtRest: Q = (s, d) => {
+  private[graft] val annIvfAtRestRaw: Q = (s, d) => {
     val idx = ensureIndex(s, "ivf", d)(p => writeIvfIndex(s, d, p))
     queryIvfIndex(s, idx, probeVector(s, d), excludeId = Some(0L))
   }
@@ -1433,7 +1538,7 @@ object Vectors {
     * pushed-down candidate IN-filter — the [[queryPqIndex]] twin of
     * [[annIvfAtRest]], timed on index-scan cost only after the memoized
     * first build. */
-  val annPqAtRest: Q = (s, d) => {
+  private[graft] val annPqAtRestRaw: Q = (s, d) => {
     val idx = ensureIndex(s, "pq", d)(p => writePqIndex(s, d, p))
     queryPqIndex(s, d, idx, probeVector(s, d), excludeId = Some(0L))
   }
@@ -1479,7 +1584,7 @@ object Vectors {
     * declaration as its siblings (FP-order k-means); VectorSpec pins
     * recall@10, determinism, true-cosine refined scores, and
     * at-rest ≡ in-query. */
-  val annIvfPq: Q = (s, d) => {
+  private[graft] val annIvfPqRaw: Q = (s, d) => {
     val spark = s
     import spark.implicits._
     val edf = Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
@@ -1609,10 +1714,24 @@ object Vectors {
     * IVF/PQ siblings): the steady-state cost is the partition-pruned
     * compressed code scan + candidate point reads — the cheapest serving
     * shape the engine offers. */
-  val annIvfPqAtRest: Q = (s, d) => {
+  private[graft] val annIvfPqAtRestRaw: Q = (s, d) => {
     val idx = ensureIndex(s, "ivfpq", d)(p => writeIvfPqIndex(s, d, p))
     queryIvfPqIndex(s, d, idx, probeVector(s, d), excludeId = Some(0L))
   }
+
+  /** ORACLE-GRADUATED suite forms of the six trained-ANN keys (r11 verdict
+    * #1): the raw serving plans above, wrapped in [[annRecallContract]] so
+    * every key lands a hash-checked CORRECTNESS row. The raw forms remain
+    * the spec surface (recall, determinism, at-rest ≡ in-query, plan
+    * pruning); these certify the deployed contract — "the index answers
+    * within the pinned recall bound of exact" — the way ref_approx_distinct
+    * certifies the HLL bound instead of the estimate. */
+  val annIvf: Q = (s, d) => annRecallContract(s, d, annIvfRaw(s, d))
+  val annPq: Q = (s, d) => annRecallContract(s, d, annPqRaw(s, d))
+  val annIvfPq: Q = (s, d) => annRecallContract(s, d, annIvfPqRaw(s, d))
+  val annIvfAtRest: Q = (s, d) => annRecallContract(s, d, annIvfAtRestRaw(s, d))
+  val annPqAtRest: Q = (s, d) => annRecallContract(s, d, annPqAtRestRaw(s, d))
+  val annIvfPqAtRest: Q = (s, d) => annRecallContract(s, d, annIvfPqAtRestRaw(s, d))
 
   /** MinHash + LSH banded near-dup candidates over document 3-gram shingles
     * (oracle-checked since round 5 — the kernel is deterministic integer
@@ -2407,6 +2526,25 @@ object Vectors {
     "q_topic_mix"       -> topicMix,
   )
 
+  /** The q_cosine_topk oracle body — shared with the graduated trained-ANN
+    * contract oracles, which wrap it with the pinned recall boolean. */
+  private val cosineTopkSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |p AS (SELECT v AS pv FROM e WHERE vec_id = 0)
+      |SELECT vec_id, round(cos, 4) AS cos_r FROM (
+      |  SELECT e.vec_id,
+      |    list_dot_product(e.v, p.pv) /
+      |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(p.pv, p.pv))) AS cos
+      |  FROM e, p WHERE e.vec_id <> 0) t
+      |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin
+
+  /** Contract oracle of all six graduated trained-ANN keys ([[annRecallContract]]):
+    * the exact top-10 re-ordered on the ROUNDED score (the contract's
+    * emission order) with the recall bound pinned TRUE. */
+  private val annContractSql: String =
+    s"""SELECT vec_id, cos_r, TRUE AS recall_ok FROM ($cosineTopkSql) t
+       |ORDER BY cos_r DESC, vec_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // cross-split leakage audit: the split CASE is the q_stratified_split
     // integer draw verbatim; the pair arithmetic is the nearDupPairCte
@@ -2689,15 +2827,13 @@ object Vectors {
         |  FROM v)
         |SELECT probe_id, lbl AS pred_label, CAST(votes AS BIGINT) AS votes
         |FROM t WHERE rn = 1 ORDER BY probe_id""".stripMargin,
-    "q_cosine_topk" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |p AS (SELECT v AS pv FROM e WHERE vec_id = 0)
-        |SELECT vec_id, round(cos, 4) AS cos_r FROM (
-        |  SELECT e.vec_id,
-        |    list_dot_product(e.v, p.pv) /
-        |      (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(p.pv, p.pv))) AS cos
-        |  FROM e, p WHERE e.vec_id <> 0) t
-        |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+    "q_cosine_topk" -> cosineTopkSql,
+    "q_ann_ivf" -> annContractSql,
+    "q_ann_pq" -> annContractSql,
+    "q_ann_ivfpq" -> annContractSql,
+    "q_ann_ivf_at_rest" -> annContractSql,
+    "q_ann_pq_at_rest" -> annContractSql,
+    "q_ann_ivfpq_at_rest" -> annContractSql,
     "q_knn_join_sample" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
@@ -2711,6 +2847,13 @@ object Vectors {
     // pair CTE — symmetrize, rank by (rounded cos desc, neighbor asc), cut
     // at m. The Spark side computes this via distinct-embedding contraction;
     // the oracle describes the full uncontracted ranking.
+    // graduated SRP planted-recall contract: the rep set and twin ids are
+    // plain SQL over the base table; the engine pins the recall boolean
+    "q_embed_neardup_srp" ->
+      s"""SELECT min(vec_id) AS vec_id,
+         |  min(vec_id) + $SrpPlantOffset AS twin_id,
+         |  TRUE AS planted_found
+         |FROM embeddings GROUP BY embedding ORDER BY vec_id""".stripMargin,
     "q_embed_neardup" ->
       s"""WITH $nearDupPairCte,
          |sym AS (

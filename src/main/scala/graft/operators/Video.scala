@@ -191,8 +191,13 @@ object Video {
     * ~1 ms/call on writer + stream setup — at 4–6 frames per doc that
     * made the AVI key the suite's most expensive; this encoder is the
     * same fix as the r9 raster/no-disk-cache decode optimization.) */
-  private[graft] def encodePng(bytes: Array[Byte], delta: Int): Array[Byte] = {
-    val (w, h) = Multimodal.dims(bytes.length)
+  /** Base (delta 0) PNG scanline buffer for a payload: one filter-0 byte
+    * per row + the RGB channels of the shared pixel generator. Built ONCE
+    * per blob; every frame's buffer is one byte-add away ([[shiftRaw]]) —
+    * the per-pixel generator walk (plus its per-pixel tuple allocation)
+    * was most of the encode constant at 4–6 frames per doc (r11 verdict
+    * #4). */
+  private def rawScanlines(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
     val raw = new Array[Byte](h * (1 + 3 * w))
     var o = 0
     var y = 0
@@ -202,22 +207,54 @@ object Video {
       var x = 0
       while (x < w) {
         val (r, g, b) = Multimodal.pixelChannels(bytes, w, x, y)
-        raw(o) = ((r + delta) % 256).toByte
-        raw(o + 1) = ((g + delta) % 256).toByte
-        raw(o + 2) = ((b + delta) % 256).toByte
+        raw(o) = r.toByte
+        raw(o + 1) = (g % 256).toByte
+        raw(o + 2) = (b % 256).toByte
         o += 3
         x += 1
       }
       y += 1
     }
-    val defl = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+    raw
+  }
+
+  /** base + delta on every channel byte, filter bytes re-zeroed. Equal to
+    * rebuilding the scanlines at `delta` because the generator's channel
+    * arithmetic is mod-256 and `(b + delta).toByte` IS byte-wrap mod 256. */
+  private def shiftRaw(base: Array[Byte], w: Int, h: Int, delta: Int): Array[Byte] = {
+    val out = new Array[Byte](base.length)
+    var i = 0
+    while (i < base.length) { out(i) = (base(i) + delta).toByte; i += 1 }
+    val stride = 1 + 3 * w
+    var y = 0
+    while (y < h) { out(y * stride) = 0; y += 1 }
+    out
+  }
+
+  /** Thread-local reusable Deflater: creation is a native alloc/free per
+    * call — at 4–6 frames per doc the churn shows up in the AVI key's
+    * wall time. reset() restores the BEST_SPEED stream state exactly. */
+  private val tlDeflater = new ThreadLocal[java.util.zip.Deflater] {
+    override def initialValue(): java.util.zip.Deflater =
+      new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+  }
+
+  private[graft] def encodePng(bytes: Array[Byte], delta: Int): Array[Byte] = {
+    val (w, h) = Multimodal.dims(bytes.length)
+    encodePngRaw(shiftRaw(rawScanlines(bytes, w, h), w, h, delta), w, h)
+  }
+
+  private def encodePngRaw(raw: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val defl = tlDeflater.get()
+    defl.reset()
     defl.setInput(raw); defl.finish()
-    // stored-block worst case: zlib header+adler (6) + 5 bytes per 64 KiB
-    // stored block — sized so the drain below can never stall on a full
-    // buffer at ANY frame dimension (the old raw.length+64 slack only held
-    // under ~760 KB frames and a stall would spin forever: deflate returns
-    // 0 with no space left but finished() stays false)
-    val idat = new Array[Byte](raw.length + 6 + 5 * (raw.length / 65535 + 1))
+    // zlib compressBound: len + len/4096 + len/16384 + len/2^25 + 13 covers
+    // the true worst case of the zlib format at any memLevel (stored-block
+    // fallbacks per sym-buffer flush included — the previous 5-per-64KiB
+    // bound undercounted those; ADVICE r11), so the drain below can never
+    // exhaust the buffer. The require stays as a loud backstop.
+    val idat = new Array[Byte](
+      raw.length + (raw.length >> 12) + (raw.length >> 14) + (raw.length >> 25) + 13)
     var idatLen = 0
     while (!defl.finished()) {
       val n = defl.deflate(idat, idatLen, idat.length - idatLen)
@@ -225,7 +262,6 @@ object Video {
         s"PNG IDAT buffer exhausted at $idatLen/${idat.length} bytes")
       idatLen += n
     }
-    defl.end()
     val out = new Array[Byte](8 + 25 + (12 + idatLen) + 12)
     var p = 0
     Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt, 0x0d, 0x0a, 0x1a, 0x0a)
@@ -261,7 +297,10 @@ object Video {
     * layout (AVIMAINHEADER / AVISTREAMHEADER / BITMAPINFOHEADER). */
   private[graft] def aviBlob(bytes: Array[Byte]): Array[Byte] = {
     val (w, h) = Multimodal.dims(bytes.length)
-    val frames: Array[Array[Byte]] = frameDeltas(bytes).map(encodePng(bytes, _))
+    // one generator walk for the whole blob; each frame is a byte-shift
+    val base = rawScanlines(bytes, w, h)
+    val frames: Array[Array[Byte]] =
+      frameDeltas(bytes).map(d => encodePngRaw(shiftRaw(base, w, h, d), w, h))
     val nf = frames.length
     def padded(n: Int) = n + (n & 1) // RIFF chunks are word-aligned
     val moviData = 4 + frames.map(f => 8 + padded(f.length)).sum

@@ -28,6 +28,24 @@ class DedupClusterSpec extends AnyFunSuite {
     assert((0L until 40L).forall(comp(_) == 0L))
   }
 
+  test("distributed CC exits with zero block-manager residue (session health)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val chain = (0L until 60L).sliding(2).map(s => (s(0), s(1))).toSeq
+      .toDF("id_a", "id_b")
+    val out = DedupCluster.connectedComponents(chain, driverThreshold = 0)
+    // consume the result fully — the steady-state a caller leaves behind
+    val comp = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((0L until 60L).forall(comp(_) == 0L))
+    // every per-round localCheckpoint, the final converged snapshot, and
+    // both edge persists must be released by exit: lingering checkpoint
+    // blocks measurably degrade UNRELATED queries in a long session
+    // (PERF.md, r11 verdict #2)
+    val lingering = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(lingering.isEmpty, s"lingering persisted RDDs: $lingering")
+  }
+
   test("driver and distributed paths agree") {
     val spark = TestSpark.spark
     import spark.implicits._

@@ -136,7 +136,7 @@ class FunctionsSpec extends AnyFunSuite {
   test("q_quantile_sketch rank error is within the GK bound of the exact quantiles") {
     val spark = TestSpark.spark
     val accuracy = operators.Relational.QuantileAccuracy
-    val got = operators.Relational.quantileSketch(spark, TestSpark.sf0001)
+    val got = operators.Relational.quantileSketchRaw(spark, TestSpark.sf0001)
       .collect().map(r => r.getString(0) ->
         (r.getLong(1), (2 to 5).map(r.getDouble))).toMap
     val exact = Tables.lineitem(spark, TestSpark.sf0001)

@@ -37,7 +37,7 @@ class SemanticDedupSpec extends AnyFunSuite {
   test("semantic verdicts: one row per doc, dup flags a subset of the exact family's") {
     val spark = TestSpark.spark
     val d = TestSpark.sf0001
-    val sem = DedupCluster.semanticReps(spark, d).collect()
+    val sem = DedupCluster.semanticRepsRaw(spark, d).collect()
     val nDocs = Tables.documents(spark, d).count()
     assert(sem.length == nDocs)
     val semDups = sem.filter(_.getInt(3) == 1).map(_.getLong(0)).toSet
@@ -45,7 +45,7 @@ class SemanticDedupSpec extends AnyFunSuite {
       .filter(_.getInt(3) == 1).map(_.getLong(0)).toSet
     assert(semDups.nonEmpty && semDups.subsetOf(exactDups))
     // determinism: seeded k-means + exact kernel — two runs byte-equal
-    val again = DedupCluster.semanticReps(spark, d).collect()
+    val again = DedupCluster.semanticRepsRaw(spark, d).collect()
     assert(sem.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 

@@ -26,7 +26,7 @@ class SqlParitySpec extends AnyFunSuite {
     "q_join_skew_salted", "q_null_safe_join",
     // aggregates + grouping analytics
     "q_agg_distinct", "q_topk_per_group", "q_pivot_wide",
-    "q_agg_stats", "q_quantile_exact",
+    "q_agg_stats", "q_quantile_exact", "q_quantile_sketch",
     // window functions
     "q_window_rank", "q_window_frame", "q_window_pct",
     // set ops, conditionals, subqueries
@@ -54,7 +54,9 @@ class SqlParitySpec extends AnyFunSuite {
     "ref_valid_steps", "ref_element_lookup", "ref_fortran_scan",
     "ref_sgt_pipeline", "ref_dgf_pipeline", "ref_db_roundtrip",
     // exact counts + the pinned TRUE bound — no dialect at all
-    "ref_approx_distinct")
+    "ref_approx_distinct",
+    // min-per-group over the embedding column + pinned TRUE bound
+    "q_embed_neardup_srp")
 
   /** Oracle keys that CANNOT run on spark.sql, each with the blocking
     * DuckDB construct. Kept exhaustive on purpose: the classification test
@@ -111,6 +113,14 @@ class SqlParitySpec extends AnyFunSuite {
         "spells it STRING"),
       "q_sample_per_group" -> varcharCast, "q_source_mix" -> varcharCast,
       "q_cosine_topk" -> vecDialect, "q_knn_join_sample" -> vecDialect,
+      // graduated trained-ANN contracts: the exact-referee emission is the
+      // q_cosine_topk body + the pinned TRUE bound
+      "q_ann_ivf" -> (vecDialect + " (exact-referee contract)"),
+      "q_ann_pq" -> (vecDialect + " (exact-referee contract)"),
+      "q_ann_ivfpq" -> (vecDialect + " (exact-referee contract)"),
+      "q_ann_ivf_at_rest" -> (vecDialect + " (exact-referee contract)"),
+      "q_ann_pq_at_rest" -> (vecDialect + " (exact-referee contract)"),
+      "q_ann_ivfpq_at_rest" -> (vecDialect + " (exact-referee contract)"),
       "q_knn_classify" -> vecDialect, "q_embed_centroid" ->
         (vecDialect + " + generate_subscripts"),
       "q_embed_neardup" -> vecDialect, "q_multimodal_join" -> vecDialect,
@@ -136,6 +146,10 @@ class SqlParitySpec extends AnyFunSuite {
         " + VALUES CTE — Spark form is the pruned index probe"),
       "q_curriculum_order" -> ("quality-score q4 CTE — " + listDialect),
       "q_hybrid_rrf" -> (listDialect + "; " + vecDialect),
+      "q_hybrid_rrf_indexed" -> (listDialect + "; " + vecDialect +
+        " (brute-referee contract + pinned agreement bound)"),
+      "q_semantic_dedup" -> (recursive + " (exact-closure contract + " +
+        "pinned soundness/recall bounds); " + vecDialect),
       "q_hybrid_rrf_indexed_fixed" -> (listDialect +
         " + unnest(range) centroid cross join + row_number argmin — the " +
         "q_ann_ivf_fixed sem leg generalized to the probe set + RRF tail"),

@@ -19,7 +19,7 @@ class VectorSpec extends AnyFunSuite {
     val spark = TestSpark.spark
     val exact = Vectors.cosineTopk(spark, TestSpark.sf0001)
       .collect().map(_.getLong(0)).toSet
-    val approx = Vectors.annIvf(spark, TestSpark.sf0001)
+    val approx = Vectors.annIvfRaw(spark, TestSpark.sf0001)
       .collect().map(_.getLong(0)).toSet
     assert(approx.size == 10)
     val recall = exact.intersect(approx).size.toDouble / exact.size
@@ -29,7 +29,7 @@ class VectorSpec extends AnyFunSuite {
   test("ANN candidates are a subset of the probed clusters' members (pruning is real)") {
     val spark = TestSpark.spark
     // the scored candidate count must be well under the corpus size
-    val nCand = Vectors.annIvf(spark, TestSpark.sf0001).count()
+    val nCand = Vectors.annIvfRaw(spark, TestSpark.sf0001).count()
     assert(nCand == 10)
   }
 
@@ -71,7 +71,7 @@ class VectorSpec extends AnyFunSuite {
     val spark = TestSpark.spark
     val exact = Vectors.cosineTopk(spark, TestSpark.sf0001)
       .collect().map(_.getLong(0)).toSet
-    val approx = Vectors.annPq(spark, TestSpark.sf0001).collect()
+    val approx = Vectors.annPqRaw(spark, TestSpark.sf0001).collect()
     assert(approx.length == 10)
     val ids = approx.map(_.getLong(0)).toSet
     assert(!ids.contains(0L))
@@ -84,7 +84,7 @@ class VectorSpec extends AnyFunSuite {
     approx.filter(r => exactScores.contains(r.getLong(0)))
       .foreach(r => assert(r.getDouble(1) == exactScores(r.getLong(0))))
     // determinism across runs (fixed sample, seeded Lloyd, total orders)
-    val again = Vectors.annPq(spark, TestSpark.sf0001)
+    val again = Vectors.annPqRaw(spark, TestSpark.sf0001)
       .collect().map(_.getLong(0)).toSeq
     assert(again == approx.map(_.getLong(0)).toSeq)
   }
@@ -111,7 +111,7 @@ class VectorSpec extends AnyFunSuite {
     assert(pushed.contains("In(vec_id"), pushed)
     // identical result to the in-query path (same sample rule + codebooks)
     val got = q.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    val want = Vectors.annPq(spark, TestSpark.sf0001)
+    val want = Vectors.annPqRaw(spark, TestSpark.sf0001)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(got == want)
   }
@@ -120,20 +120,65 @@ class VectorSpec extends AnyFunSuite {
     val spark = TestSpark.spark
     // IVF: the suite key queries the memoized persisted index; the same
     // codebook-sample contract makes it equal the in-query form exactly
-    val ivf1 = Vectors.annIvfAtRest(spark, TestSpark.sf0001).collect().toSeq
-    val ivf2 = Vectors.annIvfAtRest(spark, TestSpark.sf0001).collect().toSeq
+    val ivf1 = Vectors.annIvfAtRestRaw(spark, TestSpark.sf0001).collect().toSeq
+    val ivf2 = Vectors.annIvfAtRestRaw(spark, TestSpark.sf0001).collect().toSeq
     assert(ivf1.size == 10 && ivf1 == ivf2)
-    assert(ivf1 == Vectors.annIvf(spark, TestSpark.sf0001).collect().toSeq)
-    val pq1 = Vectors.annPqAtRest(spark, TestSpark.sf0001).collect().toSeq
+    assert(ivf1 == Vectors.annIvfRaw(spark, TestSpark.sf0001).collect().toSeq)
+    val pq1 = Vectors.annPqAtRestRaw(spark, TestSpark.sf0001).collect().toSeq
     assert(pq1.size == 10)
-    assert(pq1 == Vectors.annPq(spark, TestSpark.sf0001).collect().toSeq)
+    assert(pq1 == Vectors.annPqRaw(spark, TestSpark.sf0001).collect().toSeq)
+  }
+
+  test("ensureIndex commit protocol: staged build, rename commit, stale vintage replaced, no residue") {
+    val spark = TestSpark.spark
+    val d = TestSpark.sf0001
+    val kind = "guard" + (System.nanoTime() % 1000000)
+    val expected = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:") +
+      s"/graft_index/${kind}_" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+    // plant a stale vintage at the committed path (an earlier process)
+    new java.io.File(expected).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(expected, "stale.txt"), "old")
+    val got = Vectors.ensureIndex(spark, kind, d) { p =>
+      // the build lands in a PRIVATE staging sibling, never the target
+      assert(p.contains("__build_"), p)
+      new java.io.File(p).mkdirs()
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p, "fresh.txt"), "new")
+    }
+    assert(got == expected)
+    assert(new java.io.File(got, "fresh.txt").exists, "committed build missing")
+    assert(!new java.io.File(got, "stale.txt").exists, "stale vintage survived")
+    // no staging/replaced residue next to the committed dir
+    val name = new java.io.File(got).getName
+    val residue = Option(new java.io.File(got).getParentFile.list()).get
+      .filter(_.startsWith(name + "__"))
+    assert(residue.isEmpty, residue.mkString(","))
+    // the session memo holds: a second ensure must NOT rebuild
+    val got2 = Vectors.ensureIndex(spark, kind, d)(_ =>
+      fail("memoized index rebuilt"))
+    assert(got2 == got)
+  }
+
+  test("graduated ANN contract keys emit the exact referee rows with the recall bound TRUE") {
+    val spark = TestSpark.spark
+    val exact = Vectors.cosineTopk(spark, TestSpark.sf0001)
+      .collect().map(_.getLong(0)).toSet
+    for (key <- Seq("q_ann_ivf", "q_ann_pq", "q_ann_ivfpq",
+        "q_ann_ivf_at_rest", "q_ann_pq_at_rest", "q_ann_ivfpq_at_rest")) {
+      val rows = SparkEntry.queries(key)(spark, TestSpark.sf0001).collect()
+      assert(rows.length == 10, s"$key rows=${rows.length}")
+      // the emitted ids ARE the exact referee's (SQL-replayable side)
+      assert(rows.map(_.getLong(0)).toSet == exact, s"$key ids diverged from exact")
+      // the bound the oracle pins TRUE must hold on the engine side
+      assert(rows.forall(_.getBoolean(2)), s"$key recall bound violated")
+    }
   }
 
   test("IVFADC: residual-PQ recall, true-cosine refine, deterministic, at-rest equals in-query") {
     val spark = TestSpark.spark
     val exact = Vectors.cosineTopk(spark, TestSpark.sf0001)
       .collect().map(_.getLong(0)).toSet
-    val approx = Vectors.annIvfPq(spark, TestSpark.sf0001).collect()
+    val approx = Vectors.annIvfPqRaw(spark, TestSpark.sf0001).collect()
     assert(approx.length == 10)
     val ids = approx.map(_.getLong(0)).toSet
     assert(!ids.contains(0L))
@@ -147,14 +192,14 @@ class VectorSpec extends AnyFunSuite {
     approx.filter(r => exactScores.contains(r.getLong(0)))
       .foreach(r => assert(r.getDouble(1) == exactScores(r.getLong(0))))
     // determinism (fixed sample, seeded Lloyd, total orders)
-    val again = Vectors.annIvfPq(spark, TestSpark.sf0001).collect()
+    val again = Vectors.annIvfPqRaw(spark, TestSpark.sf0001).collect()
     assert(approx.map(r => (r.getLong(0), r.getDouble(1))).toSeq ==
       again.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
     // the at-rest suite key (memoized persisted index) answers identically:
     // same sample contract -> same codebooks -> same codes -> same refine
-    val atRest1 = Vectors.annIvfPqAtRest(spark, TestSpark.sf0001)
+    val atRest1 = Vectors.annIvfPqAtRestRaw(spark, TestSpark.sf0001)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-    val atRest2 = Vectors.annIvfPqAtRest(spark, TestSpark.sf0001)
+    val atRest2 = Vectors.annIvfPqAtRestRaw(spark, TestSpark.sf0001)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     assert(atRest1 == atRest2)
     assert(atRest1 == approx.map(r => (r.getLong(0), r.getDouble(1))).toSeq)
@@ -225,7 +270,7 @@ class VectorSpec extends AnyFunSuite {
       (own ++ cross).sortBy { case (n, s) => (-s, n) }.take(m)
         .zipWithIndex.map { case ((n, s), i) => (id, i + 1L, n, s) }
     }.sortBy(r => (r._1, r._2))
-    val got = Vectors.embedNeardupSrp(spark, TestSpark.sf0001)
+    val got = Vectors.embedNeardupSrpRaw(spark, TestSpark.sf0001)
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(got.nonEmpty && got == want,
       s"first diff: ${got.zip(want).find { case (g, w) => g != w }}")
