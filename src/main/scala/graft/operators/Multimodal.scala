@@ -131,22 +131,53 @@ object Multimodal {
         img.getRaster.getDataBuffer.getSize == 3 * w * h)
       img.getRaster.getDataBuffer
         .asInstanceOf[java.awt.image.DataBufferByte].getData
-    else {
-      val out = new Array[Byte](3 * w * h)
-      var y = 0
-      while (y < h) {
-        var x = 0
-        while (x < w) {
-          val p = img.getRGB(x, y)
-          val o = 3 * (y * w + x)
-          out(o) = p.toByte               // B
-          out(o + 1) = (p >> 8).toByte    // G
-          out(o + 2) = (p >> 16).toByte   // R
-          x += 1
+    else (img.getRaster.getSampleModel, img.getRaster.getDataBuffer) match {
+      // any 3-band byte-interleaved raster (the JDK PNG reader decodes
+      // truecolor to RGB-interleaved TYPE_CUSTOM, which used to fall into
+      // the getRGB-per-pixel path below — a color-model call + boxing per
+      // pixel that dominated the AVI key's decode leg): reorder straight
+      // from the backing array via the band offsets. For an 8-bit sRGB
+      // ComponentColorModel this is exactly what getRGB returns.
+      case (sm: java.awt.image.PixelInterleavedSampleModel,
+            db: java.awt.image.DataBufferByte)
+          if sm.getNumBands == 3 && !img.getColorModel.hasAlpha =>
+        val data = db.getData
+        val base = db.getOffset
+        val stride = sm.getScanlineStride
+        val ps = sm.getPixelStride
+        val bo = sm.getBandOffsets // band order R,G,B = bands 0,1,2
+        val out = new Array[Byte](3 * w * h)
+        var y = 0
+        while (y < h) {
+          val row = base + y * stride
+          var x = 0
+          while (x < w) {
+            val p = row + x * ps
+            val o = 3 * (y * w + x)
+            out(o) = data(p + bo(2))     // B
+            out(o + 1) = data(p + bo(1)) // G
+            out(o + 2) = data(p + bo(0)) // R
+            x += 1
+          }
+          y += 1
         }
-        y += 1
-      }
-      out
+        out
+      case _ =>
+        val out = new Array[Byte](3 * w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            val o = 3 * (y * w + x)
+            out(o) = p.toByte               // B
+            out(o + 1) = (p >> 8).toByte    // G
+            out(o + 2) = (p >> 16).toByte   // R
+            x += 1
+          }
+          y += 1
+        }
+        out
     }
   }
 

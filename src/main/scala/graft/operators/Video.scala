@@ -455,12 +455,60 @@ object Video {
     }
   }
 
-  /** REAL JDK PNG decode via the reused reader. */
+  /** Per-thread destination image cache keyed by (w, h): with a reusable
+    * destination the reader skips the per-frame BufferedImage/raster
+    * allocation + color-model setup ([[javax.imageio.ImageReadParam]]
+    * `setDestination`, the standard ImageIO serving idiom). The returned
+    * image is OVERWRITTEN by the next same-shape decode on this thread —
+    * callers must extract pixels before decoding the next frame (both
+    * callers do: [[Multimodal.bgrBytes]] copies interleaved rasters). */
+  private val pngDest = new ThreadLocal[
+      java.util.HashMap[Long, java.awt.image.BufferedImage]] {
+    override def initialValue() = new java.util.HashMap()
+  }
+
+  /** Minimal in-memory ImageInputStream over a byte array (the public
+    * ImageInputStreamImpl extension point): MemoryCacheImageInputStream
+    * pays block-cache allocation + a synchronized wrapper per READ CALL,
+    * which at tens of reads per tiny frame is measurable against the
+    * inflate itself. Positioning/bit state comes from the base class. */
+  private final class ByteArrayImageInputStream(buf: Array[Byte])
+      extends javax.imageio.stream.ImageInputStreamImpl {
+    override def read(): Int =
+      if (streamPos >= buf.length) -1
+      else { bitOffset = 0; val v = buf(streamPos.toInt) & 0xff; streamPos += 1; v }
+    override def read(b: Array[Byte], off: Int, len: Int): Int =
+      if (streamPos >= buf.length) -1
+      else {
+        bitOffset = 0
+        val n = math.min(len, buf.length - streamPos.toInt)
+        System.arraycopy(buf, streamPos.toInt, b, off, n)
+        streamPos += n
+        n
+      }
+    override def length(): Long = buf.length.toLong
+    override def isCachedMemory: Boolean = true
+  }
+
+  /** REAL JDK PNG decode via the reused reader (every inflate and
+    * defilter is the JDK codec; VideoSpec pins decoded-grid bit-parity). */
   private[graft] def decodePng(blob: Array[Byte]): java.awt.image.BufferedImage = {
     val r = pngReader.get()
-    val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
-      new java.io.ByteArrayInputStream(blob))
-    try { r.setInput(iis); r.read(0) } finally { iis.close() }
+    val iis = new ByteArrayImageInputStream(blob)
+    try {
+      r.setInput(iis)
+      val w = r.getWidth(0); val h = r.getHeight(0)
+      val key = (w.toLong << 32) | h
+      val cache = pngDest.get()
+      var dst = cache.get(key)
+      if (dst == null) {
+        dst = r.getImageTypes(0).next().createBufferedImage(w, h)
+        cache.put(key, dst)
+      }
+      val param = r.getDefaultReadParam
+      param.setDestination(dst)
+      r.read(0, param)
+    } finally { iis.close() }
   }
 
   /** AVI twin of [[decodedFrames]] — the standard-container path into the
@@ -468,7 +516,17 @@ object Video {
   private def decodedFramesAvi(text: String): (Int, Int, Int, Array[Array[Byte]]) = {
     val blob = aviBlob((if (text == null) "" else text).getBytes("UTF-8"))
     val (_, fps, w, h, frames) = parseAviContainer(blob)
-    val px = frames.map(fb => Multimodal.bgrBytes(decodePng(fb)))
+    val px = frames.map { fb =>
+      val img = decodePng(fb)
+      val raw = Multimodal.bgrBytes(img)
+      // the reused destination is overwritten by the next decode: if
+      // bgrBytes returned the raster's backing array zero-copy, detach it
+      val backing = img.getRaster.getDataBuffer match {
+        case b: java.awt.image.DataBufferByte => b.getData
+        case _ => null
+      }
+      if (raw eq backing) raw.clone() else raw
+    }
     px.foreach(p => require(p.length == 3 * w * h, "decoded size mismatch"))
     (fps, w, h, px)
   }
