@@ -38,7 +38,7 @@ object Plans {
     "q_late_data_policy" ->
       "groupBy + broadcast back — no low-cardinality window funnel",
     "q_embed_neardup_srp" ->
-      "SRP-LSH: banded candidate equi-join, ids-only dedup, fused vec_cosine verify",
+      "SRP-LSH planted-recall contract: banded candidate equi-join, ids-only dedup, fused vec_cosine verify, left-join probe of the planted pair set (oracle-graduated r12)",
     "q_dedup_incremental" ->
       "prefix-filtered set-similarity join: df-ordered prefixes, token equi-join, exact verify on candidates only",
     "q_event_funnel" ->
@@ -58,7 +58,7 @@ object Plans {
     "q_join_multiway_bucketed" ->
       "bucketed-at-rest fact join: co-located SortMergeJoin, zero Exchange on the fact keys",
     "q_ann_pq" ->
-      "PQ ANN: ADC over 8-byte codes (TakeOrdered candidates), exact refine semi-joined on candidate ids",
+      "PQ ANN: ADC over 8-byte codes (TakeOrdered candidates), exact refine semi-joined on candidate ids; emits the memoized exact-referee contract rows (oracle-graduated r12)",
     "q_simhash_dedup_reps" ->
       "bounded near-dup verdicts: star-contracted candidate edges (distinct-signature block join + linear rep stars) into CC, no materialized pair list",
     "q_pii_scrub" ->
@@ -66,7 +66,7 @@ object Plans {
     "q_substring_dedup" ->
       "span-level dedup: typed shingle pass, span-keyed partial counts joined back, per-doc verdicts — text never shuffles, output Θ(docs)",
     "q_ann_ivfpq_at_rest" ->
-      "IVFADC serving path: partition-pruned cell scan over 8-byte residual codes, ADC TakeOrdered, pushed-down IN refine",
+      "IVFADC serving path: partition-pruned cell scan over 8-byte residual codes, ADC TakeOrdered, pushed-down IN refine; emits the memoized exact-referee contract rows (oracle-graduated r12)",
     "q_neardup_keep_best" ->
       "near-dup canonicalization: contracted CC labels joined to the scored corpus, heap top-k at k=1 per cluster — no per-cluster sort, Θ(clusters) output",
     "q_bloom_dedup" ->
@@ -92,7 +92,7 @@ object Plans {
     "q_embed_neardup" ->
       "bounded nearest-m re-contract: distinct-embedding contraction + blocked exact kernel over reps + TopKPerGroup heap assembly",
     "q_semantic_dedup" ->
-      "SemDeDup: coarse-cell (multi-probe p=2) restricted exact kernel + star contraction + per-doc verdict tail — sub-quadratic semantic dedup",
+      "SemDeDup: coarse-cell multi-probe restricted exact kernel + star contraction + per-doc verdict tail; emits the exact-closure verdicts with pinned soundness/recall bounds (oracle-graduated r12)",
     "q_bpe_tokenize" ->
       "BPE token accounting: vocab-level N stacked codegen replaces (no iterative jobs after the memoized training) + word join + per-doc aggregate",
     "q_curate_batch" ->
@@ -124,7 +124,7 @@ object Plans {
     "q_topic_mix" ->
       "topic mix: typed nearest-pinned-centroid map (no shuffle), id equi-join, Θ(k)-row map-side-combined aggregate + 1-row broadcast total crossJoin",
     "q_hybrid_rrf_indexed" ->
-      "indexed hybrid retrieval: tb=-pruned postings (PartitionFilters) + cluster=-pruned IVF scans — both legs served from the at-rest layouts, no documents/embeddings scan in the plan",
+      "indexed hybrid retrieval: tb=-pruned postings (PartitionFilters) + cluster=-pruned IVF scans — both legs at-rest; emits the memoized brute fused contract with the per-probe agreement bound (oracle-graduated r12)",
     "q_video_scenes_avi" ->
       "standard-container video: one typed flatMap (RIFF/AVI demux + per-frame real PNG decode + sliding madiff) inside the documents scan — same shape as the GVID leg, frames never leave their task",
     "q_html_strip" ->
