@@ -129,6 +129,43 @@ class VectorSpec extends AnyFunSuite {
     assert(pq1 == Vectors.annPqRaw(spark, TestSpark.sf0001).collect().toSeq)
   }
 
+  test("PQ refine semi-join branch (>1000 candidate ids) returns the exact brute top-k") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{round => sround}
+    // synthetic 1500-vector corpus: big enough that an exhaustive candidate
+    // list crosses the 1000-id IN→semi-join switch (the fixture corpora at
+    // the oracle gates stay under it, so only this spec pins the branch)
+    val n = 1500
+    val dim = 8
+    val d = java.nio.file.Files.createTempDirectory("pqsemi").toString
+    (0 until n).map { i =>
+      val v = Array.tabulate(dim)(j =>
+        (graft.functions.Hashing.mix64(i.toLong * 31 + j) % 1000L).toDouble / 1000.0)
+      (i.toLong, v.map(_.toFloat))
+    }.toDF("vec_id", "embedding").write.parquet(s"$d/embeddings.parquet")
+    val idx = java.nio.file.Files.createTempDirectory("pqsemiidx").toString
+    Vectors.writePqIndex(spark, d, idx)
+    val probe = Tables.embeddings(spark, d).where(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).as[Array[Double]].head()
+    // exhaustive candidates (cand = n > 1000) → the semi-join branch; with
+    // every id a candidate the refine IS brute force, so its top-10 must
+    // bit-equal the direct exact scan
+    val got = Vectors.queryPqIndex(spark, d, idx, probe,
+        topK = 10, excludeId = Some(0L), cand = n)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = Tables.embeddings(spark, d)
+      .where(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        graft.functions.CosineSimExpr.vec_cosine(
+          col("embedding").cast("array<double>"),
+          org.apache.spark.sql.functions.typedLit(probe.toSeq)).as("cos"))
+      .orderBy(col("cos").desc, col("vec_id")).limit(10)
+      .select(col("vec_id"), sround(col("cos"), 4).as("cos_r"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == want, s"semi-join refine diverged:\n got=$got\nwant=$want")
+  }
+
   test("ensureIndex commit protocol: staged build, rename commit, stale vintage replaced, no residue") {
     val spark = TestSpark.spark
     val d = TestSpark.sf0001
