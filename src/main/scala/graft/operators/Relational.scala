@@ -523,8 +523,6 @@ object Relational {
     * estimates are 12 values of bounded metadata (3 flags × 4 quantiles);
     * the rank audit is one extra aggregation pass. */
   val quantileSketch: Q = (s, d) => {
-    val spark = s
-    import spark.implicits._
     val probs = Seq(0.25, 0.5, 0.75, 0.9)
     val ests = Tables.lineitem(s, d)
       .groupBy(col("l_returnflag"))
@@ -532,20 +530,33 @@ object Relational {
       .collect()
       .toSeq.flatMap(r => probs.indices.map(i =>
         (r.getString(0), probs(i), r.getSeq[Double](1)(i))))
-    val est = broadcast(ests.toDF("l_returnflag", "p", "est"))
+    // rank audit in ONE pass: the per-flag estimates are a handful of
+    // literals, so each quantile's threshold is a chained-when CASE on the
+    // flag and all eight rank counters are conditional sums in a single
+    // map-side-combined aggregate — no 4×-row estimate join (the join
+    // spelling measured 8 s at sf10 for a 0.5 s scan)
+    val byP = ests.groupBy(_._2).view
+      .mapValues(_.map(t => (t._1, t._3))).toMap
+    def estFor(p: Double): Column =
+      byP(p).foldLeft(lit(null).cast("double")) { case (acc, (f, e)) =>
+        when(col("l_returnflag") === f, lit(e)).otherwise(acc)
+      }
+    def tag(p: Double): String = (p * 100).toInt.toString
+    val counters = probs.flatMap { p =>
+      Seq(
+        sum(when(col("l_extendedprice") < estFor(p), 1L).otherwise(0L)).as(s"lt_${tag(p)}"),
+        sum(when(col("l_extendedprice") <= estFor(p), 1L).otherwise(0L)).as(s"le_${tag(p)}"))
+    } :+ count(lit(1)).as("n")
     val slack = col("n") / QuantileAccuracy + lit(1.0)
-    val target = col("p") * (col("n") - 1) + lit(1.0)
+    val okAll = probs.map { p =>
+      val target = lit(p) * (col("n") - 1) + lit(1.0)
+      target >= col(s"lt_${tag(p)}") + 1 - slack && target <= col(s"le_${tag(p)}") + slack
+    }.reduce(_ && _)
     val rankOk = Tables.lineitem(s, d)
       .select(col("l_returnflag"), col("l_extendedprice"))
-      .join(est, Seq("l_returnflag"))
-      .groupBy(col("l_returnflag"), col("p"), col("est"))
-      .agg(count(lit(1)).as("n"),
-        sum(when(col("l_extendedprice") < col("est"), 1L).otherwise(0L)).as("cnt_lt"),
-        sum(when(col("l_extendedprice") <= col("est"), 1L).otherwise(0L)).as("cnt_le"))
-      .select(col("l_returnflag"),
-        (target >= col("cnt_lt") + 1 - slack && target <= col("cnt_le") + slack).as("ok"))
       .groupBy(col("l_returnflag"))
-      .agg(min(col("ok")).as("rank_ok"))
+      .agg(counters.head, counters.tail: _*)
+      .select(col("l_returnflag"), okAll.as("rank_ok"))
     quantileExact(s, d).join(rankOk, Seq("l_returnflag"))
       .orderBy(col("l_returnflag"))
   }
