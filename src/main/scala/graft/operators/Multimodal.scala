@@ -464,7 +464,9 @@ object Multimodal {
     * loop, no rebuild (the [[Vectors.appendMinhashIndex]] contract). */
   def appendDhashIndex(s: SparkSession, dir: String,
       batch: org.apache.spark.sql.DataFrame): Unit =
-    dhashFrame(s, batch).write.mode("append").parquet(s"$dir/dhashes")
+    IndexLease.withLease(s, s"$dir/_lease") {
+      dhashFrame(s, batch).write.mode("append").parquet(s"$dir/dhashes")
+    }
 
   /** Screen an incoming batch against the at-rest dHash index: a batch
     * image is a dup iff an at-rest image shares its 64-bit dHash; best

@@ -84,7 +84,8 @@ object Search {
     * land as new files under their existing `tb=` dirs, the stats log
     * gains one delta row; no read of the existing index, no rebuild.
     * `batch` needs (doc_id, text). */
-  def appendKeywordIndex(s: SparkSession, path: String, batch: DataFrame): Unit = {
+  def appendKeywordIndex(s: SparkSession, path: String, batch: DataFrame): Unit =
+    IndexLease.withLease(s, s"$path/_lease") {
     val w = batch.select(col("doc_id"), toks(col("text")).as("ws"))
       .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("dl"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -96,6 +97,7 @@ object Search {
     w.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.mode("append").parquet(s"$path/_statslog")
     w.unpersist(blocking = false)
+    ()
   }
 
   /** Probe the persisted index with a query workload: prune to the query
@@ -159,9 +161,10 @@ object Search {
     * compaction the global (n_docs, avgdl) intentionally still count the
     * victims: immediate-takedown correctness is "the doc stops matching",
     * stats refresh on the maintenance schedule. */
-  def compactKeywordIndex(s: SparkSession, dir: String): Unit = {
+  def compactKeywordIndex(s: SparkSession, dir: String): Unit =
+    IndexLease.withLease(s, s"$dir/_lease") {
     val had = Vectors.tombstonesOf(s, dir).isDefined
-    Vectors.compactIndex(s, dir, Seq("postings"))
+    Vectors.compactIndexUnguarded(s, dir, Seq("postings"))
     if (had) {
       val conf = s.sparkContext.hadoopConfiguration
       val fresh = s.read.parquet(s"$dir/postings")
@@ -366,13 +369,20 @@ object Search {
     * the graduated serving key pays the Θ(probes·corpus) referee once per
     * dataset and keeps its index-serving cost on repeated passes. */
   private val bruteFusedMemo = new java.util.concurrent.ConcurrentHashMap[
-    (Int, String), Seq[(Long, Long, Long, Double, Option[Long], Option[Long])]]()
+    (Int, String, Long), Seq[(Long, Long, Long, Double, Option[Long], Option[Long])]]()
 
   private def bruteFused(s: SparkSession, d: String)
       : Seq[(Long, Long, Long, Double, Option[Long], Option[Long])] = {
     val spark = s
     import spark.implicits._
-    bruteFusedMemo.computeIfAbsent((System.identityHashCode(s), d), _ =>
+    // fingerprint-keyed (ADVICE r12): an in-place dataset rewrite is a
+    // referee MISS, not a stale certificate; a miss evicts the superseded
+    // vintage so the map stays bounded by live vintages
+    val key = (System.identityHashCode(s), d, DataFp.of(s, d))
+    val hit = bruteFusedMemo.get(key)
+    if (hit != null) return hit
+    bruteFusedMemo.keySet.removeIf(k => k._1 == key._1 && k._2 == key._2)
+    bruteFusedMemo.computeIfAbsent(key, _ =>
       hybridRrf(s, d)
         .as[(Long, Long, Long, Double, Option[Long], Option[Long])]
         .collect().toSeq)

@@ -346,6 +346,16 @@ object Vectors {
     import spark.implicits._
     val base = Tables.embeddings(s, d)
       .select(col("vec_id"), vec.as("v")).as[(Long, Array[Double])]
+    // Planted twins live at id + SrpPlantOffset; a base corpus whose ids
+    // reach the offset would collide twin ids with real ids (corrupt pairs)
+    // and silently drop rep rows from the contract's `vec_id < offset`
+    // filter — fail LOUDLY instead (ADVICE r12). One column-pruned max over
+    // a long column, the cheapest possible guard.
+    val maxId = Tables.embeddings(s, d).agg(max(col("vec_id"))).head().get(0)
+    require(maxId == null || maxId.asInstanceOf[Long] < SrpPlantOffset,
+      s"srpCorpus($d): max base vec_id $maxId >= SrpPlantOffset " +
+        s"$SrpPlantOffset — planted twin ids would collide with real base " +
+        "ids; raise SrpPlantOffset above the corpus id range")
     val reps = base.toDF("vec_id", "v")
       .groupBy(col("v")).agg(min(col("vec_id")).as("vec_id"))
       .select(col("vec_id"), col("v")).as[(Long, Array[Double])]
@@ -399,16 +409,26 @@ object Vectors {
     * exact edge set) and within-cell exactness are spec-pinned. */
   private[graft] def semanticCellEdges(s: SparkSession, d: String,
       cells: Int = SemanticCells, probes: Int = SemanticProbes,
+      band: Double = SemanticBand): DataFrame =
+    semanticCellEdgesOf(
+      Tables.embeddings(s, d).select(col("vec_id"), col("embedding")),
+      cells, probes, band)
+
+  /** [[semanticCellEdges]] over an arbitrary (vec_id, embedding) frame —
+    * the sampled-referee degradation of [[DedupCluster.semanticReps]] runs
+    * the SAME pipeline (training included) on a hash-sampled sub-corpus. */
+  private[graft] def semanticCellEdgesOf(e0: DataFrame,
+      cells: Int = SemanticCells, probes: Int = SemanticProbes,
       band: Double = SemanticBand): DataFrame = {
-    val spark = s
+    val spark = e0.sparkSession
     import spark.implicits._
-    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val e = e0.select(col("vec_id"), col("embedding"))
     val groups = e.groupBy(col("embedding")).agg(min(col("vec_id")).as("rep"))
     val star = e.join(groups, Seq("embedding"))
       .where(col("vec_id") =!= col("rep"))
       .select(col("vec_id").as("id_a"), col("rep").as("id_b"))
     val (cents, cn) = sampleAndTrain(
-      Tables.embeddings(s, d).select(col("vec_id"), vec.as("v")), cells)
+      e.select(col("vec_id"), vec.as("v")), cells)
     val bcC = spark.sparkContext.broadcast(cents)
     val bcN = spark.sparkContext.broadcast(cn)
     val celled = groups
@@ -748,22 +768,23 @@ object Vectors {
     * keep the same nProbe/k pruned-scan shape; periodic re-training +
     * rebuild remains a deliberate offline operation, as in any IVF
     * serving system. `batch` needs (vec_id, embedding). */
-  def appendIvfIndex(s: SparkSession, indexDir: String, batch: DataFrame): Unit = {
-    val spark = s
-    import spark.implicits._
-    val codebook = spark.read.parquet(s"$indexDir/_codebook")
-      .as[(Int, Seq[Double])].collect().sortBy(_._1)
-    val cents = codebook.map(_._2.toArray)
-    val centNorms = cents.map(normA)
-    val bc = spark.sparkContext.broadcast((cents, centNorms))
-    batch.select(col("vec_id"), vec.as("v")).as[(Long, Array[Double])]
-      .map { case (id, v) =>
-        val (cs, cn) = bc.value
-        (nearest(cs, cn, v, normA(v)), id, v)
-      }
-      .toDF("cluster", "vec_id", "v")
-      .write.mode("append").partitionBy("cluster").parquet(indexDir)
-  }
+  def appendIvfIndex(s: SparkSession, indexDir: String, batch: DataFrame): Unit =
+    IndexLease.withLease(s, s"$indexDir/_lease") {
+      val spark = s
+      import spark.implicits._
+      val codebook = spark.read.parquet(s"$indexDir/_codebook")
+        .as[(Int, Seq[Double])].collect().sortBy(_._1)
+      val cents = codebook.map(_._2.toArray)
+      val centNorms = cents.map(normA)
+      val bc = spark.sparkContext.broadcast((cents, centNorms))
+      batch.select(col("vec_id"), vec.as("v")).as[(Long, Array[Double])]
+        .map { case (id, v) =>
+          val (cs, cn) = bc.value
+          (nearest(cs, cn, v, normA(v)), id, v)
+        }
+        .toDF("cluster", "vec_id", "v")
+        .write.mode("append").partitionBy("cluster").parquet(indexDir)
+    }
 
   /** Query a persisted IVF index: rank centroids against the probe from the
     * k-row codebook (bounded metadata read), then scan ONLY the top
@@ -828,13 +849,24 @@ object Vectors {
   private[operators] def pqCandFor(n: Long): Int =
     math.min(math.max(PqCand.toLong, n / 10L), 100000L).toInt
 
-  /** Memoized embeddings row count per (session, dataset) — serving-config
-    * metadata (sizes [[pqCandFor]]), one parquet count job on first use. */
+  /** Memoized embeddings row count per (session, dataset, fingerprint) —
+    * serving-config metadata (sizes [[pqCandFor]]), one parquet count job
+    * per corpus vintage. The [[DataFp]] component makes an in-place
+    * dataset rewrite a cache MISS (ADVICE r12: a stale count mis-sizes the
+    * refine stage); a miss evicts the superseded vintage's entry so the
+    * map stays bounded by live vintages. */
   private val corpusCountMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), java.lang.Long]()
-  private[operators] def embeddingsCount(s: SparkSession, d: String): Long =
-    corpusCountMemo.computeIfAbsent((System.identityHashCode(s), d),
-      _ => Tables.embeddings(s, d).count()).longValue
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), java.lang.Long]()
+  private[operators] def embeddingsCount(s: SparkSession, d: String): Long = {
+    val key = (System.identityHashCode(s), d, DataFp.of(s, d))
+    val hit = corpusCountMemo.get(key)
+    if (hit != null) hit.longValue
+    else {
+      corpusCountMemo.keySet.removeIf(k => k._1 == key._1 && k._2 == key._2)
+      corpusCountMemo.computeIfAbsent(key,
+        _ => Tables.embeddings(s, d).count()).longValue
+    }
+  }
 
   /** Exact refine of an ADC candidate id list: pushed-down IN point reads
     * while the list is point-read-sized (the PushedFilters shape the specs
@@ -1471,45 +1503,80 @@ object Vectors {
       .select(col("v")).as[Array[Double]].head()
   }
 
-  /** Memoized per-(session, dataset) index builds for the AT-REST ANN
-    * suite keys: a 100 TB similarity-search service builds its index once
-    * and serves queries against it, so the suite models exactly that —
-    * the first invocation per dataset builds under the session warehouse
-    * dir, every later one (bench pass 2, repeated verify) only queries.
-    * Same build-once contract as the bucketed join tables
-    * ([[Relational]]). */
+  /** Memoized per-(session, dataset, fingerprint) index builds for the
+    * AT-REST ANN suite keys: a 100 TB similarity-search service builds its
+    * index once per corpus VINTAGE and serves queries against it. The
+    * first invocation per vintage either ADOPTS a committed index whose
+    * `_fp` sidecar matches the dataset fingerprint (cross-session /
+    * cross-process reuse — a fresh session no longer pays a rebuild for an
+    * unchanged corpus) or builds one; every later call only queries. The
+    * fingerprint key (ADVICE r12) makes an in-place dataset rewrite a
+    * rebuild instead of a silent stale hit. */
   private val indexBuiltAt =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String)]()
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(Int, String, Long)]()
+
+  /** The committed vintage marker of an index dir, None when absent (a
+    * pre-sidecar layout or no index at all → build). */
+  private def committedFpOf(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path): Option[Long] = {
+    val f = new org.apache.hadoop.fs.Path(target, "_fp")
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(java.lang.Long.parseUnsignedLong(
+        new String(in.readAllBytes(), "UTF-8").trim, 16))
+      catch { case _: Exception => None }
+      finally in.close()
+    }
+  }
 
   private[graft] def ensureIndex(s: SparkSession, kind: String, d: String)
       (build: String => Unit): String = {
     val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     val path = s"$wh/graft_index/${kind}_" + d.replaceAll("[^A-Za-z0-9._-]", "_")
-    val key = (System.identityHashCode(s), path)
+    val fp = DataFp.of(s, d)
+    val key = (System.identityHashCode(s), path, fp)
     if (!indexBuiltAt.contains(key))
       indexBuiltAt.synchronized {
         if (!indexBuiltAt.contains(key)) {
-          // Cross-process commit protocol (r11 verdict #6): build into a
-          // PRIVATE staging sibling, commit by filesystem rename — the
-          // `__compact_tmp` discipline applied to the initial build. Two
-          // sessions racing the same warehouse dir each build privately;
-          // whoever renames first wins, the loser discards its staging. A
-          // crashed builder leaves only an orphaned `__build_*` dir, never
-          // a half-written committed path. (Each session still refreshes
-          // the index once — the warehouse dir can carry a stale vintage
-          // from an earlier process. Maintenance verbs — append / delete /
-          // compact — remain single-active-writer per index dir, like any
-          // un-catalogued hive layout; see COVERAGE.md.)
           val conf = s.sparkContext.hadoopConfiguration
           val target = new org.apache.hadoop.fs.Path(path)
           val fs = target.getFileSystem(conf)
-          val tag = java.util.UUID.randomUUID().toString.take(8)
-          val tmp = new org.apache.hadoop.fs.Path(s"${path}__build_$tag")
-          build(tmp.toString)
-          val old = new org.apache.hadoop.fs.Path(s"${path}__replaced_$tag")
-          if (fs.exists(target)) fs.rename(target, old)
-          if (!fs.rename(tmp, target)) fs.delete(tmp, true)
-          fs.delete(old, true)
+          // Cross-process commit protocol, r13 form: the rename race of the
+          // r12 protocol was not atomic (LocalFileSystem rename onto an
+          // existing dir copies the loser's staging INTO the winner's index;
+          // HDFS moves it under — ADVICE r12), so commits now serialize on
+          // an exclusive-create lock file ([[IndexLease]]). Inside the
+          // lease: adopt a committed index whose `_fp` matches, else build
+          // into a private `__build_` staging sibling, stamp its vintage,
+          // move the stale target aside and rename the staging in. A
+          // crashed builder leaves only an orphaned `__build_*` dir or a
+          // stale lease (taken over after [[IndexLease.StaleMs]]), never a
+          // half-written committed path.
+          if (committedFpOf(fs, target).contains(fp)) ()
+          else IndexLease.withLease(s, s"${path}__lock") {
+            if (!committedFpOf(fs, target).contains(fp)) {
+              val tag = java.util.UUID.randomUUID().toString.take(8)
+              val tmp = new org.apache.hadoop.fs.Path(s"${path}__build_$tag")
+              build(tmp.toString)
+              val fpOut = fs.create(new org.apache.hadoop.fs.Path(tmp, "_fp"), true)
+              fpOut.writeBytes(java.lang.Long.toHexString(fp))
+              fpOut.close()
+              val old = new org.apache.hadoop.fs.Path(s"${path}__replaced_$tag")
+              if (fs.exists(target)) fs.rename(target, old)
+              if (!fs.rename(tmp, target)) fs.delete(tmp, true)
+              fs.delete(old, true)
+              // belt-and-suspenders (ADVICE r12): if a rename fallback ever
+              // nested a staging dir INSIDE the committed index, a stray
+              // non-underscore `__build_` child would break partition
+              // discovery — detect and remove it
+              org.apache.hadoop.fs.FileUtil.stat2Paths(fs.listStatus(target))
+                .filter(_.getName.contains("__build_"))
+                .foreach(p => fs.delete(p, true))
+            }
+          }
+          // a rewritten dataset supersedes the old vintage's memo entries
+          indexBuiltAt.removeIf(k => k._1 == key._1 && k._2 == key._2 && k._3 != fp)
           indexBuiltAt.add(key)
         }
       }
@@ -1536,15 +1603,58 @@ object Vectors {
   private[graft] val AnnRecallBar = 5
 
   private val exactTop10Memo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, String), Array[(Long, Double)]]()
+    new java.util.concurrent.ConcurrentHashMap[(Int, String, Long), Array[(Long, Double)]]()
 
   /** The exact brute top-10 (vec_id, cos_r) for the shared probe, memoized
-    * per (session, dataset). */
+    * per (session, dataset, fingerprint) AND persisted at rest.
+    *
+    * r12 verdict #1 (the cheaper form for the linear referee): the brute
+    * referee is one full-corpus scan — fine once, wrong once-per-fresh-
+    * session at 100 TB. A sampled referee is no fix here (the true top-10
+    * are ten needles a sample almost surely misses), so instead the
+    * referee becomes CORPUS METADATA: the 10 rows are written next to the
+    * index layouts (under `graft_index`, an `annref` dir with one
+    * `fp_<vintage>` child) the first
+    * time a corpus vintage is certified, and every later session — not
+    * just this one — reads 10 rows instead of scanning. The fingerprint
+    * key (ADVICE r12) means an in-place rewrite recomputes instead of
+    * certifying the six graduated ANN keys against a stale referee. */
   private[operators] def exactTop10(s: SparkSession, d: String): Array[(Long, Double)] = {
     val spark = s
     import spark.implicits._
-    exactTop10Memo.computeIfAbsent((System.identityHashCode(s), d),
-      _ => cosineTopk(s, d).as[(Long, Double)].collect())
+    val fp = DataFp.of(s, d)
+    val key = (System.identityHashCode(s), d, fp)
+    val hit = exactTop10Memo.get(key)
+    if (hit != null) return hit
+    exactTop10Memo.keySet.removeIf(k => k._1 == key._1 && k._2 == key._2)
+    exactTop10Memo.computeIfAbsent(key, _ => {
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val dir = s"$wh/graft_index/annref_" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+      val vintage = new org.apache.hadoop.fs.Path(
+        s"$dir/fp_${java.lang.Long.toHexString(fp)}")
+      val fs = vintage.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(vintage))
+        spark.read.parquet(vintage.toString)
+          .orderBy(col("cos_r").desc, col("vec_id"))
+          .as[(Long, Double)].collect()
+      else {
+        val rows = cosineTopk(s, d).as[(Long, Double)].collect()
+        IndexLease.withLease(s, s"${dir}__lock") {
+          if (!fs.exists(vintage)) {
+            val tmp = new org.apache.hadoop.fs.Path(
+              s"$dir/__ref_${java.util.UUID.randomUUID().toString.take(8)}")
+            rows.toSeq.toDF("vec_id", "cos_r").coalesce(1)
+              .write.mode("overwrite").parquet(tmp.toString)
+            fs.rename(tmp, vintage)
+            // superseded vintages of this corpus die with the write
+            org.apache.hadoop.fs.FileUtil.stat2Paths(fs.listStatus(new org.apache.hadoop.fs.Path(dir)))
+              .filter(p => p.getName.startsWith("fp_") && p != vintage)
+              .foreach(p => fs.delete(p, true))
+          }
+        }
+        rows
+      }
+    })
   }
 
   /** Wrap a trained-ANN plan in the graduated contract: run it, measure
@@ -1952,15 +2062,20 @@ object Vectors {
     * WHICH rows to append (typically the is_dup = 0 sliver of the screen
     * verdict, or the whole batch when duplicates should also become
     * at-rest). */
-  def appendMinhashIndex(s: SparkSession, dir: String, batch: DataFrame): Unit = {
-    val sigs = minhashSigsOf(batch)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    sigs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
-      .write.mode("append").partitionBy("band").parquet(s"$dir/banded")
-    sigs.select(col("doc_id"), col("sig"))
-      .write.mode("append").parquet(s"$dir/sigs")
-    sigs.unpersist()
-  }
+  def appendMinhashIndex(s: SparkSession, dir: String, batch: DataFrame): Unit =
+    // maintenance verbs serialize on the index lease (r12 verdict #2):
+    // concurrent Spark jobs appending one path interleave partitions and
+    // stomp each other's `_temporary` committer staging
+    IndexLease.withLease(s, s"$dir/_lease") {
+      val sigs = minhashSigsOf(batch)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sigs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
+        .write.mode("append").partitionBy("band").parquet(s"$dir/banded")
+      sigs.select(col("doc_id"), col("sig"))
+        .write.mode("append").parquet(s"$dir/sigs")
+      sigs.unpersist()
+      ()
+    }
 
   /** AT-REST incremental near-dup screen — the MinHash analogue of the
     * persisted-ANN serving keys: "is this incoming document a near-dup of
@@ -2178,11 +2293,13 @@ object Vectors {
     * [[writeSimhashIndex]] layout — same ingest-loop contract and
     * idempotence spec. */
   def appendSimhashIndex(s: SparkSession, dir: String, batch: DataFrame): Unit =
-    simhashSigsOf(batch)
-      .select(col("doc_id").as("ref_id"), col("sim").as("sim_r"),
-        explode(col("blocks")).as("blk"))
-      .withColumn("bandi", shiftright(col("blk"), 32).cast("int"))
-      .write.mode("append").partitionBy("bandi").parquet(s"$dir/blocks")
+    IndexLease.withLease(s, s"$dir/_lease") {
+      simhashSigsOf(batch)
+        .select(col("doc_id").as("ref_id"), col("sim").as("sim_r"),
+          explode(col("blocks")).as("blk"))
+        .withColumn("bandi", shiftright(col("blk"), 32).cast("int"))
+        .write.mode("append").partitionBy("bandi").parquet(s"$dir/blocks")
+    }
 
   // ── index lifecycle: logical delete + offline compaction ─────────────
 
@@ -2201,8 +2318,10 @@ object Vectors {
     * delete-then-compact discipline of every production table format
     * (logical now, physical on the maintenance schedule). */
   def deleteFromIndex(s: SparkSession, dir: String, ids: DataFrame): Unit =
-    ids.select(col(ids.columns.head).cast("long").as("doc_id")).distinct()
-      .write.mode("append").parquet(s"$dir/_tombstones")
+    IndexLease.withLease(s, s"$dir/_lease") {
+      ids.select(col(ids.columns.head).cast("long").as("doc_id")).distinct()
+        .write.mode("append").parquet(s"$dir/_tombstones")
+    }
 
   /** The tombstone set of an index dir, None when none exists. Probed via
     * the path's Hadoop FileSystem — a `java.io.File` probe is silently
@@ -2242,6 +2361,15 @@ object Vectors {
     * partition by construction — so the full rewrite is the honest
     * shape.) */
   def compactIndex(s: SparkSession, dir: String, subdirs: Seq[String]): Unit =
+    IndexLease.withLease(s, s"$dir/_lease") {
+      compactIndexUnguarded(s, dir, subdirs)
+    }
+
+  /** [[compactIndex]] body without the lease — for composite maintenance
+    * verbs (e.g. [[Search.compactKeywordIndex]]) that hold the index lease
+    * across compaction plus their own layout-specific follow-up. */
+  private[operators] def compactIndexUnguarded(s: SparkSession, dir: String,
+      subdirs: Seq[String]): Unit =
     tombstonesOf(s, dir).foreach { ts =>
       val conf = s.sparkContext.hadoopConfiguration
       val t = ts.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2289,6 +2417,7 @@ object Vectors {
     * sidecars untouched (codebooks are corpus statistics, not rows; a
     * compaction never retrains, same discipline as [[appendIvfIndex]]). */
   def compactIvfIndex(s: SparkSession, dir: String): Unit =
+    IndexLease.withLease(s, s"$dir/_lease") {
     tombstonesOf(s, dir).foreach { ts =>
       val conf = s.sparkContext.hadoopConfiguration
       val live = new org.apache.hadoop.fs.Path(dir)
@@ -2311,6 +2440,7 @@ object Vectors {
       fs.delete(tmp, true)
       fs.delete(new org.apache.hadoop.fs.Path(s"$dir/_tombstones"), true)
       t.unpersist(blocking = false)
+    }
     }
 
   /** [[compactIndex]] over the [[writePqIndex]] layout (flat `codes/`

@@ -778,7 +778,9 @@ object Video {
   /** Partition-append a batch's signature rows — screen → append →
     * ingest, no rebuild. */
   def appendVsigIndex(s: SparkSession, dir: String, batch: DataFrame): Unit =
-    sigFrame(s, batch).write.mode("append").parquet(s"$dir/vsigs")
+    IndexLease.withLease(s, s"$dir/_lease") {
+      sigFrame(s, batch).write.mode("append").parquet(s"$dir/vsigs")
+    }
 
   /** Screen an incoming batch against the at-rest signature index: a
     * batch video is a dup iff an at-rest video shares its (signature,

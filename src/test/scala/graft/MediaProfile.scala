@@ -28,12 +28,24 @@ object MediaProfile {
     val frames = time("container walk") {
       blobs.map(b => graft.operators.Video.parseAviContainer(b)._5)
     }
-    val imgs = time("JDK PNG decode") {
-      frames.map(_.map(graft.operators.Video.decodePng))
-    }
-    val px = time("raster extract") {
-      imgs.map(_.map(graft.operators.Multimodal.bgrBytes))
-    }
+    // decodePng returns a per-thread REUSED destination image — extracting
+    // rasters must happen immediately after each decode (decode-all-then-
+    // extract would alias every same-shape frame to the LAST decode and
+    // profile the wrong pixels; ADVICE r12). Per-frame nanoTime split keeps
+    // the decode/extract stage attribution.
+    var decNs = 0L
+    var extNs = 0L
+    val px = frames.map(_.map { f =>
+      val t0 = System.nanoTime()
+      val img = graft.operators.Video.decodePng(f)
+      val t1 = System.nanoTime()
+      val b = graft.operators.Multimodal.bgrBytes(img)
+      decNs += t1 - t0
+      extNs += System.nanoTime() - t1
+      b
+    })
+    println(f"JDK PNG decode: ${decNs / 1e9}%.3f s")
+    println(f"raster extract: ${extNs / 1e9}%.3f s")
     println(s"total frames: ${px.map(_.length).sum}")
   }
 }
