@@ -8,9 +8,11 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.create(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
-    // correctness runs take the full freshness guarantee: the BPE
-    // fingerprint memo's 30 s staleness horizon is a bench-only trade
+    // correctness runs take the full freshness guarantee: the fingerprint
+    // memos' 30 s staleness horizon is a bench-only trade (BPE merges and
+    // the shared DataFp behind the referee/index/count memos)
     System.setProperty("graft.bpe.fp.ttl.ms", "0")
+    System.setProperty("graft.fp.ttl.ms", "0")
     new java.io.File(outDir).mkdirs()
     // Targeted precondition for the byte-replay oracle family (multimodal
     // frames/features, doc_fingerprint, minhash, simhash + their reps

@@ -14,6 +14,7 @@ object VerifySubset {
     spark.sparkContext.setLogLevel("WARN")
     // same freshness rule as the full Verify gate
     System.setProperty("graft.bpe.fp.ttl.ms", "0")
+    System.setProperty("graft.fp.ttl.ms", "0")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => keys(kv._1)).foreach { case (name, fn) =>
       fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")

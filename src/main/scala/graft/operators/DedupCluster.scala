@@ -332,8 +332,13 @@ object DedupCluster {
 
   /** Deterministic sample size target of the degraded referee — the sf1
     * scale, where the full two-pipeline certificate is measured
-    * affordable. */
+    * affordable. Overridable via `-Dgraft.semref.sample` (spec surface:
+    * forcing a PROPER sub-sample on a small fixture). */
   private[graft] val SemanticRefereeSampleTarget = 20000L
+
+  private def semanticRefereeSampleTarget: Long =
+    sys.props.get("graft.semref.sample").map(_.toLong)
+      .getOrElse(SemanticRefereeSampleTarget)
 
   /** ORACLE-GRADUATED q_semantic_dedup (r11 verdict #1): FP-order k-means
     * cells keep the raw verdicts engine-specific, so the hash-checked
@@ -362,17 +367,18 @@ object DedupCluster {
         semanticRepsRaw(s, d),
         perDocVerdicts(s, d, contractedEmbedEdges(s, d)))
     else {
+      val target = semanticRefereeSampleTarget
       System.err.println(
-        s"[dedup] q_semantic_dedup referee degraded to a ~" +
-          s"$SemanticRefereeSampleTarget-id hash-sample above " +
-          s"$semanticRefereeCeiling embeddings ($d has $n) — certificate " +
-          "and contract relation cover the sampled population only; the " +
-          "full-corpus oracle SQL is NOT valid against this run")
+        s"[dedup] q_semantic_dedup referee degraded to a ~$target-id " +
+          s"hash-sample above $semanticRefereeCeiling embeddings ($d has " +
+          s"$n) — certificate and contract relation cover the sampled " +
+          "population only; the full-corpus oracle SQL is NOT valid " +
+          "against this run")
       // keep-probability as a 40-bit integer threshold on xxhash64(id) —
       // deterministic, engine-side, and identical for the embeddings and
       // documents tables (vec_id ≡ doc_id, the q_multimodal_join contract)
       val cut = math.min((1L << 40),
-        (SemanticRefereeSampleTarget.toDouble / n * (1L << 40).toDouble).toLong)
+        (target.toDouble / n * (1L << 40).toDouble).toLong)
       def keep(c: org.apache.spark.sql.Column) =
         pmod(xxhash64(c), lit(1L << 40)) < lit(cut)
       val e = Tables.embeddings(s, d)

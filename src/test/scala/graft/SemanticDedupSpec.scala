@@ -80,4 +80,47 @@ class SemanticDedupSpec extends AnyFunSuite {
     val again = DedupCluster.semanticFixedReps(spark, d).collect()
     assert(verdicts.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
+
+  test("referee ceiling: degraded certificate equals the full pipeline on the sampled population (both ways)") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val d = TestSpark.sf0001
+    val full = DedupCluster.semanticReps(spark, d).collect()
+    try {
+      // force the ceiling below the fixture (500 embeddings) with a PROPER
+      // sub-sample target — the degraded regime on a gate-verifiable corpus
+      System.setProperty("graft.semref.ceiling", "10")
+      System.setProperty("graft.semref.sample", "150")
+      val degraded = DedupCluster.semanticReps(spark, d).collect()
+      // population = exactly the deterministic hash-sample (the same
+      // engine-side predicate, recomputed independently here)
+      val n = Tables.embeddings(spark, d).count()
+      val cut = (150.0 / n * (1L << 40).toDouble).toLong
+      val expectedIds = Tables.documents(spark, d)
+        .select(col("doc_id"))
+        .where(pmod(xxhash64(col("doc_id")), lit(1L << 40)) < lit(cut))
+        .as[Long].collect().toSet
+      assert(expectedIds.nonEmpty && expectedIds.size < full.length,
+        "fixture sample must be a proper subset")
+      assert(degraded.map(_.getLong(0)).toSet == expectedIds)
+      // certificate booleans are certified on the sample, not inherited
+      assert(degraded.forall(r => r.getBoolean(4) && r.getBoolean(5)))
+      // equality BOTH WAYS: the full (un-degraded) pipeline over a
+      // materialized sampled sub-corpus emits byte-identical verdicts
+      System.clearProperty("graft.semref.ceiling")
+      System.clearProperty("graft.semref.sample")
+      val sub = java.nio.file.Files.createTempDirectory("graft_semref").toString
+      Tables.documents(spark, d)
+        .where(pmod(xxhash64(col("doc_id")), lit(1L << 40)) < lit(cut))
+        .write.parquet(s"$sub/documents.parquet")
+      Tables.embeddings(spark, d)
+        .where(pmod(xxhash64(col("vec_id")), lit(1L << 40)) < lit(cut))
+        .write.parquet(s"$sub/embeddings.parquet")
+      val fullOnSample = DedupCluster.semanticReps(spark, sub).collect()
+      assert(degraded.map(_.toSeq).toSeq == fullOnSample.map(_.toSeq).toSeq)
+    } finally {
+      System.clearProperty("graft.semref.ceiling")
+      System.clearProperty("graft.semref.sample")
+    }
+  }
 }
