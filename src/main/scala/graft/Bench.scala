@@ -88,11 +88,18 @@ object Bench {
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val qs = results.map { case (k, v, ok) => "\"" + k + "\":" + fmt(if (ok) v else -v) }
       .mkString("{", ",", "}")
+    // COLD evidence (r12 verdict #3): pass-1 carries the first-touch costs
+    // the min-of-2 gate deliberately excludes — ensureIndex builds, referee
+    // computation/memoization, shuffle-file priming. Emitting it per key in
+    // the archived artifact makes first-query-of-a-session cost a measured
+    // fact instead of an inference; the gate's min-of-2 number is unchanged.
+    val qsCold = pass1.map { case (k, v, ok) => "\"" + k + "\":" + fmt(if (ok) v else -v) }
+      .mkString("{", ",", "}")
     val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true) => v }.sum
     val fullLine =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"queries_pass1":$qsCold,"errors":$errors,"sf":"$sfDir"}"""
     // The driver captures only the LAST ~2000 chars of output and parses the
     // JSON line out of that window; at 110+ queries the full per-query line
     // is ~3000 chars, so its head (metric/value) falls outside the window and
@@ -131,10 +138,17 @@ object Bench {
       .map { case (k, v, ok) => "\"" + k + "\":" + fmt(if (ok) v else -v) }
       .mkString("{", ",", "}")
     val omittedSum = omitted.collect { case (_, v, true) => v }.sum
-    println(
+    val compactLine =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qsCompact,""" +
       s""""n_queries":${results.size},"n_omitted":${omitted.size},"omitted_sum":${fmt(omittedSum)},""" +
-      s""""queries_full":"bench/driver_full_last.json","errors":$errors,"sf":"$sfDir"}""")
+      s""""queries_full":"bench/driver_full_last.json","errors":$errors,"sf":"$sfDir"}"""
+    // retire the log-tail coupling (r12 verdict #6): the compact line also
+    // lands as its OWN file a driver can read directly; the stdout tail
+    // stays as the fallback for drivers that only capture output
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench/driver_compact_last.json"), compactLine + "\n")
+    catch { case _: Throwable => () }
+    println(compactLine)
     spark.stop()
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, GetJsonObject, Literal, StringSplit, UnaryExpression, UnixMicros}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, GetJsonObject, Grouping, GroupingID, Literal, RegExpExtractAll, StringSplit, UnaryExpression, UnixMicros}
 import org.apache.spark.sql.catalyst.expressions.aggregate.Percentile
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
@@ -87,6 +87,32 @@ object DuckDialect {
     }))
     ext.injectFunction(fn("json_extract", { exprs =>
       arity("json_extract", 2, exprs); GetJsonObject(exprs(0), exprs(1))
+    }))
+    // r13 parity additions (r12 verdict #5):
+    // DuckDB's list_dot_product ≡ the engine's native fused dot expression
+    // (semantics pinned bit-identical in DotProductExpr's contract)
+    ext.injectFunction(fn("list_dot_product", { exprs =>
+      arity("list_dot_product", 2, exprs); DotProductExpr(exprs(0), exprs(1))
+    }))
+    // DuckDB/standard-SQL grouping(a, b, ...) is the multi-column bitmask
+    // (first argument = most significant bit) — Spark splits it into
+    // single-arg grouping + grouping_id; this shim restores the polymorphic
+    // standard form (the single-arg case keeps Spark's builtin semantics)
+    ext.injectFunction(fn("grouping", { exprs =>
+      require(exprs.nonEmpty, "grouping expects at least 1 argument")
+      if (exprs.length == 1) Grouping(exprs.head) else GroupingID(exprs)
+    }))
+    // DuckDB's 2-arg regexp_extract_all returns FULL matches (group 0);
+    // Spark's 2-arg form defaults the group index to 1 and rejects
+    // zero-group patterns — shadow the builtin with the standard default,
+    // 3-arg passthrough unchanged
+    ext.injectFunction(fn("regexp_extract_all", { exprs =>
+      exprs.length match {
+        case 2 => RegExpExtractAll(exprs(0), exprs(1), Literal(0))
+        case 3 => RegExpExtractAll(exprs(0), exprs(1), exprs(2))
+        case n => throw new IllegalArgumentException(
+          s"regexp_extract_all expects 2 or 3 arguments, got $n")
+      }
     }))
   }
 }

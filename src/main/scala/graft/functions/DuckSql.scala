@@ -1,0 +1,275 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The DuckDB-dialect SQL front door (r12 verdict #5) — the other half of
+  * the engine-switch story, one layer above the [[DuckDialect]] function
+  * aliases: run a DuckDB-flavored oracle text on Spark.
+  *
+  *  1. TYPE-TOKEN rewrites, applied OUTSIDE string literals only:
+  *     `DOUBLE[]` → `ARRAY<DOUBLE>` (DuckDB list-type syntax),
+  *     `AS VARCHAR` → `AS STRING` (bare VARCHAR cast), and the
+  *     `//` integer-division operator → ` DIV `. Pure spelling, no
+  *     semantics: each converted query is equality-checked against both
+  *     DuckDB and the DataFrame implementation in SqlParitySpec.
+  *  2. `WITH RECURSIVE` expansion: Spark 4's native recursion accepts only
+  *     UNION ALL members, but the SQL-standard closure idiom (and every
+  *     recursive oracle here) uses UNION — on a cyclic edge relation
+  *     UNION ALL never terminates, so "just rewrite it" is not an option.
+  *     The façade parses the CTE list and evaluates each recursive member
+  *     by SEMI-NAIVE fixed-point iteration (exactly the standard's
+  *     working-table semantics, which is also DuckDB's): the anchor seeds
+  *     the accumulator, each round re-binds the CTE name to the LAST
+  *     round's new rows, evaluates the step, keeps `distinct − seen`, and
+  *     stops on an empty frontier. Each frontier is localCheckpoint-
+  *     materialized so the loop's plan depth stays Θ(1) per round.
+  *
+  * This is a PORTABILITY surface: it makes a reference user's SQL run
+  * unchanged. The engine's own operators ([[graft.operators.DedupCluster
+  * .connectedComponents]] with pointer jumping, the banded/blocked
+  * kernels) remain the scale path for closure workloads — the façade's
+  * row-at-a-time closure is the standard's semantics, not a 100 TB plan.
+  */
+object DuckSql {
+
+  /** Hard stop for non-converging recursion (a closure's round count is
+    * bounded by the graph diameter; anything near this is a bug or a
+    * genuinely divergent query). */
+  val MaxIterations = 200
+
+  def sql(spark: SparkSession, text: String): DataFrame = {
+    val t = rewriteTokens(text)
+    if (RecursivePrefix.findFirstIn(t).isEmpty) spark.sql(t)
+    else expandRecursive(spark, t)
+  }
+
+  private val RecursivePrefix = "(?is)^\\s*WITH\\s+RECURSIVE\\b".r
+
+  /** Token rewrites outside single-quoted literals ('' escapes handled). */
+  private[graft] def rewriteTokens(s: String): String = {
+    val out = new StringBuilder(s.length + 16)
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '\'') {
+        val end = skipString(s, i)
+        out.append(s.substring(i, end))
+        i = end
+      } else if (s.startsWith("//", i)) {
+        out.append(" DIV "); i += 2
+      } else if (matchesWord(s, i, "DOUBLE") && nextNonWs(s, i + 6) == Some('[') &&
+          nextNonWsAfterIs(s, i + 6, '[', ']')) {
+        out.append("ARRAY<DOUBLE>")
+        i = indexAfter(s, i + 6, ']')
+      } else if (matchesWord(s, i, "VARCHAR")) {
+        out.append("STRING"); i += 7
+      } else {
+        out.append(s(i)); i += 1
+      }
+    }
+    out.toString
+  }
+
+  /** i points at the opening quote; returns index AFTER the closing quote,
+    * treating '' as an escaped quote (the SQL standard). */
+  private def skipString(s: String, i0: Int): Int = {
+    var i = i0 + 1
+    while (i < s.length) {
+      if (s(i) == '\'') {
+        if (i + 1 < s.length && s(i + 1) == '\'') i += 2
+        else return i + 1
+      } else i += 1
+    }
+    s.length
+  }
+
+  private def matchesWord(s: String, i: Int, w: String): Boolean =
+    s.regionMatches(true, i, w, 0, w.length) &&
+      (i == 0 || !isIdent(s(i - 1))) &&
+      (i + w.length >= s.length || !isIdent(s(i + w.length)))
+
+  private def isIdent(c: Char): Boolean =
+    Character.isLetterOrDigit(c) || c == '_'
+
+  private def nextNonWs(s: String, from: Int): Option[Char] = {
+    var i = from
+    while (i < s.length && s(i).isWhitespace) i += 1
+    if (i < s.length) Some(s(i)) else None
+  }
+
+  /** After skipping whitespace from `from`, expect `open` then (whitespace)
+    * then `close`. */
+  private def nextNonWsAfterIs(s: String, from: Int, open: Char, close: Char): Boolean = {
+    var i = from
+    while (i < s.length && s(i).isWhitespace) i += 1
+    if (i >= s.length || s(i) != open) return false
+    i += 1
+    while (i < s.length && s(i).isWhitespace) i += 1
+    i < s.length && s(i) == close
+  }
+
+  private def indexAfter(s: String, from: Int, c: Char): Int = {
+    var i = from
+    while (s(i) != c) i += 1
+    i + 1
+  }
+
+  // ── WITH RECURSIVE expansion ───────────────────────────────────────────
+
+  private case class Cte(name: String, cols: Seq[String], body: String)
+
+  private def expandRecursive(spark: SparkSession, text: String): DataFrame = {
+    val m = RecursivePrefix.findFirstMatchIn(text).get
+    var i = m.end
+    val ctes = scala.collection.mutable.ArrayBuffer.empty[Cte]
+    var done = false
+    while (!done) {
+      i = skipWs(text, i)
+      val (name, i1) = parseIdent(text, i)
+      i = skipWs(text, i1)
+      val (cols, i2) =
+        if (i < text.length && text(i) == '(') parseIdentList(text, i)
+        else (Nil, i)
+      i = skipWs(text, i2)
+      require(text.regionMatches(true, i, "AS", 0, 2) &&
+        (i + 2 >= text.length || !isIdent(text(i + 2))),
+        s"expected AS after CTE name $name")
+      i = skipWs(text, i + 2)
+      require(i < text.length && text(i) == '(', s"expected ( after $name AS")
+      val end = matchParen(text, i)
+      ctes += Cte(name, cols, text.substring(i + 1, end - 1))
+      i = skipWs(text, end)
+      if (i < text.length && text(i) == ',') i += 1 else done = true
+    }
+    val finalSql = text.substring(i)
+    val created = scala.collection.mutable.ArrayBuffer.empty[String]
+    try {
+      ctes.foreach { cte =>
+        val df =
+          if (referencesName(cte.body, cte.name)) fixpoint(spark, cte)
+          else withCols(spark.sql(cte.body), cte.cols)
+        df.createOrReplaceTempView(cte.name)
+        created += cte.name
+      }
+      // analysis inlines the view plans, so the returned frame survives the
+      // temp-view cleanup below
+      spark.sql(finalSql)
+    } finally created.foreach(spark.catalog.dropTempView(_))
+  }
+
+  private def withCols(df: DataFrame, cols: Seq[String]): DataFrame =
+    if (cols.isEmpty) df else df.toDF(cols: _*)
+
+  /** Standard semi-naive evaluation of one recursive member.
+    *
+    * Every frontier is FROZEN — localCheckpoint-materialized, then wrapped
+    * in an independent `createDataFrame` plan per role (working-table view,
+    * accumulator element, except() reference). The per-role wrap matters:
+    * re-using one plan object across the accumulated unions duplicates its
+    * attribute ids through the tree and trips Union's constraint
+    * propagation (`key not found: id#N`). */
+  private def fixpoint(spark: SparkSession, cte: Cte): DataFrame = {
+    val (anchorSql, stepSql, distinctUnion) = splitUnion(cte.body, cte.name)
+    def freeze(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    def fresh(frozen: DataFrame): DataFrame =
+      spark.createDataFrame(frozen.rdd, frozen.schema)
+    var frontier = freeze {
+      val a = withCols(spark.sql(anchorSql), cte.cols)
+      if (distinctUnion) a.distinct() else a
+    }
+    var acc = fresh(frontier)
+    var iter = 0
+    while (!frontier.isEmpty && iter < MaxIterations) {
+      fresh(frontier).createOrReplaceTempView(cte.name) // the working table
+      var next = withCols(spark.sql(stepSql), cte.cols)
+      if (distinctUnion) next = next.distinct().except(acc)
+      frontier = freeze(next)
+      if (!frontier.isEmpty) acc = acc.union(fresh(frontier))
+      iter += 1
+    }
+    require(iter < MaxIterations,
+      s"recursive CTE ${cte.name} did not converge in $MaxIterations rounds")
+    acc
+  }
+
+  /** Split a recursive body at its top-level UNION [ALL]; returns (anchor,
+    * step, distinct?). */
+  private def splitUnion(body: String, name: String): (String, String, Boolean) = {
+    var i = 0
+    var depth = 0
+    while (i < body.length) {
+      body(i) match {
+        case '\'' => i = skipString(body, i) - 1
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 && matchesWord(body, i, "UNION") =>
+          val after = skipWs(body, i + 5)
+          val isAll = matchesWord(body, after, "ALL")
+          val stepStart = if (isAll) after + 3 else i + 5
+          return (body.substring(0, i), body.substring(stepStart), !isAll)
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException(
+      s"recursive CTE $name has no top-level UNION")
+  }
+
+  private def referencesName(body: String, name: String): Boolean = {
+    // strip string literals, then look for the bare identifier
+    val sb = new StringBuilder
+    var i = 0
+    while (i < body.length) {
+      if (body(i) == '\'') i = skipString(body, i)
+      else { sb.append(body(i)); i += 1 }
+    }
+    s"(?i)(?<![A-Za-z0-9_])${java.util.regex.Pattern.quote(name)}(?![A-Za-z0-9_])".r
+      .findFirstIn(sb.toString).isDefined
+  }
+
+  private def skipWs(s: String, from: Int): Int = {
+    var i = from
+    while (i < s.length && s(i).isWhitespace) i += 1
+    i
+  }
+
+  private def parseIdent(s: String, from: Int): (String, Int) = {
+    var i = from
+    while (i < s.length && isIdent(s(i))) i += 1
+    require(i > from, s"expected identifier at ...${s.substring(from, math.min(s.length, from + 30))}")
+    (s.substring(from, i), i)
+  }
+
+  /** Parse `(a, b, c)` starting at the '('. */
+  private def parseIdentList(s: String, from: Int): (Seq[String], Int) = {
+    var i = from + 1
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var done = false
+    while (!done) {
+      i = skipWs(s, i)
+      val (id, i1) = parseIdent(s, i)
+      out += id
+      i = skipWs(s, i1)
+      if (s(i) == ',') i += 1
+      else { require(s(i) == ')', "expected , or ) in column list"); i += 1; done = true }
+    }
+    (out.toSeq, i)
+  }
+
+  /** i at '('; returns index AFTER the matching ')'. */
+  private def matchParen(s: String, i0: Int): Int = {
+    var depth = 0
+    var i = i0
+    while (i < s.length) {
+      s(i) match {
+        case '\'' => i = skipString(s, i) - 1
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          if (depth == 0) return i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException("unbalanced parentheses in CTE body")
+  }
+}

@@ -87,16 +87,20 @@ class IndexLeaseSpec extends AnyFunSuite {
       builds += 1
       Seq((1L, "x")).toDF("id", "v").write.parquet(p)
     }
-    val p1 = Vectors.ensureIndex(spark, "adopt_t", d)(build)
+    // unique kind per run: the warehouse survives across test JVMs, and a
+    // leftover committed index of the same vintage would be ADOPTED by the
+    // very first call (the feature under test, one JVM too early)
+    val kind = s"adopt_t_${System.nanoTime()}"
+    val p1 = Vectors.ensureIndex(spark, kind, d)(build)
     assert(builds == 1)
-    Vectors.ensureIndex(spark, "adopt_t", d)(build) // same session: memo hit
+    Vectors.ensureIndex(spark, kind, d)(build) // same session: memo hit
     assert(builds == 1)
     assert(new java.io.File(p1, "_fp").exists(), "vintage sidecar committed")
     // a FRESH session (new memo identity) adopts the committed vintage via
     // the _fp sidecar instead of rebuilding — the cross-session serving
     // story: one build per corpus vintage, not per session
     val s2 = spark.newSession()
-    val p2 = Vectors.ensureIndex(s2, "adopt_t", d)(build)
+    val p2 = Vectors.ensureIndex(s2, kind, d)(build)
     assert(p2 == p1)
     assert(builds == 1, "adoption must not rebuild")
   }

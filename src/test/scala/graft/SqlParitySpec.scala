@@ -56,7 +56,22 @@ class SqlParitySpec extends AnyFunSuite {
     // exact counts + the pinned TRUE bound — no dialect at all
     "ref_approx_distinct",
     // min-per-group over the embedding column + pinned TRUE bound
-    "q_embed_neardup_srp")
+    "q_embed_neardup_srp",
+    // r13 (verdict #5): unlocked by the DuckSql facade (DOUBLE[] ->
+    // ARRAY<DOUBLE> / AS VARCHAR -> AS STRING / '//' -> DIV token rewrites
+    // outside string literals + semi-naive WITH RECURSIVE expansion) and
+    // the new DuckDialect aliases (list_dot_product -> native vec_dot,
+    // polymorphic grouping(a,b) -> grouping_id bitmask, standard 2-arg
+    // regexp_extract_all)
+    "q_agg_rollup", "q_agg_cube", "q_agg_gsets",
+    "q_cosine_topk", "q_knn_join_sample", "q_knn_classify",
+    "q_embed_neardup", "q_multimodal_join", "q_split_leakage",
+    "q_ann_ivf", "q_ann_pq", "q_ann_ivfpq",
+    "q_ann_ivf_at_rest", "q_ann_pq_at_rest", "q_ann_ivfpq_at_rest",
+    "q_dedup_clusters_exact", "q_embed_dedup_reps", "q_neardup_keep_best",
+    "q_semantic_dedup",
+    "q_sample_per_group", "q_source_mix", "q_temperature_mix",
+    "q_url_canonicalize", "q_token_pack", "q_domain_pagerank")
 
   /** Oracle keys that CANNOT run on spark.sql, each with the blocking
     * DuckDB construct. Kept exhaustive on purpose: the classification test
@@ -79,7 +94,6 @@ class SqlParitySpec extends AnyFunSuite {
       "q_lang_id" -> ("list_filter — " + listDialect),
       "q_jaccard_ngram" -> ("list_distinct — " + listDialect),
       "q_dedup_incremental" -> ("list_distinct — " + listDialect),
-      "q_token_pack" -> "// integer division (parse error in Spark SQL)",
       "q_chunk_tokens" -> (listDialect +
         " + generate_series lateral join + // integer division"),
       "q_unicode_normalize" -> ("nfc_normalize (utf8proc) + " +
@@ -99,7 +113,6 @@ class SqlParitySpec extends AnyFunSuite {
       "q_perplexity_buckets" -> listDialect,
       "q_perplexity_buckets_sampled" -> (listDialect +
         " + // integer division in the tercile-rank arithmetic"),
-      "q_temperature_mix" -> varcharCast,
       "q_dsir_weights" -> (hugeint + "; " + recursive),
       "q_html_strip" -> ("list_filter/array_to_string — " + listDialect),
       "q_gopher_rules" -> listDialect, "q_source_overlap" -> listDialect,
@@ -109,27 +122,9 @@ class SqlParitySpec extends AnyFunSuite {
       "q_array_map_funcs" -> listDialect,
       "q_pii_scrub" -> ("regexp_replace(..., 'g') 4-arg global flag + " +
         "regexp_extract_all counting — Spark's regexp_replace is 3-arg global"),
-      "q_url_canonicalize" -> ("portable except CAST(x AS VARCHAR); Spark " +
-        "spells it STRING"),
-      "q_sample_per_group" -> varcharCast, "q_source_mix" -> varcharCast,
-      "q_cosine_topk" -> vecDialect, "q_knn_join_sample" -> vecDialect,
-      // graduated trained-ANN contracts: the exact-referee emission is the
-      // q_cosine_topk body + the pinned TRUE bound
-      "q_ann_ivf" -> (vecDialect + " (exact-referee contract)"),
-      "q_ann_pq" -> (vecDialect + " (exact-referee contract)"),
-      "q_ann_ivfpq" -> (vecDialect + " (exact-referee contract)"),
-      "q_ann_ivf_at_rest" -> (vecDialect + " (exact-referee contract)"),
-      "q_ann_pq_at_rest" -> (vecDialect + " (exact-referee contract)"),
-      "q_ann_ivfpq_at_rest" -> (vecDialect + " (exact-referee contract)"),
-      "q_knn_classify" -> vecDialect, "q_embed_centroid" ->
-        (vecDialect + " + generate_subscripts"),
-      "q_embed_neardup" -> vecDialect, "q_multimodal_join" -> vecDialect,
-      "q_split_leakage" -> vecDialect,
+      "q_embed_centroid" -> (vecDialect + " + generate_subscripts"),
       "q_multimodal_frames" -> "unnest(range) pixel-generator explode + // integer division",
       "q_multimodal_features" -> "unnest(range) pixel-generator explode + // integer division",
-      "q_dedup_clusters_exact" -> (recursive + " (transitive closure)"),
-      "q_embed_dedup_reps" -> (recursive + " (transitive closure)"),
-      "q_neardup_keep_best" -> (recursive + " (transitive closure)"),
       "q_simhash_dedup" -> (hugeint + "; " + recursive),
       "q_simhash_dedup_reps" -> (hugeint + "; " + recursive),
       "q_minhash_lsh" -> (hugeint + "; " + recursive),
@@ -140,16 +135,12 @@ class SqlParitySpec extends AnyFunSuite {
       "q_dedup_clusters" -> (hugeint + "; " + recursive),
       "q_ann_pq_fixed" -> ("unnest(range) codebook cross join + " +
         "// integer division + row_number argmin"),
-      "q_domain_pagerank" -> ("// integer division in the unrolled power " +
-        "steps — Spark form is the DataFrame iteration with DIV"),
       "q_keyword_topk_at_rest" -> (listDialect +
         " + VALUES CTE — Spark form is the pruned index probe"),
       "q_curriculum_order" -> ("quality-score q4 CTE — " + listDialect),
       "q_hybrid_rrf" -> (listDialect + "; " + vecDialect),
       "q_hybrid_rrf_indexed" -> (listDialect + "; " + vecDialect +
         " (brute-referee contract + pinned agreement bound)"),
-      "q_semantic_dedup" -> (recursive + " (exact-closure contract + " +
-        "pinned soundness/recall bounds); " + vecDialect),
       "q_hybrid_rrf_indexed_fixed" -> (listDialect +
         " + unnest(range) centroid cross join + row_number argmin — the " +
         "q_ann_ivf_fixed sem leg generalized to the probe set + RRF tail"),
@@ -177,9 +168,6 @@ class SqlParitySpec extends AnyFunSuite {
       "q_session_window" -> epochT, "q_late_data_policy" -> epochT,
       "q_join_asof" -> (epochT + " + IGNORE NULLS window spelling"),
       // empirically-found gaps (each was attempted verbatim first):
-      "q_agg_rollup" -> "grouping(a, b) multi-argument — Spark: grouping_id",
-      "q_agg_cube" -> "grouping(a, b) multi-argument — Spark: grouping_id",
-      "q_agg_gsets" -> "grouping(a, b) multi-argument — Spark: grouping_id",
       "q_cohort_retention" -> (epochT + " + // integer division"),
       "q_multimodal_meta" -> "unnest(range) pixel-generator explode + // integer division",
       "q_multimodal_resize" -> "unnest(range) pixel-generator explode + // integer division",
@@ -224,7 +212,7 @@ class SqlParitySpec extends AnyFunSuite {
       s"unclassified oracle keys: ${keys -- classified}")
     assert(classified.subsetOf(keys),
       s"stale classification for removed keys: ${classified -- keys}")
-    assert(portable.size >= 40, s"parity surface shrank to ${portable.size}")
+    assert(portable.size >= 50, s"parity surface shrank to ${portable.size}")
   }
 
   test("ANSI oracle SQL runs verbatim on spark.sql with identical results") {
@@ -244,7 +232,8 @@ class SqlParitySpec extends AnyFunSuite {
     try {
     val failures = portable.flatMap { key =>
       try {
-        val viaSql = spark.sql(SparkEntry.oracleSql(key)).collect().toSeq
+        val viaSql = graft.functions.DuckSql
+          .sql(spark, SparkEntry.oracleSql(key)).collect().toSeq
         val viaDf = SparkEntry.queries(key)(spark, TestSpark.sf0001).collect().toSeq
         // q_join_anti (every customer has orders) and ref_subsample (its
         // event_id range starts above the sf0.001 fixture's ids) are
