@@ -28,7 +28,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
-COPIES = 10
+COPIES = 10  # default; override with argv[3] (e.g. 3 for the sf10 -> sf30 leg)
 
 
 def stride_of(table: pa.Table, col: str) -> int:
@@ -89,4 +89,6 @@ def main(src: str, dst: str) -> None:
 if __name__ == "__main__":
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dst = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/testdata_sf1"
+    if len(sys.argv) > 3:
+        COPIES = int(sys.argv[3])
     main(src, dst)
