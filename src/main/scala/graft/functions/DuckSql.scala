@@ -8,8 +8,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   *  1. TYPE-TOKEN rewrites, applied OUTSIDE string literals only:
   *     `DOUBLE[]` → `ARRAY<DOUBLE>` (DuckDB list-type syntax),
-  *     `AS VARCHAR` → `AS STRING` (bare VARCHAR cast), and the
-  *     `//` integer-division operator → ` DIV `. Pure spelling, no
+  *     `AS VARCHAR` → `AS STRING` (bare VARCHAR cast), the
+  *     `//` integer-division operator → ` DIV `, the bare aggregate
+  *     `FILTER (cond)` → `FILTER (WHERE cond)` (DuckDB makes WHERE
+  *     optional; the rewrite fires only after a closing paren, so the
+  *     higher-order `filter(arr, fn)` function is never touched), and
+  *     DuckDB's inside-the-call `f(expr IGNORE NULLS)` → standard
+  *     `f(expr) IGNORE NULLS`. Pure spelling, no
   *     semantics: each converted query is equality-checked against both
   *     DuckDB and the DataFrame implementation in SqlParitySpec.
   *  2. `WITH RECURSIVE` expansion: Spark 4's native recursion accepts only
@@ -62,11 +67,34 @@ object DuckSql {
         i = indexAfter(s, i + 6, ']')
       } else if (matchesWord(s, i, "VARCHAR")) {
         out.append("STRING"); i += 7
+      } else if (matchesWord(s, i, "FILTER") &&
+          lastNonWs(out) == Some(')') && nextNonWs(s, i + 6) == Some('(') &&
+          !matchesWord(s, skipWs(s, skipWs(s, i + 6) + 1), "WHERE")) {
+        // aggregate FILTER with DuckDB's optional WHERE omitted; the
+        // `) FILTER (` shape can't be the higher-order filter() function
+        val open = skipWs(s, i + 6)
+        out.append(s.substring(i, open + 1)).append("WHERE ")
+        i = open + 1
+      } else if (matchesWord(s, i, "IGNORE") && {
+        val n = skipWs(s, i + 6)
+        matchesWord(s, n, "NULLS") && nextNonWs(s, n + 5) == Some(')')
+      }) {
+        // f(expr IGNORE NULLS) — DuckDB allows the modifier inside the
+        // call; the standard (and Spark) puts it after: f(expr) IGNORE NULLS
+        val close = skipWs(s, skipWs(s, i + 6) + 5)
+        out.append(") IGNORE NULLS")
+        i = close + 1
       } else {
         out.append(s(i)); i += 1
       }
     }
     out.toString
+  }
+
+  private def lastNonWs(sb: StringBuilder): Option[Char] = {
+    var i = sb.length - 1
+    while (i >= 0 && sb.charAt(i).isWhitespace) i -= 1
+    if (i >= 0) Some(sb.charAt(i)) else None
   }
 
   /** i points at the opening quote; returns index AFTER the closing quote,

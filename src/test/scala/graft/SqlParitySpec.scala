@@ -71,7 +71,15 @@ class SqlParitySpec extends AnyFunSuite {
     "q_dedup_clusters_exact", "q_embed_dedup_reps", "q_neardup_keep_best",
     "q_semantic_dedup",
     "q_sample_per_group", "q_source_mix", "q_temperature_mix",
-    "q_url_canonicalize", "q_token_pack", "q_domain_pagerank")
+    "q_url_canonicalize", "q_token_pack", "q_domain_pagerank",
+    // r13 continuation: the events/timestamp family unlocked by two more
+    // DuckSql token rewrites — bare aggregate FILTER (cond) -> FILTER
+    // (WHERE cond) and in-call `expr IGNORE NULLS)` -> `expr) IGNORE
+    // NULLS` — plus the already-registered epoch alias (INTERVAL literals
+    // and date_trunc parse identically on both engines); q_token_count
+    // rides the standard 2-arg regexp_extract_all alias
+    "q_session_window", "q_late_data_policy", "q_cohort_retention",
+    "q_join_asof", "q_token_count")
 
   /** Oracle keys that CANNOT run on spark.sql, each with the blocking
     * DuckDB construct. Kept exhaustive on purpose: the classification test
@@ -85,8 +93,6 @@ class SqlParitySpec extends AnyFunSuite {
       "form is the iterative/typed operator"
     val hugeint = "HUGEINT 128-bit arithmetic (kernel-replay oracle); Spark " +
       "form is the native 64-bit typed kernel"
-    val epochT = "epoch()/to_timestamp/INTERVAL dialect on TIMESTAMP columns"
-    val varcharCast = "CAST(x AS VARCHAR) — Spark spells it STRING"
     Map(
       "q_term_freq" -> listDialect,
       "q_tfidf" -> listDialect, "q_ngram_shingles" -> listDialect,
@@ -106,8 +112,6 @@ class SqlParitySpec extends AnyFunSuite {
         " + generate_series coverage + ordered string_agg (width-20 ladder)"),
       "q_embed_quantize" -> ("CAST(... AS DOUBLE[]) list cast + unnest scalar " +
         "explode + numeric trunc() — Spark form is the array transform kernel"),
-      "q_token_count" -> ("regexp_extract_all(s, re, 1) on a zero-group " +
-        "pattern — DuckDB permits, Spark rejects the group index"),
       "q_repetition_stats" -> listDialect,
       "q_ngram_entropy" -> listDialect,
       "q_perplexity_buckets" -> listDialect,
@@ -165,10 +169,7 @@ class SqlParitySpec extends AnyFunSuite {
       "q_curation_report" -> (recursive + " + list dialect (stitched stages)"),
       "q_curate_batch" -> (hugeint + "; " + recursive +
         " (shared agree CTE + inline gate stats)"),
-      "q_session_window" -> epochT, "q_late_data_policy" -> epochT,
-      "q_join_asof" -> (epochT + " + IGNORE NULLS window spelling"),
       // empirically-found gaps (each was attempted verbatim first):
-      "q_cohort_retention" -> (epochT + " + // integer division"),
       "q_multimodal_meta" -> "unnest(range) pixel-generator explode + // integer division",
       "q_multimodal_resize" -> "unnest(range) pixel-generator explode + // integer division",
       "q_image_dedup" -> "unnest(range) pixel-generator explode + // integer division",
@@ -213,6 +214,32 @@ class SqlParitySpec extends AnyFunSuite {
     assert(classified.subsetOf(keys),
       s"stale classification for removed keys: ${classified -- keys}")
     assert(portable.size >= 50, s"parity surface shrank to ${portable.size}")
+  }
+
+  test("DuckSql token rewrites: fire on the dialect shapes, never inside literals or on lookalikes") {
+    import graft.functions.DuckSql.rewriteTokens
+    // aggregate FILTER with DuckDB's optional WHERE omitted
+    assert(rewriteTokens("count(*) FILTER (is_late)") ==
+      "count(*) FILTER (WHERE is_late)")
+    // already-standard spelling passes through
+    assert(rewriteTokens("count(*) FILTER (WHERE x > 1)") ==
+      "count(*) FILTER (WHERE x > 1)")
+    // the higher-order filter() FUNCTION is not an aggregate clause — no
+    // preceding close-paren, must not gain a WHERE
+    assert(rewriteTokens("SELECT filter(ws, w -> w >= 'a') FROM t") ==
+      "SELECT filter(ws, w -> w >= 'a') FROM t")
+    // in-call IGNORE NULLS moves outside the call (the whitespace that
+    // preceded the modifier stays inside the parens — harmless to SQL)
+    assert(rewriteTokens("last_value(v IGNORE NULLS) OVER w") ==
+      "last_value(v ) IGNORE NULLS OVER w")
+    assert(rewriteTokens("last_value(CASE WHEN a THEN b END IGNORE NULLS) OVER w") ==
+      "last_value(CASE WHEN a THEN b END ) IGNORE NULLS OVER w")
+    // string literals are opaque to every rewrite
+    assert(rewriteTokens("SELECT 'FILTER (x)', '// not division', 'a IGNORE NULLS)'") ==
+      "SELECT 'FILTER (x)', '// not division', 'a IGNORE NULLS)'")
+    // the standing rewrites still hold alongside the new ones
+    assert(rewriteTokens("SELECT a // 2, CAST(x AS VARCHAR), CAST(y AS DOUBLE[])") ==
+      "SELECT a  DIV  2, CAST(x AS STRING), CAST(y AS ARRAY<DOUBLE>)")
   }
 
   test("ANSI oracle SQL runs verbatim on spark.sql with identical results") {
