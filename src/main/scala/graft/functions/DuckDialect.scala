@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, GetJsonObject, Grouping, GroupingID, Literal, RegExpExtractAll, StringSplit, UnaryExpression, UnixMicros}
+import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, ArrayFilter, ArrayIntersect, ArrayJoin, Cast, Expression, ExpressionInfo, GetJsonObject, Grouping, GroupingID, Literal, RegExpExtractAll, RegExpReplace, StringSplit, UnaryExpression, UnixMicros}
 import org.apache.spark.sql.catalyst.expressions.aggregate.Percentile
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
@@ -114,5 +114,92 @@ object DuckDialect {
           s"regexp_extract_all expects 2 or 3 arguments, got $n")
       }
     }))
+    // r13 continuation — the DuckDB list-function family mapped onto
+    // Spark's array expressions (same semantics where it matters for the
+    // parity-checked texts: lambdas share the `x -> ...` syntax, intersect/
+    // distinct are taken under len() where ordering is irrelevant):
+    ext.injectFunction(fn("list_filter", { exprs =>
+      arity("list_filter", 2, exprs); ArrayFilter(exprs(0), exprs(1))
+    }))
+    ext.injectFunction(fn("list_distinct", { exprs =>
+      arity("list_distinct", 1, exprs); ArrayDistinct(exprs.head)
+    }))
+    ext.injectFunction(fn("list_intersect", { exprs =>
+      arity("list_intersect", 2, exprs); ArrayIntersect(exprs(0), exprs(1))
+    }))
+    ext.injectFunction(fn("array_to_string", { exprs =>
+      arity("array_to_string", 2, exprs); ArrayJoin(exprs(0), exprs(1), None)
+    }))
+    // DuckDB's 4-arg regexp_replace: flags 'g' = global, which is Spark's
+    // (only) 3-arg behavior — accept exactly that spelling and refuse any
+    // other flag rather than silently changing semantics
+    ext.injectFunction(fn("regexp_replace", { exprs =>
+      exprs.length match {
+        case 3 => RegExpReplace(exprs(0), exprs(1), exprs(2))
+        case 4 =>
+          val isGlobalFlag = exprs(3) match {
+            case Literal(s: UTF8String, _) => s.toString == "g"
+            case _ => false
+          }
+          require(isGlobalFlag,
+            "regexp_replace: only a literal 'g' (global) flag is supported — " +
+              "Spark's regexp_replace is always-global")
+          RegExpReplace(exprs(0), exprs(1), exprs(2))
+        case n => throw new IllegalArgumentException(
+          s"regexp_replace expects 3 or 4 arguments, got $n")
+      }
+    }))
+    // DuckDB's nfc_normalize (utf8proc NFC) ≡ the JDK Normalizer NFC the
+    // engine's unicode kernel uses (operators/Text.scala — the
+    // q_unicode_normalize hash gate pins the two engines equal)
+    ext.injectFunction(fn("nfc_normalize", { exprs =>
+      arity("nfc_normalize", 1, exprs); NfcNormalize(exprs.head)
+    }))
+    // DuckDB's chr(n) is the UNICODE CODEPOINT constructor; Spark's builtin
+    // is ASCII-mod-256 (chr(769) silently becomes chr(1)) — shadow it with
+    // the codepoint semantics, which agree on the ASCII range
+    ext.injectFunction(fn("chr", { exprs =>
+      arity("chr", 1, exprs); ChrCodepoint(exprs.head)
+    }))
+  }
+
+  /** JDK NFC composition as an expression — the portability alias for
+    * DuckDB's `nfc_normalize`. CodegenFallback is fine for a dialect shim;
+    * the engine's own pipeline uses the typed kernel. */
+  case class NfcNormalize(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"nfc_normalize expects STRING, got ${other.catalogString}")
+    }
+    override protected def nullSafeEval(v: Any): Any =
+      UTF8String.fromString(java.text.Normalizer.normalize(
+        v.asInstanceOf[UTF8String].toString, java.text.Normalizer.Form.NFC))
+    override protected def withNewChildInternal(newChild: Expression): NfcNormalize =
+      copy(child = newChild)
+    override def prettyName: String = "nfc_normalize"
+  }
+
+  /** Unicode-codepoint `chr` (the DuckDB/PostgreSQL semantics — Spark's
+    * builtin is ASCII-mod-256, wrong above 255). */
+  case class ChrCodepoint(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case LongType | org.apache.spark.sql.types.IntegerType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"chr expects an integer codepoint, got ${other.catalogString}")
+    }
+    override protected def nullSafeEval(v: Any): Any = {
+      val cp = v match {
+        case l: java.lang.Long => l.toInt
+        case i: java.lang.Integer => i.intValue
+      }
+      UTF8String.fromString(new String(Character.toChars(cp)))
+    }
+    override protected def withNewChildInternal(newChild: Expression): ChrCodepoint =
+      copy(child = newChild)
+    override def prettyName: String = "chr"
   }
 }

@@ -12,9 +12,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     `//` integer-division operator → ` DIV `, the bare aggregate
   *     `FILTER (cond)` → `FILTER (WHERE cond)` (DuckDB makes WHERE
   *     optional; the rewrite fires only after a closing paren, so the
-  *     higher-order `filter(arr, fn)` function is never touched), and
+  *     higher-order `filter(arr, fn)` function is never touched),
   *     DuckDB's inside-the-call `f(expr IGNORE NULLS)` → standard
-  *     `f(expr) IGNORE NULLS`. Pure spelling, no
+  *     `f(expr) IGNORE NULLS`, and the 1-based inclusive list slice
+  *     `xs[lo:hi]` → `slice(xs, lo, hi-lo+1)` (identifier receiver,
+  *     integer-literal bounds). Pure spelling, no
   *     semantics: each converted query is equality-checked against both
   *     DuckDB and the DataFrame implementation in SqlParitySpec.
   *  2. `WITH RECURSIVE` expansion: Spark 4's native recursion accepts only
@@ -28,6 +30,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     round's new rows, evaluates the step, keeps `distinct − seen`, and
   *     stops on an empty frontier. Each frontier is localCheckpoint-
   *     materialized so the loop's plan depth stays Θ(1) per round.
+  *
+  * Dialect trade-off (deliberate, like the `regexp_extract_all` group-0
+  * default): the [[DuckDialect]] shadows give `chr` Unicode-codepoint
+  * semantics (Spark's builtin is ASCII-mod-256) and make the 4th
+  * `regexp_replace` argument a DuckDB FLAGS string (only `'g'` accepted —
+  * Spark's builtin 4th argument is a start POSITION, which a dialect
+  * session gives up; a non-'g' value fails loudly rather than silently
+  * changing semantics).
   *
   * This is a PORTABILITY surface: it makes a reference user's SQL run
   * unchanged. The engine's own operators ([[graft.operators.DedupCluster
@@ -75,6 +85,16 @@ object DuckSql {
         val open = skipWs(s, i + 6)
         out.append(s.substring(i, open + 1)).append("WHERE ")
         i = open + 1
+      } else if (s(i) == '[' && sliceBounds(s, i).isDefined &&
+          lastIdent(out).isDefined) {
+        // DuckDB 1-based inclusive list slice `xs[lo:hi]` → Spark
+        // `slice(xs, lo, hi-lo+1)` (both clamp to the available length);
+        // bounded to a plain identifier receiver + integer-literal bounds
+        val (lo, hi, after) = sliceBounds(s, i).get
+        val id = lastIdent(out).get
+        out.setLength(out.length - id.length)
+        out.append(s"slice($id, $lo, ${hi - lo + 1})")
+        i = after
       } else if (matchesWord(s, i, "IGNORE") && {
         val n = skipWs(s, i + 6)
         matchesWord(s, n, "NULLS") && nextNonWs(s, n + 5) == Some(')')
@@ -95,6 +115,30 @@ object DuckSql {
     var i = sb.length - 1
     while (i >= 0 && sb.charAt(i).isWhitespace) i -= 1
     if (i >= 0) Some(sb.charAt(i)) else None
+  }
+
+  /** The identifier the builder currently ends with (no trailing ws). */
+  private def lastIdent(sb: StringBuilder): Option[String] = {
+    var i = sb.length
+    while (i > 0 && isIdent(sb.charAt(i - 1))) i -= 1
+    if (i < sb.length && !(i > 0 && sb.charAt(i - 1) == '\'')) {
+      val id = sb.substring(i)
+      if (id.head.isDigit) None else Some(id)
+    } else None
+  }
+
+  /** `[lo:hi]` with integer-literal bounds starting at the '[' — returns
+    * (lo, hi, index after ']'). */
+  private def sliceBounds(s: String, i0: Int): Option[(Int, Int, Int)] = {
+    var i = i0 + 1
+    val lo = new StringBuilder
+    while (i < s.length && s(i).isDigit) { lo.append(s(i)); i += 1 }
+    if (lo.isEmpty || i >= s.length || s(i) != ':') return None
+    i += 1
+    val hi = new StringBuilder
+    while (i < s.length && s(i).isDigit) { hi.append(s(i)); i += 1 }
+    if (hi.isEmpty || i >= s.length || s(i) != ']') return None
+    Some((lo.toString.toInt, hi.toString.toInt, i + 1))
   }
 
   /** i points at the opening quote; returns index AFTER the closing quote,

@@ -79,7 +79,16 @@ class SqlParitySpec extends AnyFunSuite {
     // and date_trunc parse identically on both engines); q_token_count
     // rides the standard 2-arg regexp_extract_all alias
     "q_session_window", "q_late_data_policy", "q_cohort_retention",
-    "q_join_asof", "q_token_count")
+    "q_join_asof", "q_token_count",
+    // r13 continuation 2: the DuckDB list-function family mapped onto
+    // Spark's array expressions (list_filter/list_distinct/list_intersect/
+    // array_to_string), the 4-arg regexp_replace 'g' shim, and
+    // nfc_normalize (JDK NFC ≡ utf8proc NFC, pinned by the hash gate);
+    // q_curriculum_order/q_domain_reputation needed no new aliases at all
+    // (len + string_split_regex + regexp_extract_all + DIV were enough)
+    "q_lang_id", "q_quality_score", "q_jaccard_ngram", "q_dedup_incremental",
+    "q_html_strip", "q_pii_scrub", "q_unicode_normalize",
+    "q_curriculum_order", "q_domain_reputation")
 
   /** Oracle keys that CANNOT run on spark.sql, each with the blocking
     * DuckDB construct. Kept exhaustive on purpose: the classification test
@@ -96,15 +105,8 @@ class SqlParitySpec extends AnyFunSuite {
     Map(
       "q_term_freq" -> listDialect,
       "q_tfidf" -> listDialect, "q_ngram_shingles" -> listDialect,
-      "q_quality_score" -> ("list_filter — " + listDialect),
-      "q_lang_id" -> ("list_filter — " + listDialect),
-      "q_jaccard_ngram" -> ("list_distinct — " + listDialect),
-      "q_dedup_incremental" -> ("list_distinct — " + listDialect),
       "q_chunk_tokens" -> (listDialect +
         " + generate_series lateral join + // integer division"),
-      "q_unicode_normalize" -> ("nfc_normalize (utf8proc) + " +
-        "regexp_replace(..., 'g') 4-arg flag — Spark form is the JDK " +
-        "Normalizer typed map"),
       "q_substring_dedup" -> (listDialect + " + // integer division"),
       "q_span_scrub" -> (listDialect +
         " + generate_series coverage + ordered string_agg"),
@@ -118,14 +120,11 @@ class SqlParitySpec extends AnyFunSuite {
       "q_perplexity_buckets_sampled" -> (listDialect +
         " + // integer division in the tercile-rank arithmetic"),
       "q_dsir_weights" -> (hugeint + "; " + recursive),
-      "q_html_strip" -> ("list_filter/array_to_string — " + listDialect),
       "q_gopher_rules" -> listDialect, "q_source_overlap" -> listDialect,
       "q_contamination" -> listDialect, "q_bm25" -> listDialect,
       "q_heavy_hitters" -> listDialect, "q_lm_score" -> listDialect,
       "q_quality_classifier" -> listDialect,
       "q_array_map_funcs" -> listDialect,
-      "q_pii_scrub" -> ("regexp_replace(..., 'g') 4-arg global flag + " +
-        "regexp_extract_all counting — Spark's regexp_replace is 3-arg global"),
       "q_embed_centroid" -> (vecDialect + " + generate_subscripts"),
       "q_multimodal_frames" -> "unnest(range) pixel-generator explode + // integer division",
       "q_multimodal_features" -> "unnest(range) pixel-generator explode + // integer division",
@@ -141,7 +140,6 @@ class SqlParitySpec extends AnyFunSuite {
         "// integer division + row_number argmin"),
       "q_keyword_topk_at_rest" -> (listDialect +
         " + VALUES CTE — Spark form is the pruned index probe"),
-      "q_curriculum_order" -> ("quality-score q4 CTE — " + listDialect),
       "q_hybrid_rrf" -> (listDialect + "; " + vecDialect),
       "q_hybrid_rrf_indexed" -> (listDialect + "; " + vecDialect +
         " (brute-referee contract + pinned agreement bound)"),
@@ -191,7 +189,6 @@ class SqlParitySpec extends AnyFunSuite {
       "q_shard_export" -> ("('0x'||hex)::BIGINT literal cast (Spark: conv) + " +
         listDialect),
       "q_epoch_mix" -> "unnest(range(1, rep_cnt+1)) per-row explode — Spark: sequence + explode",
-      "q_domain_reputation" -> (listDialect + " + // integer division"),
       "ref_kmv_distinct" -> (hugeint + " (splitmix64 wrapping chain)"),
       "ref_gather_series" ->
         "first(x ORDER BY ...) ordered-aggregate syntax (Spark: window + struct min)",
@@ -237,6 +234,13 @@ class SqlParitySpec extends AnyFunSuite {
     // string literals are opaque to every rewrite
     assert(rewriteTokens("SELECT 'FILTER (x)', '// not division', 'a IGNORE NULLS)'") ==
       "SELECT 'FILTER (x)', '// not division', 'a IGNORE NULLS)'")
+    // 1-based inclusive slice on an identifier receiver
+    assert(rewriteTokens("array_to_string(ws[1:3], ' ')") ==
+      "array_to_string(slice(ws, 1, 3), ' ')")
+    assert(rewriteTokens("xs[2:7]") == "slice(xs, 2, 6)")
+    // NOT a slice: plain 1-based indexing or non-literal bounds untouched
+    assert(rewriteTokens("ws[1]") == "ws[1]")
+    assert(rewriteTokens("ws[a:b]") == "ws[a:b]")
     // the standing rewrites still hold alongside the new ones
     assert(rewriteTokens("SELECT a // 2, CAST(x AS VARCHAR), CAST(y AS DOUBLE[])") ==
       "SELECT a  DIV  2, CAST(x AS STRING), CAST(y AS ARRAY<DOUBLE>)")
