@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, ArrayFilter, ArrayIntersect, ArrayJoin, Cast, Expression, ExpressionInfo, GetJsonObject, Grouping, GroupingID, Literal, RegExpExtractAll, RegExpReplace, StringSplit, UnaryExpression, UnixMicros}
+import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, ArrayFilter, ArrayIntersect, ArrayJoin, Cast, Expression, ExpressionInfo, GetJsonObject, Grouping, GroupingID, If, LessThanOrEqual, Literal, RegExpExtractAll, RegExpReplace, Sequence, Size, Slice, StringSplit, Subtract, UnaryExpression, UnixMicros}
 import org.apache.spark.sql.catalyst.expressions.aggregate.Percentile
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
@@ -161,7 +161,62 @@ object DuckDialect {
     ext.injectFunction(fn("chr", { exprs =>
       arity("chr", 1, exprs); ChrCodepoint(exprs.head)
     }))
+    // DuckDB's integer series constructors: generate_series(a, b) is
+    // INCLUSIVE and EMPTY when a > b; range(a, b) is EXCLUSIVE of b.
+    // Spark's sequence(a, b) silently REVERSES when a > b, so both map
+    // through the empty-guard — without it `generate_series(1, len - 2)`
+    // on a two-token document yields [1, 0, -1] instead of no rows
+    ext.injectFunction(fn("generate_series", { exprs =>
+      arity("generate_series", 2, exprs); seriesTo(exprs(0), exprs(1))
+    }))
+    ext.injectFunction(fn("range", { exprs =>
+      exprs.length match {
+        case 1 => seriesTo(Literal(0), Subtract(exprs(0), Literal(1)))
+        case 2 => seriesTo(exprs(0), Subtract(exprs(1), Literal(1)))
+        case n => throw new IllegalArgumentException(
+          s"range expects 1 or 2 arguments, got $n")
+      }
+    }))
+    // DuckDB's generate_subscripts(list, 1) = the 1-based index series of
+    // the list (dimension must be 1 — lists are one-dimensional)
+    ext.injectFunction(fn("generate_subscripts", { exprs =>
+      arity("generate_subscripts", 2, exprs)
+      require(exprs(1) == Literal(1),
+        "generate_subscripts: only dimension 1 is supported for lists")
+      seriesTo(Literal(1), Size(exprs.head))
+    }))
+    // DuckDB's string_split splits on a LITERAL delimiter (its regex twin
+    // is string_split_regex, aliased above) — Spark's split is regex-only,
+    // so quote the delimiter; a non-literal delimiter fails loudly
+    ext.injectFunction(fn("string_split", { exprs =>
+      arity("string_split", 2, exprs)
+      val quoted = exprs(1) match {
+        case Literal(d: UTF8String, _) =>
+          Literal(UTF8String.fromString(
+            java.util.regex.Pattern.quote(d.toString)))
+        case other => throw new IllegalArgumentException(
+          s"string_split: literal delimiter required, got $other")
+      }
+      StringSplit(exprs(0), quoted, Literal(-1))
+    }))
+    // DuckDB's 1-arg trunc is NUMERIC truncation toward zero; Spark's
+    // builtin trunc is the DATE function (kept for the 2-arg form)
+    ext.injectFunction(fn("trunc", { exprs =>
+      exprs.length match {
+        case 1 => Cast(Cast(exprs.head, LongType), DoubleType)
+        case 2 => org.apache.spark.sql.catalyst.expressions.TruncDate(exprs(0), exprs(1))
+        case n => throw new IllegalArgumentException(
+          s"trunc expects 1 or 2 arguments, got $n")
+      }
+    }))
   }
+
+  /** Inclusive integer series with DuckDB's empty-when-descending
+    * semantics (Spark's Sequence reverses instead). */
+  private def seriesTo(a: Expression, bIncl: Expression): Expression =
+    If(LessThanOrEqual(a, bIncl),
+      new Sequence(a, bIncl),
+      Slice(new Sequence(a, a), Literal(1), Literal(0)))
 
   /** JDK NFC composition as an expression — the portability alias for
     * DuckDB's `nfc_normalize`. CodegenFallback is fine for a dialect shim;

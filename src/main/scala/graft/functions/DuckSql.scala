@@ -85,16 +85,56 @@ object DuckSql {
         val open = skipWs(s, i + 6)
         out.append(s.substring(i, open + 1)).append("WHERE ")
         i = open + 1
-      } else if (s(i) == '[' && sliceBounds(s, i).isDefined &&
+      } else if (s(i) == '[' && sliceExprs(s, i).isDefined &&
           lastIdent(out).isDefined) {
         // DuckDB 1-based inclusive list slice `xs[lo:hi]` → Spark
-        // `slice(xs, lo, hi-lo+1)` (both clamp to the available length);
-        // bounded to a plain identifier receiver + integer-literal bounds
-        val (lo, hi, after) = sliceBounds(s, i).get
+        // `slice(xs, lo, (hi)-(lo)+1)` (both clamp to the available
+        // length); identifier receiver, non-negative bound expressions
+        // (a negative from-the-end bound has no direct slice() analogue
+        // and stays untouched → loud parse error)
+        val (lo, hi, after) = sliceExprs(s, i).get
         val id = lastIdent(out).get
         out.setLength(out.length - id.length)
-        out.append(s"slice($id, $lo, ${hi - lo + 1})")
+        val loR = rewriteTokens(lo)
+        val hiR = rewriteTokens(hi)
+        out.append(s"slice($id, $loR, ($hiR) - ($loR) + 1)")
         i = after
+      } else if (s(i) == '[' && lastIdent(out).isDefined &&
+          bracketEnd(s, i).exists(e => !s.substring(i + 1, e - 1).contains(':'))) {
+        // DuckDB 1-based list indexing `xs[i]` (NULL out of range) →
+        // `try_element_at(xs, i)` — Spark's bare `xs[i]` is 0-based and
+        // would be a silent off-by-one; the inner expression is recursively
+        // rewritten (it may itself carry `//` or nested indexing). A
+        // non-literal slice (`xs[a:b]`, the ':' guard) stays untouched —
+        // a loud parse error beats a silent semantic change.
+        val end = bracketEnd(s, i).get
+        val id = lastIdent(out).get
+        out.setLength(out.length - id.length)
+        // the CAST matters: series subscripts arrive as BIGINT and Spark's
+        // element_at index parameter is INT-typed
+        out.append(s"try_element_at($id, CAST(" +
+          s"${rewriteTokens(s.substring(i + 1, end - 1))} AS INT))")
+        i = end
+      } else if (matchesWord(s, i, "UNNEST") && nextNonWs(s, i + 6) == Some('(')) {
+        // DuckDB's SELECT-list unnest ≡ Spark's explode generator (one
+        // generator per SELECT list — same constraint in both engines'
+        // planners for the texts this facade carries)
+        out.append("explode"); i += 6
+      } else if (matchesWord(s, i, "STRING_AGG") && nextNonWs(s, i + 10) == Some('(') &&
+          aggOrderSplit(s, skipWs(s, i + 10)).isDefined) {
+        // DuckDB's in-call ordered aggregate `string_agg(x, sep ORDER BY
+        // k)` → the standard listagg spelling Spark 4 implements:
+        // `listagg(x, sep) WITHIN GROUP (ORDER BY k)`
+        val open = skipWs(s, i + 10)
+        val (args, order, after) = aggOrderSplit(s, open).get
+        out.append(s"listagg(${rewriteTokens(args)}) WITHIN GROUP (ORDER BY ${rewriteTokens(order)})")
+        i = after
+      } else if (matchesWord(s, i, "MATERIALIZED") &&
+          lastWordIs(out, "AS") && nextNonWs(s, i + 12) == Some('(')) {
+        // DuckDB's `cte AS MATERIALIZED (...)` — a materialization HINT,
+        // not semantics; Spark has no spelling for it, drop the word
+        i += 12
+        while (i < s.length && s(i).isWhitespace) i += 1
       } else if (matchesWord(s, i, "IGNORE") && {
         val n = skipWs(s, i + 6)
         matchesWord(s, n, "NULLS") && nextNonWs(s, n + 5) == Some(')')
@@ -117,28 +157,96 @@ object DuckSql {
     if (i >= 0) Some(sb.charAt(i)) else None
   }
 
-  /** The identifier the builder currently ends with (no trailing ws). */
+  /** Whether the builder's last complete word equals `w` (case-insensitive). */
+  private def lastWordIs(sb: StringBuilder, w: String): Boolean = {
+    var e = sb.length
+    while (e > 0 && sb.charAt(e - 1).isWhitespace) e -= 1
+    var b = e
+    while (b > 0 && isIdent(sb.charAt(b - 1))) b -= 1
+    e - b == w.length && sb.substring(b, e).equalsIgnoreCase(w)
+  }
+
+  /** The (possibly dot-qualified) identifier the builder currently ends
+    * with (no trailing ws): `ws`, `t.ws` — but not a numeric literal. */
   private def lastIdent(sb: StringBuilder): Option[String] = {
     var i = sb.length
-    while (i > 0 && isIdent(sb.charAt(i - 1))) i -= 1
+    while (i > 0 && (isIdent(sb.charAt(i - 1)) ||
+        (sb.charAt(i - 1) == '.' && i - 1 > 0 && isIdent(sb.charAt(i - 2))))) i -= 1
     if (i < sb.length && !(i > 0 && sb.charAt(i - 1) == '\'')) {
       val id = sb.substring(i)
-      if (id.head.isDigit) None else Some(id)
+      val segs = id.split('.')
+      if (segs.exists(s => s.isEmpty || s.head.isDigit)) None else Some(id)
     } else None
   }
 
-  /** `[lo:hi]` with integer-literal bounds starting at the '[' — returns
-    * (lo, hi, index after ']'). */
-  private def sliceBounds(s: String, i0: Int): Option[(Int, Int, Int)] = {
-    var i = i0 + 1
-    val lo = new StringBuilder
-    while (i < s.length && s(i).isDigit) { lo.append(s(i)); i += 1 }
-    if (lo.isEmpty || i >= s.length || s(i) != ':') return None
-    i += 1
-    val hi = new StringBuilder
-    while (i < s.length && s(i).isDigit) { hi.append(s(i)); i += 1 }
-    if (hi.isEmpty || i >= s.length || s(i) != ']') return None
-    Some((lo.toString.toInt, hi.toString.toInt, i + 1))
+  /** For an aggregate call whose '(' is at `i0`: split the argument text
+    * at a top-level ` ORDER BY ` — returns (args, orderKeys, index after
+    * the ')'); None when the call carries no in-call ORDER BY. */
+  private def aggOrderSplit(s: String, i0: Int): Option[(String, String, Int)] = {
+    val end = matchParen(s, i0)
+    val inner = s.substring(i0 + 1, end - 1)
+    var depth = 0
+    var i = 0
+    while (i < inner.length) {
+      inner(i) match {
+        case '\'' => i = skipString(inner, i) - 1
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case _ if depth == 0 && matchesWord(inner, i, "ORDER") &&
+            matchesWord(inner, skipWs(inner, i + 5), "BY") =>
+          val keys = inner.substring(skipWs(inner, i + 5) + 2).trim
+          return Some((inner.substring(0, i).trim, keys, end))
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** Index AFTER the ']' matching the '[' at `i0`, tracking nesting and
+    * skipping string literals; None when unbalanced. */
+  private def bracketEnd(s: String, i0: Int): Option[Int] = {
+    var depth = 0
+    var i = i0
+    while (i < s.length) {
+      s(i) match {
+        case '\'' => i = skipString(s, i) - 1
+        case '[' => depth += 1
+        case ']' =>
+          depth -= 1
+          if (depth == 0) return Some(i + 1)
+        case _ =>
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** `[lo:hi]` slice starting at the '[' with EXPRESSION bounds split at
+    * the top-level ':' — returns (lo, hi, index after ']'); None when the
+    * brackets don't contain a top-level ':' or the upper bound is a
+    * from-the-end negative. */
+  private def sliceExprs(s: String, i0: Int): Option[(String, String, Int)] = {
+    val end = bracketEnd(s, i0).getOrElse(return None)
+    val inner = s.substring(i0 + 1, end - 1)
+    var depth = 0
+    var colon = -1
+    var i = 0
+    while (i < inner.length && colon < 0) {
+      inner(i) match {
+        case '\'' => i = skipString(inner, i) - 1
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case ':' if depth == 0 => colon = i
+        case _ =>
+      }
+      i += 1
+    }
+    if (colon < 0) return None
+    val lo = inner.substring(0, colon).trim
+    val hi = inner.substring(colon + 1).trim
+    if (lo.isEmpty || hi.isEmpty || hi.startsWith("-")) None
+    else Some((lo, hi, end))
   }
 
   /** i points at the opening quote; returns index AFTER the closing quote,
@@ -287,15 +395,18 @@ object DuckSql {
   }
 
   private def referencesName(body: String, name: String): Boolean = {
-    // strip string literals, then look for the bare identifier
+    // strip string literals, then look for the name in a TABLE position
+    // (FROM <name> / JOIN <name>) — a bare word match false-positives on
+    // column aliases that reuse the CTE's name (`SELECT count(*) AS c12
+    // ... FROM bg` inside CTE c12 is NOT recursion)
     val sb = new StringBuilder
     var i = 0
     while (i < body.length) {
       if (body(i) == '\'') i = skipString(body, i)
       else { sb.append(body(i)); i += 1 }
     }
-    s"(?i)(?<![A-Za-z0-9_])${java.util.regex.Pattern.quote(name)}(?![A-Za-z0-9_])".r
-      .findFirstIn(sb.toString).isDefined
+    (s"(?is)\\b(from|join)\\s+${java.util.regex.Pattern.quote(name)}" +
+      "(?![A-Za-z0-9_])").r.findFirstIn(sb.toString).isDefined
   }
 
   private def skipWs(s: String, from: Int): Int = {

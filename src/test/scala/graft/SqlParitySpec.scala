@@ -88,108 +88,70 @@ class SqlParitySpec extends AnyFunSuite {
     // (len + string_split_regex + regexp_extract_all + DIV were enough)
     "q_lang_id", "q_quality_score", "q_jaccard_ngram", "q_dedup_incremental",
     "q_html_strip", "q_pii_scrub", "q_unicode_normalize",
-    "q_curriculum_order", "q_domain_reputation")
+    "q_curriculum_order", "q_domain_reputation",
+    // r13 continuation 3 — unnest -> explode, 1-based try_element_at
+    // indexing, expression slices, series constructors with the
+    // empty-when-descending guard (generate_series/range/
+    // generate_subscripts), string_split, numeric trunc, MATERIALIZED
+    // hint strip, FROM/JOIN-scoped recursion detection: the whole
+    // token-stream text family and the media generator-replay family run
+    // verbatim
+    "q_term_freq", "q_tfidf", "q_ngram_shingles", "q_ngram_entropy",
+    "q_repetition_stats", "q_perplexity_buckets",
+    "q_perplexity_buckets_sampled", "q_lm_score", "q_quality_classifier",
+    "q_gopher_rules", "q_contamination", "q_source_overlap", "q_bm25",
+    "q_heavy_hitters", "q_chunk_tokens", "q_embed_quantize", "q_epoch_mix",
+    "q_corpus_curate", "q_curation_report", "q_keyword_topk_at_rest",
+    "q_multimodal_meta", "q_multimodal_frames", "q_multimodal_features",
+    "q_multimodal_resize", "q_multimodal_png", "q_image_dedup",
+    "q_image_screen_at_rest", "q_audio_meta", "q_audio_features",
+    "q_audio_resample", "q_audio_fingerprint", "q_audio_screen_at_rest",
+    "q_video_meta", "q_video_scenes", "q_video_scenes_avi",
+    "q_video_keyframes", "q_video_sample", "q_video_dedup",
+    "q_video_screen_at_rest")
 
   /** Oracle keys that CANNOT run on spark.sql, each with the blocking
     * DuckDB construct. Kept exhaustive on purpose: the classification test
     * below fails if a key is neither here nor in `portable`. */
   private val dialectGaps: Map[String, String] = {
-    val listDialect = "string_split_regex/unnest/len/list indexing — DuckDB " +
-      "list+regex dialect; the Spark form is the DataFrame kernel"
-    val vecDialect = "list_dot_product — DuckDB list math; Spark form is the " +
-      "fused vec_dot/vec_cosine Catalyst expression"
-    val recursive = "WITH RECURSIVE — Spark SQL has no recursive CTEs; Spark " +
-      "form is the iterative/typed operator"
     val hugeint = "HUGEINT 128-bit arithmetic (kernel-replay oracle); Spark " +
       "form is the native 64-bit typed kernel"
+    val zipGen = "positionally-zipped multi-generator SELECT (DuckDB aligns " +
+      "generate_subscripts + unnest element-wise; Spark allows ONE " +
+      "generator per SELECT list); Spark form is the DataFrame kernel"
+    val decimalLit = "DECIMAL-vs-DOUBLE literal typing: Spark types `1.0` " +
+      "as DECIMAL(2,1) so the arithmetic lands decimal-typed — values " +
+      "agree, row types differ"
+    val bpe = "unrolled BPE training stages: negative from-the-end string " +
+      "slice seq[2:-2] + zipped generators + MATERIALIZED chains"
     Map(
-      "q_term_freq" -> listDialect,
-      "q_tfidf" -> listDialect, "q_ngram_shingles" -> listDialect,
-      "q_chunk_tokens" -> (listDialect +
-        " + generate_series lateral join + // integer division"),
-      "q_substring_dedup" -> (listDialect + " + // integer division"),
-      "q_span_scrub" -> (listDialect +
-        " + generate_series coverage + ordered string_agg"),
-      "q_span_scrub_l20" -> (listDialect +
-        " + generate_series coverage + ordered string_agg (width-20 ladder)"),
-      "q_embed_quantize" -> ("CAST(... AS DOUBLE[]) list cast + unnest scalar " +
-        "explode + numeric trunc() — Spark form is the array transform kernel"),
-      "q_repetition_stats" -> listDialect,
-      "q_ngram_entropy" -> listDialect,
-      "q_perplexity_buckets" -> listDialect,
-      "q_perplexity_buckets_sampled" -> (listDialect +
-        " + // integer division in the tercile-rank arithmetic"),
-      "q_dsir_weights" -> (hugeint + "; " + recursive),
-      "q_gopher_rules" -> listDialect, "q_source_overlap" -> listDialect,
-      "q_contamination" -> listDialect, "q_bm25" -> listDialect,
-      "q_heavy_hitters" -> listDialect, "q_lm_score" -> listDialect,
-      "q_quality_classifier" -> listDialect,
-      "q_array_map_funcs" -> listDialect,
-      "q_embed_centroid" -> (vecDialect + " + generate_subscripts"),
-      "q_multimodal_frames" -> "unnest(range) pixel-generator explode + // integer division",
-      "q_multimodal_features" -> "unnest(range) pixel-generator explode + // integer division",
-      "q_simhash_dedup" -> (hugeint + "; " + recursive),
-      "q_simhash_dedup_reps" -> (hugeint + "; " + recursive),
-      "q_minhash_lsh" -> (hugeint + "; " + recursive),
-      "q_minhash_screen_at_rest" -> (hugeint + "; " + recursive),
-      "q_simhash_screen_at_rest" -> (hugeint + "; " + recursive),
-      "q_minhash_dedup_reps" -> (hugeint + "; " + recursive),
       "q_doc_fingerprint" -> hugeint,
-      "q_dedup_clusters" -> (hugeint + "; " + recursive),
-      "q_ann_pq_fixed" -> ("unnest(range) codebook cross join + " +
-        "// integer division + row_number argmin"),
-      "q_keyword_topk_at_rest" -> (listDialect +
-        " + VALUES CTE — Spark form is the pruned index probe"),
-      "q_hybrid_rrf" -> (listDialect + "; " + vecDialect),
-      "q_hybrid_rrf_indexed" -> (listDialect + "; " + vecDialect +
-        " (brute-referee contract + pinned agreement bound)"),
-      "q_hybrid_rrf_indexed_fixed" -> (listDialect +
-        " + unnest(range) centroid cross join + row_number argmin — the " +
-        "q_ann_ivf_fixed sem leg generalized to the probe set + RRF tail"),
-      "q_hybrid_rrf_pq_fixed" -> (listDialect +
-        " + unnest(range) codebook cross join + // integer division + " +
-        "row_number argmin — the q_ann_pq_fixed ADC leg + RRF tail"),
-      "q_ann_ivf_fixed" -> ("unnest(range) centroid cross join + " +
-        "row_number argmin/probe ranking"),
-      "q_ann_ivfpq_fixed" -> ("unnest(range) centroid/codebook cross joins + " +
-        "// integer division + row_number argmin"),
-      "q_semantic_dedup_fixed" -> ("unnest(range) centroid cross join + " +
-        "row_number multi-probe + " + vecDialect + "; " + recursive),
-      "q_bpe_train" -> ("MATERIALIZED CTEs + string_split_regex + " +
-        "generate_subscripts + chr() (unrolled training stages)"),
-      "q_bpe_tokenize" -> ("MATERIALIZED CTEs + string_split_regex + " +
-        "generate_subscripts + chr() (unrolled training stages)"),
-      "q_token_pack_bpe" -> ("MATERIALIZED CTEs + string_split_regex + " +
-        "generate_subscripts + chr() + // integer division (unrolled training stages)"),
-      "q_bpe_fertility" -> ("MATERIALIZED CTEs + string_split_regex + " +
-        "generate_subscripts + chr() (unrolled training stages)"),
-      "q_corpus_curate" -> (recursive + " + list dialect (stitched stages)"),
-      "q_curation_report" -> (recursive + " + list dialect (stitched stages)"),
-      "q_curate_batch" -> (hugeint + "; " + recursive +
-        " (shared agree CTE + inline gate stats)"),
-      // empirically-found gaps (each was attempted verbatim first):
-      "q_multimodal_meta" -> "unnest(range) pixel-generator explode + // integer division",
-      "q_multimodal_resize" -> "unnest(range) pixel-generator explode + // integer division",
-      "q_image_dedup" -> "unnest(range) pixel-generator explode + // integer division",
-      "q_image_screen_at_rest" -> "unnest(range) pixel-generator explode + // integer division",
-      "q_multimodal_png" -> "unnest(range) pixel-generator explode + // integer division",
-      "q_audio_meta" -> "unnest(range) sample-generator explode + // integer division",
-      "q_audio_features" -> "unnest(range) sample-generator explode + // integer division",
-      "q_audio_resample" -> "unnest(range) sample-generator explode + // integer division",
-      "q_audio_fingerprint" -> "unnest(range) sample-generator explode + // integer division",
-      "q_audio_screen_at_rest" -> "unnest(range) sample-generator explode + // integer division",
-      "q_video_meta" -> "unnest(range) frame×pixel-generator explode + // integer division",
-      "q_video_scenes" -> "unnest(range) frame×pixel-generator explode + // integer division",
-      "q_video_scenes_avi" -> "unnest(range) frame×pixel-generator explode + // integer division",
-      "q_video_keyframes" -> "unnest(range) frame×pixel-generator explode + // integer division",
-      "q_video_dedup" -> "unnest(range) frame×pixel-generator explode + bit_xor aggregate + // integer division",
-      "q_video_screen_at_rest" -> "unnest(range) frame×pixel-generator explode + bit_xor aggregate + // integer division",
-      "q_video_sample" -> "unnest(range) frame×pixel-generator explode + // integer division",
-      "q_topic_mix" -> "unnest/generate_subscripts vector explode + // integer division",
-      "q_shard_export" -> ("('0x'||hex)::BIGINT literal cast (Spark: conv) + " +
-        listDialect),
-      "q_epoch_mix" -> "unnest(range(1, rep_cnt+1)) per-row explode — Spark: sequence + explode",
+      "q_dsir_weights" -> hugeint,
+      "q_curate_batch" -> hugeint,
+      "q_dedup_clusters" -> hugeint,
+      "q_minhash_lsh" -> hugeint,
+      "q_minhash_dedup_reps" -> hugeint,
+      "q_minhash_screen_at_rest" -> hugeint,
+      "q_simhash_dedup" -> hugeint,
+      "q_simhash_dedup_reps" -> hugeint,
+      "q_simhash_screen_at_rest" -> hugeint,
       "ref_kmv_distinct" -> (hugeint + " (splitmix64 wrapping chain)"),
+      "q_ann_ivf_fixed" -> zipGen, "q_ann_pq_fixed" -> zipGen,
+      "q_ann_ivfpq_fixed" -> zipGen,
+      "q_hybrid_rrf_indexed_fixed" -> zipGen,
+      "q_hybrid_rrf_pq_fixed" -> zipGen,
+      "q_semantic_dedup_fixed" -> zipGen,
+      "q_embed_centroid" -> zipGen, "q_topic_mix" -> zipGen,
+      "q_span_scrub" -> zipGen, "q_span_scrub_l20" -> zipGen,
+      "q_bpe_train" -> bpe, "q_bpe_tokenize" -> bpe,
+      "q_bpe_fertility" -> bpe, "q_token_pack_bpe" -> bpe,
+      "q_hybrid_rrf" -> decimalLit, "q_hybrid_rrf_indexed" -> decimalLit,
+      "q_substring_dedup" -> decimalLit,
+      "q_array_map_funcs" -> ("generator nested in an expression — " +
+        "CAST(unnest(v) AS ...) is legal DuckDB; Spark generators must be " +
+        "top-level SELECT items"),
+      "q_shard_export" -> ("('0x' || hex)::BIGINT hex-string cast — Spark " +
+        "CAST rejects the 0x prefix (Spark form uses conv)"),
       "ref_gather_series" ->
         "first(x ORDER BY ...) ordered-aggregate syntax (Spark: window + struct min)",
       "ref_quantize_roundtrip" -> ("float32 promotion: Spark SQL evaluates " +
@@ -234,13 +196,23 @@ class SqlParitySpec extends AnyFunSuite {
     // string literals are opaque to every rewrite
     assert(rewriteTokens("SELECT 'FILTER (x)', '// not division', 'a IGNORE NULLS)'") ==
       "SELECT 'FILTER (x)', '// not division', 'a IGNORE NULLS)'")
-    // 1-based inclusive slice on an identifier receiver
+    // 1-based inclusive slice on an identifier receiver; expression bounds
     assert(rewriteTokens("array_to_string(ws[1:3], ' ')") ==
-      "array_to_string(slice(ws, 1, 3), ' ')")
-    assert(rewriteTokens("xs[2:7]") == "slice(xs, 2, 6)")
-    // NOT a slice: plain 1-based indexing or non-literal bounds untouched
-    assert(rewriteTokens("ws[1]") == "ws[1]")
-    assert(rewriteTokens("ws[a:b]") == "ws[a:b]")
+      "array_to_string(slice(ws, 1, (3) - (1) + 1), ' ')")
+    assert(rewriteTokens("xs[a + 1:least(n, b)]") ==
+      "slice(xs, a + 1, (least(n, b)) - (a + 1) + 1)")
+    // a from-the-end negative bound has no slice() analogue — untouched
+    assert(rewriteTokens("seq[2:-2]") == "seq[2:-2]")
+    // 1-based indexing -> try_element_at (NULL out of range, like DuckDB);
+    // the inner expression is recursively rewritten and cast to the INT
+    // index type element_at expects (series subscripts arrive as BIGINT)
+    assert(rewriteTokens("ws[1]") == "try_element_at(ws, CAST(1 AS INT))")
+    assert(rewriteTokens("ws[i + n // 2]") ==
+      "try_element_at(ws, CAST(i + n  DIV  2 AS INT))")
+    assert(rewriteTokens("ws[a:b]") == "slice(ws, a, (b) - (a) + 1)")
+    // SELECT-list unnest -> the explode generator
+    assert(rewriteTokens("SELECT doc_id, unnest(ws) AS term FROM w") ==
+      "SELECT doc_id, explode(ws) AS term FROM w")
     // the standing rewrites still hold alongside the new ones
     assert(rewriteTokens("SELECT a // 2, CAST(x AS VARCHAR), CAST(y AS DOUBLE[])") ==
       "SELECT a  DIV  2, CAST(x AS STRING), CAST(y AS ARRAY<DOUBLE>)")
