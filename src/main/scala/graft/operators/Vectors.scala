@@ -1241,18 +1241,32 @@ object Vectors {
     * Scale shape is identical to the trained layout: one assignment map
     * over the vectors, a probe reads nProbe/[[IvfFixedCells]] of the data
     * via directory-level partition pruning. */
-  def writeIvfFixedIndex(s: SparkSession, d: String, outDir: String): Unit = {
-    val spark = s
+  def writeIvfFixedIndex(s: SparkSession, d: String, outDir: String): Unit =
+    ivfFixedRowsOf(Tables.embeddings(s, d))
+      .write.mode("overwrite").partitionBy("cell").parquet(outDir)
+
+  /** The fixed-cell row encoder shared by build and append — a pure
+    * function of the vector (pinned codebook), so appended rows are
+    * bit-identical to what a fresh build would emit for them. */
+  private def ivfFixedRowsOf(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
     import spark.implicits._
-    Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
+    df.select(col("vec_id"), vec.as("v"))
       .as[(Long, Array[Double])]
       .map { case (id, v) =>
         val q = quantizeFixed(v)
         (id, q, fixedCellsTopP(q, 1)(0))
       }
       .toDF("vec_id", "q", "cell")
-      .write.mode("overwrite").partitionBy("cell").parquet(outDir)
   }
+
+  /** Fixed-IVF member of the index-append family: pure-function encode,
+    * partition-append into the pinned cell dirs. */
+  def appendIvfFixedIndex(s: SparkSession, indexDir: String, batch: DataFrame): Unit =
+    IndexLease.withLease(s, s"$indexDir/_lease") {
+      ivfFixedRowsOf(batch)
+        .write.mode("append").partitionBy("cell").parquet(indexDir)
+    }
 
   /** Query the fixed IVF layout: directory-pruned scan of the probe's
     * `nProbe` nearest pinned cells (integer L2, tie → lower cell), exact
@@ -1286,10 +1300,16 @@ object Vectors {
     * [[PqM]] one-byte codes. The 8-byte-per-vector table is the 32×-less-
     * I/O scan body of the PQ family, here with NO trained state, so an ADC
     * probe over it is exact Long arithmetic both engines replay. */
-  def writePqFixedIndex(s: SparkSession, d: String, outDir: String): Unit = {
-    val spark = s
+  def writePqFixedIndex(s: SparkSession, d: String, outDir: String): Unit =
+    pqFixedCodesOf(Tables.embeddings(s, d))
+      .write.mode("overwrite").parquet(s"$outDir/codes")
+
+  /** The fixed-PQ code encoder shared by build and append (pure function
+    * of the vector — same contract as [[ivfFixedRowsOf]]). */
+  private def pqFixedCodesOf(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
     import spark.implicits._
-    Tables.embeddings(s, d).select(col("vec_id"), vec.as("v"))
+    df.select(col("vec_id"), vec.as("v"))
       .as[(Long, Array[Double])]
       .map { case (id, v) =>
         val q = quantizeFixed(v)
@@ -1313,8 +1333,14 @@ object Vectors {
         (id, codes)
       }
       .toDF("vec_id", "codes")
-      .write.mode("overwrite").parquet(s"$outDir/codes")
   }
+
+  /** Fixed-PQ member of the index-append family. */
+  def appendPqFixedIndex(s: SparkSession, indexDir: String, batch: DataFrame): Unit =
+    IndexLease.withLease(s, s"$indexDir/_lease") {
+      pqFixedCodesOf(batch)
+        .write.mode("append").parquet(s"$indexDir/codes")
+    }
 
   /** ADC probe over the persisted fixed-codebook codes table: the probe's
     * integer lookup tables t(m)(k) = Σ_j (q_j − c_{m,k,j})² broadcast to a
@@ -1456,6 +1482,25 @@ object Vectors {
       .write.mode("overwrite").parquet(s"$outDir/_pq_codebook")
   }
 
+  /** PQ member of the index-append family: encode a batch against the
+    * PERSISTED `_pq_codebook` (pinned at append time — the
+    * [[appendIvfIndex]] contract) and append its 8-byte code rows. */
+  def appendPqIndex(s: SparkSession, indexDir: String, batch: DataFrame): Unit =
+    IndexLease.withLease(s, s"$indexDir/_lease") {
+      val spark = s
+      import spark.implicits._
+      val cbRows = spark.read.parquet(s"$indexDir/_pq_codebook")
+        .as[(Int, Int, Seq[Double])].collect()
+      val cb = Array.tabulate(PqM) { m =>
+        cbRows.filter(_._1 == m).sortBy(_._2).map(_._3.toArray)
+      }
+      val bc = spark.sparkContext.broadcast(cb)
+      batch.select(col("vec_id"), vec.as("v")).as[(Long, Array[Double])]
+        .map { case (id, v) => (id, pqEncode(bc.value, v).map(_.toByte)) }
+        .toDF("vec_id", "codes")
+        .write.mode("append").parquet(s"$indexDir/codes")
+    }
+
   /** Query a persisted PQ index: ADC over the compact codes table (the
     * only full scan — M bytes per row), then exact refinement reads ONLY
     * the candidate ids from the full-vector table via a pushed-down IN
@@ -1530,11 +1575,126 @@ object Vectors {
     }
   }
 
+  /** How an index catches up to a new corpus vintage (VERDICT r13 #1):
+    * restamp (the delta never touched this index's input table), append
+    * (pure append of the input table — Θ(batch) through the kind's append
+    * verb), or the full rebuild fallback for in-place changes. */
+  private sealed trait VintageDelta
+  private case object VintageRestamp extends VintageDelta
+  private final case class VintageAppend(rels: Seq[String]) extends VintageDelta
+  private case object VintageRebuild extends VintageDelta
+
+  /** Diff the committed vintage's manifest against the current snapshot.
+    * Append-only means every old data file is intact (same length AND
+    * mtime — an in-place rewrite of any file forces the rebuild) and the
+    * new files are plain leaves (a partition-valued intermediate dir
+    * would lose its hive column on a direct file read → rebuild). */
+  private def classifyDelta(old: Seq[DataFp.Entry], cur: Seq[DataFp.Entry],
+      table: String): VintageDelta = {
+    val curMap = cur.map(e => e.rel -> e).toMap
+    if (!old.forall(e => curMap.get(e.rel).contains(e))) VintageRebuild
+    else {
+      val oldRels = old.map(_.rel).toSet
+      val added = cur.filterNot(e => oldRels.contains(e.rel)).map(_.rel)
+      val rel = added.filter(_.startsWith(table + "/"))
+      if (rel.isEmpty) VintageRestamp
+      else if (rel.exists(_.split('/').dropRight(1).exists(_.contains("="))))
+        VintageRebuild
+      else VintageAppend(rel)
+    }
+  }
+
+  /** The input table + append verb an [[ensureIndex]] kind evolves with.
+    * `append` receives the DELTA rows read from exactly the new files and
+    * must reproduce what the full build would have added for them — the
+    * screen kinds re-apply the build's batch-source exclusion so an
+    * appended index stays bit-equal to a fresh one. */
+  private[graft] final case class IndexAppendPlan(table: String,
+      append: (SparkSession, String, DataFrame) => Unit)
+
+  private def atRestOnly(b: DataFrame): DataFrame =
+    b.where(col("source") =!= MinhashBatchSource)
+
+  /** Every ensureIndex kind evolves by append: the six screen layouts
+    * through their existing verbs (with the build's source filter), the
+    * keyword index unfiltered (its build covers the whole corpus), and the
+    * five ANN layouts by encoding the delta against the PERSISTED
+    * codebooks (fixed codebooks are pure functions; trained ones are
+    * pinned at append time — retraining stays a deliberate offline
+    * rebuild, as in any IVF serving system). */
+  private[graft] lazy val appendPlans: Map[String, IndexAppendPlan] = Map(
+    "minhash" -> IndexAppendPlan("documents.parquet",
+      (s, dir, b) => appendMinhashIndex(s, dir, atRestOnly(b))),
+    "simhash" -> IndexAppendPlan("documents.parquet",
+      (s, dir, b) => appendSimhashIndex(s, dir, atRestOnly(b))),
+    "dhash" -> IndexAppendPlan("documents.parquet",
+      (s, dir, b) => Multimodal.appendDhashIndex(s, dir, atRestOnly(b))),
+    "afp" -> IndexAppendPlan("documents.parquet",
+      (s, dir, b) => Audio.appendAfpIndex(s, dir, atRestOnly(b))),
+    "vsig" -> IndexAppendPlan("documents.parquet",
+      (s, dir, b) => Video.appendVsigIndex(s, dir, atRestOnly(b))),
+    "keyword" -> IndexAppendPlan("documents.parquet",
+      (s, dir, b) => Search.appendKeywordIndex(s, dir, b)),
+    "ivf" -> IndexAppendPlan("embeddings.parquet",
+      (s, dir, b) => appendIvfIndex(s, dir, b)),
+    "pq" -> IndexAppendPlan("embeddings.parquet",
+      (s, dir, b) => appendPqIndex(s, dir, b)),
+    "ivfpq" -> IndexAppendPlan("embeddings.parquet",
+      (s, dir, b) => appendIvfPqIndex(s, dir, b)),
+    "ivf_fixed" -> IndexAppendPlan("embeddings.parquet",
+      (s, dir, b) => appendIvfFixedIndex(s, dir, b)),
+    "pq_fixed" -> IndexAppendPlan("embeddings.parquet",
+      (s, dir, b) => appendPqFixedIndex(s, dir, b)))
+
+  /** The committed vintage's manifest, None when absent (pre-r14 layout,
+    * no index, or a stamp stripped by [[clearVintage]] before a crashed
+    * append — all of which mean "rebuild"). */
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path): Option[Seq[DataFp.Entry]] = {
+    val f = new org.apache.hadoop.fs.Path(target, "_manifest")
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(new String(in.readAllBytes(), "UTF-8").linesIterator
+        .filter(_.nonEmpty).map { line =>
+          val Array(len, mtime, rel) = line.split("\t", 3)
+          DataFp.Entry(rel, java.lang.Long.parseLong(len, 16),
+            java.lang.Long.parseLong(mtime, 16))
+        }.toSeq)
+      catch { case _: Exception => None }
+      finally in.close()
+    }
+  }
+
+  /** Stamp a committed vintage: `_manifest` BEFORE `_fp`, so whenever the
+    * fp sidecar exists its manifest does too (readers key on `_fp`). */
+  private def stampVintage(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path, fp: Long,
+      manifest: Seq[DataFp.Entry]): Unit = {
+    val mOut = fs.create(new org.apache.hadoop.fs.Path(target, "_manifest"), true)
+    mOut.writeBytes(manifest.map(e =>
+      s"${java.lang.Long.toHexString(e.len)}\t${java.lang.Long.toHexString(e.mtime)}\t${e.rel}")
+      .mkString("", "\n", "\n"))
+    mOut.close()
+    val fpOut = fs.create(new org.apache.hadoop.fs.Path(target, "_fp"), true)
+    fpOut.writeBytes(java.lang.Long.toHexString(fp))
+    fpOut.close()
+  }
+
+  /** Strip the vintage stamp (`_fp` FIRST — the reverse of
+    * [[stampVintage]]'s order) so a crash mid-mutation leaves an unstamped
+    * index the next call REBUILDS, never one it double-appends into. */
+  private def clearVintage(fs: org.apache.hadoop.fs.FileSystem,
+      target: org.apache.hadoop.fs.Path): Unit = {
+    fs.delete(new org.apache.hadoop.fs.Path(target, "_fp"), false)
+    fs.delete(new org.apache.hadoop.fs.Path(target, "_manifest"), false)
+  }
+
   private[graft] def ensureIndex(s: SparkSession, kind: String, d: String)
       (build: String => Unit): String = {
     val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
     val path = s"$wh/graft_index/${kind}_" + d.replaceAll("[^A-Za-z0-9._-]", "_")
-    val fp = DataFp.of(s, d)
+    val (fp, manifest) = DataFp.snapshot(s, d)
     val key = (System.identityHashCode(s), path, fp)
     if (!indexBuiltAt.contains(key))
       indexBuiltAt.synchronized {
@@ -1547,32 +1707,58 @@ object Vectors {
           // existing dir copies the loser's staging INTO the winner's index;
           // HDFS moves it under — ADVICE r12), so commits now serialize on
           // an exclusive-create lock file ([[IndexLease]]). Inside the
-          // lease: adopt a committed index whose `_fp` matches, else build
-          // into a private `__build_` staging sibling, stamp its vintage,
-          // move the stale target aside and rename the staging in. A
-          // crashed builder leaves only an orphaned `__build_*` dir or a
-          // stale lease (taken over after [[IndexLease.StaleMs]]), never a
-          // half-written committed path.
+          // lease: adopt a committed index whose `_fp` matches; else (r14,
+          // VERDICT r13 #1) diff the committed `_manifest` against the
+          // current snapshot and EVOLVE the vintage — restamp when the
+          // delta never touched this kind's input table, route a pure
+          // append of it through the kind's append verb at Θ(batch) — and
+          // only rebuild (into a private `__build_` staging sibling,
+          // vintage stamped, stale target moved aside, staging renamed in)
+          // when files changed in place or no manifest exists. A crashed
+          // builder leaves only an orphaned `__build_*` dir or a stale
+          // lease (taken over after [[IndexLease.StaleMs]]); a crashed
+          // APPEND leaves an unstamped index ([[clearVintage]] runs first)
+          // that the next call rebuilds — never a half-written or
+          // double-appended committed path.
           if (committedFpOf(fs, target).contains(fp)) ()
           else IndexLease.withLease(s, s"${path}__lock") {
             if (!committedFpOf(fs, target).contains(fp)) {
-              val tag = java.util.UUID.randomUUID().toString.take(8)
-              val tmp = new org.apache.hadoop.fs.Path(s"${path}__build_$tag")
-              build(tmp.toString)
-              val fpOut = fs.create(new org.apache.hadoop.fs.Path(tmp, "_fp"), true)
-              fpOut.writeBytes(java.lang.Long.toHexString(fp))
-              fpOut.close()
-              val old = new org.apache.hadoop.fs.Path(s"${path}__replaced_$tag")
-              if (fs.exists(target)) fs.rename(target, old)
-              if (!fs.rename(tmp, target)) fs.delete(tmp, true)
-              fs.delete(old, true)
-              // belt-and-suspenders (ADVICE r12): if a rename fallback ever
-              // nested a staging dir INSIDE the committed index, a stray
-              // non-underscore `__build_` child would break partition
-              // discovery — detect and remove it
-              org.apache.hadoop.fs.FileUtil.stat2Paths(fs.listStatus(target))
-                .filter(_.getName.contains("__build_"))
-                .foreach(p => fs.delete(p, true))
+              val delta = (appendPlans.get(kind), readManifest(fs, target)) match {
+                case (Some(plan), Some(old)) =>
+                  classifyDelta(old, manifest, plan.table)
+                case _ => VintageRebuild
+              }
+              delta match {
+                case VintageRestamp =>
+                  System.err.println(s"[graft] ensureIndex($kind): corpus " +
+                    "delta is outside this index's input table — restamping " +
+                    s"vintage ${java.lang.Long.toHexString(fp)} without a rebuild")
+                  stampVintage(fs, target, fp, manifest)
+                case VintageAppend(rels) =>
+                  System.err.println(s"[graft] ensureIndex($kind): append-only " +
+                    s"corpus delta (${rels.length} new files) — appending at " +
+                    "Θ(batch) instead of rebuilding")
+                  clearVintage(fs, target)
+                  appendPlans(kind).append(s, path,
+                    s.read.parquet(rels.map(r => s"$d/$r"): _*))
+                  stampVintage(fs, target, fp, manifest)
+                case VintageRebuild =>
+                  val tag = java.util.UUID.randomUUID().toString.take(8)
+                  val tmp = new org.apache.hadoop.fs.Path(s"${path}__build_$tag")
+                  build(tmp.toString)
+                  stampVintage(fs, tmp, fp, manifest)
+                  val old = new org.apache.hadoop.fs.Path(s"${path}__replaced_$tag")
+                  if (fs.exists(target)) fs.rename(target, old)
+                  if (!fs.rename(tmp, target)) fs.delete(tmp, true)
+                  fs.delete(old, true)
+                  // belt-and-suspenders (ADVICE r12): if a rename fallback ever
+                  // nested a staging dir INSIDE the committed index, a stray
+                  // non-underscore `__build_` child would break partition
+                  // discovery — detect and remove it
+                  org.apache.hadoop.fs.FileUtil.stat2Paths(fs.listStatus(target))
+                    .filter(_.getName.contains("__build_"))
+                    .foreach(p => fs.delete(p, true))
+              }
             }
           }
           // a rewritten dataset supersedes the old vintage's memo entries
@@ -1816,6 +2002,36 @@ object Vectors {
     }.toSeq.toDF("m", "k", "centroid")
       .write.mode("overwrite").parquet(s"$outDir/_pq_codebook")
   }
+
+  /** IVFADC member of the index-append family: coarse-quantize against the
+    * persisted `_codebook`, PQ-encode the residual against the persisted
+    * `_pq_codebook` (both pinned at append time), partition-append into
+    * the existing cluster dirs. */
+  def appendIvfPqIndex(s: SparkSession, indexDir: String, batch: DataFrame): Unit =
+    IndexLease.withLease(s, s"$indexDir/_lease") {
+      val spark = s
+      import spark.implicits._
+      val cents = spark.read.parquet(s"$indexDir/_codebook")
+        .as[(Int, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+      val cn = cents.map(normA)
+      val cbRows = spark.read.parquet(s"$indexDir/_pq_codebook")
+        .as[(Int, Int, Seq[Double])].collect()
+      val cbR = Array.tabulate(PqM) { m =>
+        cbRows.filter(_._1 == m).sortBy(_._2).map(_._3.toArray)
+      }
+      val bc = spark.sparkContext.broadcast((cents, cn, cbR))
+      batch.select(col("vec_id"), vec.as("v")).as[(Long, Array[Double])]
+        .map { case (id, v) =>
+          val (cs, csn, cb) = bc.value
+          val cell = nearest(cs, csn, v, normA(v))
+          val cent = cs(cell)
+          val r = new Array[Double](v.length)
+          var i = 0; while (i < v.length) { r(i) = v(i) - cent(i); i += 1 }
+          (cell, id, pqEncode(cb, r).map(_.toByte))
+        }
+        .toDF("cluster", "vec_id", "codes")
+        .write.mode("append").partitionBy("cluster").parquet(indexDir)
+    }
 
   /** Query a persisted IVFADC index: rank cells from the k-row coarse
     * sidecar, scan ONLY the probed cells' code files (partition pruning ×
