@@ -124,13 +124,18 @@ object Bench {
       }
     } catch { case _: Throwable => () }
     println(fullLine)
-    val budget = 1400 // chars for the per-query map in the compact line
+    // top-20 keys only (VERDICT r13 #5): the r13 compact line carried 54
+    // keys (~1700 chars) and still fell outside the driver's parse window
+    // next to the full line's tail — 20 slowest keys keep the whole line
+    // under ~900 chars with the arithmetic invariant intact
+    // (value == sum(queries) + omitted_sum)
+    val budget = 700 // chars for the per-query map in the compact line
     val bySlow = results.sortBy { case (_, v, ok) => (ok, -v) }
     val picked = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Boolean)]
     var used = 0
     bySlow.foreach { case r @ (k, _, _) =>
       val w = k.length + 9 // "k":0.123,
-      if (used + w <= budget) { picked += r; used += w }
+      if (picked.size < 20 && used + w <= budget) { picked += r; used += w }
     }
     val pickedKeys = picked.map(_._1).toSet
     val omitted = results.filterNot { case (k, _, _) => pickedKeys(k) }

@@ -199,6 +199,13 @@ object DuckDialect {
       }
       StringSplit(exprs(0), quoted, Literal(-1))
     }))
+    // DuckDB's xor(a, b) is bitwise — Spark spells it `^` and has no
+    // function form (the HUGEINT kernel-replay oracles use it on the
+    // two's-complement BIGINT view of the unsigned words)
+    ext.injectFunction(fn("xor", { exprs =>
+      arity("xor", 2, exprs)
+      org.apache.spark.sql.catalyst.expressions.BitwiseXor(exprs(0), exprs(1))
+    }))
     // DuckDB's 1-arg trunc is NUMERIC truncation toward zero; Spark's
     // builtin trunc is the DATE function (kept for the 2-arg form)
     ext.injectFunction(fn("trunc", { exprs =>

@@ -14,11 +14,22 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     optional; the rewrite fires only after a closing paren, so the
   *     higher-order `filter(arr, fn)` function is never touched),
   *     DuckDB's inside-the-call `f(expr IGNORE NULLS)` → standard
-  *     `f(expr) IGNORE NULLS`, and the 1-based inclusive list slice
-  *     `xs[lo:hi]` → `slice(xs, lo, hi-lo+1)` (identifier receiver,
-  *     integer-literal bounds). Pure spelling, no
+  *     `f(expr) IGNORE NULLS`, the 1-based inclusive list slice
+  *     `xs[lo:hi]` → `slice(xs, lo, greatest(hi-lo+1, 0))` and 1-based
+  *     indexing `xs[i]` → `try_element_at(xs, nullif(CAST(i AS INT), 0))`
+  *     (identifier OR call/paren receivers, string subscripts = map keys),
+  *     `HUGEINT` → `DECIMAL(38,0)` (exact 128-bit-safe arithmetic — every
+  *     kernel-replay intermediate stays under 2^96 < 10^38, `xor` aliased,
+  *     `//`→DIV accepts decimals), and bare decimal literals `1.0` →
+  *     `CAST(1.0 AS DOUBLE)` (DuckDB's arithmetic lands DOUBLE where Spark
+  *     would keep DECIMAL(2,1)). Pure spelling, no
   *     semantics: each converted query is equality-checked against both
   *     DuckDB and the DataFrame implementation in SqlParitySpec.
+  *  1b. ZIPPED GENERATORS ([[rewriteZips]], a pre-pass): DuckDB aligns
+  *     multiple SELECT-list generators element-wise; a run of consecutive
+  *     `unnest(E) AS a, generate_subscripts(E, 1) AS b` items folds into
+  *     ONE `inline(arrays_zip(…)) AS (a, b)` generator (NULL-padded to the
+  *     longest input on both engines).
   *  2. `WITH RECURSIVE` expansion: Spark 4's native recursion accepts only
   *     UNION ALL members, but the SQL-standard closure idiom (and every
   *     recursive oracle here) uses UNION — on a cyclic edge relation
@@ -53,7 +64,7 @@ object DuckSql {
   val MaxIterations = 200
 
   def sql(spark: SparkSession, text: String): DataFrame = {
-    val t = rewriteTokens(text)
+    val t = rewriteTokens(rewriteZips(text))
     if (RecursivePrefix.findFirstIn(t).isEmpty) spark.sql(t)
     else expandRecursive(spark, t)
   }
@@ -86,34 +97,73 @@ object DuckSql {
         out.append(s.substring(i, open + 1)).append("WHERE ")
         i = open + 1
       } else if (s(i) == '[' && sliceExprs(s, i).isDefined &&
-          lastIdent(out).isDefined) {
+          lastReceiver(out).isDefined) {
         // DuckDB 1-based inclusive list slice `xs[lo:hi]` → Spark
-        // `slice(xs, lo, (hi)-(lo)+1)` (both clamp to the available
-        // length); identifier receiver, non-negative bound expressions
-        // (a negative from-the-end bound has no direct slice() analogue
-        // and stays untouched → loud parse error)
+        // `slice(xs, lo, greatest((hi)-(lo)+1, 0))` (both clamp to the
+        // available length; the greatest() makes a runtime hi < lo-1 an
+        // EMPTY list like DuckDB, where Spark's slice errors on a negative
+        // length — ADVICE r13). Receiver: identifier or a call/paren
+        // group; non-negative bound expressions (a from-the-end negative
+        // bound has no direct slice() analogue and stays untouched →
+        // loud parse error).
         val (lo, hi, after) = sliceExprs(s, i).get
-        val id = lastIdent(out).get
-        out.setLength(out.length - id.length)
+        val (recv, at) = lastReceiver(out).get
+        out.setLength(at)
         val loR = rewriteTokens(lo)
         val hiR = rewriteTokens(hi)
-        out.append(s"slice($id, $loR, ($hiR) - ($loR) + 1)")
+        out.append(s"slice($recv, $loR, greatest(($hiR) - ($loR) + 1, 0))")
         i = after
-      } else if (s(i) == '[' && lastIdent(out).isDefined &&
+      } else if (s(i) == '[' && (lastReceiver(out).isDefined ||
+            lastNonWs(out) == Some('\'')) &&
           bracketEnd(s, i).exists(e => !s.substring(i + 1, e - 1).contains(':'))) {
-        // DuckDB 1-based list indexing `xs[i]` (NULL out of range) →
-        // `try_element_at(xs, i)` — Spark's bare `xs[i]` is 0-based and
-        // would be a silent off-by-one; the inner expression is recursively
-        // rewritten (it may itself carry `//` or nested indexing). A
-        // non-literal slice (`xs[a:b]`, the ':' guard) stays untouched —
-        // a loud parse error beats a silent semantic change.
+        // DuckDB 1-based list indexing `xs[i]` (NULL out of range, and
+        // NULL at the computed-to-0 index) → `try_element_at(xs,
+        // nullif(CAST(i AS INT), 0))` — Spark's bare `xs[i]` is 0-based
+        // and would be a silent off-by-one; the inner expression is
+        // recursively rewritten (it may itself carry `//` or nested
+        // indexing). The receiver may be an identifier OR a call/paren
+        // group (`split(s, ' ')[1]`, chained `xs[i][j]` — ADVICE r13); a
+        // string-literal receiver throws loudly rather than falling
+        // through to Spark's 0-based parse. A non-literal slice
+        // (`xs[a:b]`, the ':' guard) stays untouched — a loud parse error
+        // beats a silent semantic change.
         val end = bracketEnd(s, i).get
-        val id = lastIdent(out).get
-        out.setLength(out.length - id.length)
-        // the CAST matters: series subscripts arrive as BIGINT and Spark's
-        // element_at index parameter is INT-typed
-        out.append(s"try_element_at($id, CAST(" +
-          s"${rewriteTokens(s.substring(i + 1, end - 1))} AS INT))")
+        if (lastReceiver(out).isEmpty)
+          throw new IllegalArgumentException(
+            "DuckSql: cannot rewrite 1-based subscript on a string-literal " +
+              s"receiver near ...${s.substring(i, math.min(s.length, i + 30))}")
+        val (recv, at) = lastReceiver(out).get
+        out.setLength(at)
+        val inner = s.substring(i + 1, end - 1)
+        val lit = inner.trim
+        // a string-literal subscript is MAP-KEY access — no index cast
+        // (CAST('key' AS INT) is NULL under non-ANSI casts — ADVICE r13)
+        if (lit.length >= 2 && lit.head == '\'' && skipString(lit, 0) == lit.length)
+          out.append(s"try_element_at($recv, $lit)")
+        else
+          // the CAST matters: series subscripts arrive as BIGINT and
+          // Spark's element_at index parameter is INT-typed; the nullif
+          // makes a computed 0 subscript NULL like DuckDB (Spark throws)
+          out.append(s"try_element_at($recv, nullif(CAST(" +
+            s"${rewriteTokens(inner)} AS INT), 0))")
+        i = end
+      } else if (matchesWord(s, i, "HUGEINT")) {
+        // DuckDB's 128-bit integer → DECIMAL(38,0): every kernel-replay
+        // oracle keeps intermediates under 2^96 < 10^38 (a 32-bit limb
+        // times a 64-bit constant), Spark's decimal arithmetic is exact
+        // BigDecimal, `%` agrees on non-negatives, and IntegralDivide
+        // (`//` → DIV) accepts decimals and returns BIGINT — all quotient
+        // shifts in the corpus land below 2^34
+        out.append("DECIMAL(38,0)"); i += 7
+      } else if (s(i).isDigit && (i == 0 ||
+          (!isIdent(s(i - 1)) && s(i - 1) != '.')) && floatLitEnd(s, i) > 0) {
+        // bare decimal literal `1.0` → CAST(1.0 AS DOUBLE): Spark types it
+        // DECIMAL(2,1) and keeps division decimal-typed where DuckDB's
+        // arithmetic lands DOUBLE — values agree, row types differ
+        // (VERDICT r13 #8). Scientific notation already parses DOUBLE on
+        // both engines and is left untouched.
+        val end = floatLitEnd(s, i)
+        out.append(s"CAST(${s.substring(i, end)} AS DOUBLE)")
         i = end
       } else if (matchesWord(s, i, "UNNEST") && nextNonWs(s, i + 6) == Some('(')) {
         // DuckDB's SELECT-list unnest ≡ Spark's explode generator (one
@@ -151,6 +201,111 @@ object DuckSql {
     out.toString
   }
 
+  // ── positionally-zipped multi-generator SELECT lists ────────────────────
+
+  /** DuckDB zips multiple SELECT-list generators element-wise (NULL-padded
+    * to the longest), e.g. `SELECT generate_subscripts(v, 1) AS idx,
+    * unnest(v) AS x` — Spark allows ONE generator per SELECT list, so a
+    * maximal run of ≥2 CONSECUTIVE generator items folds into a single
+    * `inline(arrays_zip(e1, …, eN)) AS (a1, …, aN)` (arrays_zip NULL-pads
+    * to the longest, matching DuckDB). `unnest(E)` contributes E;
+    * `generate_subscripts(E, 1)` contributes the whole call — the
+    * [[DuckDialect]] alias already returns the 1-based index array.
+    * Consecutiveness keeps the output column ORDER verbatim;
+    * non-adjacent zips stay untouched → loud analysis error, never a
+    * silently reordered row. Runs BEFORE [[rewriteTokens]] (which handles
+    * the single-generator `unnest` → `explode` case). */
+  private[graft] def rewriteZips(s: String): String = {
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '\'') i = skipString(s, i)
+      else if (matchesWord(s, i, "SELECT")) {
+        var start = skipWs(s, i + 6)
+        if (matchesWord(s, start, "DISTINCT")) start = skipWs(s, start + 8)
+        else if (matchesWord(s, start, "ALL")) start = skipWs(s, start + 3)
+        val (items, stop) = splitSelectList(s, start)
+        val folded = foldZips(items.map(rewriteZips))
+        return s.substring(0, start) + folded.mkString(", ") + " " +
+          rewriteZips(s.substring(stop))
+      } else i += 1
+    }
+    s
+  }
+
+  /** Split a SELECT list into top-level items; returns (items, index of
+    * the terminator — FROM/set-op/clause keyword, a closing paren of the
+    * enclosing scope, or end of text). */
+  private def splitSelectList(s: String, start: Int): (Seq[String], Int) = {
+    val items = scala.collection.mutable.ArrayBuffer.empty[String]
+    val enders = Seq("FROM", "UNION", "ORDER", "GROUP", "HAVING", "WINDOW",
+      "LIMIT", "INTERSECT", "EXCEPT", "QUALIFY")
+    var itemStart = start
+    var depth = 0
+    var i = start
+    while (i < s.length) {
+      s(i) match {
+        case '\'' => i = skipString(s, i) - 1
+        case '(' | '[' => depth += 1
+        case ')' | ']' if depth == 0 =>
+          items += s.substring(itemStart, i).trim
+          return (items.toSeq, i)
+        case ')' | ']' => depth -= 1
+        case ',' if depth == 0 =>
+          items += s.substring(itemStart, i).trim
+          itemStart = i + 1
+        case _ if depth == 0 && enders.exists(matchesWord(s, i, _)) =>
+          items += s.substring(itemStart, i).trim
+          return (items.toSeq, i)
+        case _ =>
+      }
+      i += 1
+    }
+    items += s.substring(itemStart).trim
+    (items.toSeq, s.length)
+  }
+
+  /** A SELECT item that IS a generator call with an alias: returns
+    * (zip-input expression, alias). */
+  private def genOf(item: String): Option[(String, String)] = {
+    val t = item.trim
+    def parse(fn: String): Option[(String, String)] = {
+      if (!matchesWord(t, 0, fn)) return None
+      val open = skipWs(t, fn.length)
+      if (open >= t.length || t(open) != '(') return None
+      val end =
+        try matchParen(t, open)
+        catch { case _: IllegalArgumentException => return None }
+      val alias = "(?is)^AS\\s+([A-Za-z_][A-Za-z0-9_]*)$".r
+        .findFirstMatchIn(t.substring(end).trim)
+        .map(_.group(1)).getOrElse(return None)
+      if (fn == "unnest") Some((t.substring(open + 1, end - 1).trim, alias))
+      else Some((t.substring(0, end), alias))
+    }
+    parse("unnest").orElse(parse("generate_subscripts"))
+  }
+
+  /** Fold each maximal run of ≥2 consecutive generator items into one
+    * inline(arrays_zip(…)) generator. */
+  private def foldZips(items: Seq[String]): Seq[String] = {
+    val gens = items.map(genOf)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < items.length) {
+      var j = i
+      while (j < items.length && gens(j).isDefined) j += 1
+      if (j - i >= 2) {
+        val run = gens.slice(i, j).map(_.get)
+        out += s"inline(arrays_zip(${run.map(_._1).mkString(", ")})) " +
+          s"AS (${run.map(_._2).mkString(", ")})"
+        i = j
+      } else {
+        out += items(i)
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
   private def lastNonWs(sb: StringBuilder): Option[Char] = {
     var i = sb.length - 1
     while (i >= 0 && sb.charAt(i).isWhitespace) i -= 1
@@ -164,6 +319,66 @@ object DuckSql {
     var b = e
     while (b > 0 && isIdent(sb.charAt(b - 1))) b -= 1
     e - b == w.length && sb.substring(b, e).equalsIgnoreCase(w)
+  }
+
+  /** The subscriptable expression the builder currently ends with, as
+    * (text, startIndex): a (possibly dot-qualified) identifier, or a
+    * call/paren group `split(s, ' ')` / `(expr)` — including a chained
+    * `try_element_at(...)` emitted by an earlier subscript rewrite
+    * (ADVICE r13: expression receivers must not fall through to Spark's
+    * 0-based parser). */
+  private def lastReceiver(sb: StringBuilder): Option[(String, Int)] =
+    lastIdent(sb).map(id => (id, sb.length - id.length))
+      .orElse(lastParenGroup(sb))
+
+  /** When the builder (modulo trailing ws) ends with a ')': the enclosing
+    * paren group plus any function-name prefix, scanning backwards over
+    * string literals ('' escapes included). */
+  private def lastParenGroup(sb: StringBuilder): Option[(String, Int)] = {
+    var e = sb.length
+    while (e > 0 && sb.charAt(e - 1).isWhitespace) e -= 1
+    if (e == 0 || sb.charAt(e - 1) != ')') return None
+    var depth = 0
+    var j = e - 1
+    while (j >= 0) {
+      sb.charAt(j) match {
+        case '\'' =>
+          // skip backwards to the literal's opening quote, '' = escape
+          j -= 1
+          var open = false
+          while (j >= 0 && !open) {
+            if (sb.charAt(j) == '\'') {
+              if (j > 0 && sb.charAt(j - 1) == '\'') j -= 2 else open = true
+            } else j -= 1
+          }
+        case ')' => depth += 1
+        case '(' =>
+          depth -= 1
+          if (depth == 0) {
+            var b = j
+            while (b > 0 && (isIdent(sb.charAt(b - 1)) ||
+                (sb.charAt(b - 1) == '.' && b - 1 > 0 && isIdent(sb.charAt(b - 2)))))
+              b -= 1
+            return Some((sb.substring(b, e), b))
+          }
+        case _ =>
+      }
+      j -= 1
+    }
+    None
+  }
+
+  /** Index AFTER a bare `digits.digits` literal starting at `i0`, or -1
+    * when the token is not one (no dot, or scientific/identifier tail). */
+  private def floatLitEnd(s: String, i0: Int): Int = {
+    var i = i0
+    while (i < s.length && s(i).isDigit) i += 1
+    if (i >= s.length || s(i) != '.') return -1
+    i += 1
+    val fracStart = i
+    while (i < s.length && s(i).isDigit) i += 1
+    if (i == fracStart) return -1
+    if (i < s.length && (isIdent(s(i)) || s(i) == '.')) -1 else i
   }
 
   /** The (possibly dot-qualified) identifier the builder currently ends
@@ -245,7 +460,10 @@ object DuckSql {
     if (colon < 0) return None
     val lo = inner.substring(0, colon).trim
     val hi = inner.substring(colon + 1).trim
-    if (lo.isEmpty || hi.isEmpty || hi.startsWith("-")) None
+    // a from-the-end negative bound (either end — ADVICE r13) has no
+    // slice() analogue: stay untouched → loud parse error, never a silent
+    // absolute/relative mix
+    if (lo.isEmpty || hi.isEmpty || lo.startsWith("-") || hi.startsWith("-")) None
     else Some((lo, hi, end))
   }
 
@@ -322,11 +540,23 @@ object DuckSql {
     }
     val finalSql = text.substring(i)
     val created = scala.collection.mutable.ArrayBuffer.empty[String]
+    // a recursive member re-evaluates its step SQL every fixpoint round,
+    // and temp views INLINE their plans — so any non-recursive CTE the
+    // recursion reads (e.g. a signature-kernel stage) would recompute per
+    // round, with its codegen re-broadcast each time (measured 50 MiB
+    // task binaries × rounds on the minhash-closure oracles). Materialize
+    // the non-recursive CTEs once (lazy localCheckpoint — pays on first
+    // reference) whenever any member is recursive; pure view registration
+    // (cross-CTE pushdown intact) otherwise.
+    val anyRecursive = ctes.exists(c => referencesName(c.body, c.name))
     try {
       ctes.foreach { cte =>
         val df =
           if (referencesName(cte.body, cte.name)) fixpoint(spark, cte)
-          else withCols(spark.sql(cte.body), cte.cols)
+          else {
+            val plain = withCols(spark.sql(cte.body), cte.cols)
+            if (anyRecursive) plain.localCheckpoint(false) else plain
+          }
         df.createOrReplaceTempView(cte.name)
         created += cte.name
       }
@@ -395,18 +625,51 @@ object DuckSql {
   }
 
   private def referencesName(body: String, name: String): Boolean = {
-    // strip string literals, then look for the name in a TABLE position
-    // (FROM <name> / JOIN <name>) — a bare word match false-positives on
-    // column aliases that reuse the CTE's name (`SELECT count(*) AS c12
-    // ... FROM bg` inside CTE c12 is NOT recursion)
+    // strip string literals, then look for the name in a TABLE position —
+    // a bare word match false-positives on column aliases that reuse the
+    // CTE's name (`SELECT count(*) AS c12 ... FROM bg` inside CTE c12 is
+    // NOT recursion). Table positions: FROM <name> / JOIN <name>, plus
+    // comma-join items inside a FROM list (`FROM other, cte` — ADVICE
+    // r13: a self-reference via comma join must classify as recursive,
+    // not fail unresolved or silently read a same-named base table).
     val sb = new StringBuilder
     var i = 0
     while (i < body.length) {
       if (body(i) == '\'') i = skipString(body, i)
       else { sb.append(body(i)); i += 1 }
     }
+    val stripped = sb.toString
     (s"(?is)\\b(from|join)\\s+${java.util.regex.Pattern.quote(name)}" +
-      "(?![A-Za-z0-9_])").r.findFirstIn(sb.toString).isDefined
+      "(?![A-Za-z0-9_])").r.findFirstIn(stripped).isDefined ||
+      commaFromRef(stripped, name)
+  }
+
+  /** Whether `name` appears as a comma-join item of some FROM list: track
+    * the paren depth of each open FROM clause (a stack — subqueries nest)
+    * and test the word after each depth-matching comma. */
+  private def commaFromRef(s: String, name: String): Boolean = {
+    val fromDepth = scala.collection.mutable.Stack.empty[Int]
+    var depth = 0
+    var i = 0
+    def listEnder(i: Int): Boolean =
+      Seq("WHERE", "GROUP", "ORDER", "HAVING", "WINDOW", "LIMIT", "UNION",
+        "INTERSECT", "EXCEPT", "QUALIFY").exists(matchesWord(s, i, _))
+    while (i < s.length) {
+      s(i) match {
+        case '(' => depth += 1
+        case ')' =>
+          depth -= 1
+          while (fromDepth.nonEmpty && depth < fromDepth.top) fromDepth.pop()
+        case ',' if fromDepth.nonEmpty && depth == fromDepth.top =>
+          if (matchesWord(s, skipWs(s, i + 1), name)) return true
+        case _ if matchesWord(s, i, "FROM") => fromDepth.push(depth)
+        case _ if fromDepth.nonEmpty && depth == fromDepth.top && listEnder(i) =>
+          fromDepth.pop()
+        case _ =>
+      }
+      i += 1
+    }
+    false
   }
 
   private def skipWs(s: String, from: Int): Int = {

@@ -302,11 +302,11 @@ object Audio {
   /** AT-REST audio screen as a suite key — "has this clip's acoustic
     * fingerprint been heard before?" (memoized build, the screen-family
     * pattern). */
-  val audioScreenAtRest: Q = (s, d) => {
+  val audioScreenAtRest: Q = Vectors.served((s, d) => {
     val idx = Vectors.ensureIndex(s, "afp", d)(p => writeAfpIndex(s, d, p))
     afpScreenOf(s, idx, Tables.documents(s, d)
       .where(col("source") === Vectors.MinhashBatchSource))
-  }
+  })
 
   val queries: Map[String, Q] = Map(
     "q_audio_meta"           -> audioMeta,

@@ -46,6 +46,41 @@ private[graft] object IndexLease {
     }
   }
 
+  /** The reader half of the commit protocol (VERDICT r13 #4): a
+    * cross-process reader probing an index BETWEEN the two renames of
+    * [[graft.operators.Vectors.ensureIndex]]'s swap (target moved aside,
+    * staging not yet renamed in) sees a missing path for a few
+    * milliseconds. Writers can't close that window with plain renames
+    * (rename onto an existing dir nests on HDFS and pollutes on
+    * LocalFileSystem — the r12 lesson), so the READ side carries the
+    * contract: retry a path-missing failure with backoff until the swap
+    * lands. Bounded by `attempts × backoffMs` (default ~6 s — a swap is
+    * two metadata ops; anything longer means the index genuinely does not
+    * exist, and the LAST failure rethrows loudly). Spark surfaces the
+    * window as AnalysisException PATH_NOT_FOUND at DataFrame construction
+    * or FileNotFoundException at scan time — both retried; any other
+    * failure propagates immediately. */
+  def readWithRetry[A](attempts: Int = 60, backoffMs: Long = 100)(f: => A): A = {
+    def pathMissing(e: Throwable): Boolean = e match {
+      case null => false
+      case _: java.io.FileNotFoundException => true
+      case a: org.apache.spark.sql.AnalysisException =>
+        a.getErrorClass == "PATH_NOT_FOUND" ||
+          String.valueOf(a.getMessage).contains("Path does not exist")
+      case other => pathMissing(other.getCause)
+    }
+    var left = attempts
+    while (true) {
+      try return f
+      catch {
+        case e: Throwable if pathMissing(e) && left > 1 =>
+          left -= 1
+          Thread.sleep(backoffMs)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Run `f` holding an exclusive lease at `lockPath` (a FILE path, e.g.
     * `<indexDir>/_lease` for in-place verbs or `<indexDir>__lock` for
     * whole-dir swaps). Released in finally; crash-orphaned leases are

@@ -491,11 +491,11 @@ object Multimodal {
   /** AT-REST image screen as a suite key — "has this incoming image's
     * pixel fingerprint been seen before?" against the persisted index
     * (memoized build, the screen-family pattern). */
-  val imageScreenAtRest: Q = (s, d) => {
+  val imageScreenAtRest: Q = Vectors.served((s, d) => {
     val idx = Vectors.ensureIndex(s, "dhash", d)(p => writeDhashIndex(s, d, p))
     dhashScreenOf(s, idx, Tables.documents(s, d)
       .where(col("source") === Vectors.MinhashBatchSource))
-  }
+  })
 
   val queries: Map[String, Q] = Map(
     "q_multimodal_meta"      -> multimodalMeta,

@@ -183,10 +183,10 @@ object Search {
     * the ANN/minhash at-rest keys) probed with the fixed [[Queries]]
     * workload. The bench times the SERVING cost — pruned directory reads +
     * Θ(df) scoring — never a corpus scan. */
-  val keywordTopkAtRest: Q = (s, d) => {
+  val keywordTopkAtRest: Q = Vectors.served((s, d) => {
     val idx = Vectors.ensureIndex(s, "keyword", d)(p => writeKeywordIndex(s, d, p))
     probeKeywordIndex(s, idx, Queries, TopK)
-  }
+  })
 
   /** Probe documents of the hybrid query-by-example key: each contributes
     * its own terms (lexical leg) and its own linked embedding (semantic
@@ -362,7 +362,8 @@ object Search {
     * fixture's near-uniform random embeddings scatter true neighbors
     * across cells, so recall < 1 there is a fixture artifact — real
     * embedding corpora cluster, which is the premise of IVF itself). */
-  val hybridRrfIndexed: Q = (s, d) => hybridRrfIndexedWith(s, d, nProbe = 4)
+  val hybridRrfIndexed: Q =
+    Vectors.served((s, d) => hybridRrfIndexedWith(s, d, nProbe = 4))
 
   /** Memoized brute fused referee per (session, dataset): ≤ probes ×
     * [[HybridK]] rows of bounded metadata (the ensureIndex discipline), so
@@ -564,7 +565,7 @@ object Search {
     * Scale: identical serving shape to the trained key — Θ(df) pruned
     * posting reads + nProbe/[[Vectors.IvfFixedCells]] of the vectors via
     * partition pruning, fusion over two Θ(probes·topN) relations. */
-  val hybridRrfIndexedFixed: Q = (s, d) => {
+  val hybridRrfIndexedFixed: Q = Vectors.served((s, d) => {
     val idx = Vectors.ensureIndex(s, "ivf_fixed", d)(
       p => Vectors.writeIvfFixedIndex(s, d, p))
     val lex = lexLegAtRest(s, d)
@@ -581,7 +582,7 @@ object Search {
       .where(col("r_sem") <= SemTopN)
       .select(col("query_id"), col("vec_id").as("doc_id"), col("r_sem"))
     fuseRrf(lex, sem)
-  }
+  })
 
   /** The PQ-mode sibling of [[hybridRrfIndexedFixed]] (r10 verdict #9):
     * the semantic leg is an ADC scan of the PERSISTED fixed-codebook
@@ -592,7 +593,7 @@ object Search {
     * lookup, rank, and fusion bit-for-bit. Scale: the scan body is
     * [[Vectors.PqM]] bytes per vector (vs 512 for the raw doubles) and the
     * lexical leg is shared with every other indexed form. */
-  val hybridRrfPqFixed: Q = (s, d) => {
+  val hybridRrfPqFixed: Q = Vectors.served((s, d) => {
     val idx = Vectors.ensureIndex(s, "pq_fixed", d)(
       p => Vectors.writePqFixedIndex(s, d, p))
     val lex = lexLegAtRest(s, d)
@@ -609,7 +610,7 @@ object Search {
       .where(col("r_sem") <= SemTopN)
       .select(col("query_id"), col("vec_id").as("doc_id"), col("r_sem"))
     fuseRrf(lex, sem)
-  }
+  })
 
   val queries: Map[String, Q] = Map(
     "q_keyword_topk_at_rest" -> keywordTopkAtRest,

@@ -2094,9 +2094,17 @@ object Vectors {
   val annIvf: Q = (s, d) => annRecallContract(s, d, annIvfRaw(s, d))
   val annPq: Q = (s, d) => annRecallContract(s, d, annPqRaw(s, d))
   val annIvfPq: Q = (s, d) => annRecallContract(s, d, annIvfPqRaw(s, d))
-  val annIvfAtRest: Q = (s, d) => annRecallContract(s, d, annIvfAtRestRaw(s, d))
-  val annPqAtRest: Q = (s, d) => annRecallContract(s, d, annPqAtRestRaw(s, d))
-  val annIvfPqAtRest: Q = (s, d) => annRecallContract(s, d, annIvfPqAtRestRaw(s, d))
+  /** The at-rest serving keys read committed index paths a CONCURRENT
+    * process may be swapping to a new corpus vintage — wrap each in the
+    * reader half of the commit protocol ([[IndexLease.readWithRetry]],
+    * VERDICT r13 #4): a path-missing failure inside the swap's two-rename
+    * window retries with backoff until the new vintage lands. */
+  private[graft] def served(q: Q): Q =
+    (s, d) => IndexLease.readWithRetry()(q(s, d))
+
+  val annIvfAtRest: Q = served((s, d) => annRecallContract(s, d, annIvfAtRestRaw(s, d)))
+  val annPqAtRest: Q = served((s, d) => annRecallContract(s, d, annPqAtRestRaw(s, d)))
+  val annIvfPqAtRest: Q = served((s, d) => annRecallContract(s, d, annIvfPqAtRestRaw(s, d)))
 
   /** MinHash + LSH banded near-dup candidates over document 3-gram shingles
     * (oracle-checked since round 5 — the kernel is deterministic integer
@@ -2308,11 +2316,11 @@ object Vectors {
     * Oracle: the shared [[minhashPairCte]] agreement fragment restricted
     * to mixed (batch × at-rest) pairs — the banding is part of the
     * contract and is reproduced, not approximated away. */
-  val minhashScreenAtRest: Q = (s, d) => {
+  val minhashScreenAtRest: Q = served((s, d) => {
     val idx = ensureIndex(s, "minhash", d)(p => writeMinhashIndex(s, d, p))
     minhashScreenOf(s, idx,
       Tables.documents(s, d).where(col("source") === MinhashBatchSource))
-  }
+  })
 
   /** The screen kernel over an ARBITRARY batch frame against an ARBITRARY
     * persisted [[writeMinhashIndex]] layout — extracted so the production
@@ -2672,11 +2680,11 @@ object Vectors {
     * pair distinct, and reports each incoming doc's closest at-rest match
     * (min Hamming, tie → min ref_id; sentinel distance 64 for clean docs).
     * Output Θ(batch); at-rest text never re-read. */
-  val simhashScreenAtRest: Q = (s, d) => {
+  val simhashScreenAtRest: Q = served((s, d) => {
     val idx = ensureIndex(s, "simhash", d)(p => writeSimhashIndex(s, d, p))
     simhashScreenOf(s, idx,
       Tables.documents(s, d).where(col("source") === MinhashBatchSource))
-  }
+  })
 
   /** SimHash twin of [[minhashScreenOf]]: screen an arbitrary batch frame
     * against a persisted [[writeSimhashIndex]] layout. */
@@ -3452,8 +3460,12 @@ object Vectors {
         |bits AS (SELECT unnest(range(0, 64)) AS j),
         |tb AS (
         |  SELECT tok, j,
-        |    CASE WHEN (h // CAST(power(2::HUGEINT, CAST(j AS INT)) AS HUGEINT))
-        |              % 2::HUGEINT = 1::HUGEINT
+        |    CASE WHEN (CASE WHEN j < 32
+        |               THEN (h % 4294967296::HUGEINT)
+        |                    // CAST(power(2::HUGEINT, CAST(j AS INT)) AS HUGEINT)
+        |               ELSE (h // 4294967296::HUGEINT)
+        |                    // CAST(power(2::HUGEINT, CAST(j - 32 AS INT)) AS HUGEINT)
+        |               END) % 2::HUGEINT = 1::HUGEINT
         |         THEN 1 ELSE -1 END AS sgn
         |  FROM th, bits),
         |tc AS (SELECT doc_id, tok, count(*) AS cnt FROM toks GROUP BY doc_id, tok),
@@ -3463,8 +3475,13 @@ object Vectors {
         |  FROM tc JOIN tb USING (tok) GROUP BY tc.doc_id, tb.j),
         |su AS (
         |  SELECT doc_id,
-        |    CAST(sum(CAST(bit AS HUGEINT)
-        |             * CAST(power(2::HUGEINT, CAST(j AS INT)) AS HUGEINT)) AS HUGEINT) AS usim
+        |    (CAST(sum(CASE WHEN j < 32 THEN CAST(bit AS HUGEINT)
+        |              * CAST(power(2::HUGEINT, CAST(j AS INT)) AS HUGEINT)
+        |              ELSE 0::HUGEINT END) AS HUGEINT)
+        |     + 4294967296::HUGEINT
+        |       * CAST(sum(CASE WHEN j >= 32 THEN CAST(bit AS HUGEINT)
+        |                  * CAST(power(2::HUGEINT, CAST(j - 32 AS INT)) AS HUGEINT)
+        |                  ELSE 0::HUGEINT END) AS HUGEINT)) AS usim
         |  FROM db GROUP BY doc_id),
         |sim AS (
         |  SELECT doc_id,

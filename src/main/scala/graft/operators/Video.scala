@@ -806,11 +806,11 @@ object Video {
     * (memoized build, the screen-family pattern). With this, all FIVE
     * perceptual/content screens (minhash, simhash, dhash, afp, vsig)
     * have at-rest batch forms. */
-  val videoScreenAtRest: Q = (s, d) => {
+  val videoScreenAtRest: Q = Vectors.served((s, d) => {
     val idx = Vectors.ensureIndex(s, "vsig", d)(p => writeVsigIndex(s, d, p))
     vsigScreenOf(s, idx, Tables.documents(s, d)
       .where(col("source") === Vectors.MinhashBatchSource))
-  }
+  })
 
   /** Shot-boundary detection served from the STANDARD container: mux the
     * same frames as Motion-PNG in AVI, demux with the strict RIFF walker,

@@ -108,45 +108,32 @@ class SqlParitySpec extends AnyFunSuite {
     "q_audio_resample", "q_audio_fingerprint", "q_audio_screen_at_rest",
     "q_video_meta", "q_video_scenes", "q_video_scenes_avi",
     "q_video_keyframes", "q_video_sample", "q_video_dedup",
-    "q_video_screen_at_rest")
+    "q_video_screen_at_rest",
+    // r14 (VERDICT r13 #2/#3/#8): the HUGEINT kernel-replay family lands
+    // on exact DECIMAL(38,0) arithmetic (intermediates < 2^96 < 10^38,
+    // xor aliased to BitwiseXor, `//` -> DIV accepts decimals), the
+    // positionally-zipped multi-generator SELECTs fold into one
+    // inline(arrays_zip(...)), and bare decimal literals type DOUBLE like
+    // DuckDB's arithmetic result
+    "q_doc_fingerprint", "q_dsir_weights", "q_curate_batch",
+    "q_dedup_clusters", "q_minhash_lsh", "q_minhash_dedup_reps",
+    "q_minhash_screen_at_rest", "q_simhash_dedup", "q_simhash_dedup_reps",
+    "q_simhash_screen_at_rest", "ref_kmv_distinct",
+    "q_ann_ivf_fixed", "q_ann_pq_fixed", "q_ann_ivfpq_fixed",
+    "q_hybrid_rrf_indexed_fixed", "q_hybrid_rrf_pq_fixed",
+    "q_semantic_dedup_fixed", "q_embed_centroid", "q_topic_mix",
+    "q_span_scrub", "q_span_scrub_l20",
+    "q_hybrid_rrf", "q_hybrid_rrf_indexed", "q_substring_dedup")
 
   /** Oracle keys that CANNOT run on spark.sql, each with the blocking
     * DuckDB construct. Kept exhaustive on purpose: the classification test
     * below fails if a key is neither here nor in `portable`. */
   private val dialectGaps: Map[String, String] = {
-    val hugeint = "HUGEINT 128-bit arithmetic (kernel-replay oracle); Spark " +
-      "form is the native 64-bit typed kernel"
-    val zipGen = "positionally-zipped multi-generator SELECT (DuckDB aligns " +
-      "generate_subscripts + unnest element-wise; Spark allows ONE " +
-      "generator per SELECT list); Spark form is the DataFrame kernel"
-    val decimalLit = "DECIMAL-vs-DOUBLE literal typing: Spark types `1.0` " +
-      "as DECIMAL(2,1) so the arithmetic lands decimal-typed — values " +
-      "agree, row types differ"
     val bpe = "unrolled BPE training stages: negative from-the-end string " +
       "slice seq[2:-2] + zipped generators + MATERIALIZED chains"
     Map(
-      "q_doc_fingerprint" -> hugeint,
-      "q_dsir_weights" -> hugeint,
-      "q_curate_batch" -> hugeint,
-      "q_dedup_clusters" -> hugeint,
-      "q_minhash_lsh" -> hugeint,
-      "q_minhash_dedup_reps" -> hugeint,
-      "q_minhash_screen_at_rest" -> hugeint,
-      "q_simhash_dedup" -> hugeint,
-      "q_simhash_dedup_reps" -> hugeint,
-      "q_simhash_screen_at_rest" -> hugeint,
-      "ref_kmv_distinct" -> (hugeint + " (splitmix64 wrapping chain)"),
-      "q_ann_ivf_fixed" -> zipGen, "q_ann_pq_fixed" -> zipGen,
-      "q_ann_ivfpq_fixed" -> zipGen,
-      "q_hybrid_rrf_indexed_fixed" -> zipGen,
-      "q_hybrid_rrf_pq_fixed" -> zipGen,
-      "q_semantic_dedup_fixed" -> zipGen,
-      "q_embed_centroid" -> zipGen, "q_topic_mix" -> zipGen,
-      "q_span_scrub" -> zipGen, "q_span_scrub_l20" -> zipGen,
       "q_bpe_train" -> bpe, "q_bpe_tokenize" -> bpe,
       "q_bpe_fertility" -> bpe, "q_token_pack_bpe" -> bpe,
-      "q_hybrid_rrf" -> decimalLit, "q_hybrid_rrf_indexed" -> decimalLit,
-      "q_substring_dedup" -> decimalLit,
       "q_array_map_funcs" -> ("generator nested in an expression — " +
         "CAST(unnest(v) AS ...) is legal DuckDB; Spark generators must be " +
         "top-level SELECT items"),
@@ -172,7 +159,7 @@ class SqlParitySpec extends AnyFunSuite {
       s"unclassified oracle keys: ${keys -- classified}")
     assert(classified.subsetOf(keys),
       s"stale classification for removed keys: ${classified -- keys}")
-    assert(portable.size >= 50, s"parity surface shrank to ${portable.size}")
+    assert(portable.size >= 150, s"parity surface shrank to ${portable.size}")
   }
 
   test("DuckSql token rewrites: fire on the dialect shapes, never inside literals or on lookalikes") {
@@ -196,20 +183,55 @@ class SqlParitySpec extends AnyFunSuite {
     // string literals are opaque to every rewrite
     assert(rewriteTokens("SELECT 'FILTER (x)', '// not division', 'a IGNORE NULLS)'") ==
       "SELECT 'FILTER (x)', '// not division', 'a IGNORE NULLS)'")
-    // 1-based inclusive slice on an identifier receiver; expression bounds
+    // 1-based inclusive slice on an identifier receiver; expression
+    // bounds; descending runtime bounds degrade to an EMPTY list (the
+    // greatest() guard) like DuckDB, where a negative slice length errors
     assert(rewriteTokens("array_to_string(ws[1:3], ' ')") ==
-      "array_to_string(slice(ws, 1, (3) - (1) + 1), ' ')")
+      "array_to_string(slice(ws, 1, greatest((3) - (1) + 1, 0)), ' ')")
     assert(rewriteTokens("xs[a + 1:least(n, b)]") ==
-      "slice(xs, a + 1, (least(n, b)) - (a + 1) + 1)")
-    // a from-the-end negative bound has no slice() analogue — untouched
+      "slice(xs, a + 1, greatest((least(n, b)) - (a + 1) + 1, 0))")
+    // a from-the-end negative bound (either end) has no slice() analogue —
+    // untouched, loud parse error instead of an absolute/relative mix
     assert(rewriteTokens("seq[2:-2]") == "seq[2:-2]")
+    assert(rewriteTokens("seq[-3:2]") == "seq[-3:2]")
     // 1-based indexing -> try_element_at (NULL out of range, like DuckDB);
     // the inner expression is recursively rewritten and cast to the INT
-    // index type element_at expects (series subscripts arrive as BIGINT)
-    assert(rewriteTokens("ws[1]") == "try_element_at(ws, CAST(1 AS INT))")
+    // index type element_at expects (series subscripts arrive as BIGINT);
+    // nullif degrades a computed 0 subscript to NULL like DuckDB
+    assert(rewriteTokens("ws[1]") ==
+      "try_element_at(ws, nullif(CAST(1 AS INT), 0))")
     assert(rewriteTokens("ws[i + n // 2]") ==
-      "try_element_at(ws, CAST(i + n  DIV  2 AS INT))")
-    assert(rewriteTokens("ws[a:b]") == "slice(ws, a, (b) - (a) + 1)")
+      "try_element_at(ws, nullif(CAST(i + n  DIV  2 AS INT), 0))")
+    assert(rewriteTokens("ws[a:b]") ==
+      "slice(ws, a, greatest((b) - (a) + 1, 0))")
+    // expression receivers (ADVICE r13): a call result and a chained
+    // subscript both rewrite 1-based instead of falling through to
+    // Spark's 0-based GetArrayItem
+    assert(rewriteTokens("split(s, ' ')[1]") ==
+      "try_element_at(split(s, ' '), nullif(CAST(1 AS INT), 0))")
+    assert(rewriteTokens("xs[i][j]") ==
+      "try_element_at(try_element_at(xs, nullif(CAST(i AS INT), 0)), " +
+        "nullif(CAST(j AS INT), 0))")
+    // a string-literal subscript is map-key access — no INT cast
+    assert(rewriteTokens("m['key']") == "try_element_at(m, 'key')")
+    // HUGEINT lands on exact DECIMAL(38,0) arithmetic
+    assert(rewriteTokens("CAST(x AS HUGEINT) % 18446744073709551616::HUGEINT") ==
+      "CAST(x AS DECIMAL(38,0)) % 18446744073709551616::DECIMAL(38,0)")
+    // bare decimal literals type DOUBLE like DuckDB's arithmetic result;
+    // scientific notation and integer literals stay untouched
+    assert(rewriteTokens("1.0 / (60 + r)") ==
+      "CAST(1.0 AS DOUBLE) / (60 + r)")
+    assert(rewriteTokens("1e9 + 42 + t1.c") == "1e9 + 42 + t1.c")
+    // zipped multi-generator SELECT folds into one inline(arrays_zip(…))
+    import graft.functions.DuckSql.rewriteZips
+    assert(rewriteZips(
+      "SELECT label, generate_subscripts(v, 1) AS idx, unnest(v) AS x FROM e")
+      .trim.replaceAll("\\s+", " ") ==
+      "SELECT label, inline(arrays_zip(generate_subscripts(v, 1), v)) " +
+        "AS (idx, x) FROM e")
+    // a single generator is NOT folded (the unnest -> explode path owns it)
+    assert(rewriteZips("SELECT unnest(v) AS x FROM e")
+      .trim.replaceAll("\\s+", " ") == "SELECT unnest(v) AS x FROM e")
     // SELECT-list unnest -> the explode generator
     assert(rewriteTokens("SELECT doc_id, unnest(ws) AS term FROM w") ==
       "SELECT doc_id, explode(ws) AS term FROM w")
