@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, ArrayFilter, ArrayIntersect, ArrayJoin, Cast, Expression, ExpressionInfo, GetJsonObject, Grouping, GroupingID, If, LessThanOrEqual, Literal, RegExpExtractAll, RegExpReplace, Sequence, Size, Slice, StringSplit, Subtract, UnaryExpression, UnixMicros}
+import org.apache.spark.sql.catalyst.expressions.{ArrayDistinct, ArrayFilter, ArrayIntersect, ArrayJoin, Cast, Expression, ExpressionInfo, GetJsonObject, Grouping, GroupingID, If, LessThanOrEqual, Literal, RLike, RegExpExtractAll, RegExpReplace, Sequence, Size, Slice, StringSplit, Subtract, UnaryExpression, UnixMicros}
 import org.apache.spark.sql.catalyst.expressions.aggregate.Percentile
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType, StringType}
@@ -132,10 +132,35 @@ object DuckDialect {
     }))
     // DuckDB's 4-arg regexp_replace: flags 'g' = global, which is Spark's
     // (only) 3-arg behavior — accept exactly that spelling and refuse any
-    // other flag rather than silently changing semantics
+    // other flag rather than silently changing semantics. The REPLACEMENT
+    // string is translated from RE2 syntax to Java's: DuckDB backreferences
+    // are `\1`…`\9` and `$` is literal, Java's are `$1`…`$9` with `\$` the
+    // literal dollar — without the translation `'<\1>'` silently replaces
+    // every match with the literal text `<1>` (the r14 BPE-oracle lesson).
+    // A literal backslash spells `\\` in both. Non-literal replacements
+    // pass through untouched (no backreference syntax to translate without
+    // knowing the value; none of the oracle corpus uses one).
+    def re2Replacement(e: Expression): Expression = e match {
+      case Literal(s: UTF8String, StringType) =>
+        val in = s.toString
+        val out = new StringBuilder(in.length + 4)
+        var i = 0
+        while (i < in.length) {
+          val c = in(i)
+          if (c == '\\' && i + 1 < in.length && in(i + 1).isDigit) {
+            out.append('$').append(in(i + 1)); i += 2
+          } else if (c == '\\' && i + 1 < in.length && in(i + 1) == '\\') {
+            out.append("\\\\"); i += 2
+          } else if (c == '$') {
+            out.append("\\$"); i += 1
+          } else { out.append(c); i += 1 }
+        }
+        Literal(UTF8String.fromString(out.toString), StringType)
+      case other => other
+    }
     ext.injectFunction(fn("regexp_replace", { exprs =>
       exprs.length match {
-        case 3 => RegExpReplace(exprs(0), exprs(1), exprs(2))
+        case 3 => RegExpReplace(exprs(0), exprs(1), re2Replacement(exprs(2)))
         case 4 =>
           val isGlobalFlag = exprs(3) match {
             case Literal(s: UTF8String, _) => s.toString == "g"
@@ -144,7 +169,7 @@ object DuckDialect {
           require(isGlobalFlag,
             "regexp_replace: only a literal 'g' (global) flag is supported — " +
               "Spark's regexp_replace is always-global")
-          RegExpReplace(exprs(0), exprs(1), exprs(2))
+          RegExpReplace(exprs(0), exprs(1), re2Replacement(exprs(2)))
         case n => throw new IllegalArgumentException(
           s"regexp_replace expects 3 or 4 arguments, got $n")
       }
@@ -154,6 +179,12 @@ object DuckDialect {
     // q_unicode_normalize hash gate pins the two engines equal)
     ext.injectFunction(fn("nfc_normalize", { exprs =>
       arity("nfc_normalize", 1, exprs); NfcNormalize(exprs.head)
+    }))
+    // DuckDB's regexp_matches(s, re) is PARTIAL match (find anywhere, like
+    // Spark's RLIKE — regexp_full_match is DuckDB's anchored twin), so the
+    // alias is exact; the BPE-oracle uses it with explicit ^…$ anchors
+    ext.injectFunction(fn("regexp_matches", { exprs =>
+      arity("regexp_matches", 2, exprs); RLike(exprs(0), exprs(1))
     }))
     // DuckDB's chr(n) is the UNICODE CODEPOINT constructor; Spark's builtin
     // is ASCII-mod-256 (chr(769) silently becomes chr(1)) — shadow it with

@@ -22,7 +22,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     kernel-replay intermediate stays under 2^96 < 10^38, `xor` aliased,
   *     `//`→DIV accepts decimals), and bare decimal literals `1.0` →
   *     `CAST(1.0 AS DOUBLE)` (DuckDB's arithmetic lands DOUBLE where Spark
-  *     would keep DECIMAL(2,1)). Pure spelling, no
+  *     would keep DECIMAL(2,1)), and the ordered aggregates
+  *     `first/last(x ORDER BY k…)` → `min_by/max_by(x, struct(k…))`
+  *     (lexicographic struct comparison ≡ the in-call ORDER BY; DESC keys
+  *     stay untouched → loud parse error). Pure spelling, no
   *     semantics: each converted query is equality-checked against both
   *     DuckDB and the DataFrame implementation in SqlParitySpec.
   *  1b. ZIPPED GENERATORS ([[rewriteZips]], a pre-pass): DuckDB aligns
@@ -64,12 +67,34 @@ object DuckSql {
   val MaxIterations = 200
 
   def sql(spark: SparkSession, text: String): DataFrame = {
-    val t = rewriteTokens(rewriteZips(text))
-    if (RecursivePrefix.findFirstIn(t).isEmpty) spark.sql(t)
-    else expandRecursive(spark, t)
+    val z = rewriteZips(text)
+    // RECURSIVE needs the fixpoint loop; an AS MATERIALIZED hint is an
+    // EXPLICIT evaluation barrier the author asked for — honor it with a
+    // lazy localCheckpoint per hinted CTE (DuckDB materializes; Spark's
+    // CTE inlining would otherwise re-expand a multiply-referenced stage
+    // into every referent, and a chained hinted pipeline — the unrolled
+    // BPE oracles — grows the inlined tree exponentially with depth).
+    // Queries with neither hint stay a single spark.sql statement: full
+    // cross-CTE Catalyst optimization, no barrier.
+    if (RecursivePrefix.findFirstIn(z).isDefined || hasMaterialized(z))
+      expandCtes(spark, z)
+    else spark.sql(rewriteTokens(z))
   }
 
   private val RecursivePrefix = "(?is)^\\s*WITH\\s+RECURSIVE\\b".r
+  private val WithPrefix = "(?is)^\\s*WITH\\s+(RECURSIVE\\s+)?".r
+
+  /** Whether an `AS MATERIALIZED (` hint occurs outside string literals. */
+  private def hasMaterialized(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      if (s(i) == '\'') i = skipString(s, i)
+      else if (matchesWord(s, i, "MATERIALIZED") &&
+          nextNonWs(s, i + 12) == Some('(')) return true
+      else i += 1
+    }
+    false
+  }
 
   /** Token rewrites outside single-quoted literals ('' escapes handled). */
   private[graft] def rewriteTokens(s: String): String = {
@@ -170,6 +195,24 @@ object DuckSql {
         // generator per SELECT list — same constraint in both engines'
         // planners for the texts this facade carries)
         out.append("explode"); i += 6
+      } else if ((matchesWord(s, i, "FIRST") || matchesWord(s, i, "LAST")) && {
+        val w = if (matchesWord(s, i, "FIRST")) 5 else 4
+        nextNonWs(s, i + w) == Some('(') &&
+          aggOrderSplit(s, skipWs(s, i + w)).exists(!_._2.toUpperCase.contains("DESC"))
+      }) {
+        // DuckDB's ordered aggregate `first(x ORDER BY k...)` picks x at
+        // the minimal ordering key (ties broken by arrival — the oracles
+        // order on a unique key); Spark has no in-call ORDER BY, but
+        // `min_by(x, struct(k...))` computes exactly the minimal-key row
+        // (struct comparison is lexicographic). `last` → max_by. A DESC
+        // key has no struct-order analogue — untouched, loud parse error.
+        val isFirst = matchesWord(s, i, "FIRST")
+        val w = if (isFirst) 5 else 4
+        val open = skipWs(s, i + w)
+        val (args, order, after) = aggOrderSplit(s, open).get
+        val fn = if (isFirst) "min_by" else "max_by"
+        out.append(s"$fn(${rewriteTokens(args)}, struct(${rewriteTokens(order)}))")
+        i = after
       } else if (matchesWord(s, i, "STRING_AGG") && nextNonWs(s, i + 10) == Some('(') &&
           aggOrderSplit(s, skipWs(s, i + 10)).isDefined) {
         // DuckDB's in-call ordered aggregate `string_agg(x, sep ORDER BY
@@ -181,8 +224,11 @@ object DuckSql {
         i = after
       } else if (matchesWord(s, i, "MATERIALIZED") &&
           lastWordIs(out, "AS") && nextNonWs(s, i + 12) == Some('(')) {
-        // DuckDB's `cte AS MATERIALIZED (...)` — a materialization HINT,
-        // not semantics; Spark has no spelling for it, drop the word
+        // DuckDB's `cte AS MATERIALIZED (...)`: at the TOP level [[sql]]
+        // routes the query through [[expandCtes]], which honors the hint
+        // with a lazy localCheckpoint BEFORE bodies reach this rewriter —
+        // this branch only fires on a WITH nested inside a CTE body or
+        // subquery, where the hint has no Spark spelling and is dropped
         i += 12
         while (i < s.length && s(i).isWhitespace) i += 1
       } else if (matchesWord(s, i, "IGNORE") && {
@@ -513,10 +559,19 @@ object DuckSql {
 
   // ── WITH RECURSIVE expansion ───────────────────────────────────────────
 
-  private case class Cte(name: String, cols: Seq[String], body: String)
+  private case class Cte(name: String, cols: Seq[String], body: String,
+      materialized: Boolean)
 
-  private def expandRecursive(spark: SparkSession, text: String): DataFrame = {
-    val m = RecursivePrefix.findFirstMatchIn(text).get
+  /** Evaluate a WITH query CTE-by-CTE: recursive members by semi-naive
+    * fixpoint, `AS MATERIALIZED` members via a lazy localCheckpoint (the
+    * hint IS a materialization request — see [[sql]]), the rest as plain
+    * temp views (analysis inlines them, cross-CTE pushdown intact). The
+    * input is zip-rewritten but NOT token-rewritten — MATERIALIZED must
+    * still be visible here; each body and the final SELECT are token-
+    * rewritten individually before evaluation. */
+  private def expandCtes(spark: SparkSession, text: String): DataFrame = {
+    val m = WithPrefix.findFirstMatchIn(text)
+      .getOrElse(return spark.sql(rewriteTokens(text)))
     var i = m.end
     val ctes = scala.collection.mutable.ArrayBuffer.empty[Cte]
     var done = false
@@ -532,13 +587,16 @@ object DuckSql {
         (i + 2 >= text.length || !isIdent(text(i + 2))),
         s"expected AS after CTE name $name")
       i = skipWs(text, i + 2)
+      val mat = text.regionMatches(true, i, "MATERIALIZED", 0, 12) &&
+        (i + 12 >= text.length || !isIdent(text(i + 12)))
+      if (mat) i = skipWs(text, i + 12)
       require(i < text.length && text(i) == '(', s"expected ( after $name AS")
       val end = matchParen(text, i)
-      ctes += Cte(name, cols, text.substring(i + 1, end - 1))
+      ctes += Cte(name, cols, rewriteTokens(text.substring(i + 1, end - 1)), mat)
       i = skipWs(text, end)
       if (i < text.length && text(i) == ',') i += 1 else done = true
     }
-    val finalSql = text.substring(i)
+    val finalSql = rewriteTokens(text.substring(i))
     val created = scala.collection.mutable.ArrayBuffer.empty[String]
     // a recursive member re-evaluates its step SQL every fixpoint round,
     // and temp views INLINE their plans — so any non-recursive CTE the
@@ -546,8 +604,8 @@ object DuckSql {
     // round, with its codegen re-broadcast each time (measured 50 MiB
     // task binaries × rounds on the minhash-closure oracles). Materialize
     // the non-recursive CTEs once (lazy localCheckpoint — pays on first
-    // reference) whenever any member is recursive; pure view registration
-    // (cross-CTE pushdown intact) otherwise.
+    // reference) whenever any member is recursive or hinted MATERIALIZED;
+    // pure view registration (cross-CTE pushdown intact) otherwise.
     val anyRecursive = ctes.exists(c => referencesName(c.body, c.name))
     try {
       ctes.foreach { cte =>
@@ -555,7 +613,8 @@ object DuckSql {
           if (referencesName(cte.body, cte.name)) fixpoint(spark, cte)
           else {
             val plain = withCols(spark.sql(cte.body), cte.cols)
-            if (anyRecursive) plain.localCheckpoint(false) else plain
+            if (anyRecursive || cte.materialized) plain.localCheckpoint(false)
+            else plain
           }
         df.createOrReplaceTempView(cte.name)
         created += cte.name

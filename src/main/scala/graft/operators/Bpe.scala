@@ -426,8 +426,8 @@ object Bpe {
         |s_0 AS MATERIALIZED (SELECT word, freq, regexp_replace(word, '(.)', '<\1>', 'g') AS seq FROM vocab)""".stripMargin
     val stages = (1 to NumMerges).map { i =>
       val p = i - 1
-      s"""tk_$i AS (SELECT word, freq, generate_subscripts(string_split(seq[2:-2],'><'),1) AS pos,
-         |  unnest(string_split(seq[2:-2],'><')) AS tok FROM s_$p),
+      s"""tk_$i AS (SELECT word, freq, generate_subscripts(string_split(substr(seq, 2, length(seq) - 2),'><'),1) AS pos,
+         |  unnest(string_split(substr(seq, 2, length(seq) - 2),'><')) AS tok FROM s_$p),
          |pr_$i AS (SELECT freq, tok AS a, lead(tok) OVER (PARTITION BY word ORDER BY pos) AS b FROM tk_$i),
          |bm_$i AS MATERIALIZED (SELECT a, b, CAST(sum(freq) AS BIGINT) AS cnt FROM pr_$i
          |  WHERE b IS NOT NULL GROUP BY a, b ORDER BY cnt DESC, a, b LIMIT 1),
@@ -447,13 +447,13 @@ object Bpe {
          |SELECT rank, a AS pair_a, b AS pair_b, cnt FROM merges ORDER BY rank""".stripMargin,
     "q_bpe_tokenize" ->
       s"""WITH $trainCte,
-         |ntok AS (SELECT word, CAST(len(string_split(seq[2:-2],'><')) AS BIGINT) AS n FROM s_$NumMerges),
+         |ntok AS (SELECT word, CAST(len(string_split(substr(seq, 2, length(seq) - 2),'><')) AS BIGINT) AS n FROM s_$NumMerges),
          |elig AS (SELECT doc_id, word FROM docw WHERE regexp_matches(word,'^[a-z0-9]+$$'))
          |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, CAST(sum(n.n) AS BIGINT) AS n_bpe
          |FROM elig e JOIN ntok n USING (word) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_bpe_fertility" ->
       s"""WITH $trainCte,
-         |ntok AS (SELECT word, CAST(len(string_split(seq[2:-2],'><')) AS BIGINT) AS n FROM s_$NumMerges),
+         |ntok AS (SELECT word, CAST(len(string_split(substr(seq, 2, length(seq) - 2),'><')) AS BIGINT) AS n FROM s_$NumMerges),
          |dw AS (SELECT source, unnest(string_split_regex(lower(trim(text)),'\\s+')) AS word FROM documents),
          |g AS (
          |  SELECT source, CAST(count(*) AS BIGINT) AS n_words,
@@ -468,7 +468,7 @@ object Bpe {
     // subword/UNK accounting (docw already carries EVERY whitespace token)
     "q_token_pack_bpe" ->
       s"""WITH $trainCte,
-         |ntok AS (SELECT word, CAST(len(string_split(seq[2:-2],'><')) AS BIGINT) AS n FROM s_$NumMerges),
+         |ntok AS (SELECT word, CAST(len(string_split(substr(seq, 2, length(seq) - 2),'><')) AS BIGINT) AS n FROM s_$NumMerges),
          |t AS (
          |  SELECT doc_id, CAST(sum(coalesce(n.n, 1)) AS BIGINT) AS n_tokens
          |  FROM docw a LEFT JOIN ntok n USING (word) GROUP BY doc_id),

@@ -341,14 +341,27 @@ object Export {
       |               / CAST(length(text) AS DOUBLE)), 4) * 10000) AS BIGINT) AS q4
       |  FROM documents)""".stripMargin
 
+  /** The first 15 hex chars of md5(text) as a BIGINT, spelled as the
+    * positional digit sum Σ digit(k)·16^(15−k) — numerically identical to
+    * DuckDB's `('0x' || hex)::BIGINT` hex-string cast (which Spark's CAST
+    * rejects), but every term is plain instr/substr arithmetic both
+    * engines evaluate exactly (max value 16^15 ≈ 1.15e18 < 2^63; the
+    * 16^14 weight is a BIGINT literal on both). Machine-generated so the
+    * oracle stays the algorithm. */
+  private val hexFp15: String =
+    (1 to 15).map { k =>
+      val w = java.math.BigInteger.valueOf(16).pow(15 - k)
+      s"(instr('0123456789abcdef', substr(md5(text), $k, 1)) - 1) * CAST($w AS BIGINT)"
+    }.mkString("(", "\n      + ", ")")
+
   val oracles: Map[String, String] = Map(
     "q_shard_export" ->
-      """WITH s AS (
+      s"""WITH s AS (
         |  SELECT doc_id,
         |    ((((doc_id + 7919) % 4294967296) * 40503 % 4294967296) * 40503 % 4294967296) % 8 AS shard,
-        |    CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_toks,
+        |    CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_toks,
         |    CAST(length(text) AS BIGINT) AS n_chars,
-        |    ('0x' || substr(md5(text), 1, 15))::BIGINT AS fp
+        |    CAST($hexFp15 AS BIGINT) AS fp
         |  FROM documents)
         |SELECT CAST(shard AS BIGINT) AS shard, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens, CAST(sum(n_chars) AS BIGINT) AS n_chars,

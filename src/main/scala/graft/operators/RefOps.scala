@@ -381,11 +381,17 @@ object RefOps {
         |SELECT event_id, user_id,
         | round(CASE WHEN s = 0.0 THEN 0.0 ELSE (value - o) / s END, 4) AS norm_v
         |FROM x ORDER BY event_id""".stripMargin,
+    // the source cast pins the arithmetic type on BOTH engines: DuckDB and
+    // the DataFrame kernel promote (value-o)/s to DOUBLE anyway, but Spark
+    // SQL would evaluate the FLOAT intermediates in FLOAT and diverge by
+    // one ulp at bin edges — CAST(value AS DOUBLE) is exact, so the DuckDB
+    // result is unchanged and the verbatim spark.sql replay now agrees
+    // (the r13 float32-promotion dialect gap, closed)
     "ref_quantize_roundtrip" ->
       """WITH x AS (
-        |  SELECT event_id, user_id, value,
-        |    min(value) OVER (PARTITION BY user_id) AS o,
-        |    max(value) OVER (PARTITION BY user_id) - min(value) OVER (PARTITION BY user_id) AS s
+        |  SELECT event_id, user_id, CAST(value AS DOUBLE) AS value,
+        |    min(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id) AS o,
+        |    max(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id) - min(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id) AS s
         |  FROM events),
         |q AS (
         |  SELECT user_id, value, s,
@@ -515,9 +521,9 @@ object RefOps {
     // the ref_quantize_roundtrip arithmetic with the blob key's rounding
     "ref_blob_encode" ->
       """WITH x AS (
-        |  SELECT user_id, value,
-        |    min(value) OVER (PARTITION BY user_id) AS o,
-        |    max(value) OVER (PARTITION BY user_id) - min(value) OVER (PARTITION BY user_id) AS s
+        |  SELECT user_id, CAST(value AS DOUBLE) AS value,
+        |    min(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id) AS o,
+        |    max(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id) - min(CAST(value AS DOUBLE)) OVER (PARTITION BY user_id) AS s
         |  FROM events),
         |q AS (
         |  SELECT user_id, value, o, s,

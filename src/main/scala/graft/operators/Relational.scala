@@ -1101,9 +1101,15 @@ object Relational {
         | round(abs(o_totalprice - 100000.0), 4) AS abs_diff,
         | round(pow(o_totalprice, 0.5), 4) AS sqrt_price
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    // the generator is a TOP-LEVEL select item (u0) and the float→double
+    // cast a separate stage: DuckDB also allows `CAST(unnest(v) AS ..)`
+    // nested in an expression, but Spark generators must be top-level —
+    // this spelling is portable and identical on both engines
     "q_array_map_funcs" ->
-      """WITH u AS (
-        |  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings),
+      """WITH u0 AS (
+        |  SELECT vec_id, unnest(embedding) AS xf FROM embeddings),
+        |u AS (
+        |  SELECT vec_id, CAST(xf AS DOUBLE) AS x FROM u0),
         |agg AS (
         |  SELECT vec_id, round(sqrt(sum(x * x)), 4) AS norm,
         |    round(sum(x) / count(*), 4) + 0.0 AS mean_v

@@ -123,32 +123,30 @@ class SqlParitySpec extends AnyFunSuite {
     "q_hybrid_rrf_indexed_fixed", "q_hybrid_rrf_pq_fixed",
     "q_semantic_dedup_fixed", "q_embed_centroid", "q_topic_mix",
     "q_span_scrub", "q_span_scrub_l20",
-    "q_hybrid_rrf", "q_hybrid_rrf_indexed", "q_substring_dedup")
+    "q_hybrid_rrf", "q_hybrid_rrf_indexed", "q_substring_dedup",
+    // r14 continuation — the LAST nine keys; verbatim portability is now
+    // 168/168. The unlocks: (a) float32-promotion pair — the oracle casts
+    // `value` to DOUBLE at the source CTE (a no-op on DuckDB, which
+    // already promotes; Spark SQL would otherwise evaluate FLOAT
+    // intermediates in FLOAT and drift one ulp at quantize bin edges);
+    // (b) ordered aggregates `first/last(x ORDER BY k…)` → min_by/max_by
+    // over a struct key in the facade; (c) the shard fingerprint's
+    // hex-string cast spelled as an exact positional digit sum both
+    // engines evaluate identically; (d) the array oracle's generator
+    // hoisted to a top-level SELECT item (legal on both engines);
+    // (e) the unrolled BPE chain — from-the-end slices spelled as
+    // substr(), zipped generators folded by rewriteZips, and AS
+    // MATERIALIZED honored as a localCheckpoint barrier so Spark's CTE
+    // inlining cannot re-expand the 32-stage chain exponentially
+    "ref_quantize_roundtrip", "ref_blob_encode", "ref_gather_series",
+    "q_shard_export", "q_array_map_funcs",
+    "q_bpe_train", "q_bpe_tokenize", "q_bpe_fertility", "q_token_pack_bpe")
 
   /** Oracle keys that CANNOT run on spark.sql, each with the blocking
     * DuckDB construct. Kept exhaustive on purpose: the classification test
-    * below fails if a key is neither here nor in `portable`. */
-  private val dialectGaps: Map[String, String] = {
-    val bpe = "unrolled BPE training stages: negative from-the-end string " +
-      "slice seq[2:-2] + zipped generators + MATERIALIZED chains"
-    Map(
-      "q_bpe_train" -> bpe, "q_bpe_tokenize" -> bpe,
-      "q_bpe_fertility" -> bpe, "q_token_pack_bpe" -> bpe,
-      "q_array_map_funcs" -> ("generator nested in an expression — " +
-        "CAST(unnest(v) AS ...) is legal DuckDB; Spark generators must be " +
-        "top-level SELECT items"),
-      "q_shard_export" -> ("('0x' || hex)::BIGINT hex-string cast — Spark " +
-        "CAST rejects the 0x prefix (Spark form uses conv)"),
-      "ref_gather_series" ->
-        "first(x ORDER BY ...) ordered-aggregate syntax (Spark: window + struct min)",
-      "ref_quantize_roundtrip" -> ("float32 promotion: Spark SQL evaluates " +
-        "(value-o)/s in FLOAT before widening, DuckDB and the DataFrame " +
-        "kernel promote to DOUBLE — codes differ by one ulp at bin edges"),
-      "ref_blob_encode" -> ("same float32-promotion gap as " +
-        "ref_quantize_roundtrip (identical quantize arithmetic, blob-key " +
-        "rounding)"),
-    )
-  }
+    * below fails if a key is neither here nor in `portable`. EMPTY since
+    * r14 — every oracle key replays verbatim. */
+  private val dialectGaps: Map[String, String] = Map.empty
 
   test("every oracle key is classified: portable or a documented dialect gap") {
     val keys = SparkEntry.oracleSql.keySet
@@ -159,7 +157,9 @@ class SqlParitySpec extends AnyFunSuite {
       s"unclassified oracle keys: ${keys -- classified}")
     assert(classified.subsetOf(keys),
       s"stale classification for removed keys: ${classified -- keys}")
-    assert(portable.size >= 150, s"parity surface shrank to ${portable.size}")
+    assert(portable.size >= 165, s"parity surface shrank to ${portable.size}")
+    assert(dialectGaps.isEmpty,
+      s"dialect gaps reopened: ${dialectGaps.keySet}")
   }
 
   test("DuckSql token rewrites: fire on the dialect shapes, never inside literals or on lookalikes") {
@@ -235,6 +235,18 @@ class SqlParitySpec extends AnyFunSuite {
     // SELECT-list unnest -> the explode generator
     assert(rewriteTokens("SELECT doc_id, unnest(ws) AS term FROM w") ==
       "SELECT doc_id, explode(ws) AS term FROM w")
+    // ordered aggregates first/last(x ORDER BY k…) → min_by/max_by over a
+    // struct ordering key (lexicographic struct comparison ≡ the in-call
+    // ORDER BY); no in-call ORDER BY → untouched; a DESC key has no
+    // struct-order analogue → untouched, loud parse error
+    assert(rewriteTokens("round(first(value ORDER BY ts, event_id), 4)") ==
+      "round(min_by(value, struct(ts, event_id)), 4)")
+    assert(rewriteTokens("last(value ORDER BY ts, event_id)") ==
+      "max_by(value, struct(ts, event_id))")
+    assert(rewriteTokens("first(value)") == "first(value)")
+    assert(rewriteTokens("first(v ORDER BY k DESC)") ==
+      "first(v ORDER BY k DESC)")
+    assert(rewriteTokens("last_value(v) OVER w") == "last_value(v) OVER w")
     // the standing rewrites still hold alongside the new ones
     assert(rewriteTokens("SELECT a // 2, CAST(x AS VARCHAR), CAST(y AS DOUBLE[])") ==
       "SELECT a  DIV  2, CAST(x AS STRING), CAST(y AS ARRAY<DOUBLE>)")
