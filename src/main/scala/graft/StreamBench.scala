@@ -79,9 +79,10 @@ object StreamBench {
       run("tumbling_counts",
         memSink(Streams.tumblingCounts(shardStream(s"$scratch/events")),
           "tumbling_bench", "update")),
+      // session windows only support append (watermark-closed emission)
       run("session_counts",
         memSink(Streams.sessionCounts(shardStream(s"$scratch/events")),
-          "session_bench", "update")),
+          "session_bench", "append")),
       run("stateful_dedup",
         memSink(Streams.dedupStream(shardStream(s"$scratch/events")),
           "dedup_bench", "append")),
