@@ -312,7 +312,12 @@ object Vectors {
   val SrpRows = 12
   val SrpSeed = 0x5eed5eedL
   val SrpThreshold = 0.99
-  val SrpPlantOffset = 1000000L
+  /** Planted-twin id offset. 10^9 clears every test corpus id range with
+    * three decades to spare (the r14 full sf30 leg tripped the collision
+    * guard at the old 10^6: max base vec_id 1 496 999 ≥ offset — the guard
+    * failed LOUDLY as designed, and the oracle interpolates this constant
+    * so both sides move together). Ids stay far below 2^63. */
+  val SrpPlantOffset = 1000000000L
 
   /** Deterministic unit-norm perturbation of `v` at cos ≈ 0.996: add a
     * seeded uniform[-eps,eps] direction and renormalize. */
