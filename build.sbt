@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench JSON out of the run's stdout tail. With the
+// default LoggedOutput strategy sbt prefixes every forked-process line with
+// "[info] ", which breaks a per-line json.loads — every BENCH_r*.json through
+// r14 recorded parsed:null despite the compact line being present in the
+// tail. StdoutOutput passes the forked process's stdout through verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

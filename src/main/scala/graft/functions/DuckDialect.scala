@@ -137,9 +137,17 @@ object DuckDialect {
     // are `\1`…`\9` and `$` is literal, Java's are `$1`…`$9` with `\$` the
     // literal dollar — without the translation `'<\1>'` silently replaces
     // every match with the literal text `<1>` (the r14 BPE-oracle lesson).
-    // A literal backslash spells `\\` in both. Non-literal replacements
-    // pass through untouched (no backreference syntax to translate without
-    // knowing the value; none of the oracle corpus uses one).
+    // A literal backslash spells `\\` in both. `\` before any OTHER char
+    // (e.g. `\n`) is that literal char in RE2's rewrite grammar, while
+    // Java's replacement drops the backslash or throws — translate it to
+    // the escaped pair `\\<c>`; a TRAILING lone backslash (invalid in
+    // both grammars, but Java throws a confusing IllegalArgumentException
+    // deep in Matcher) is rejected here with a named error (ADVICE r14).
+    // A NON-literal replacement (column/concat) cannot be translated
+    // without knowing its value, and passing it through silently changes
+    // semantics the moment the value contains `\1` or `$` — throw at plan
+    // time instead, matching the facade's loud-over-silent policy
+    // (ADVICE r14; none of the oracle corpus uses one).
     def re2Replacement(e: Expression): Expression = e match {
       case Literal(s: UTF8String, StringType) =>
         val in = s.toString
@@ -147,16 +155,26 @@ object DuckDialect {
         var i = 0
         while (i < in.length) {
           val c = in(i)
-          if (c == '\\' && i + 1 < in.length && in(i + 1).isDigit) {
+          if (c == '\\' && i + 1 >= in.length) {
+            throw new IllegalArgumentException(
+              "regexp_replace: replacement ends in a lone backslash — " +
+                "invalid in both RE2 and Java rewrite grammars")
+          } else if (c == '\\' && in(i + 1).isDigit) {
             out.append('$').append(in(i + 1)); i += 2
-          } else if (c == '\\' && i + 1 < in.length && in(i + 1) == '\\') {
+          } else if (c == '\\' && in(i + 1) == '\\') {
             out.append("\\\\"); i += 2
+          } else if (c == '\\') {
+            // RE2 rewrite treats `\<other>` as the literal char
+            out.append('\\').append('\\').append(in(i + 1)); i += 2
           } else if (c == '$') {
             out.append("\\$"); i += 1
           } else { out.append(c); i += 1 }
         }
         Literal(UTF8String.fromString(out.toString), StringType)
-      case other => other
+      case other => throw new IllegalArgumentException(
+        "regexp_replace: non-literal replacement expressions are not " +
+          "translatable from RE2 to Java rewrite syntax (backreference/" +
+          s"dollar semantics differ) — got ${other.sql}")
     }
     ext.injectFunction(fn("regexp_replace", { exprs =>
       exprs.length match {

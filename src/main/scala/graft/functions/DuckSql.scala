@@ -198,20 +198,35 @@ object DuckSql {
       } else if ((matchesWord(s, i, "FIRST") || matchesWord(s, i, "LAST")) && {
         val w = if (matchesWord(s, i, "FIRST")) 5 else 4
         nextNonWs(s, i + w) == Some('(') &&
-          aggOrderSplit(s, skipWs(s, i + w)).exists(!_._2.toUpperCase.contains("DESC"))
+          aggOrderSplit(s, skipWs(s, i + w)).exists { case (_, o, _) =>
+            val u = o.toUpperCase
+            !u.contains("DESC") && !u.contains("NULLS")
+          }
       }) {
         // DuckDB's ordered aggregate `first(x ORDER BY k...)` picks x at
         // the minimal ordering key (ties broken by arrival — the oracles
         // order on a unique key); Spark has no in-call ORDER BY, but
-        // `min_by(x, struct(k...))` computes exactly the minimal-key row
-        // (struct comparison is lexicographic). `last` → max_by. A DESC
-        // key has no struct-order analogue — untouched, loud parse error.
+        // `min_by(x, struct(...))` computes exactly the minimal-key row
+        // (struct comparison is lexicographic). `last` → max_by. NULL
+        // order keys diverge between the raw spellings (ADVICE r14):
+        // DuckDB's in-call ORDER BY defaults ASC NULLS LAST while Spark's
+        // struct comparison sorts nulls FIRST — so each key k becomes the
+        // pair `(k) IS NULL, k`: the boolean flag reproduces NULLS LAST
+        // exactly (false < true), and the bare k is then only compared
+        // between two non-null values (or two nulls — equal, tie by
+        // arrival, same as DuckDB's equal-key arrival order). A DESC or
+        // explicit NULLS key has no struct-order analogue — untouched,
+        // loud parse error.
         val isFirst = matchesWord(s, i, "FIRST")
         val w = if (isFirst) 5 else 4
         val open = skipWs(s, i + w)
         val (args, order, after) = aggOrderSplit(s, open).get
         val fn = if (isFirst) "min_by" else "max_by"
-        out.append(s"$fn(${rewriteTokens(args)}, struct(${rewriteTokens(order)}))")
+        val keyed = splitTopCommas(order)
+          .map(rewriteTokens)
+          .flatMap(k => Seq(s"($k) IS NULL", k))
+          .mkString(", ")
+        out.append(s"$fn(${rewriteTokens(args)}, struct($keyed))")
         i = after
       } else if (matchesWord(s, i, "STRING_AGG") && nextNonWs(s, i + 10) == Some('(') &&
           aggOrderSplit(s, skipWs(s, i + 10)).isDefined) {
@@ -462,6 +477,29 @@ object DuckSql {
       i += 1
     }
     None
+  }
+
+  /** Split on commas at paren/bracket depth 0 (string literals skipped) —
+    * the ORDER BY key list of an in-call ordered aggregate. */
+  private def splitTopCommas(s: String): Seq[String] = {
+    val items = scala.collection.mutable.ArrayBuffer.empty[String]
+    var start = 0
+    var depth = 0
+    var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case '\'' => i = skipString(s, i) - 1
+        case '(' | '[' => depth += 1
+        case ')' | ']' => depth -= 1
+        case ',' if depth == 0 =>
+          items += s.substring(start, i).trim
+          start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    items += s.substring(start).trim
+    items.toSeq
   }
 
   /** Index AFTER the ']' matching the '[' at `i0`, tracking nesting and

@@ -362,8 +362,36 @@ object Search {
     * fixture's near-uniform random embeddings scatter true neighbors
     * across cells, so recall < 1 there is a fixture artifact — real
     * embedding corpora cluster, which is the premise of IVF itself). */
+  /** Corpus ceiling above which the suite serving key's semantic leg flips
+    * from the IVF pruned full-vector scan to the PQ-ADC 8-byte-code scan
+    * (VERDICT r14 #3): the IVF leg reads nProbe/k of the corpus at 512
+    * bytes per vector — linear in corpus BY CONTRACT, measured 66.6 s warm
+    * at sf100 (2M vectors). The ADC scan reads [[Vectors.PqM]] = 8 bytes
+    * per vector (64× less I/O than the raw doubles, ~16× less than the
+    * pruned IVF read) plus a bounded exact refine of [[ServingPqCand]]
+    * pushed-down point reads — the decade-flat serving mode. Below the
+    * ceiling (every oracle fixture, sf0.001–1) the key keeps the IVF leg,
+    * so the hash-gated contract is untouched; above it the
+    * [[hybridRrfIndexedContract]] agreement certificate (fused-top-10
+    * overlap ≥ [[HybridAgreeBar]] vs the brute referee) still gates every
+    * serve, now against the persisted [[bruteFused]] referee. SearchSpec
+    * pins the PQ leg's fused output bit-equal to brute at exhaustive
+    * pqCand and ≥ the agreement bar at serving pqCand. */
+  val SemPqCorpusCeiling = 1000000L
+
+  /** Exact-refine candidate count for the flipped PQ serving leg — 10×
+    * the [[SemTopN]] cut (vs 50 for the top-10 ANN keys): ADC ranks on
+    * 8-byte codes, the refine re-ranks the true cosine, and the fused
+    * agreement bar needs the semantic top-20 mostly right. Refine cost is
+    * [[ServingPqCand]] pushed-down point reads per probe — corpus-free. */
+  val ServingPqCand = 200
+
   val hybridRrfIndexed: Q =
-    Vectors.served((s, d) => hybridRrfIndexedWith(s, d, nProbe = 4))
+    Vectors.served((s, d) =>
+      if (Tables.embeddings(s, d).count() > SemPqCorpusCeiling)
+        hybridRrfIndexedWith(s, d, nProbe = 4, semLeg = "pq",
+          pqCand = ServingPqCand)
+      else hybridRrfIndexedWith(s, d, nProbe = 4))
 
   /** Memoized brute fused referee per (session, dataset): ≤ probes ×
     * [[HybridK]] rows of bounded metadata (the ensureIndex discipline), so
@@ -372,6 +400,20 @@ object Search {
   private val bruteFusedMemo = new java.util.concurrent.ConcurrentHashMap[
     (Int, String, Long), Seq[(Long, Long, Long, Double, Option[Long], Option[Long])]]()
 
+  /** The brute fused referee, memoized per (session, dataset, fingerprint)
+    * AND persisted at rest (VERDICT r14 #1 — the [[Vectors.exactTop10]]
+    * `annref_*` discipline applied to the fused contract): the referee is
+    * Θ(probes·[[HybridK]]) rows of corpus METADATA, yet deriving it is a
+    * Θ(probes·corpus) brute pass — 94 s isolated at sf30, dominant in the
+    * 372 s sf100 cold hybrid. The first session to certify a corpus
+    * vintage writes the rows to `graft_index/hybref_<d>/fp_<vintage>`;
+    * every later session — not just this one — reads ≤ 30 rows instead of
+    * re-scanning. The fingerprint key means an in-place rewrite recomputes
+    * instead of certifying against a stale referee; superseded vintages
+    * die with the write (same GC as annref). The persisted rows embed the
+    * probe set the vintage was derived with ([[bruteProbes]] degrades
+    * above [[BruteProbeCeiling]]) — deterministic per vintage, since the
+    * degradation depends only on the corpus row count. */
   private def bruteFused(s: SparkSession, d: String)
       : Seq[(Long, Long, Long, Double, Option[Long], Option[Long])] = {
     val spark = s
@@ -379,14 +421,45 @@ object Search {
     // fingerprint-keyed (ADVICE r12): an in-place dataset rewrite is a
     // referee MISS, not a stale certificate; a miss evicts the superseded
     // vintage so the map stays bounded by live vintages
-    val key = (System.identityHashCode(s), d, DataFp.of(s, d))
+    val fp = DataFp.of(s, d)
+    val key = (System.identityHashCode(s), d, fp)
     val hit = bruteFusedMemo.get(key)
     if (hit != null) return hit
     bruteFusedMemo.keySet.removeIf(k => k._1 == key._1 && k._2 == key._2)
-    bruteFusedMemo.computeIfAbsent(key, _ =>
-      hybridRrf(s, d)
-        .as[(Long, Long, Long, Double, Option[Long], Option[Long])]
-        .collect().toSeq)
+    bruteFusedMemo.computeIfAbsent(key, _ => {
+      val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+      val dir = s"$wh/graft_index/hybref_" + d.replaceAll("[^A-Za-z0-9._-]", "_")
+      val vintage = new org.apache.hadoop.fs.Path(
+        s"$dir/fp_${java.lang.Long.toHexString(fp)}")
+      val fs = vintage.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(vintage))
+        spark.read.parquet(vintage.toString)
+          .orderBy(col("query_id"), col("rnk"))
+          .as[(Long, Long, Long, Double, Option[Long], Option[Long])]
+          .collect().toSeq
+      else {
+        val rows = hybridRrf(s, d)
+          .as[(Long, Long, Long, Double, Option[Long], Option[Long])]
+          .collect().toSeq
+        IndexLease.withLease(s, s"${dir}__lock") {
+          if (!fs.exists(vintage)) {
+            val tmp = new org.apache.hadoop.fs.Path(
+              s"$dir/__ref_${java.util.UUID.randomUUID().toString.take(8)}")
+            rows.toDF("query_id", "rnk", "doc_id", "rrf_r", "r_lex", "r_sem")
+              .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+            fs.rename(tmp, vintage)
+            // superseded vintages of this corpus die with the write —
+            // matched by NAME (listStatus paths are scheme-qualified;
+            // a Path != would match the vintage just written)
+            org.apache.hadoop.fs.FileUtil.stat2Paths(
+                fs.listStatus(new org.apache.hadoop.fs.Path(dir)))
+              .filter(p => p.getName.startsWith("fp_") && p.getName != vintage.getName)
+              .foreach(p => fs.delete(p, true))
+          }
+        }
+        rows
+      }
+    })
   }
 
   /** Minimum per-query |indexed-top10 ∩ brute-top10| the graduated

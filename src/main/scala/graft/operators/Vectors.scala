@@ -1837,9 +1837,14 @@ object Vectors {
             rows.toSeq.toDF("vec_id", "cos_r").coalesce(1)
               .write.mode("overwrite").parquet(tmp.toString)
             fs.rename(tmp, vintage)
-            // superseded vintages of this corpus die with the write
+            // superseded vintages of this corpus die with the write.
+            // Compare NAMES, not Paths: listStatus returns scheme-
+            // qualified paths (file:/...) while `vintage` is bare, so a
+            // Path != would also match the vintage just written and
+            // delete it — the r15 hybref lesson (the GC silently undid
+            // every annref persist; the in-session memo masked it)
             org.apache.hadoop.fs.FileUtil.stat2Paths(fs.listStatus(new org.apache.hadoop.fs.Path(dir)))
-              .filter(p => p.getName.startsWith("fp_") && p != vintage)
+              .filter(p => p.getName.startsWith("fp_") && p.getName != vintage.getName)
               .foreach(p => fs.delete(p, true))
           }
         }

@@ -348,11 +348,18 @@ object Streams {
   }
 
   /** File-replay stream of the documents table (same shape as
-    * [[eventsStream]] — in production a crawl-drop/Kafka source). */
-  def docsStream(spark: SparkSession, sfDir: String): DataFrame =
-    spark.readStream.schema(docsRawSchema)
+    * [[eventsStream]] — in production a crawl-drop/Kafka source). The
+    * session conf `graft.stream.maxFilesPerTrigger` (unset by default —
+    * specs and replay-equality contracts see one batch) lets StreamBench
+    * replay a sharded corpus one file per trigger to measure PER-BATCH
+    * cost without threading an option through every twin's signature. */
+  def docsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    val r = spark.readStream.schema(docsRawSchema)
       .option("pathGlobFilter", "documents.parquet")
+    spark.conf.getOption("graft.stream.maxFilesPerTrigger")
+      .fold(r)(n => r.option("maxFilesPerTrigger", n))
       .parquet(sfDir)
+  }
 
   case class GopherSnap(docId: Long, nTokens: Long, mwlR: Double,
       fLen: Long, fMwl: Long, fRep: Long, fDr: Long, keep: Long)

@@ -258,6 +258,55 @@ class SearchSpec extends AnyFunSuite {
     assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
   }
 
+  test("brute fused referee persists at rest per corpus vintage; persisted ≡ recomputed (VERDICT r14 #1)") {
+    // the contract key derives the referee (and writes the hybref vintage
+    // on first certification of this corpus fingerprint)
+    val first = Search.hybridRrfIndexedContract(spark, sf).collect()
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val dir = new java.io.File(
+      s"$wh/graft_index/hybref_" + sf.replaceAll("[^A-Za-z0-9._-]", "_"))
+    val fp = operators.DataFp.of(spark, sf)
+    val vintages = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName == s"fp_${java.lang.Long.toHexString(fp)}")
+    assert(vintages.length == 1,
+      s"expected the current corpus vintage persisted, got ${vintages.toSeq}")
+    // persisted ≡ recomputed: the sidecar rows ARE the brute contract rows
+    val persisted = spark.read.parquet(vintages.head.getAbsolutePath)
+      .orderBy(col("query_id"), col("rnk"))
+      .collect().map(_.toSeq).toSeq
+    val recomputed = Search.hybridRrf(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(persisted == recomputed, "persisted referee diverges from a brute recompute")
+    // cross-session adoption: a NEW session (fresh memo identity) must
+    // serve the contract from the sidecar — same rows, no brute pass
+    val s2 = spark.newSession()
+    GraftSession.install(s2)
+    val adopted = Search.hybridRrfIndexedContract(s2, sf).collect()
+    assert(first.map(_.toSeq).toSeq == adopted.map(_.toSeq).toSeq,
+      "a fresh session's contract diverges from the certifying session's")
+  }
+
+  test("PQ serving leg holds the fused agreement bar vs brute (the >SemPqCorpusCeiling mode)") {
+    // the suite key flips its semantic leg to the PQ-ADC scan above
+    // SemPqCorpusCeiling (2M vectors at sf100); fixtures sit below, so pin
+    // the flipped configuration explicitly: per-probe fused-top-HybridK
+    // overlap with brute >= HybridAgreeBar — the same certificate the
+    // contract key checks at scale
+    import spark.implicits._
+    val brute = Search.hybridRrf(spark, sf)
+      .select(col("query_id"), col("doc_id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val served = Search.hybridRrfIndexedWith(spark, sf, nProbe = 4,
+        semLeg = "pq", pqCand = Search.ServingPqCand)
+      .select(col("query_id"), col("doc_id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    brute.foreach { case (q, ids) =>
+      val overlap = served.getOrElse(q, Set.empty[Long]).intersect(ids).size
+      assert(overlap >= Search.HybridAgreeBar,
+        s"probe $q fused agreement $overlap < ${Search.HybridAgreeBar}")
+    }
+  }
+
   test("probe is rerun-deterministic and ranks are dense 1..k per query") {
     val got = Search.keywordTopkAtRest(spark, sf).collect()
     val again = Search.keywordTopkAtRest(spark, sf).collect()

@@ -158,8 +158,9 @@ class SqlParitySpec extends AnyFunSuite {
     assert(classified.subsetOf(keys),
       s"stale classification for removed keys: ${classified -- keys}")
     assert(portable.size >= 165, s"parity surface shrank to ${portable.size}")
-    assert(dialectGaps.isEmpty,
-      s"dialect gaps reopened: ${dialectGaps.keySet}")
+    // no dialectGaps.isEmpty assert: it tested the Map.empty literal above
+    // (a tautology — ADVICE r14); regression protection is the portable
+    // floor + the exhaustive-classification checks
   }
 
   test("DuckSql token rewrites: fire on the dialect shapes, never inside literals or on lookalikes") {
@@ -236,20 +237,49 @@ class SqlParitySpec extends AnyFunSuite {
     assert(rewriteTokens("SELECT doc_id, unnest(ws) AS term FROM w") ==
       "SELECT doc_id, explode(ws) AS term FROM w")
     // ordered aggregates first/last(x ORDER BY k…) → min_by/max_by over a
-    // struct ordering key (lexicographic struct comparison ≡ the in-call
-    // ORDER BY); no in-call ORDER BY → untouched; a DESC key has no
-    // struct-order analogue → untouched, loud parse error
+    // struct ordering key carrying a per-key IS NULL flag (lexicographic
+    // struct comparison ≡ the in-call ORDER BY, and the flag reproduces
+    // DuckDB's ASC NULLS LAST default where bare struct order sorts nulls
+    // first — ADVICE r14); no in-call ORDER BY → untouched; a DESC or
+    // explicit NULLS key has no struct-order analogue → untouched, loud
+    // parse error
     assert(rewriteTokens("round(first(value ORDER BY ts, event_id), 4)") ==
-      "round(min_by(value, struct(ts, event_id)), 4)")
+      "round(min_by(value, struct((ts) IS NULL, ts, (event_id) IS NULL, event_id)), 4)")
     assert(rewriteTokens("last(value ORDER BY ts, event_id)") ==
-      "max_by(value, struct(ts, event_id))")
+      "max_by(value, struct((ts) IS NULL, ts, (event_id) IS NULL, event_id))")
     assert(rewriteTokens("first(value)") == "first(value)")
     assert(rewriteTokens("first(v ORDER BY k DESC)") ==
       "first(v ORDER BY k DESC)")
+    assert(rewriteTokens("first(v ORDER BY k NULLS FIRST)") ==
+      "first(v ORDER BY k NULLS FIRST)")
+    // a comma inside a key's call args is not a key separator
+    assert(rewriteTokens("first(v ORDER BY coalesce(a, b))") ==
+      "min_by(v, struct((coalesce(a, b)) IS NULL, coalesce(a, b)))")
     assert(rewriteTokens("last_value(v) OVER w") == "last_value(v) OVER w")
     // the standing rewrites still hold alongside the new ones
     assert(rewriteTokens("SELECT a // 2, CAST(x AS VARCHAR), CAST(y AS DOUBLE[])") ==
       "SELECT a  DIV  2, CAST(x AS STRING), CAST(y AS ARRAY<DOUBLE>)")
+  }
+
+  test("regexp_replace replacement: RE2→Java translation incl. \\<other>, lone backslash and non-literal rejection (ADVICE r14)") {
+    val spark = TestSpark.spark
+    GraftSession.install(spark)
+    def one(q: String): String = spark.sql(q).head.getString(0)
+    // RE2 backref \1 → Java $1; literal '$' preserved
+    assert(one("""SELECT regexp_replace('xay', '(a)', '<\\1>$')""") == "x<a>$y")
+    // \<other> is the literal pair in RE2's rewrite grammar — Java's raw
+    // semantics would silently drop the backslash
+    assert(one("""SELECT regexp_replace('xay', 'a', '\\q')""") == "x\\qy")
+    // literal backslash \\ stays one backslash
+    assert(one("""SELECT regexp_replace('xay', 'a', '\\\\')""") == "x\\y")
+    // trailing lone backslash: loud plan-time error, not a Matcher throw
+    val lone = intercept[Exception](
+      one("""SELECT regexp_replace('xay', 'a', 'b\\')"""))
+    assert(lone.getMessage.contains("lone backslash"), lone.getMessage)
+    // non-literal replacement: untranslatable — loud, never silent
+    val nonLit = intercept[Exception](
+      one("SELECT regexp_replace('xay', 'a', upper('b'))"))
+    assert(nonLit.getMessage.contains("non-literal replacement"), nonLit.getMessage)
   }
 
   test("ANSI oracle SQL runs verbatim on spark.sql with identical results") {

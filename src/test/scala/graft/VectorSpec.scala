@@ -211,6 +211,28 @@ class VectorSpec extends AnyFunSuite {
     }
   }
 
+  test("exact ANN referee persists at rest per corpus vintage and is adopted by a fresh session") {
+    // r15: the annref vintage GC compared unqualified against qualified
+    // Paths and deleted every vintage the moment it was written — the
+    // in-session memo masked it, so cross-session persistence silently
+    // never happened. This pins the artifact itself.
+    val spark = TestSpark.spark
+    val sf = TestSpark.sf0001
+    SparkEntry.queries("q_ann_ivf")(spark, sf).collect() // certifies + persists
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val fp = operators.DataFp.of(spark, sf)
+    val vintage = new java.io.File(
+      s"$wh/graft_index/annref_" + sf.replaceAll("[^A-Za-z0-9._-]", "_"),
+      s"fp_${java.lang.Long.toHexString(fp)}")
+    assert(vintage.isDirectory, s"annref vintage not persisted at $vintage")
+    // a fresh session (new memo identity) adopts the sidecar: same rows
+    val s2 = spark.newSession()
+    GraftSession.install(s2)
+    val a = SparkEntry.queries("q_ann_ivf")(spark, sf).collect().map(_.toSeq).toSeq
+    val b = SparkEntry.queries("q_ann_ivf")(s2, sf).collect().map(_.toSeq).toSeq
+    assert(a == b, "fresh-session referee diverges from the certifying session's")
+  }
+
   test("IVFADC: residual-PQ recall, true-cosine refine, deterministic, at-rest equals in-query") {
     val spark = TestSpark.spark
     val exact = Vectors.cosineTopk(spark, TestSpark.sf0001)
