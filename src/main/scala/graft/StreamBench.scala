@@ -39,14 +39,13 @@ object StreamBench {
     Tables.documents(spark, sfDir)
       .repartitionByRange(Shards, col("doc_id")).sortWithinPartitions(col("doc_id"))
       .write.mode("overwrite").parquet(s"$scratch/docs")
-    // a sharded CORPUS dir (sf layout) for the twins that take an sfDir —
-    // the at-rest media screens and the scrub/chunk maps replay it one
-    // file per trigger via the graft.stream.maxFilesPerTrigger conf
-    Tables.documents(spark, sfDir)
-      .repartitionByRange(Shards, col("doc_id")).sortWithinPartitions(col("doc_id"))
-      .write.mode("overwrite").parquet(s"$scratch/corpus/documents.parquet")
-    val corpus = s"$scratch/corpus"
+    // the twins that take an sfDir (media screens, scrub/chunk) build
+    // their indexes/models from the REAL sf layout and replay the sharded
+    // docs dir one file per trigger via the graft.stream.* conf overrides
+    // (the sf layout's documents.parquet is one flat file = one batch)
+    spark.conf.set("graft.stream.docsDir", s"$scratch/docs")
     spark.conf.set("graft.stream.maxFilesPerTrigger", "1")
+    val corpus = sfDir
 
     def shardStream(dir: String): DataFrame =
       spark.readStream.schema(spark.read.parquet(dir).schema)
