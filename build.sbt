@@ -17,6 +17,10 @@ run / fork := true
 // r14 recorded parsed:null despite the compact line being present in the
 // tail. StdoutOutput passes the forked process's stdout through verbatim.
 run / outputStrategy := Some(StdoutOutput)
+// ... and drop sbt's trailing "[success] Total time ..." banner so the
+// bench's compact JSON is the LAST stdout line — a driver that parses
+// only the final line gets JSON, not the banner.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
