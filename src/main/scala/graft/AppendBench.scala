@@ -57,7 +57,7 @@ object AppendBench {
       ("simhash", p => Vectors.writeSimhashIndex(spark, d, p)),
       ("dhash", p => Multimodal.writeDhashIndex(spark, d, p)),
       ("afp", p => Audio.writeAfpIndex(spark, d, p)),
-      ("keyword", p => Search.writeKeywordIndex(spark, d, p)),
+      (Search.KeywordKind, p => Search.writeKeywordIndex(spark, d, p)),
       ("pq", p => Vectors.writePqIndex(spark, d, p)),
       ("ivfpq", p => Vectors.writeIvfPqIndex(spark, d, p)),
       ("ivf_fixed", p => Vectors.writeIvfFixedIndex(spark, d, p)),
@@ -102,7 +102,7 @@ object AppendBench {
       .persist()
     victims.count()
     val delKinds = Seq[(String, String => Unit)](
-      ("keyword", dir => Search.compactKeywordIndex(spark, dir)),
+      (Search.KeywordKind, dir => Search.compactKeywordIndex(spark, dir)),
       ("minhash", dir => Vectors.compactMinhashIndex(spark, dir)),
       ("ivf", dir => Vectors.compactIvfIndex(spark, dir)))
     val deletes = delKinds.map { case (kind, compact) =>

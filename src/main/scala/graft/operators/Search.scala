@@ -17,22 +17,43 @@ import graft.Tables
   * Layout under the index root (same lifecycle discipline as the
   * minhash/ANN at-rest indexes — build once, partition-append forever):
   *
-  *   - `postings/` (term, doc_id, tf, dl) partitioned by `tb =`
+  *   - `postings/` (term, doc_id, tf, dl, blk) partitioned by `tb =`
   *     crc32(term) mod [[TokenBuckets]] — a probe prunes to its terms'
-  *     buckets at directory level, then filters term inside them;
+  *     buckets at directory level, then filters term inside them — and by
+  *     `bb =` min(blk, [[ImpactTailBand]]), the IMPACT-ORDERED champion
+  *     band: `blk` is the per-term champion-list block (postings ranked
+  *     (tf desc, dl asc, doc_id asc) within each term of the append unit,
+  *     [[ImpactBlockRows]] rows per block — the classic impact-sorted /
+  *     champion-list layout, e.g. Manning et al., IIR §7.1.3), so a
+  *     budgeted probe reads only the first `bb` directories and its cost
+  *     is Θ(terms · blocks · [[ImpactBlockRows]]) — CORPUS-FREE. Files
+  *     are sorted (term, blk, doc_id) for row-group/page skipping.
+  *     The exact probe reads every band — identical semantics as before;
   *   - `_statslog/` append-only (n_docs, sum_dl) DELTA rows — each append
   *     adds one row, a reader aggregates the log (O(appends), no
   *     read-modify-write, exactly the manifest discipline that keeps
   *     appends rebuild-free). `sum_dl` is an int64 token count, so the
   *     derived avgdl = sum_dl / n_docs is EXACT-summation arithmetic —
-  *     bit-identical to a fresh avg() on any engine at any append order.
+  *     bit-identical to a fresh avg() on any engine at any append order;
+  *   - `_blockdir/` append-only (term, blk, n, max_tf, min_dl) block
+  *     directory rows — Θ(vocab · blocks), rebuilt at compaction. The
+  *     budgeted probe derives each term's FULL df = Σ n from it (exact
+  *     idf without touching the excluded bands); max_tf/min_dl bound any
+  *     excluded posting's BM25 contribution (f is monotone in tf,
+  *     anti-monotone in dl), the standard block-max metadata.
   *
   * Scale: the build is one Θ(corpus tokens) tokenize + per-doc combine
   * (map-side), shuffled once on term to co-locate postings; a probe reads
   * Θ(df of the query terms) posting rows from ≤ |query| directories —
   * independent of corpus size on the text side; df/idf derive from the
   * pruned postings themselves so appended docs are searchable immediately
-  * with exact statistics. Document text never enters the index.
+  * with exact statistics. Document text never enters the index. The
+  * impact probe caps that further: df of a hot term grows with the corpus
+  * (every replica of a document carries its postings), so Θ(df) is
+  * corpus-linear in the worst case — the champion prefix is the
+  * decade-flat serving mode, with quality pinned by SearchSpec's overlap
+  * floor against the exact probe and, in the hybrid serving key, by the
+  * per-serve fused-agreement certificate.
   */
 object Search {
   type Q = (SparkSession, String) => DataFrame
@@ -41,8 +62,34 @@ object Search {
     * the probe cost model (terms' buckets only) is unchanged by the count. */
   val TokenBuckets = 64
 
+  /** [[Vectors.ensureIndex]] kind id of the keyword layout, VERSIONED:
+    * the r15 layout adds the champion bands + factored relations, and the
+    * vintage fingerprint covers the CORPUS, not the index format — an
+    * unversioned kind would adopt a committed v1 index (no `fpostings/`)
+    * and the factored probe would fail at read. Bumping the kind gives
+    * the new layout its own path; stale v1 dirs are orphaned, never
+    * misread. */
+  val KeywordKind = "keyword2"
+
   /** Results per query. */
   val TopK = 5
+
+  /** Rows per champion-list block — the impact probe's read granularity.
+    * 4096 rows ≈ one parquet page span per (term, blk) run, so the
+    * (term, blk) predicate skips at page level inside the pruned `bb=`
+    * dirs. */
+  val ImpactBlockRows = 4096
+
+  /** Highest DEDICATED champion band: `bb = min(blk, ImpactTailBand)` —
+    * blocks past the band collapse into the tail directory, bounding the
+    * partition fan-out at [[TokenBuckets]] · (ImpactTailBand + 1) while
+    * keeping every budgeted prefix `blocks <= ImpactTailBand` a pure
+    * directory-level prune. */
+  val ImpactTailBand = 8L
+
+  /** Default serving prefix of [[probeKeywordIndexImpact]] — 2 blocks =
+    * [[ImpactBlockRows]]·2 postings per term, regardless of corpus size. */
+  val ImpactServeBlocks = 2
 
   /** The suite key's fixed query workload (query_id, free-text query) —
     * multi-term queries over the fixture vocabulary. */
@@ -84,20 +131,77 @@ object Search {
     * land as new files under their existing `tb=` dirs, the stats log
     * gains one delta row; no read of the existing index, no rebuild.
     * `batch` needs (doc_id, text). */
-  def appendKeywordIndex(s: SparkSession, path: String, batch: DataFrame): Unit =
+  def appendKeywordIndex(s: SparkSession, path: String, batch: DataFrame,
+      blockRows: Int = ImpactBlockRows): Unit =
     IndexLease.withLease(s, s"$path/_lease") {
-    val w = batch.select(col("doc_id"), toks(col("text")).as("ws"))
-      .select(col("doc_id"), col("ws"), size(col("ws")).cast("long").as("dl"))
+    val w = batch.select(col("doc_id"),
+        md5(coalesce(col("text"), lit(""))).as("fam"),
+        toks(col("text")).as("ws"))
+      .select(col("doc_id"), col("fam"), col("ws"),
+        size(col("ws")).cast("long").as("dl"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    w.select(col("doc_id"), col("dl"), explode(col("ws")).as("term"))
-      .groupBy(col("term"), col("doc_id"), col("dl"))
+    // champion ranking: per-term (tf desc, dl asc, doc_id asc) — a total
+    // order (one posting per (term, doc)), so blk is deterministic under
+    // any partitioning. The per-term window is the per-term posting-list
+    // sort every IR build pays; a term's postings within one append unit
+    // sort in one task (the unit is the corpus only at the initial build).
+    val ranked = w
+      .select(col("doc_id"), col("fam"), col("dl"), explode(col("ws")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("fam"), col("dl"))
       .agg(count(lit(1)).as("tf"))
+      .withColumn("blk",
+        ((row_number().over(Window.partitionBy(col("term"))
+            .orderBy(col("tf").desc, col("dl").asc, col("doc_id").asc))
+          - 1) / blockRows).cast("long"))
       .withColumn("tb", tbOf(col("term")))
-      .write.mode("append").partitionBy("tb").parquet(s"$path/postings")
+      .withColumn("bb", least(col("blk"), lit(ImpactTailBand)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ranked
+      .repartition(col("tb"), col("bb"))
+      .sortWithinPartitions(col("term"), col("blk"), col("doc_id"))
+      .write.mode("append").partitionBy("tb", "bb").parquet(s"$path/postings")
+    ranked.groupBy(col("term"), col("blk"))
+      .agg(count(lit(1)).as("n"), max(col("tf")).as("max_tf"),
+        min(col("dl")).as("min_dl"))
+      .write.mode("append").parquet(s"$path/_blockdir")
+    // the DEDUP-FACTORED projection: one posting row per (term, family)
+    // where a family is an exact-text equivalence class (md5 — the
+    // q_exact_dedup discipline). Members share ws verbatim, hence tf and
+    // dl: max() below is a constant over the group, fam_n the family's
+    // df contribution. Θ(vocab · families) rows — FLAT in the replica
+    // count, which is what makes the factored probe decade-flat.
+    writeFactored(ranked
+      .groupBy(col("term"), col("fam"))
+      .agg(max(col("tf")).as("tf"), max(col("dl")).as("dl"),
+        count(lit(1)).as("fam_n"))
+      .withColumn("tb", tbOf(col("term"))),
+      ranked.select(col("fam"), col("doc_id")).distinct(), path)
     w.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.mode("append").parquet(s"$path/_statslog")
+    ranked.unpersist(blocking = false)
     w.unpersist(blocking = false)
     ()
+  }
+
+  /** Family bucket of a fam hash — the `fams/` membership layout's
+    * `fb =` partition key, computed driver-side for point-read pruning
+    * exactly like [[tbOfStr]]. */
+  private[graft] def fbOfStr(fam: String): Long = {
+    val c = new java.util.zip.CRC32
+    c.update(fam.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.lang.Math.floorMod(c.getValue, TokenBuckets.toLong)
+  }
+
+  private def fbOf(fam: Column): Column = pmod(crc32(fam), lit(TokenBuckets.toLong))
+
+  /** Land the factored relations: `fpostings/` (term, fam, tf, dl, fam_n)
+    * under `tb=` dirs, `fams/` membership (fam, doc_id) under `fb=` dirs
+    * for winner point reads. */
+  private def writeFactored(fposts: DataFrame, members: DataFrame,
+      path: String): Unit = {
+    fposts.write.mode("append").partitionBy("tb").parquet(s"$path/fpostings")
+    members.withColumn("fb", fbOf(col("fam")))
+      .write.mode("append").partitionBy("fb").parquet(s"$path/fams")
   }
 
   /** Probe the persisted index with a query workload: prune to the query
@@ -152,6 +256,157 @@ object Search {
       .orderBy(col("query_id"), col("rnk"))
   }
 
+  /** The IMPACT-ORDERED (champion-list) probe — [[probeKeywordIndex]]'s
+    * arithmetic restricted to each term's first `blocks` champion blocks:
+    * reads Θ(terms · blocks · [[ImpactBlockRows]]) posting rows through
+    * `tb=` AND `bb=` directory pruning, CORPUS-FREE, where the exact
+    * probe's Θ(df) grows with the corpus on hot terms. idf stays EXACT:
+    * df comes from the `_blockdir` sidecar (Σ n over ALL of the term's
+    * blocks — Θ(vocab·blocks) metadata, never the excluded postings).
+    *
+    * Semantics are the DETERMINISTIC prefix computation itself — the
+    * champion rank is a total order, so the result replays on any engine
+    * (the q_keyword_topk_impact oracle) — and quality versus the exact
+    * top-k is pinned by SearchSpec's overlap floor, the q_ann_* serving
+    * discipline (deterministic approximation + exact referee). With
+    * `blocks · blockRows >= max df` the prefix is the whole posting list
+    * and the result is BIT-EQUAL to [[probeKeywordIndex]] (asserted).
+    *
+    * Lifecycle: takedowns hide docs immediately (the tombstone anti-join
+    * below); df/avgdl refresh at compaction — the `_statslog` discipline,
+    * extended to `_blockdir`. Champion blocks are per append unit; a
+    * compaction may thin them (victims drop out) but never reorders the
+    * surviving prefix. */
+  def probeKeywordIndexImpact(s: SparkSession, idx: String,
+      queries: Seq[(Long, String)], k: Int,
+      blocks: Int = ImpactServeBlocks): DataFrame = {
+    require(blocks >= 1 && blocks <= ImpactTailBand,
+      s"impact prefix must stay within the dedicated bands: $blocks vs [1, $ImpactTailBand]")
+    val spark = s
+    import spark.implicits._
+    val qterms = queries
+      .flatMap { case (qid, q) => q.toLowerCase.trim.split("\\s+").map(qid -> _) }
+      .distinct
+    val terms = qterms.map(_._2).distinct
+    val buckets = terms.map(tbOfStr).distinct
+    val qt = qterms.toDF("query_id", "term")
+    val st = spark.read.parquet(s"$idx/_statslog")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .select(col("n_docs"), (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    // FULL df from the block directory — exact idf without reading the
+    // excluded bands (the whole point of the sidecar)
+    val dfT = spark.read.parquet(s"$idx/_blockdir")
+      .where(col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(sum(col("n")).cast("double").as("df"))
+    val posts = Vectors.dropTombstoned(s, idx,
+        spark.read.parquet(s"$idx/postings")
+          .where(col("tb").isin(buckets: _*) && col("bb") < blocks &&
+            col("blk") < blocks && col("term").isin(terms: _*)),
+        "doc_id")
+      .select(col("term"), col("doc_id"), col("tf").cast("double").as("tf"),
+        col("dl").cast("double").as("dl"))
+    val contrib = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+      (col("tf") * (lit(1.2) + lit(1.0))) /
+      (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))
+    posts
+      .join(broadcast(dfT), Seq("term"))
+      .crossJoin(broadcast(st))
+      .join(broadcast(qt), Seq("term"))
+      .select(col("query_id"), col("doc_id"), contrib.as("contrib"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("contrib")), 4).as("score_r"), count(lit(1)).as("n_terms"))
+      .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("query_id"))
+            .orderBy(col("score_r").desc, col("doc_id"))).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("score_r"), col("n_terms"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
+  /** The DEDUP-FACTORED probe — EXACT BM25 top-k served from the family
+    * granularity: every member of an exact-text family (md5 — the
+    * q_exact_dedup discipline) has identical ws, hence identical tf, dl
+    * and score, so scoring runs over `fpostings/` (one row per
+    * (term, family), Θ(vocab · families)) and only the WINNING families'
+    * members are fetched from `fams/` by pushed-down point reads. Result
+    * is BIT-EQUAL to [[probeKeywordIndex]] (asserted in SearchSpec): df =
+    * Σ fam_n is the true per-term posting count, scores are the same
+    * doubles, the (score desc, doc_id) rank re-ranks the expanded
+    * members. Candidate sufficiency: a family contributing to the final
+    * top-k has fewer than k families strictly above it, so it is inside
+    * the top-k family ranks or tied with the k-th — both kept below.
+    *
+    * THIS is the decade-flat serving mode on a replicated/dup-heavy
+    * corpus, and it is exact — where a constant-depth champion prefix
+    * ([[probeKeywordIndexImpact]]) loses precision as duplication floods
+    * the impact order, factoring absorbs the duplication itself: probe
+    * cost is Θ(families), independent of the replica count. (On a fully
+    * deduped corpus families are singletons and the factored read equals
+    * the doc-level read — the two modes meet.)
+    *
+    * Takedowns break family uniformity mid-family, so with live
+    * tombstones the probe serves the doc-level exact path and the fast
+    * path returns at compaction (which rebuilds the factored relations).
+    */
+  def probeKeywordIndexFactored(s: SparkSession, idx: String,
+      queries: Seq[(Long, String)], k: Int): DataFrame = {
+    if (Vectors.tombstonesOf(s, idx).isDefined)
+      return probeKeywordIndex(s, idx, queries, k)
+    val spark = s
+    import spark.implicits._
+    val qterms = queries
+      .flatMap { case (qid, q) => q.toLowerCase.trim.split("\\s+").map(qid -> _) }
+      .distinct
+    val terms = qterms.map(_._2).distinct
+    val buckets = terms.map(tbOfStr).distinct
+    val qt = qterms.toDF("query_id", "term")
+    val st = spark.read.parquet(s"$idx/_statslog")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .select(col("n_docs"), (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    // cross-batch merge: a family split over several append units holds
+    // one fpostings row per unit; tf/dl are constants of the family text
+    val fp = spark.read.parquet(s"$idx/fpostings")
+      .where(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
+      .groupBy(col("term"), col("fam"))
+      .agg(max(col("tf")).cast("double").as("tf"),
+        max(col("dl")).cast("double").as("dl"),
+        sum(col("fam_n")).as("fam_n"))
+    val dfT = fp.groupBy(col("term")).agg(sum(col("fam_n")).cast("double").as("df"))
+    val contrib = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+      (col("tf") * (lit(1.2) + lit(1.0))) /
+      (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))
+    val wnd = Window.partitionBy(col("query_id"))
+    val famScores = fp
+      .join(broadcast(dfT), Seq("term"))
+      .crossJoin(broadcast(st))
+      .join(broadcast(qt), Seq("term"))
+      .select(col("query_id"), col("fam"), contrib.as("contrib"))
+      .groupBy(col("query_id"), col("fam"))
+      .agg(round(sum(col("contrib")), 4).as("score_r"), count(lit(1)).as("n_terms"))
+      .withColumn("rn", row_number().over(
+        wnd.orderBy(col("score_r").desc, col("fam"))))
+      .withColumn("kth", max(when(col("rn") === k, col("score_r"))).over(wnd))
+    // Θ(queries · k + boundary ties) rows — the point-read candidate set
+    val cand = famScores
+      .where(col("kth").isNull || col("score_r") >= col("kth"))
+      .select(col("query_id"), col("fam"), col("score_r"), col("n_terms"))
+      .collect()
+    val famIds = cand.map(_.getString(1)).distinct.toSeq
+    val fbs = famIds.map(fbOfStr).distinct
+    val candDf = cand.toSeq.map(r =>
+        (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toDF("query_id", "fam", "score_r", "n_terms")
+    spark.read.parquet(s"$idx/fams")
+      .where(col("fb").isin(fbs: _*) && col("fam").isin(famIds: _*))
+      .join(broadcast(candDf), Seq("fam"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score_r").desc, col("doc_id"))).cast("long"))
+      .where(col("rnk") <= k)
+      .select(col("query_id"), col("rnk"), col("doc_id"), col("score_r"), col("n_terms"))
+      .orderBy(col("query_id"), col("rnk"))
+  }
+
   /** Physical COMPACTION of the keyword layout — [[Vectors.compactIndex]]
     * over the `tb=`-partitioned postings, then the `_statslog` is REBUILT
     * to one exact row from the surviving postings' distinct (doc_id, dl)
@@ -176,6 +431,36 @@ object Search {
       val fs = live.getFileSystem(conf)
       fs.delete(live, true)
       fs.rename(tmp, live)
+      // the block directory follows the same discipline: recount the
+      // SURVIVING postings per (term, blk) so the impact probe's df (and
+      // its block-max bounds) carry no statistical residue either
+      val freshBd = s.read.parquet(s"$dir/postings")
+        .groupBy(col("term"), col("blk"))
+        .agg(count(lit(1)).as("n"), max(col("tf")).as("max_tf"),
+          min(col("dl")).as("min_dl"))
+      val bdTmp = new org.apache.hadoop.fs.Path(s"$dir/_blockdir__compact_tmp")
+      freshBd.write.mode("overwrite").parquet(bdTmp.toString)
+      val bdLive = new org.apache.hadoop.fs.Path(s"$dir/_blockdir")
+      fs.delete(bdLive, true)
+      fs.rename(bdTmp, bdLive)
+      // the factored relations rebuild from the compacted doc-level
+      // postings (victims gone, families recounted) — this is also what
+      // restores the factored fast path after a takedown window
+      val posts = s.read.parquet(s"$dir/postings")
+      Seq(
+        ("fpostings", posts.groupBy(col("term"), col("fam"))
+          .agg(max(col("tf")).as("tf"), max(col("dl")).as("dl"),
+            count(lit(1)).as("fam_n"))
+          .withColumn("tb", tbOf(col("term"))), "tb"),
+        ("fams", posts.select(col("fam"), col("doc_id")).distinct()
+          .withColumn("fb", fbOf(col("fam"))), "fb"))
+        .foreach { case (sub, df, part) =>
+          val tmp2 = new org.apache.hadoop.fs.Path(s"$dir/${sub}__compact_tmp")
+          df.write.mode("overwrite").partitionBy(part).parquet(tmp2.toString)
+          val live2 = new org.apache.hadoop.fs.Path(s"$dir/$sub")
+          fs.delete(live2, true)
+          fs.rename(tmp2, live2)
+        }
     }
   }
 
@@ -184,8 +469,33 @@ object Search {
     * workload. The bench times the SERVING cost — pruned directory reads +
     * Θ(df) scoring — never a corpus scan. */
   val keywordTopkAtRest: Q = Vectors.served((s, d) => {
-    val idx = Vectors.ensureIndex(s, "keyword", d)(p => writeKeywordIndex(s, d, p))
+    val idx = Vectors.ensureIndex(s, KeywordKind, d)(p => writeKeywordIndex(s, d, p))
     probeKeywordIndex(s, idx, Queries, TopK)
+  })
+
+  /** The impact-ordered serving twin of [[keywordTopkAtRest]] — the SAME
+    * persisted index (one build serves both probes), answered from each
+    * term's first [[ImpactServeBlocks]] champion blocks: Θ(terms · blocks
+    * · [[ImpactBlockRows]]) posting reads per probe at ANY corpus size,
+    * where the exact probe's Θ(df) grows with every replica of a hot
+    * document. Fully deterministic (champion rank is a total order), so
+    * the oracle replays the prefix computation end-to-end — this is a
+    * hash-gated contract, not a recall-bounded one; the overlap against
+    * the exact top-k is pinned separately in SearchSpec. */
+  val keywordTopkImpact: Q = Vectors.served((s, d) => {
+    val idx = Vectors.ensureIndex(s, KeywordKind, d)(p => writeKeywordIndex(s, d, p))
+    probeKeywordIndexImpact(s, idx, Queries, TopK)
+  })
+
+  /** The dedup-factored serving twin — SAME index, SAME answer as
+    * [[keywordTopkAtRest]] (bit-equal, so it shares the exact oracle),
+    * served at Θ(families) instead of Θ(df): the scoring scan is the
+    * family-level `fpostings/` and only winning families expand to doc
+    * ids. On the replicated bench fixtures this is the decade-flat EXACT
+    * mode — sf100's 117M posting rows factor to ~155k family rows. */
+  val keywordTopkFactored: Q = Vectors.served((s, d) => {
+    val idx = Vectors.ensureIndex(s, KeywordKind, d)(p => writeKeywordIndex(s, d, p))
+    probeKeywordIndexFactored(s, idx, Queries, TopK)
   })
 
   /** Probe documents of the hybrid query-by-example key: each contributes
@@ -389,8 +699,18 @@ object Search {
   val hybridRrfIndexed: Q =
     Vectors.served((s, d) =>
       if (Tables.embeddings(s, d).count() > SemPqCorpusCeiling)
+        // past the ceiling BOTH legs flip to their decade-flat serving
+        // modes: PQ-ADC codes on the semantic side (r14) and the
+        // dedup-FACTORED lexical leg (r15) — Θ(df) was the last
+        // corpus-linear term in the warm serve, and the factored leg is
+        // BIT-EQUAL to the exact one, so the fused output (and its
+        // agreement certificate) is unchanged from the r14 mode. (The
+        // champion-prefix leg exists too, but constant-depth prefixes
+        // lose precision exactly when duplication inflates df — the
+        // measured dup-flood analysis in PERF.md — so the flip uses the
+        // factored leg, which absorbs duplication instead.)
         hybridRrfIndexedWith(s, d, nProbe = 4, semLeg = "pq",
-          pqCand = ServingPqCand)
+          pqCand = ServingPqCand, lexMode = "factored")
       else hybridRrfIndexedWith(s, d, nProbe = 4))
 
   /** Memoized brute fused referee per (session, dataset): ≤ probes ×
@@ -531,7 +851,7 @@ object Search {
     * [[probeKeywordIndex]] arithmetic with the query-by-example
     * self-exclusion. Returns (query_id, doc_id, r_lex) cut at [[LexTopN]]. */
   private def lexLegAtRest(s: SparkSession, d: String): DataFrame = {
-    val kwIdx = Vectors.ensureIndex(s, "keyword", d)(p => writeKeywordIndex(s, d, p))
+    val kwIdx = Vectors.ensureIndex(s, KeywordKind, d)(p => writeKeywordIndex(s, d, p))
     val spark = s
     import spark.implicits._
     val probeTerms = probeTermsOf(s, d)
@@ -567,8 +887,123 @@ object Search {
       .select(col("query_id"), col("doc_id"), col("r_lex"))
   }
 
+  /** The champion-prefix twin of [[lexLegAtRest]]: BM25 over each probe
+    * term's first `blocks` champion blocks (`tb=` + `bb=` directory
+    * pruning — corpus-free read), df from the `_blockdir` sidecar so idf
+    * stays exact. [[HybridLexImpactBlocks]] defaults deeper than the
+    * standalone key's prefix because the fused contract consumes the lex
+    * top-[[LexTopN]], not top-[[TopK]] — still Θ(terms · blocks ·
+    * [[ImpactBlockRows]]) regardless of corpus size. */
+  private def lexLegAtRestImpact(s: SparkSession, d: String,
+      blocks: Int = HybridLexImpactBlocks): DataFrame = {
+    val kwIdx = Vectors.ensureIndex(s, KeywordKind, d)(p => writeKeywordIndex(s, d, p))
+    val spark = s
+    import spark.implicits._
+    val probeTerms = probeTermsOf(s, d)
+    val terms = probeTerms.map(_._2).distinct
+    val buckets = terms.map(tbOfStr).distinct
+    val qt = probeTerms.toDF("query_id", "term")
+    val st = spark.read.parquet(s"$kwIdx/_statslog")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .select(col("n_docs"), (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val dfT = spark.read.parquet(s"$kwIdx/_blockdir")
+      .where(col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(sum(col("n")).cast("double").as("df"))
+    val posts = Vectors.dropTombstoned(s, kwIdx,
+        spark.read.parquet(s"$kwIdx/postings")
+          .where(col("tb").isin(buckets: _*) && col("bb") < blocks &&
+            col("blk") < blocks && col("term").isin(terms: _*)),
+        "doc_id")
+      .select(col("term"), col("doc_id"), col("tf").cast("double").as("tf"),
+        col("dl").cast("double").as("dl"))
+    val contrib = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+      (col("tf") * (lit(1.2) + lit(1.0))) /
+      (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))
+    posts
+      .join(broadcast(qt), Seq("term"))
+      .where(col("doc_id") =!= col("query_id"))
+      .join(broadcast(dfT), Seq("term"))
+      .crossJoin(broadcast(st))
+      .select(col("query_id"), col("doc_id"), contrib.as("contrib"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(col("contrib")), 4).as("bm"))
+      .withColumn("r_lex", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("bm").desc, col("doc_id"))).cast("long"))
+      .where(col("r_lex") <= LexTopN)
+      .select(col("query_id"), col("doc_id"), col("r_lex"))
+  }
+
+  /** Champion prefix of the impact hybrid lexical leg — deeper than the
+    * standalone impact key's [[ImpactServeBlocks]] because the fusion
+    * consumes the lex top-[[LexTopN]]: the full [[ImpactTailBand]] bands,
+    * still corpus-free (≤ 8 · [[ImpactBlockRows]] rows per term). */
+  val HybridLexImpactBlocks: Int = ImpactTailBand.toInt
+
+  /** The dedup-factored twin of [[lexLegAtRest]] — BIT-EQUAL output
+    * (family scores are the member scores; expansion re-ranks on the
+    * contract's (bm desc, doc_id) key), served at Θ(families): the
+    * scoring scan is `fpostings/`, winners expand through `fams/` point
+    * reads. One extra candidate family absorbs the self-exclusion (the
+    * probe doc's removal can promote at most one family into the cut).
+    * Falls back to the doc-level leg under live tombstones, like
+    * [[probeKeywordIndexFactored]]. */
+  private def lexLegAtRestFactored(s: SparkSession, d: String): DataFrame = {
+    val kwIdx = Vectors.ensureIndex(s, KeywordKind, d)(p => writeKeywordIndex(s, d, p))
+    if (Vectors.tombstonesOf(s, kwIdx).isDefined) return lexLegAtRest(s, d)
+    val spark = s
+    import spark.implicits._
+    val probeTerms = probeTermsOf(s, d)
+    val terms = probeTerms.map(_._2).distinct
+    val buckets = terms.map(tbOfStr).distinct
+    val qt = probeTerms.toDF("query_id", "term")
+    val st = spark.read.parquet(s"$kwIdx/_statslog")
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+      .select(col("n_docs"), (col("sum_dl").cast("double") / col("n_docs")).as("avgdl"))
+    val fp = spark.read.parquet(s"$kwIdx/fpostings")
+      .where(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
+      .groupBy(col("term"), col("fam"))
+      .agg(max(col("tf")).cast("double").as("tf"),
+        max(col("dl")).cast("double").as("dl"),
+        sum(col("fam_n")).as("fam_n"))
+    val dfT = fp.groupBy(col("term")).agg(sum(col("fam_n")).cast("double").as("df"))
+    val contrib = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+      (col("tf") * (lit(1.2) + lit(1.0))) /
+      (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) + lit(0.75) * col("dl") / col("avgdl")))
+    val kk = LexTopN + 1 // self-exclusion slack
+    val wnd = Window.partitionBy(col("query_id"))
+    val famScores = fp
+      .join(broadcast(dfT), Seq("term"))
+      .crossJoin(broadcast(st))
+      .join(broadcast(qt), Seq("term"))
+      .select(col("query_id"), col("fam"), contrib.as("contrib"))
+      .groupBy(col("query_id"), col("fam"))
+      .agg(round(sum(col("contrib")), 4).as("bm"))
+      .withColumn("rn", row_number().over(
+        wnd.orderBy(col("bm").desc, col("fam"))))
+      .withColumn("kth", max(when(col("rn") === kk, col("bm"))).over(wnd))
+    val cand = famScores
+      .where(col("kth").isNull || col("bm") >= col("kth"))
+      .select(col("query_id"), col("fam"), col("bm"))
+      .collect()
+    val famIds = cand.map(_.getString(1)).distinct.toSeq
+    val fbs = famIds.map(fbOfStr).distinct
+    val candDf = cand.toSeq.map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toDF("query_id", "fam", "bm")
+    spark.read.parquet(s"$kwIdx/fams")
+      .where(col("fb").isin(fbs: _*) && col("fam").isin(famIds: _*))
+      .join(broadcast(candDf), Seq("fam"))
+      .where(col("doc_id") =!= col("query_id"))
+      .withColumn("r_lex", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("bm").desc, col("doc_id"))).cast("long"))
+      .where(col("r_lex") <= LexTopN)
+      .select(col("query_id"), col("doc_id"), col("r_lex"))
+  }
+
   def hybridRrfIndexedWith(s: SparkSession, d: String, nProbe: Int,
-      semLeg: String = "ivf", pqCand: Int = 50): DataFrame = {
+      semLeg: String = "ivf", pqCand: Int = 50,
+      lexMode: String = "exact"): DataFrame = {
     val ivfIdx =
       if (semLeg == "ivf")
         Vectors.ensureIndex(s, "ivf", d)(p => Vectors.writeIvfIndex(s, d, p))
@@ -578,7 +1013,11 @@ object Search {
     import spark.implicits._
     val probeVecs = probeVecsOf(s, d)
 
-    val lex = lexLegAtRest(s, d)
+    val lex = lexMode match {
+      case "factored" => lexLegAtRestFactored(s, d)
+      case "impact"   => lexLegAtRestImpact(s, d)
+      case _          => lexLegAtRest(s, d)
+    }
 
     // semantic leg at rest: per-probe partition-pruned IVF scan, then the
     // contract's (rounded score, doc_id) re-rank over the slacked retrieval.
@@ -666,11 +1105,13 @@ object Search {
     * lookup, rank, and fusion bit-for-bit. Scale: the scan body is
     * [[Vectors.PqM]] bytes per vector (vs 512 for the raw doubles) and the
     * lexical leg is shared with every other indexed form. */
-  val hybridRrfPqFixed: Q = Vectors.served((s, d) => {
+  /** The fixed-codebook PQ-ADC semantic leg shared by [[hybridRrfPqFixed]]
+    * and [[hybridRrfImpactFixed]]: per-probe ADC over the persisted 8-byte
+    * codes, exact Long rank (adc asc, vec_id asc), [[SemTopN]] cut. */
+  private def semLegPqFixed(s: SparkSession, d: String): DataFrame = {
     val idx = Vectors.ensureIndex(s, "pq_fixed", d)(
       p => Vectors.writePqFixedIndex(s, d, p))
-    val lex = lexLegAtRest(s, d)
-    val sem = probeVecsOf(s, d)
+    probeVecsOf(s, d)
       .map { case (pid, pv) =>
         Vectors.queryPqFixedIndex(s, idx, pv,
           topK = SemTopN, excludeId = Some(pid))
@@ -682,15 +1123,32 @@ object Search {
           .orderBy(col("adc"), col("vec_id"))).cast("long"))
       .where(col("r_sem") <= SemTopN)
       .select(col("query_id"), col("vec_id").as("doc_id"), col("r_sem"))
-    fuseRrf(lex, sem)
-  })
+  }
+
+  val hybridRrfPqFixed: Q = Vectors.served((s, d) =>
+    fuseRrf(lexLegAtRest(s, d), semLegPqFixed(s, d)))
+
+  /** The DECADE-FLAT fused serving pair, end-to-end oracle-replayable:
+    * champion-prefix lexical leg ([[lexLegAtRestImpact]] — corpus-free
+    * Θ(terms · [[HybridLexImpactBlocks]] · [[ImpactBlockRows]]) reads,
+    * exact df from the block directory) fused with the fixed-codebook
+    * PQ-ADC semantic leg ([[semLegPqFixed]] — 8 bytes per vector, exact
+    * Long arithmetic). This is what [[hybridRrfIndexed]] serves past the
+    * corpus ceiling, here in the `_fixed`-twin discipline so DuckDB
+    * hash-certifies the whole flipped topology: champion ranking, prefix
+    * cut, sidecar df, ADC encode/scan, and the RRF tail, bit-for-bit. */
+  val hybridRrfImpactFixed: Q = Vectors.served((s, d) =>
+    fuseRrf(lexLegAtRestImpact(s, d), semLegPqFixed(s, d)))
 
   val queries: Map[String, Q] = Map(
     "q_keyword_topk_at_rest" -> keywordTopkAtRest,
+    "q_keyword_topk_impact"  -> keywordTopkImpact,
+    "q_keyword_topk_factored" -> keywordTopkFactored,
     "q_hybrid_rrf"           -> hybridRrf,
     "q_hybrid_rrf_indexed"   -> hybridRrfIndexedContract,
     "q_hybrid_rrf_indexed_fixed" -> hybridRrfIndexedFixed,
     "q_hybrid_rrf_pq_fixed"  -> hybridRrfPqFixed,
+    "q_hybrid_rrf_impact_fixed" -> hybridRrfImpactFixed,
   )
 
   /** Shared lexical-leg CTE fragment of the hybrid oracles (w … lexc):
@@ -719,6 +1177,54 @@ object Search {
        |  FROM qt JOIN tf USING (term) JOIN df USING (term)
        |    JOIN dl USING (doc_id) CROSS JOIN st
        |  WHERE tf.doc_id <> qt.query_id),
+       |lexg AS (
+       |  SELECT query_id, doc_id, round(sum(contrib), 4) AS bm
+       |  FROM lexsc GROUP BY query_id, doc_id),
+       |lex AS (
+       |  SELECT query_id, doc_id, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY bm DESC, doc_id) AS BIGINT) AS r_lex
+       |  FROM lexg),
+       |lexc AS (SELECT query_id, doc_id, r_lex FROM lex WHERE r_lex <= $LexTopN)""".stripMargin
+  }
+
+  /** The champion-prefix twin of [[lexCteSql]] — replays
+    * [[lexLegAtRestImpact]]: identical CTEs plus the per-term champion
+    * rank (tf desc, dl asc, doc_id asc — the build's total order), with
+    * scoring restricted to each term's first [[HybridLexImpactBlocks]] ·
+    * [[ImpactBlockRows]] postings. df stays the FULL per-term count (the
+    * `_blockdir` sidecar's Σ n), so idf is identical to the exact leg's. */
+  private def lexCteImpactSql: String = {
+    val probes = HybridProbes.mkString(", ")
+    val prefix = HybridLexImpactBlocks * ImpactBlockRows
+    s"""w AS (
+       |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+       |qt AS (
+       |  SELECT doc_id AS query_id, unnest(list_distinct(ws)) AS term
+       |  FROM w WHERE doc_id IN ($probes)),
+       |dl AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM w),
+       |st AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+       |t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+       |tf AS (
+       |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM t
+       |  WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY doc_id, term),
+       |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+       |champ AS (
+       |  SELECT ch.term, ch.doc_id,
+       |    row_number() OVER (PARTITION BY ch.term
+       |      ORDER BY ch.tf DESC, dl.dl ASC, ch.doc_id ASC) AS rk
+       |  FROM tf AS ch JOIN dl USING (doc_id)),
+       |tfp AS (
+       |  SELECT tf.doc_id, tf.term, tf.tf
+       |  FROM tf JOIN champ ON champ.term = tf.term AND champ.doc_id = tf.doc_id
+       |  WHERE champ.rk <= $prefix),
+       |lexsc AS (
+       |  SELECT qt.query_id, tfp.doc_id,
+       |    ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+       |      (tfp.tf * (1.2 + 1.0)) /
+       |      (tfp.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS contrib
+       |  FROM qt JOIN tfp USING (term) JOIN df USING (term)
+       |    JOIN dl USING (doc_id) CROSS JOIN st
+       |  WHERE tfp.doc_id <> qt.query_id),
        |lexg AS (
        |  SELECT query_id, doc_id, round(sum(contrib), 4) AS bm
        |  FROM lexsc GROUP BY query_id, doc_id),
@@ -776,8 +1282,12 @@ object Search {
        |$rrfTailSql""".stripMargin
   }
 
-  val oracles: Map[String, String] = Map(
-    "q_keyword_topk_at_rest" -> {
+  /** The exact at-rest keyword oracle — shared VERBATIM by
+    * q_keyword_topk_at_rest and q_keyword_topk_factored: the factored
+    * probe is bit-equal to the exact probe by construction (family
+    * members share tf/dl/score; same df, same rank key), so both keys
+    * hash-check against the same corpus BM25 replay. */
+  private def exactKeywordSql: String = {
       val qvals = Queries
         .flatMap { case (qid, q) => q.toLowerCase.trim.split("\\s+").map(qid -> _) }
         .distinct
@@ -801,6 +1311,62 @@ object Search {
          |      (tf.tf * (1.2 + 1.0)) /
          |      (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS contrib
          |  FROM q JOIN tf USING (term) JOIN df USING (term)
+         |    JOIN dl USING (doc_id) CROSS JOIN st),
+         |g AS (
+         |  SELECT query_id, doc_id, round(sum(contrib), 4) AS score_r,
+         |    CAST(count(*) AS BIGINT) AS n_terms
+         |  FROM sc GROUP BY query_id, doc_id),
+         |r AS (
+         |  SELECT g.*, CAST(row_number() OVER (
+         |    PARTITION BY query_id ORDER BY score_r DESC, doc_id) AS BIGINT) AS rnk
+         |  FROM g)
+         |SELECT CAST(query_id AS BIGINT) AS query_id, rnk, doc_id, score_r, n_terms
+         |FROM r WHERE rnk <= $TopK
+         |ORDER BY query_id, rnk""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_keyword_topk_at_rest" -> exactKeywordSql,
+    // bit-equal serving mode — same contract, same replay
+    "q_keyword_topk_factored" -> exactKeywordSql,
+    // the impact-serving twin: identical CTEs plus the per-term champion
+    // rank, scoring restricted to each term's first ImpactServeBlocks ·
+    // ImpactBlockRows postings — df (hence idf) stays the full count,
+    // replaying probeKeywordIndexImpact's sidecar-df arithmetic
+    "q_keyword_topk_impact" -> {
+      val qvals = Queries
+        .flatMap { case (qid, q) => q.toLowerCase.trim.split("\\s+").map(qid -> _) }
+        .distinct
+        .map { case (qid, t) => s"($qid, '$t')" }
+        .mkString(", ")
+      val terms = Queries.flatMap(_._2.toLowerCase.trim.split("\\s+"))
+        .distinct.map(t => s"'$t'").mkString(", ")
+      val prefix = ImpactServeBlocks * ImpactBlockRows
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM w),
+         |st AS (SELECT avg(dl) AS avgdl, count(*) AS n_docs FROM dl),
+         |q(query_id, term) AS (VALUES $qvals),
+         |t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+         |tf AS (
+         |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf FROM t
+         |  WHERE term IN ($terms) GROUP BY doc_id, term),
+         |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+         |champ AS (
+         |  SELECT ch.term, ch.doc_id,
+         |    row_number() OVER (PARTITION BY ch.term
+         |      ORDER BY ch.tf DESC, dl.dl ASC, ch.doc_id ASC) AS rk
+         |  FROM tf AS ch JOIN dl USING (doc_id)),
+         |tfp AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf
+         |  FROM tf JOIN champ ON champ.term = tf.term AND champ.doc_id = tf.doc_id
+         |  WHERE champ.rk <= $prefix),
+         |sc AS (
+         |  SELECT q.query_id, tfp.doc_id,
+         |    ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+         |      (tfp.tf * (1.2 + 1.0)) /
+         |      (tfp.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / st.avgdl)) AS contrib
+         |  FROM q JOIN tfp USING (term) JOIN df USING (term)
          |    JOIN dl USING (doc_id) CROSS JOIN st),
          |g AS (
          |  SELECT query_id, doc_id, round(sum(contrib), 4) AS score_r,
@@ -872,42 +1438,56 @@ object Search {
     },
     // the PQ-mode twin: the q_ann_pq_fixed encode/ADC arithmetic
     // generalized to the probe set, fused through the shared RRF tail
-    "q_hybrid_rrf_pq_fixed" -> {
-      val probes = HybridProbes.mkString(", ")
+    "q_hybrid_rrf_pq_fixed" ->
       s"""WITH $lexCteSql,
-         |e AS (
-         |  SELECT vec_id, j - 1 AS j,
-         |    CAST(floor(CAST(val AS DOUBLE) * 1000) AS BIGINT) AS q
-         |  FROM (SELECT vec_id, unnest(embedding) AS val,
-         |          generate_subscripts(embedding, 1) AS j FROM embeddings)),
-         |cb AS (
-         |  SELECT m, k, j,
-         |    CAST((((k*37 + m*11 + j*7) % 19) - 9) * 10 AS BIGINT) AS c
-         |  FROM (SELECT unnest(range(8)) AS m),
-         |       (SELECT unnest(range(16)) AS k),
-         |       (SELECT unnest(range(8)) AS j)),
-         |d2 AS (
-         |  SELECT e.vec_id, cb.m, cb.k,
-         |    CAST(sum((e.q - cb.c) * (e.q - cb.c)) AS BIGINT) AS d2
-         |  FROM e JOIN cb ON cb.m = e.j // 8 AND cb.j = e.j % 8
-         |  GROUP BY e.vec_id, cb.m, cb.k),
-         |codes AS (
-         |  SELECT vec_id, m, k,
-         |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
-         |  FROM d2),
-         |t2 AS (SELECT vec_id AS query_id, m, k, d2 AS tv FROM d2
-         |       WHERE vec_id IN ($probes)),
-         |adc AS (
-         |  SELECT t2.query_id, c.vec_id AS doc_id, CAST(sum(t2.tv) AS BIGINT) AS adc
-         |  FROM codes c JOIN t2 ON t2.m = c.m AND t2.k = c.k
-         |  WHERE c.rn = 1 AND c.vec_id <> t2.query_id
-         |  GROUP BY t2.query_id, c.vec_id),
-         |sem AS (
-         |  SELECT query_id, doc_id, CAST(row_number() OVER (
-         |    PARTITION BY query_id ORDER BY adc, doc_id) AS BIGINT) AS r_sem
-         |  FROM adc),
-         |semc AS (SELECT query_id, doc_id, r_sem FROM sem WHERE r_sem <= $SemTopN),
-         |$rrfTailSql""".stripMargin
-    },
+         |$semPqFixedCteSql,
+         |$rrfTailSql""".stripMargin,
+    // the decade-flat fused pair: the champion-prefix lex CTEs fused with
+    // the same PQ-ADC sem CTEs — the full replay of what the trained
+    // serving key runs past the corpus ceiling
+    "q_hybrid_rrf_impact_fixed" ->
+      s"""WITH $lexCteImpactSql,
+         |$semPqFixedCteSql,
+         |$rrfTailSql""".stripMargin,
   )
+
+  /** The fixed-codebook PQ-ADC semantic-leg CTE fragment (e … semc) shared
+    * by the q_hybrid_rrf_pq_fixed and q_hybrid_rrf_impact_fixed oracles —
+    * the q_ann_pq_fixed encode/ADC arithmetic generalized to the probe
+    * set. */
+  private def semPqFixedCteSql: String = {
+    val probes = HybridProbes.mkString(", ")
+    s"""e AS (
+       |  SELECT vec_id, j - 1 AS j,
+       |    CAST(floor(CAST(val AS DOUBLE) * 1000) AS BIGINT) AS q
+       |  FROM (SELECT vec_id, unnest(embedding) AS val,
+       |          generate_subscripts(embedding, 1) AS j FROM embeddings)),
+       |cb AS (
+       |  SELECT m, k, j,
+       |    CAST((((k*37 + m*11 + j*7) % 19) - 9) * 10 AS BIGINT) AS c
+       |  FROM (SELECT unnest(range(8)) AS m),
+       |       (SELECT unnest(range(16)) AS k),
+       |       (SELECT unnest(range(8)) AS j)),
+       |d2 AS (
+       |  SELECT e.vec_id, cb.m, cb.k,
+       |    CAST(sum((e.q - cb.c) * (e.q - cb.c)) AS BIGINT) AS d2
+       |  FROM e JOIN cb ON cb.m = e.j // 8 AND cb.j = e.j % 8
+       |  GROUP BY e.vec_id, cb.m, cb.k),
+       |codes AS (
+       |  SELECT vec_id, m, k,
+       |    row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+       |  FROM d2),
+       |t2 AS (SELECT vec_id AS query_id, m, k, d2 AS tv FROM d2
+       |       WHERE vec_id IN ($probes)),
+       |adc AS (
+       |  SELECT t2.query_id, c.vec_id AS doc_id, CAST(sum(t2.tv) AS BIGINT) AS adc
+       |  FROM codes c JOIN t2 ON t2.m = c.m AND t2.k = c.k
+       |  WHERE c.rn = 1 AND c.vec_id <> t2.query_id
+       |  GROUP BY t2.query_id, c.vec_id),
+       |sem AS (
+       |  SELECT query_id, doc_id, CAST(row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adc, doc_id) AS BIGINT) AS r_sem
+       |  FROM adc),
+       |semc AS (SELECT query_id, doc_id, r_sem FROM sem WHERE r_sem <= $SemTopN)""".stripMargin
+  }
 }

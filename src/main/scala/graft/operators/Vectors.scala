@@ -1638,7 +1638,7 @@ object Vectors {
       (s, dir, b) => Audio.appendAfpIndex(s, dir, atRestOnly(b))),
     "vsig" -> IndexAppendPlan("documents.parquet",
       (s, dir, b) => Video.appendVsigIndex(s, dir, atRestOnly(b))),
-    "keyword" -> IndexAppendPlan("documents.parquet",
+    Search.KeywordKind -> IndexAppendPlan("documents.parquet",
       (s, dir, b) => Search.appendKeywordIndex(s, dir, b)),
     "ivf" -> IndexAppendPlan("embeddings.parquet",
       (s, dir, b) => appendIvfIndex(s, dir, b)),
@@ -2621,7 +2621,7 @@ object Vectors {
           val retained = df.join(
             org.apache.spark.sql.functions.broadcast(
               t.select(col("doc_id").as(idCol))), Seq(idCol), "left_anti")
-          val parts = Seq("band", "bandi", "batch_id", "cluster", "tb")
+          val parts = Seq("band", "bandi", "batch_id", "cluster", "tb", "bb")
             .filter(df.columns.contains)
           val w = retained.write.mode("overwrite")
           (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)

@@ -307,6 +307,188 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("impact probe: exhaustive prefix is bit-equal to the exact probe, " +
+      "df comes from the sidecar") {
+    val idx = freshDir("impact_full")
+    Search.writeKeywordIndex(spark, sf, idx)
+    val exact = Search.probeKeywordIndex(spark, idx, Search.Queries, Search.TopK)
+      .collect().map(_.toSeq).toSeq
+    // fixture df << ImpactTailBand * ImpactBlockRows — every champion
+    // prefix covers the whole posting list, so the budgeted probe must
+    // reproduce the exact probe BIT-FOR-BIT (same contract as IVF at
+    // nProbe = all cells / PQ at pqCand >= corpus)
+    val imp = Search.probeKeywordIndexImpact(spark, idx, Search.Queries,
+        Search.TopK, blocks = Search.ImpactTailBand.toInt)
+      .collect().map(_.toSeq).toSeq
+    assert(imp == exact, "exhaustive impact prefix diverges from the exact probe")
+    // the sidecar's per-term Σn is the TRUE df — exact idf without
+    // reading the excluded bands
+    val bd = spark.read.parquet(s"$idx/_blockdir")
+      .groupBy(col("term")).agg(sum(col("n")).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truthDf = spark.read.parquet(s"$idx/postings")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bd == truthDf, "block directory df diverges from the postings")
+  }
+
+  test("impact probe with a biting prefix: bb= directory pruning, corpus-free " +
+      "read, overlap floor vs the exact top-k") {
+    val idx = freshDir("impact_small")
+    // tiny blocks so the champion prefix actually bites at fixture scale
+    Search.appendKeywordIndex(spark, idx, Tables.documents(spark, sf), blockRows = 4)
+    val blocks = 2
+    val imp = Search.probeKeywordIndexImpact(spark, idx, Search.Queries,
+      Search.TopK, blocks = blocks)
+    val rows = imp.collect()
+    assert(rows.length == Search.Queries.size * Search.TopK)
+    val plan = imp.queryExecution.executedPlan.toString
+    // the budgeted probe prunes BOTH partition dimensions at directory
+    // level: the terms' token buckets AND the champion bands
+    assert("PartitionFilters: \\[[^\\]]*tb".r.findFirstIn(plan).isDefined, plan)
+    assert("PartitionFilters: \\[[^\\]]*bb".r.findFirstIn(plan).isDefined, plan)
+    // read volume is the prefix, not df: every surviving posting sits in
+    // the first `blocks` champion blocks of its term
+    val read = spark.read.parquet(s"$idx/postings")
+      .where(col("bb") < blocks && col("blk") < blocks)
+    val terms = Search.Queries.flatMap(_._2.split("\\s+")).distinct
+    terms.foreach { t =>
+      val n = read.where(col("term") === t).count()
+      assert(n <= blocks * 4L, s"term $t prefix holds $n rows > ${blocks * 4}")
+    }
+    // quality grows with the budget: at a deliberately hostile 8-row
+    // prefix overlap is weak by design; at 32 rows (8.4% of df) the
+    // prefix holds a measured 8/20 of the exact top-k — pin a floor
+    // below it and the monotone improvement over the 8-row cut. (The
+    // full dup-flood analysis — why constant-depth champion prefixes
+    // lose precision as replication grows df, and why the factored
+    // serving path is the exact decade-flat answer — is in PERF.md.)
+    val exact = Search.probeKeywordIndex(spark, idx, Search.Queries, Search.TopK)
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(2)).toSet).toMap
+    def overlapAt(b: Int): Int = {
+      val got = Search.probeKeywordIndexImpact(spark, idx, Search.Queries,
+          Search.TopK, blocks = b)
+        .collect().groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(2)).toSet).toMap
+      exact.map { case (q, ids) =>
+        got.getOrElse(q, Set.empty[Long]).intersect(ids).size }.sum
+    }
+    val at2 = overlapAt(2)
+    val at8 = overlapAt(8)
+    assert(at8 >= 6, s"overlap at 32-row prefix $at8/20 below the floor")
+    assert(at8 >= at2, s"deeper prefix lost overlap: $at8 < $at2")
+  }
+
+  test("impact serving twin equals the suite key at fixture scale; " +
+      "fused impact hybrid equals the PQ-fixed hybrid") {
+    // fixture-scale prefixes are exhaustive, so the impact keys must
+    // reproduce their exact twins bit-for-bit end-to-end
+    val exact = Search.keywordTopkAtRest(spark, sf).collect().map(_.toSeq).toSeq
+    val imp = Search.keywordTopkImpact(spark, sf).collect().map(_.toSeq).toSeq
+    assert(imp == exact)
+    val pqf = Search.hybridRrfPqFixed(spark, sf).collect().map(_.toSeq).toSeq
+    val impf = Search.hybridRrfImpactFixed(spark, sf).collect().map(_.toSeq).toSeq
+    assert(impf == pqf)
+    // and the FLIPPED trained topology (what hybridRrfIndexed serves past
+    // the corpus ceiling) still clears the fused agreement bar
+    import spark.implicits._
+    val brute = Search.hybridRrf(spark, sf)
+      .select(col("query_id"), col("doc_id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val flipped = Search.hybridRrfIndexedWith(spark, sf, nProbe = 4,
+        semLeg = "pq", pqCand = Search.ServingPqCand, lexMode = "impact")
+      .select(col("query_id"), col("doc_id")).as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    brute.foreach { case (q, ids) =>
+      val overlap = flipped.getOrElse(q, Set.empty[Long]).intersect(ids).size
+      assert(overlap >= Search.HybridAgreeBar,
+        s"probe $q flipped-topology agreement $overlap < ${Search.HybridAgreeBar}")
+    }
+  }
+
+  test("factored probe: bit-equal to the exact probe, scoring scan is " +
+      "family-level, winners expand through fams/ point reads") {
+    val idx = freshDir("factored")
+    Search.writeKeywordIndex(spark, sf, idx)
+    val exact = Search.probeKeywordIndex(spark, idx, Search.Queries, Search.TopK)
+      .collect().map(_.toSeq).toSeq
+    val fac = Search.probeKeywordIndexFactored(spark, idx, Search.Queries, Search.TopK)
+    val got = fac.collect().map(_.toSeq).toSeq
+    assert(got == exact, "factored serving diverges from the exact probe")
+    // the expansion plan reads the factored relations, never the
+    // doc-level postings, and prunes the membership read on fb=
+    val plan = fac.queryExecution.executedPlan.toString
+    assert(plan.contains("fams"), plan)
+    assert(!plan.contains("/postings"), "factored expansion scanned doc-level postings")
+    assert("PartitionFilters: \\[[^\\]]*fb".r.findFirstIn(plan).isDefined, plan)
+  }
+
+  test("factored probe under lifecycle: tombstones fall back to the exact " +
+      "path; compaction restores the fast path bit-for-bit") {
+    import spark.implicits._
+    val idx = freshDir("factored_life")
+    Search.writeKeywordIndex(spark, sf, idx)
+    val victim = Search.probeKeywordIndex(spark, idx, Search.Queries, Search.TopK)
+      .collect().head.getLong(2)
+    operators.Vectors.deleteFromIndex(spark, idx, Seq(victim).toDF("doc_id"))
+    // live tombstones: the factored probe must serve the doc-level exact
+    // path (family uniformity is broken mid-family)
+    val during = Search.probeKeywordIndexFactored(spark, idx, Search.Queries, Search.TopK)
+      .collect().map(_.toSeq).toSeq
+    val exactDuring = Search.probeKeywordIndex(spark, idx, Search.Queries, Search.TopK)
+      .collect().map(_.toSeq).toSeq
+    assert(during == exactDuring)
+    assert(!during.exists(_(2) == victim), "tombstoned doc still ranks")
+    // compaction rebuilds fpostings/fams from the surviving postings —
+    // the fast path returns and still matches the exact probe
+    Search.compactKeywordIndex(spark, idx)
+    val after = Search.probeKeywordIndexFactored(spark, idx, Search.Queries, Search.TopK)
+      .collect().map(_.toSeq).toSeq
+    val exactAfter = Search.probeKeywordIndex(spark, idx, Search.Queries, Search.TopK)
+      .collect().map(_.toSeq).toSeq
+    assert(after == exactAfter, "post-compaction factored path diverges")
+    // and the factored relations carry no victim residue
+    assert(spark.read.parquet(s"$idx/fams")
+      .where(col("doc_id") === victim).count() == 0)
+  }
+
+  test("factored suite key and factored hybrid leg equal their exact twins") {
+    val exact = Search.keywordTopkAtRest(spark, sf).collect().map(_.toSeq).toSeq
+    val fac = Search.keywordTopkFactored(spark, sf).collect().map(_.toSeq).toSeq
+    assert(fac == exact)
+    // the FLIPPED trained topology (what hybridRrfIndexed serves past the
+    // corpus ceiling: PQ sem + factored lex) must equal the same topology
+    // with the exact lex leg bit-for-bit — the flip changes cost, not
+    // output, so the agreement certificate is untouched by construction
+    val exactLex = Search.hybridRrfIndexedWith(spark, sf, nProbe = 4,
+        semLeg = "pq", pqCand = Search.ServingPqCand)
+      .collect().map(_.toSeq).toSeq
+    val facLex = Search.hybridRrfIndexedWith(spark, sf, nProbe = 4,
+        semLeg = "pq", pqCand = Search.ServingPqCand, lexMode = "factored")
+      .collect().map(_.toSeq).toSeq
+    assert(facLex == exactLex, "factored lex leg changes the fused output")
+  }
+
+  test("compaction rebuilds the block directory without statistical residue") {
+    import spark.implicits._
+    val idx = freshDir("impact_compact")
+    Search.writeKeywordIndex(spark, sf, idx)
+    val victim = Search.probeKeywordIndex(spark, idx, Search.Queries, Search.TopK)
+      .collect().head.getLong(2)
+    operators.Vectors.deleteFromIndex(spark, idx, Seq(victim).toDF("doc_id"))
+    Search.compactKeywordIndex(spark, idx)
+    val bd = spark.read.parquet(s"$idx/_blockdir")
+      .groupBy(col("term")).agg(sum(col("n")).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val truthDf = spark.read.parquet(s"$idx/postings")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bd == truthDf, "compacted block directory carries victim residue")
+    assert(spark.read.parquet(s"$idx/postings")
+      .where(col("doc_id") === victim).count() == 0)
+  }
+
   test("probe is rerun-deterministic and ranks are dense 1..k per query") {
     val got = Search.keywordTopkAtRest(spark, sf).collect()
     val again = Search.keywordTopkAtRest(spark, sf).collect()

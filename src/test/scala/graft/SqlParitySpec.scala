@@ -140,7 +140,12 @@ class SqlParitySpec extends AnyFunSuite {
     // inlining cannot re-expand the 32-stage chain exponentially
     "ref_quantize_roundtrip", "ref_blob_encode", "ref_gather_series",
     "q_shard_export", "q_array_map_funcs",
-    "q_bpe_train", "q_bpe_tokenize", "q_bpe_fertility", "q_token_pack_bpe")
+    "q_bpe_train", "q_bpe_tokenize", "q_bpe_fertility", "q_token_pack_bpe",
+    // r15: the impact-ordered (champion-prefix) serving pair — the same
+    // dialect surface as their exact twins plus a per-term row_number
+    // rank, already covered by the facade
+    "q_keyword_topk_impact", "q_hybrid_rrf_impact_fixed",
+    "q_keyword_topk_factored")
 
   /** Oracle keys that CANNOT run on spark.sql, each with the blocking
     * DuckDB construct. Kept exhaustive on purpose: the classification test
