@@ -14,11 +14,35 @@ object Time {
     val spark = GraftSession.create(cpus.toInt)
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
+    // r15: per-job breakdown (guide §1 — know WHERE the seconds go before
+    // touching anything): one listener row per Spark job with wall time and
+    // task count; jobs the query runs during DataFrame CONSTRUCTION
+    // (statistics, index builds, referee memos) show up separately from the
+    // final count() job.
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.put(js.jobId, (js.time,
+            Option(js.properties.getProperty("spark.job.description"))
+              .getOrElse("")))
+        override def onJobEnd(
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val st = jobs.get(je.jobId)
+          if (st != null) println(
+            f"[job] id=${je.jobId}%4d ${(je.time - st._1) / 1e3}%8.3f s  ${st._2}")
+        }
+      })
     val times = (0 until reps).map { i =>
+      println(s"[time] --- rep$i ---")
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[time] $name rep$i: $dt%.3f s ($n rows)")
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       dt
     }
     println(f"[time] $name min=${times.min}%.3f s over $reps reps")

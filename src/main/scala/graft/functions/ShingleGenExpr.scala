@@ -47,7 +47,48 @@ object Tok {
     var e = lower.length
     while (b < e && lower.charAt(b) == ' ') b += 1
     while (e > b && lower.charAt(e - 1) == ' ') e -= 1
-    lower.substring(b, e).split("\\s+", -1)
+    splitWs(lower.substring(b, e))
+  }
+
+  /** Java's `\s` class: exactly [ \t\n\x0B\f\r] (ASCII-only — the pattern
+    * is compiled without UNICODE_CHARACTER_CLASS everywhere the engine
+    * spells it). */
+  private def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** Hand-rolled `s.split("\\s+", -1)` (r15 optimization round): the
+    * String.split facade re-compiles the pattern and runs the regex engine
+    * per call — 29% of the whole tokenize cost on the real corpus
+    * (KernelBench). Semantics are bit-identical to the regex form: a
+    * leading separator yields a leading "" (\s+ matches have width ≥ 1, so
+    * the no-leading-empty rule for zero-width matches never applies),
+    * limit −1 keeps the trailing "", and "" → [""]. TokSpec pins parity
+    * against the regex spelling property-style. */
+  private[graft] def splitWs(s: String): Array[String] = {
+    val n = s.length
+    if (n == 0) return Array("")
+    var parts = 1
+    var i = 0
+    var inRun = false
+    while (i < n) { // count separator runs so the output allocates exactly
+      if (isWs(s.charAt(i))) { if (!inRun) { parts += 1; inRun = true } }
+      else inRun = false
+      i += 1
+    }
+    val out = new Array[String](parts)
+    var k = 0
+    var start = 0
+    i = 0
+    while (i < n) {
+      if (isWs(s.charAt(i))) {
+        out(k) = s.substring(start, i); k += 1
+        i += 1
+        while (i < n && isWs(s.charAt(i))) i += 1
+        start = i
+      } else i += 1
+    }
+    out(k) = s.substring(start, n)
+    out
   }
 
   /** Space-joined width-n shingles of a token array — the one shingle

@@ -1,8 +1,6 @@
 package graft.operators
 
-import java.io.ByteArrayInputStream
-
-import javax.sound.sampled.{AudioFormat, AudioSystem}
+import javax.sound.sampled.AudioFormat
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -93,10 +91,16 @@ object Audio {
 
   /** REAL decode: the JDK's WAV reader. Returns (format, int16 samples).
     * Throws if the blob is not readable audio — a decode failure is a
-    * correctness failure here, not something to paper over. */
+    * correctness failure here, not something to paper over.
+    *
+    * r15: the stream comes from [[MediaIO.audioStream]] — the same stock
+    * JDK codec, with `AudioSystem`'s per-call provider discovery hoisted to
+    * a per-thread cache (63.8 → 3.4 µs/doc in KernelBench; the facade call
+    * spent 95% of its time on SPI dispatch, not decoding). MediaIOSpec pins
+    * sample-exact parity against the facade on the real corpus. */
   private[graft] def decodeSamples(
       blob: Array[Byte]): (AudioFormat, Array[Int]) = {
-    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(blob))
+    val in = MediaIO.audioStream(blob)
     val fmt = in.getFormat
     require(fmt.getSampleSizeInBits == 16 && !fmt.isBigEndian,
       s"unexpected decoded format: $fmt")

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.util.chaining._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -72,7 +74,7 @@ object Html {
     * footer. */
   private[graft] def htmlOf(text: String): String = {
     val words = (if (text == null) "" else text).trim
-      .split("\\s+").filter(_.nonEmpty)
+      .pipe(graft.functions.Tok.splitWs).filter(_.nonEmpty)
     val title = words.take(3).map(esc).mkString(" ")
     val ps = words.grouped(10).map { ch =>
       s"<p>${paraBody(ch, w => s"""<a href="/w">$w</a>""", w => s"<b>$w</b>")}</p>"
@@ -93,7 +95,7 @@ object Html {
     * table (1 boilerplate block — its `<tr>` row). */
   private[graft] def messyHtmlOf(text: String): String = {
     val words = (if (text == null) "" else text).trim
-      .split("\\s+").filter(_.nonEmpty)
+      .pipe(graft.functions.Tok.splitWs).filter(_.nonEmpty)
     val title = words.take(3).map(esc).mkString(" ")
     val ps = words.grouped(10).zipWithIndex.map { case (ch, pi) =>
       val body = paraBody(ch,

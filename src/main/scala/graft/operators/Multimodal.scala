@@ -1,7 +1,7 @@
 package graft.operators
 
 import java.awt.image.BufferedImage
-import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.io.ByteArrayInputStream
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -110,14 +110,27 @@ object Multimodal {
     * of this object (executors initialize it on their first task). */
   private val _imageioInit: Unit = javax.imageio.ImageIO.setUseCache(false)
 
-  /** REAL decode: the JDK's ImageIO BMP reader. Throws if the blob is not
-    * a readable image — a decode failure is a correctness failure here,
-    * not something to paper over. */
-  private[graft] def decode(blob: Array[Byte]): BufferedImage = {
-    val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(blob))
-    require(img != null, s"ImageIO: no reader for ${blob.length}-byte blob")
-    img
-  }
+  /** REAL decode: the JDK's ImageIO BMP/PNG readers. Throws if the blob is
+    * not a readable image — a decode failure is a correctness failure here,
+    * not something to paper over.
+    *
+    * r15: dispatches on the blob magic to the cached per-thread stock JDK
+    * reader ([[MediaIO.readBmp]] / [[Video.decodePng]]) instead of paying
+    * `ImageIO.read`'s registry scan + reader construction per blob
+    * (9.5 → 5.9 µs/doc in KernelBench). Anything else falls back to the
+    * facade. MediaIOSpec pins pixel-exact parity against `ImageIO.read` on
+    * the real corpus. */
+  private[graft] def decode(blob: Array[Byte]): BufferedImage =
+    if (blob.length >= 2 && blob(0) == 'B' && blob(1) == 'M')
+      MediaIO.readBmp(blob)
+    else if (blob.length >= 8 && (blob(0) & 0xff) == 0x89 && blob(1) == 'P' &&
+        blob(2) == 'N' && blob(3) == 'G')
+      Video.decodePng(blob)
+    else {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(blob))
+      require(img != null, s"ImageIO: no reader for ${blob.length}-byte blob")
+      img
+    }
 
   /** Flat BGR byte triples of a decoded image, row-major top-down — the
     * raster's backing array when the decoder produced a densely-packed
@@ -385,9 +398,10 @@ object Multimodal {
       .select(col("doc_id"), col("text")).as[(Long, String)]
       .map { case (id, text) =>
         val img = decode(mediaBlob(text.getBytes("UTF-8")))
-        val baos = new ByteArrayOutputStream()
-        require(javax.imageio.ImageIO.write(img, "png", baos), "no PNG writer")
-        val png = decode(baos.toByteArray)
+        // r15: cached per-thread stock JDK PNG writer/reader (MediaIO) —
+        // every deflate/inflate is still the real codec, minus the per-call
+        // SPI discovery; MultimodalSpec pins pixel-identical read-back
+        val png = decode(MediaIO.encodePng(img))
         val (w, h) = (png.getWidth, png.getHeight)
         val px = bgrBytes(png)
         var sb = 0L; var sg = 0L; var sr = 0L

@@ -467,28 +467,9 @@ object Video {
     override def initialValue() = new java.util.HashMap()
   }
 
-  /** Minimal in-memory ImageInputStream over a byte array (the public
-    * ImageInputStreamImpl extension point): MemoryCacheImageInputStream
-    * pays block-cache allocation + a synchronized wrapper per READ CALL,
-    * which at tens of reads per tiny frame is measurable against the
-    * inflate itself. Positioning/bit state comes from the base class. */
-  private final class ByteArrayImageInputStream(buf: Array[Byte])
-      extends javax.imageio.stream.ImageInputStreamImpl {
-    override def read(): Int =
-      if (streamPos >= buf.length) -1
-      else { bitOffset = 0; val v = buf(streamPos.toInt) & 0xff; streamPos += 1; v }
-    override def read(b: Array[Byte], off: Int, len: Int): Int =
-      if (streamPos >= buf.length) -1
-      else {
-        bitOffset = 0
-        val n = math.min(len, buf.length - streamPos.toInt)
-        System.arraycopy(buf, streamPos.toInt, b, off, n)
-        streamPos += n
-        n
-      }
-    override def length(): Long = buf.length.toLong
-    override def isCachedMemory: Boolean = true
-  }
+  // the minimal in-memory ImageInputStream lives in MediaIO since r15 so
+  // the BMP/PNG/writer paths share it
+  private type ByteArrayImageInputStream = MediaIO.ByteArrayImageInputStream
 
   /** REAL JDK PNG decode via the reused reader (every inflate and
     * defilter is the JDK codec; VideoSpec pins decoded-grid bit-parity). */
