@@ -125,22 +125,22 @@ object Audio {
   val audioMeta: Q = (s, d) => {
     val spark = s
     import spark.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
+    // r15: synth+decode run once per DISTINCT text ([[Contract.perText]])
+    Contract.perText(s, d) { reps =>
+      reps.map { case (h, text) =>
         val blob = mediaBlob(text.getBytes("UTF-8"))
         val (fmt, samples) = decodeSamples(blob)
         var sumAbs = 0L
         var i = 0
         while (i < samples.length) { sumAbs += math.abs(samples(i)); i += 1 }
-        (id, fmt.getSampleRate.toLong, fmt.getChannels.toLong, 16L,
+        (h, fmt.getSampleRate.toLong, fmt.getChannels.toLong, 16L,
           samples.length.toLong,
           samples.length.toLong * 1000000L / SampleRate,
           blob.length.toLong, fp(sumAbs, samples.length))
       }
-      .toDF("doc_id", "sample_rate", "channels", "bits", "n_samples",
+      .toDF("h", "sample_rate", "channels", "bits", "n_samples",
         "duration_us", "n_bytes", "mean_abs")
-      .orderBy(col("doc_id"))
+    }.orderBy(col("doc_id"))
   }
 
   /** Windowed features over the decoded stream: per 64-sample window, the
@@ -175,11 +175,13 @@ object Audio {
   val audioFeatures: Q = (s, d) => {
     val spark = s
     import spark.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) => featureRows(id, text) }
-      .toDF("doc_id", "window_idx", "n_in_window", "energy", "zero_crossings")
-      .orderBy(col("doc_id"), col("window_idx"))
+    // r15: decode+window once per DISTINCT text; the id slot of the shared
+    // streaming-twin kernel is pure passthrough, re-keyed by text hash
+    Contract.perText(s, d) { reps =>
+      reps.flatMap { case (h, text) =>
+        featureRows(0L, text).map { case (_, wi, n, e, z) => (h, wi, n, e, z) }
+      }.toDF("h", "window_idx", "n_in_window", "energy", "zero_crossings")
+    }.orderBy(col("doc_id"), col("window_idx"))
   }
 
   /** Resample: decode, 2× decimation (even-index samples), re-encode,
@@ -190,9 +192,10 @@ object Audio {
   val audioResample: Q = (s, d) => {
     val spark = s
     import spark.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
+    // r15: the decode→decimate→encode→decode round trip runs once per
+    // DISTINCT text ([[Contract.perText]])
+    Contract.perText(s, d) { reps =>
+      reps.map { case (h, text) =>
         val (_, samples) = decodeSamples(mediaBlob(text.getBytes("UTF-8")))
         val down = Array.tabulate((samples.length + 1) / 2)(j => samples(2 * j))
         val blob2 = encodeWav(down)
@@ -200,12 +203,12 @@ object Audio {
         var sumAbs = 0L
         var i = 0
         while (i < samples2.length) { sumAbs += math.abs(samples2(i)); i += 1 }
-        (id, samples.length.toLong, samples2.length.toLong,
+        (h, samples.length.toLong, samples2.length.toLong,
           blob2.length.toLong, fp(sumAbs, samples2.length))
       }
-      .toDF("doc_id", "n_samples_in", "n_samples_out", "n_bytes_out",
+      .toDF("h", "n_samples_in", "n_samples_out", "n_bytes_out",
         "mean_abs_out")
-      .orderBy(col("doc_id"))
+    }.orderBy(col("doc_id"))
   }
 
   /** Number of leading windows folded into the fingerprint. Every clip
@@ -265,9 +268,11 @@ object Audio {
   private def fpFrame(s: SparkSession, docs: DataFrame): DataFrame = {
     val spark = s
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) => (id, streamFingerprint(text)) }
-      .toDF("doc_id", "fingerprint")
+    // r15: decode+hash once per DISTINCT text ([[Contract.perTextOf]])
+    Contract.perTextOf(docs) { reps =>
+      reps.map { case (h, text) => (h, streamFingerprint(text)) }
+        .toDF("h", "fingerprint")
+    }.select(col("doc_id"), col("fingerprint"))
   }
 
   /** Persist the at-rest acoustic-fingerprint index — one (doc_id,

@@ -212,13 +212,35 @@ object Html {
   val htmlStrip: Q = (s, d) => {
     val spark = s
     import spark.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) => rowOf(id, text) }
-      .toDF("doc_id", "title", "n_words", "n_blocks_kept", "n_blocks_dropped", "clean")
-      .select(col("doc_id"), col("title"), col("n_words"),
+    // r15: synthesis picks the adversarial variant by doc_id % 3, so the
+    // page is a pure function of (text, variant-flag) — the DISTINCT-TEXT
+    // contraction ([[Contract]]) runs here on that COMPOUND key: one
+    // synthesize+extract per (distinct text, flag), each doc joining its
+    // verdict back on (md5, flag). Identical output, oracle-reproved.
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        (col("doc_id") % 3 === 1).as("adv"))
+    val perKey = docs
+      .select(graft.operators.Text.textKey(col("text")).as("h"), col("adv"),
+        col("text"))
+      .groupBy(col("h"), col("adv")).agg(first(col("text")).as("text"))
+      .as[(String, Boolean, String)]
+      .map { case (h, adv, text) =>
+        val (title, nWords, nKept, nDropped, clean) =
+          extract(if (adv) messyHtmlOf(text) else htmlOf(text))
+        (h, adv, title, nWords, nKept, nDropped, clean)
+      }
+      .toDF("h", "adv", "title", "n_words", "n_blocks_kept",
+        "n_blocks_dropped", "clean")
+      .select(col("h"), col("adv"), col("title"), col("n_words"),
         col("n_blocks_kept"), col("n_blocks_dropped"),
         md5(col("clean")).as("clean_md5"))
+    docs
+      .select(col("doc_id"), graft.operators.Text.textKey(col("text")).as("h"),
+        col("adv"))
+      .join(perKey, Seq("h", "adv"))
+      .select(col("doc_id"), col("title"), col("n_words"),
+        col("n_blocks_kept"), col("n_blocks_dropped"), col("clean_md5"))
       .orderBy(col("doc_id"))
   }
 

@@ -232,9 +232,9 @@ object Multimodal {
   val multimodalMeta: Q = (s, d) => {
     val spark = s
     import spark.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
+    // r15: synth+decode once per DISTINCT text ([[Contract.perText]])
+    Contract.perText(s, d) { reps =>
+      reps.map { case (hkey, text) =>
         val blob = mediaBlob(text.getBytes("UTF-8"))
         val img = decode(blob)
         val (w, h) = (img.getWidth, img.getHeight)
@@ -242,10 +242,9 @@ object Multimodal {
         var sum = 0L
         var i = 0
         while (i < px.length) { sum += px(i) & 0xff; i += 1 }
-        (id, w.toLong, h.toLong, blob.length.toLong, fp(sum, 3L * w * h))
-      }
-      .toDF("doc_id", "width", "height", "n_bytes", "mean_luma")
-      .orderBy(col("doc_id"))
+        (hkey, w.toLong, h.toLong, blob.length.toLong, fp(sum, 3L * w * h))
+      }.toDF("h", "width", "height", "n_bytes", "mean_luma")
+    }.orderBy(col("doc_id"))
   }
 
   /** Frame sampling: every 4th ROW of the decoded image is a "frame"
@@ -255,9 +254,9 @@ object Multimodal {
   val multimodalFrames: Q = (s, d) => {
     val spark = s
     import spark.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) =>
+    // r15: decode+sample once per DISTINCT text ([[Contract.perText]])
+    Contract.perText(s, d) { reps =>
+      reps.flatMap { case (hkey, text) =>
         val img = decode(mediaBlob(text.getBytes("UTF-8")))
         val (w, h) = (img.getWidth, img.getHeight)
         val px = bgrBytes(img)
@@ -267,11 +266,10 @@ object Multimodal {
           var i = y * 3 * w
           val end = i + 3 * w
           while (i < end) { sum += px(i) & 0xff; i += 1 }
-          (id, f.toLong, y.toLong, w.toLong, h.toLong, fp(sum, 3L * w))
+          (hkey, f.toLong, y.toLong, w.toLong, h.toLong, fp(sum, 3L * w))
         }
-      }
-      .toDF("doc_id", "frame_idx", "row_y", "width", "height", "frame_mean")
-      .orderBy(col("doc_id"), col("frame_idx"))
+      }.toDF("h", "frame_idx", "row_y", "width", "height", "frame_mean")
+    }.orderBy(col("doc_id"), col("frame_idx"))
   }
 
   /** Resize: decode, 2× box downscale with integer-floor channel averages
@@ -281,9 +279,10 @@ object Multimodal {
   val multimodalResize: Q = (s, d) => {
     val spark = s
     import spark.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
+    // r15: the decode→downscale→encode→decode round trip runs once per
+    // DISTINCT text ([[Contract.perText]])
+    Contract.perText(s, d) { reps =>
+      reps.map { case (hkey, text) =>
         val img = decode(mediaBlob(text.getBytes("UTF-8")))
         val (w, h) = (img.getWidth, img.getHeight)
         val (nw, nh) = (w / 2, h / 2)
@@ -318,12 +317,12 @@ object Multimodal {
         var sum = 0L
         var i = 0
         while (i < px2.length) { sum += px2(i) & 0xff; i += 1 }
-        (id, w.toLong, h.toLong, nw.toLong, nh.toLong, blob2.length.toLong,
+        (hkey, w.toLong, h.toLong, nw.toLong, nh.toLong, blob2.length.toLong,
           fp(sum, 3L * nw * nh))
       }
-      .toDF("doc_id", "width", "height", "new_width", "new_height",
+      .toDF("h", "width", "height", "new_width", "new_height",
         "n_bytes_out", "mean_luma_out")
-      .orderBy(col("doc_id"))
+    }.orderBy(col("doc_id"))
   }
 
   /** Feature extraction: 8-bin normalized luma histogram of the decoded
@@ -333,9 +332,9 @@ object Multimodal {
   val multimodalFeatures: Q = (s, d) => {
     val spark = s
     import spark.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
+    // r15: decode+histogram once per DISTINCT text ([[Contract.perText]])
+    Contract.perText(s, d) { reps =>
+      reps.map { case (hkey, text) =>
         val img = decode(mediaBlob(text.getBytes("UTF-8")))
         val (w, h) = (img.getWidth, img.getHeight)
         val px = bgrBytes(img)
@@ -348,10 +347,9 @@ object Multimodal {
         }
         val n = w.toLong * h
         val o = hist.map(c => fp(c, n))
-        (id, o(0), o(1), o(2), o(3), o(4), o(5), o(6), o(7))
-      }
-      .toDF("doc_id", "b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7")
-      .orderBy(col("doc_id"))
+        (hkey, o(0), o(1), o(2), o(3), o(4), o(5), o(6), o(7))
+      }.toDF("h", "b0", "b1", "b2", "b3", "b4", "b5", "b6", "b7")
+    }.orderBy(col("doc_id"))
   }
 
   /** Perceptual difference-hash (dHash) of a decoded image: point-sample a
@@ -394,9 +392,9 @@ object Multimodal {
   val multimodalPng: Q = (s, d) => {
     val spark = s
     import spark.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
+    // r15: the BMP→PNG→decode round trip runs once per DISTINCT text
+    Contract.perText(s, d) { reps =>
+      reps.map { case (hkey, text) =>
         val img = decode(mediaBlob(text.getBytes("UTF-8")))
         // r15: cached per-thread stock JDK PNG writer/reader (MediaIO) —
         // every deflate/inflate is still the real codec, minus the per-call
@@ -411,10 +409,9 @@ object Multimodal {
           i += 3
         }
         val n = w.toLong * h
-        (id, w.toLong, h.toLong, fp(sr, n), fp(sg, n), fp(sb, n))
-      }
-      .toDF("doc_id", "width", "height", "mean_r", "mean_g", "mean_b")
-      .orderBy(col("doc_id"))
+        (hkey, w.toLong, h.toLong, fp(sr, n), fp(sg, n), fp(sb, n))
+      }.toDF("h", "width", "height", "mean_r", "mean_g", "mean_b")
+    }.orderBy(col("doc_id"))
   }
 
   /** Per-doc dHash frame — the shared decode+hash pass of [[imageDedup]]
@@ -423,12 +420,13 @@ object Multimodal {
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val spark = s
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
+    // r15: decode+hash once per DISTINCT text ([[Contract.perTextOf]])
+    Contract.perTextOf(docs) { reps =>
+      reps.map { case (h, text) =>
         val (hi, lo) = streamDhash(text)
-        (id, hi, lo)
-      }
-      .toDF("doc_id", "dhash_hi", "dhash_lo")
+        (h, hi, lo)
+      }.toDF("h", "dhash_hi", "dhash_lo")
+    }.select(col("doc_id"), col("dhash_hi"), col("dhash_lo"))
   }
 
   /** One-doc dHash kernel for the streaming twin: synthesize, REALLY

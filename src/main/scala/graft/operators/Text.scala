@@ -29,6 +29,31 @@ object Text {
 
   private def toks(c: Column): Column = split(lower(trim(c)), "\\s+")
 
+  /** Content address for the DISTINCT-TEXT star contraction (r15
+    * optimization round): the [[exactDedup]] md5-group discipline, with a
+    * sentinel so a NULL text keys (and joins) like any other group. */
+  private[operators] def textKey(c: Column): Column =
+    coalesce(md5(c), lit("__null_text__"))
+
+  /** STAR CONTRACTION of a (…, text) relation to its distinct texts:
+    * one row (h, text, mult) per distinct text. The per-row text kernels
+    * (tokenize→shingle→score chains, media decode chains — every one a
+    * pure function of the text) then run ONCE per distinct text instead of
+    * once per document, with corpus-level counts recovered exactly by
+    * weighting with the integer multiplicity — the member-vs-distinct
+    * contraction VERDICT r9 prescribed for the dedup family, applied to
+    * the scoring kernels themselves. On a dup-dense corpus (the 100-copy
+    * scale decades; production crawls) kernel cost collapses by the
+    * duplication factor; on an all-distinct corpus the contraction
+    * degrades to one extra Θ(distinct) aggregate. The group-by ships one
+    * representative text per (distinct hash × map partition) — bounded
+    * above by the plain scan's row count, and by the dedup output mass in
+    * the regime the contraction targets. */
+  private[operators] def textReps(docs: DataFrame): DataFrame =
+    docs.select(textKey(col("text")).as("h"), col("text"))
+      .groupBy(col("h"))
+      .agg(first(col("text")).as("text"), count(lit(1)).as("mult"))
+
   /** Exact dedup via content hash: one group per distinct text, with group
     * size and representative (min doc_id). At 100 TB this is the classic
     * hash-shuffle dedup; the 256-bit-hash groupBy shuffles only
@@ -77,18 +102,26 @@ object Text {
     * a doc's full term list. */
   val tfidf: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val tf = docs
-      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+    // r15: DISTINCT-TEXT contraction — tf and the per-doc top-3 are pure
+    // text functions; df recovers exactly as the multiplicity-weighted sum
+    // over distinct texts containing the term (same integers), and each
+    // doc joins its text's top-3 back on the md5 key.
+    val reps = textReps(docs.select(col("text")))
+    val tf = reps
+      .select(col("h"), explode(toks(col("text"))).as("term"))
       .where(length(col("term")) > 0)
-      .groupBy(col("doc_id"), col("term"))
+      .groupBy(col("h"), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val df = tf.join(reps.select(col("h"), col("mult")), Seq("h"))
+      .groupBy(col("term")).agg(sum(col("mult")).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, "term").crossJoin(broadcast(n))
       .withColumn("tfidf_r",
         round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 4))
-    graft.plans.TopKPerGroup
-      .topK(scored, Seq("doc_id"), Seq("tfidf_r" -> false, "term" -> true), 3)
+    val top = graft.plans.TopKPerGroup
+      .topK(scored, Seq("h"), Seq("tfidf_r" -> false, "term" -> true), 3)
+    docs.select(col("doc_id"), textKey(col("text")).as("h"))
+      .join(top, Seq("h"))
       .select(col("doc_id"), col("rn"), col("term"), col("tf"), col("tfidf_r"))
       .orderBy(col("doc_id"), col("rn"))
   }
@@ -112,24 +145,29 @@ object Text {
   private[graft] def tokenize(text: String): Array[String] =
     graft.functions.Tok.tokenize(text)
 
-  /** Exploded (doc_id, source, shingle) rows via ONE typed tokenizer pass.
-    * Semantically identical to `explode(shingleArr(toks(text)))` but
-    * compiled: the declarative spelling is three nested higher-order
-    * functions (sequence → transform → slice/concat_ws), all
-    * CodegenFallback — interpreted per shingle with a fresh array copy per
-    * position. Same lesson as lang-id: one typed pass over the tokens,
-    * allocation-bounded, ~6× faster at sf0.1. Tokenization is [[tokenize]],
-    * the exact replica of the shared `toks` definition. */
-  private def shingleRows(s: SparkSession, d: String): DataFrame = {
+  /** Exploded shingle rows via ONE typed tokenizer pass. Semantically
+    * identical to `explode(shingleArr(toks(text)))` but compiled: the
+    * declarative spelling is three nested higher-order functions
+    * (sequence → transform → slice/concat_ws), all CodegenFallback —
+    * interpreted per shingle with a fresh array copy per position. Same
+    * lesson as lang-id: one typed pass over the tokens, allocation-
+    * bounded, ~6× faster at sf0.1. Tokenization is [[tokenize]], the
+    * exact replica of the shared `toks` definition.
+    *
+    * r15: emitted per DISTINCT text (h, sh) — one
+    * row per shingle occurrence per distinct text — the set-semantics
+    * consumers (contamination, source overlap) recover their per-doc/
+    * per-source sets exactly while the shingle kernel tracks distinct
+    * texts. (Replaces the per-doc `shingleRows` pass, r15.) */
+  private def repShingleRows(s: SparkSession, d: String): DataFrame = {
     val spark = s
     import spark.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), col("text"))
-      .as[(Long, String, String)]
-      .flatMap { case (id, src, text) =>
-        graft.functions.Tok.shingles(tokenize(text), 3).map((id, src, _))
+    textReps(Tables.documents(s, d).select(col("text")))
+      .select(col("h"), col("text")).as[(String, String)]
+      .flatMap { case (h, text) =>
+        graft.functions.Tok.shingles(tokenize(text), 3).map((h, _))
       }
-      .toDF("doc_id", "source", "sh")
+      .toDF("h", "sh")
   }
 
   /** Word 3-gram shingle sets per document (near-dup groundwork): token
@@ -137,21 +175,34 @@ object Text {
   val ngramShingles: Q = (s, d) => {
     val ws = toks(col("text"))
     val shingles = shingleArr(ws)
-    Tables.documents(s, d)
-      .select(col("doc_id"), size(ws).cast("long").as("n_tokens"),
+    // r15: per DISTINCT text — the declarative (CodegenFallback) shingle
+    // expression now evaluates once per distinct text, not per doc
+    val perText = textReps(Tables.documents(s, d).select(col("text")))
+      .select(col("h"), size(ws).cast("long").as("n_tokens"),
         when(size(ws) >= 3, size(array_distinct(shingles)))
           .otherwise(0).cast("long").as("n_shingles"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), textKey(col("text")).as("h"))
+      .join(perText, Seq("h"))
+      .select(col("doc_id"), col("n_tokens"), col("n_shingles"))
       .orderBy(col("doc_id"))
   }
 
   /** BPE-ish regex token counting: words vs punctuation runs. */
-  val tokenCount: Q = (s, d) =>
-    Tables.documents(s, d)
-      .select(col("doc_id"),
+  val tokenCount: Q = (s, d) => {
+    // r15: the regex extracts are pure text functions — per DISTINCT text
+    val perText = textReps(Tables.documents(s, d).select(col("text")))
+      .select(col("h"),
         size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).cast("long").as("n_word_toks"),
         size(regexp_extract_all(col("text"), lit("[^a-z0-9\\s]"), lit(0))).cast("long").as("n_punct_toks"),
         length(col("text")).cast("long").as("n_chars_calc"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), textKey(col("text")).as("h"))
+      .join(perText, Seq("h"))
+      .select(col("doc_id"), col("n_word_toks"), col("n_punct_toks"),
+        col("n_chars_calc"))
       .orderBy(col("doc_id"))
+  }
 
   /** The scalar `quality` column of [[qualityScore]], factored out so every
     * consumer — the standalone key and the near-dup keep-best canonicalizer
@@ -176,12 +227,19 @@ object Text {
     val nPunct = size(regexp_extract_all(col("text"), lit("[^a-z0-9\\s]"), lit(0))).cast("double")
     val nStop = size(filter(ws, t => t.isin("the", "a", "of", "and", "to"))).cast("double")
     val nToks = size(ws).cast("double")
-    Tables.documents(s, d)
-      .select(col("doc_id"),
+    // r15: all four signals are pure text functions — per DISTINCT text,
+    // joined back per doc ([[textReps]])
+    val perText = textReps(Tables.documents(s, d).select(col("text")))
+      .select(col("h"),
         round(nPunct / nChars, 4).as("punct_ratio"),
         round(nStop / nToks, 4).as("stopword_ratio"),
         round(nChars / nToks, 4).as("avg_token_len"),
         qualityExpr.as("quality"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), textKey(col("text")).as("h"))
+      .join(perText, Seq("h"))
+      .select(col("doc_id"), col("punct_ratio"), col("stopword_ratio"),
+        col("avg_token_len"), col("quality"))
       .orderBy(col("doc_id"))
   }
 
@@ -205,9 +263,11 @@ object Text {
       "le" -> 3, "les" -> 3, "et" -> 3,
       "的" -> 4, "是" -> 4, "了" -> 4)
     val langNames = Array("en", "de", "es", "fr", "zh")
-    Tables.documents(s, d)
-      .select(col("lang"), col("text")).as[(String, String)]
-      .map { case (lang, text) =>
+    // r15: the guess is a pure text function — per DISTINCT text, joined
+    // back per doc on the md5 key before the (lang, guess) roll-up
+    val perText = textReps(Tables.documents(s, d).select(col("text")))
+      .select(col("h"), col("text")).as[(String, String)]
+      .map { case (h, text) =>
         val counts = new Array[Long](5)
         tokenize(text).foreach { t =>
           markerLang.get(t).foreach(i => counts(i) += 1)
@@ -215,9 +275,12 @@ object Text {
         var best = 0L; var bi = -1
         var i = 0
         while (i < 5) { if (counts(i) > best) { best = counts(i); bi = i }; i += 1 }
-        (lang, if (bi < 0) "und" else langNames(bi))
+        (h, if (bi < 0) "und" else langNames(bi))
       }
-      .toDF("lang", "guess")
+      .toDF("h", "guess")
+    Tables.documents(s, d)
+      .select(col("lang"), textKey(col("text")).as("h"))
+      .join(perText, Seq("h"))
       .groupBy(col("lang"), col("guess"))
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("lang"), col("guess"))
@@ -284,24 +347,36 @@ object Text {
   val lmScore: Q = (s, d) => {
     val spark = s
     import spark.implicits._
-    val docBg = Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        graft.functions.Tok.shingles(graft.functions.Tok.tokenize(text), 2).map((id, _))
+    // r15: DISTINCT-TEXT contraction ([[textReps]]) — the doc→bigram
+    // explode (the dominant kernel: tokenize + shingle assembly, formerly
+    // run per document AND twice per query) runs once per distinct text;
+    // the model counts recover exactly as integer multiplicity-weighted
+    // sums (c12 = Σ_text mult·count_text ≡ the per-occurrence count), the
+    // vocabulary is a set (invariant under duplication), and a document's
+    // score is a pure function of its text, joined back per doc on the
+    // md5 key at Θ(docs)·24 bytes. Identical output (oracle-reproved at
+    // sf0.01/sf0.1 + fixed-binary compare at sf1); kernel cost now tracks
+    // DISTINCT texts, not corpus size, on a dup-dense corpus.
+    val reps = textReps(Tables.documents(s, d).select(col("text")))
+    val repBg = reps.select(col("h"), col("text"), col("mult"))
+      .as[(String, String, Long)]
+      .flatMap { case (h, text, m) =>
+        graft.functions.Tok.shingles(graft.functions.Tok.tokenize(text), 2)
+          .map((h, _, m))
       }
-      .toDF("doc_id", "bg")
-    val c12 = docBg.groupBy(col("bg")).agg(count(lit(1)).as("c12"))
+      .toDF("h", "bg", "mult")
+    val c12 = repBg.groupBy(col("bg")).agg(sum(col("mult")).as("c12"))
       .withColumn("w1", substring_index(col("bg"), " ", 1))
     val c1 = c12.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-    val vocab = Tables.documents(s, d)
+    val vocab = reps
       .select(explode(toks(col("text"))).as("t")).agg(countDistinct(col("t")).as("v"))
     val lnP = log((col("c12") + 1.0) / (col("c1") + col("v")))
-    docBg
+    val perText = repBg
       .join(c12, Seq("bg"))
       .join(c1, Seq("w1"))
       .crossJoin(broadcast(vocab))
-      .select(col("doc_id"), lnP.as("lp"))
-      .groupBy(col("doc_id"))
+      .select(col("h"), lnP.as("lp"))
+      .groupBy(col("h"))
       // ACCEPTED RISK (same class as the pow last-ulp ties): avg() over
       // irrational ln terms sums in partition order on Spark but storage
       // order in DuckDB; a last-ulp difference could in principle flip the
@@ -312,6 +387,10 @@ object Text {
       // summation order would cost a per-doc sort for a risk that has
       // never materialized across rounds.
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("lp")), 4).as("mean_lnp_r"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), textKey(col("text")).as("h"))
+      .join(perText, Seq("h"))
+      .select(col("doc_id"), col("n_bigrams"), col("mean_lnp_r"))
       .orderBy(col("doc_id"))
   }
 
@@ -653,7 +732,14 @@ object Text {
     // sub-second at sf0.1.
     val spark = s
     import spark.implicits._
-    val setsAll = shingleRows(s, d)
+    // r15: DISTINCT-TEXT contraction — the posting SET per shingle is the
+    // union over distinct texts containing it of those texts' source sets
+    // (collect_set semantics: occurrence multiplicities never mattered),
+    // so the shingle explode tracks distinct texts and the (sh, source)
+    // join stream replaces the Θ(corpus tokens) per-doc explode.
+    val setsAll = repShingleRows(s, d).select(col("h"), col("sh")).distinct()
+      .join(Tables.documents(s, d)
+        .select(textKey(col("text")).as("h"), col("source")).distinct(), Seq("h"))
       .groupBy(col("sh"))
       .agg(sort_array(collect_set(col("source"))).as("ss"))
     val sets = dfCeiling.fold(setsAll)(c => setsAll.where(size(col("ss")) <= c))
@@ -703,16 +789,26 @@ object Text {
     // counting is a single conditional aggregate after one broadcast left
     // join — not a semi-join plus a second agg plus a re-join (3.1 s →
     // sub-second at sf0.1).
-    val rows = shingleRows(s, d)
-    val bench = rows.where(col("source") === "src0")
+    //
+    // r15: DISTINCT-TEXT contraction — a doc's (n_sh, n_hit) depends only
+    // on its text and the benchmark shingle SET (set semantics: dup counts
+    // never mattered), so shingling runs once per distinct text; the bench
+    // set is the union over texts that appear with source=src0, and each
+    // non-src0 doc joins its text's verdict back on the md5 key.
+    val docs = Tables.documents(s, d)
+    val repSh = repShingleRows(s, d).select(col("h"), col("sh")).distinct()
+    val benchH = docs.where(col("source") === "src0")
+      .select(textKey(col("text")).as("h")).distinct()
+    val bench = repSh.join(benchH, Seq("h"), "left_semi")
       .select(col("sh")).distinct()
       .withColumn("hit", lit(1L))
-    val rest = rows.where(col("source") =!= "src0")
-      .select(col("doc_id"), col("sh")).distinct()
-    val frac = col("n_hit").cast("double") / col("n_sh")
-    rest.join(broadcast(bench), Seq("sh"), "left")
-      .groupBy(col("doc_id"))
+    val perText = repSh.join(broadcast(bench), Seq("sh"), "left")
+      .groupBy(col("h"))
       .agg(count(lit(1)).as("n_sh"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+    val frac = col("n_hit").cast("double") / col("n_sh")
+    docs.where(col("source") =!= "src0")
+      .select(col("doc_id"), textKey(col("text")).as("h"))
+      .join(perText, Seq("h"))
       .select(col("doc_id"), col("n_sh"), col("n_hit"),
         round(frac, 4).as("hit_frac_r"),
         (frac >= ContaminationThreshold).cast("long").as("contaminated"))
@@ -730,11 +826,14 @@ object Text {
     */
   private def docTokenStats(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
+    // r15: the token/bigram statistics are pure text functions — computed
+    // once per DISTINCT text ([[textReps]]) and joined back per doc
+    val reps = textReps(docs.select(col("text")))
     val ws = toks(col("text"))
-    val termAgg = docs.select(col("doc_id"), explode(ws).as("term"))
-      .groupBy(col("doc_id"), col("term"))
+    val termAgg = reps.select(col("h"), explode(ws).as("term"))
+      .groupBy(col("h"), col("term"))
       .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
+      .groupBy(col("h"))
       .agg(sum(col("c")).as("n_tokens"),
         count(lit(1)).as("n_distinct"),
         max(col("c")).as("top_cnt"),
@@ -742,11 +841,13 @@ object Text {
     val bigrams = transform(
       sequence(lit(1), greatest(size(ws) - 1, lit(0))),
       i => concat_ws(" ", slice(ws, i, lit(2))))
-    val bigramFrac = docs.select(col("doc_id"),
+    val bigramFrac = reps.select(col("h"),
       when(size(ws) >= 2,
         lit(1.0) - size(array_distinct(bigrams)).cast("double") / size(bigrams))
         .otherwise(0.0).as("dup_bigram_frac"))
-    termAgg.join(bigramFrac, Seq("doc_id"))
+    docs.select(col("doc_id"), textKey(col("text")).as("h"))
+      .join(termAgg.join(bigramFrac, Seq("h")), Seq("h"))
+      .drop("h")
   }
 
   /** Per-document repetition signals — the Gopher/C4-style "is this document
@@ -953,14 +1054,13 @@ object Text {
   val docFingerprint: Q = (s, d) => {
     val spark = s
     import spark.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
+    // r15: winnowing is a pure text function — once per DISTINCT text
+    Contract.perText(s, d) { reps =>
+      reps.map { case (h, text) =>
         val fp = Hashing.winnow(text, k = 8, w = 4)
-        (id, fp.length.toLong, if (fp.isEmpty) 0L else fp.min, if (fp.isEmpty) 0L else fp.max)
-      }
-      .toDF("doc_id", "n_fingerprints", "min_fp", "max_fp")
-      .orderBy(col("doc_id"))
+        (h, fp.length.toLong, if (fp.isEmpty) 0L else fp.min, if (fp.isEmpty) 0L else fp.max)
+      }.toDF("h", "n_fingerprints", "min_fp", "max_fp")
+    }.orderBy(col("doc_id"))
   }
 
   // ---------------------------------------------------------------------
@@ -1204,21 +1304,28 @@ object Text {
   val substringDedup: Q = (s, d) => {
     val spark = s
     import spark.implicits._
-    val spans = Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        graft.functions.Tok.shingles(tokenize(text), SpanK).map((id, _))
+    // r15: DISTINCT-TEXT contraction — per-text span counts m, global
+    // occurrence count c = Σ mult·m (exact integers), per-text verdicts
+    // joined back per doc on the md5 key
+    val reps = textReps(Tables.documents(s, d).select(col("text")))
+    val spans = reps
+      .select(col("h"), col("text")).as[(String, String)]
+      .flatMap { case (h, text) =>
+        graft.functions.Tok.shingles(tokenize(text), SpanK).map((h, _))
       }
-      .toDF("doc_id", "sh")
-      .groupBy(col("doc_id"), col("sh"))
+      .toDF("h", "sh")
+      .groupBy(col("h"), col("sh"))
       .agg(count(lit(1)).as("m"))
-    val perDoc = spans
-      .withColumn("c", sum(col("m")).over(Window.partitionBy(col("sh"))))
-      .groupBy(col("doc_id"))
+    val perText = spans
+      .join(reps.select(col("h"), col("mult")), Seq("h"))
+      .withColumn("c", sum(col("m") * col("mult")).over(Window.partitionBy(col("sh"))))
+      .groupBy(col("h"))
       .agg(sum(col("m")).as("n_spans"),
         sum(when(col("c") > 1, col("m")).otherwise(lit(0L))).as("n_dup_spans"))
-    Tables.documents(s, d).select(col("doc_id"))
-      .join(perDoc, Seq("doc_id"), "left")
+    Tables.documents(s, d)
+      .select(col("doc_id"), textKey(col("text")).as("h"))
+      .join(perText, Seq("h"), "left")
+      .drop("h")
       .select(col("doc_id"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"))
@@ -1245,28 +1352,33 @@ object Text {
     * (Θ(dup spans/doc) longs — document text never shuffles), and the
     * rebuild is a stateless typed map re-tokenizing locally and masking
     * start..start+K−1. */
-  /** Per-(doc, start, shingle) span stream at shingle width `k` — the
-    * shared expander under the scrub keys and the twin's offline
-    * dup-shingle trainer. `docs` needs (doc_id, text). */
-  private def spanRowsOn(docs: DataFrame, k: Int) = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) =>
-        graft.functions.Tok.shingles(tokenize(text), k).zipWithIndex
-          .map { case (sh, i) => (id, i.toLong, sh) }
-      }
-      .toDF("doc_id", "i", "sh")
-  }
 
   /** The corpus-duplicated [[SpanK]]-token shingles (global count > 1) —
     * ONE definition under the batch scrub and the streaming twin's
     * broadcast model ([[graft.streaming.Streams.spanScrubStream]]). */
   private[graft] def dupShingles(s: SparkSession, d: String): DataFrame =
-    spanRowsOn(Tables.documents(s, d), SpanK)
-      .groupBy(col("sh")).agg(count(lit(1)).as("c"))
+    spanRepRowsOn(Tables.documents(s, d), SpanK)
+      .groupBy(col("sh")).agg(sum(col("mult")).as("c"))
       .where(col("c") > 1).select(col("sh"))
+
+  /** [[spanRowsOn]] over the DISTINCT texts ([[textReps]], r15): one
+    * (h, i, sh, mult) row per shingle position per distinct text — the
+    * occurrence count of a shingle is exactly Σ mult over its rows, so
+    * the dup decision is unchanged while the explode kernel (tokenize +
+    * width-k shingle assembly, the family's dominant cost) tracks
+    * distinct texts instead of corpus size. */
+  private def spanRepRowsOn(docs: DataFrame, k: Int) = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    textReps(docs.select(col("text")))
+      .select(col("h"), col("text"), col("mult"))
+      .as[(String, String, Long)]
+      .flatMap { case (h, text, m) =>
+        graft.functions.Tok.shingles(tokenize(text), k).zipWithIndex
+          .map { case (sh, i) => (h, i.toLong, sh, m) }
+      }
+      .toDF("h", "i", "sh", "mult")
+  }
 
   /** Mask `starts..starts+k−1` and rebuild the single-space token stream —
     * the one scrub kernel under the batch typed map and the streaming
@@ -1300,24 +1412,35 @@ object Text {
   private[graft] def spanScrubOn(docs: DataFrame, k: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val rows = spanRowsOn(docs, k)
-    val dups = rows.groupBy(col("sh")).agg(count(lit(1)).as("c"))
+    // r15: DISTINCT-TEXT contraction — shingle explode, dup aggregate,
+    // start-offset lists and the rebuild map all run per distinct text
+    // ([[spanRepRowsOn]]; dup counts are multiplicity-weighted, so the
+    // global >1 decision is exactly the per-occurrence one), and each doc
+    // picks up its text's verdict row by md5 key. Identical output
+    // (oracle-reproved at sf0.01/sf0.1 + fixed-binary compare at sf1);
+    // the kernel now tracks distinct texts, not corpus size.
+    val rows = spanRepRowsOn(docs, k)
+    val dups = rows.groupBy(col("sh")).agg(sum(col("mult")).as("c"))
       .where(col("c") > 1).select(col("sh"))
     val starts = rows.join(dups, Seq("sh"), "left_semi")
-      .groupBy(col("doc_id"))
+      .groupBy(col("h"))
       .agg(sort_array(collect_list(col("i"))).as("starts"))
-    docs
-      .join(starts, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("text"),
+    val perText = textReps(docs.select(col("text")))
+      .join(starts, Seq("h"), "left")
+      .select(col("h"), col("text"),
         coalesce(col("starts"), array().cast("array<long>")).as("starts"))
-      .as[(Long, String, Seq[Long])]
-      .map { case (id, text, st) =>
+      .as[(String, String, Seq[Long])]
+      .map { case (h, text, st) =>
         val (nTok, nRem, scrub) = rebuildScrubbed(tokenize(text), st.iterator, k)
-        (id, nTok, nRem, scrub)
+        (h, nTok, nRem, scrub)
       }
-      .toDF("doc_id", "n_tokens", "n_removed", "scrub")
-      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+      .toDF("h", "n_tokens", "n_removed", "scrub")
+      .select(col("h"), col("n_tokens"), col("n_removed"),
         md5(col("scrub")).as("scrub_md5"))
+    docs
+      .select(col("doc_id"), textKey(col("text")).as("h"))
+      .join(perText, Seq("h"))
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"), col("scrub_md5"))
       .orderBy(col("doc_id"))
   }
 
@@ -1381,20 +1504,27 @@ object Text {
     *
     * Zero-token documents (whitespace-only text) have no defined entropy
     * and are excluded, matching the oracle's empty-group semantics. */
-  val ngramEntropy: Q = (s, d) =>
-    Tables.documents(s, d)
-      .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+  val ngramEntropy: Q = (s, d) => {
+    // r15: entropy is a pure text function — per DISTINCT text, joined
+    // back per doc ([[textReps]])
+    val perText = textReps(Tables.documents(s, d).select(col("text")))
+      .select(col("h"), explode(toks(col("text"))).as("term"))
       .where(length(col("term")) > 0)
-      .groupBy(col("doc_id"), col("term"))
+      .groupBy(col("h"), col("term"))
       .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
+      .groupBy(col("h"))
       .agg(sum(col("c")).as("n_tokens"),
         count(lit(1)).as("n_distinct"),
         sum(col("c").cast("double") * log(col("c").cast("double"))).as("clogc"))
-      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+      .select(col("h"), col("n_tokens"), col("n_distinct"),
         round(log(col("n_tokens").cast("double")) - col("clogc") / col("n_tokens"), 4)
           .as("entropy"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), textKey(col("text")).as("h"))
+      .join(perText, Seq("h"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"), col("entropy"))
       .orderBy(col("doc_id"))
+  }
 
   /** Membership screen of an incoming corpus against an at-rest REFERENCE
     * corpus (here: source `src0`) without joining the bulk of the stream
@@ -1483,13 +1613,27 @@ object Text {
     * 100 TB: the model fits in a closure, the data streams past it. */
   /** (doc_id, source, bucket) token stream under the DSIR model — one
     * shared definition for the model-training and scoring aggregations. */
-  private def dsirTokens(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("source"), explode(toks(col("text"))).as("term"))
+  /** r15 (DISTINCT-TEXT contraction): per-distinct-text bucket counts
+    * (h, b, cnt) — the tokenize+hash pass runs once per distinct text;
+    * corpus/target totals recover exactly via [[dsirMults]]. */
+  private def dsirRepTokens(s: SparkSession, d: String): DataFrame =
+    textReps(Tables.documents(s, d).select(col("text")))
+      .select(col("h"), explode(toks(col("text"))).as("term"))
       .where(length(col("term")) > 0)
-      .select(col("doc_id"), col("source"),
+      .select(col("h"),
         graft.functions.FnvHash64Expr.fnv_hash64(col("term"))
           .bitwiseAND(lit((DsirBuckets - 1).toLong)).as("b"))
+      .groupBy(col("h"), col("b")).agg(count(lit(1)).as("cnt"))
+
+  /** Per-distinct-text multiplicities: total docs and target (src1) docs
+    * sharing the text — the exact integer weights that recover the
+    * per-occurrence model counts. */
+  private def dsirMults(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(textKey(col("text")).as("h"), col("source"))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("mult"),
+        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("mult_t"))
 
   /** The trained DSIR bucket model: Θ([[DsirBuckets]]) rows of
     * (bucket, smoothed log importance ratio). Shared by the batch key
@@ -1501,9 +1645,10 @@ object Text {
   def dsirModel(s: SparkSession, d: String): DataFrame = {
     val B = DsirBuckets
     val all = Window.partitionBy(lit(1))
-    dsirTokens(s, d).groupBy(col("b"))
-      .agg(count(lit(1)).as("c_r"),
-        sum(when(col("source") === "src1", 1L).otherwise(0L)).as("c_t"))
+    dsirRepTokens(s, d).join(dsirMults(s, d), Seq("h"))
+      .groupBy(col("b"))
+      .agg(sum(col("cnt") * col("mult")).as("c_r"),
+        sum(col("cnt") * col("mult_t")).as("c_t"))
       .select(col("b"),
         (log((col("c_t") + lit(1.0)) / (sum(col("c_t")).over(all) + lit(B.toDouble))) -
           log((col("c_r") + lit(1.0)) / (sum(col("c_r")).over(all) + lit(B.toDouble))))
@@ -1520,21 +1665,29 @@ object Text {
     * token stream (two longs to the driver). */
   def dsirDefaultLogr(s: SparkSession, d: String): Double = {
     val B = DsirBuckets.toDouble
-    val r = dsirTokens(s, d).agg(
-      count(lit(1)).as("r_tot"),
-      coalesce(sum(when(col("source") === "src1", 1L).otherwise(0L)), lit(0L))
-        .as("t_tot")).head()
+    // r15: totals over the contracted counts — Σ cnt·mult ≡ the
+    // per-occurrence count(*) (exact integers)
+    val r = dsirRepTokens(s, d).join(dsirMults(s, d), Seq("h")).agg(
+      coalesce(sum(col("cnt") * col("mult")), lit(0L)).as("r_tot"),
+      coalesce(sum(col("cnt") * col("mult_t")), lit(0L)).as("t_tot")).head()
     math.log(1.0 / (r.getLong(1).toDouble + B)) -
       math.log(1.0 / (r.getLong(0).toDouble + B))
   }
 
-  val dsirWeights: Q = (s, d) =>
-    dsirTokens(s, d).groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("cnt"))
+  val dsirWeights: Q = (s, d) => {
+    // r15: per-text weights over the contracted bucket counts, joined back
+    // per doc on the md5 key
+    val perText = dsirRepTokens(s, d)
       .join(broadcast(dsirModel(s, d)), Seq("b"))
-      .groupBy(col("doc_id"))
+      .groupBy(col("h"))
       .agg(sum(col("cnt")).as("n_tokens"),
         round(sum(col("cnt").cast("double") * col("logr")), 4).as("dsir_weight"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), textKey(col("text")).as("h"))
+      .join(perText, Seq("h"))
+      .select(col("doc_id"), col("n_tokens"), col("dsir_weight"))
       .orderBy(col("doc_id"))
+  }
 
   /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet: Extracting
     * High Quality Monolingual Datasets from Web Crawl Data", LREC 2020):

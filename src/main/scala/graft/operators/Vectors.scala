@@ -2245,17 +2245,18 @@ object Vectors {
   def minhashSigsOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
+    // r15: tokenize+shingle+32-hash once per DISTINCT text
+    // ([[Contract.perTextOf]]) — the signature is a pure text function
+    Contract.perTextOf(docs) { reps =>
+      reps.map { case (h, text) =>
         val toks = graft.functions.Tok.tokenize(text).toSeq
         val shingles =
           if (toks.length < 3) toks
           else toks.sliding(3).map(_.mkString(" ")).toSeq
         val sig = Hashing.minhash(shingles, 32)
-        (id, Hashing.lshBands(sig, 8, 4), sig)
-      }
-      .toDF("doc_id", "bands", "sig")
+        (h, Hashing.lshBands(sig, 8, 4), sig)
+      }.toDF("h", "bands", "sig")
+    }.select(col("doc_id"), col("bands"), col("sig"))
   }
 
   /** Source label that plays the INCOMING BATCH for the at-rest screen —
@@ -2498,14 +2499,14 @@ object Vectors {
   def simhashSigsOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
+    // r15: tokenize+simhash once per DISTINCT text ([[Contract.perTextOf]])
+    Contract.perTextOf(docs) { reps =>
+      reps.map { case (hkey, text) =>
         // shared tokenizer — same oracle-parity rationale as minhashLsh
         val h = Hashing.simhash(graft.functions.Tok.tokenize(text).toSeq)
-        (id, h, Array.tabulate(4)(b => (b.toLong << 32) | ((h >>> (b * 16)) & 0xffffL)))
-      }
-      .toDF("doc_id", "sim", "blocks")
+        (hkey, h, Array.tabulate(4)(b => (b.toLong << 32) | ((h >>> (b * 16)) & 0xffffL)))
+      }.toDF("h", "sim", "blocks")
+    }.select(col("doc_id"), col("sim"), col("blocks"))
   }
 
   /** Persist the at-rest SimHash block index: one row per (block key,

@@ -539,24 +539,24 @@ object Video {
   val videoMeta: Q = (s, d) => {
     val spark = s
     import spark.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
+    // r15: demux+decode once per DISTINCT text ([[Contract.perText]])
+    Contract.perText(s, d) { reps =>
+      reps.map { case (h, text) =>
         val blob = videoBlob((if (text == null) "" else text).getBytes("UTF-8"))
-        val (nf, fps, w, h, frames) = parseContainer(blob)
+        val (nf, fps, w, hh, frames) = parseContainer(blob)
         var sum = 0L
         frames.foreach { fb =>
           val px = Multimodal.bgrBytes(Multimodal.decode(fb))
           var i = 0
           while (i < px.length) { sum += px(i) & 0xff; i += 1 }
         }
-        (id, nf.toLong, fps.toLong, w.toLong, h.toLong,
+        (h, nf.toLong, fps.toLong, w.toLong, hh.toLong,
           nf.toLong * 1000L / fps, blob.length.toLong,
-          Multimodal.fp(sum, 3L * w * h * nf))
+          Multimodal.fp(sum, 3L * w * hh * nf))
       }
-      .toDF("doc_id", "n_frames", "fps", "width", "height", "duration_ms",
+      .toDF("h", "n_frames", "fps", "width", "height", "duration_ms",
         "n_bytes", "mean_luma")
-      .orderBy(col("doc_id"))
+    }.orderBy(col("doc_id"))
   }
 
   /** One document's scene table — the shared per-doc kernel of
@@ -600,11 +600,13 @@ object Video {
   val videoScenes: Q = (s, d) => {
     val spark = s
     import spark.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) => sceneRowsOf(id, text) }
-      .toDF("doc_id", "scene_id", "start_frame", "end_frame", "n_frames")
-      .orderBy(col("doc_id"), col("scene_id"))
+    // r15: decode+scene-cut once per DISTINCT text; the shared streaming
+    // kernel's id slot is passthrough, re-keyed by text hash
+    Contract.perText(s, d) { reps =>
+      reps.flatMap { case (h, text) =>
+        sceneRowsOf(0L, text).map { case (_, sc, st, en, nf) => (h, sc, st, en, nf) }
+      }.toDF("h", "scene_id", "start_frame", "end_frame", "n_frames")
+    }.orderBy(col("doc_id"), col("scene_id"))
   }
 
   /** One document's perceptual video signature: the XOR of the 64-bit
@@ -635,13 +637,8 @@ object Video {
   val videoDedup: Q = (s, d) => {
     val spark = s
     import spark.implicits._
-    val sigs = Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
-        val (hi, lo, scenes) = videoSignature(text)
-        (id, hi, lo, scenes)
-      }
-      .toDF("doc_id", "sig_hi", "sig_lo", "n_scenes")
+    // r15: ONE decode+hash pass per DISTINCT text (sigFrame's contraction)
+    val sigs = sigFrame(s, Tables.documents(s, d))
     // family stats via an unordered window over the signature — ONE decode
     // pass and ONE hash-shuffle (the imageDedup plan shape)
     val w = org.apache.spark.sql.expressions.Window
@@ -662,9 +659,9 @@ object Video {
   val videoKeyframes: Q = (s, d) => {
     val spark = s
     import spark.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) =>
+    // r15: decode+keyframe-histogram once per DISTINCT text
+    Contract.perText(s, d) { reps =>
+      reps.flatMap { case (hkey, text) =>
         val (_, w, h, px) = decodedFrames(text)
         val ids = sceneIds(w, h, px)
         (0 until px.length).iterator
@@ -679,13 +676,13 @@ object Video {
               i += 3
             }
             val n = w.toLong * h
-            (id, ids(f).toLong, f.toLong,
+            (hkey, ids(f).toLong, f.toLong,
               Multimodal.fp(hist(0), n), Multimodal.fp(hist(1), n),
               Multimodal.fp(hist(2), n), Multimodal.fp(hist(3), n))
           }
       }
-      .toDF("doc_id", "scene_id", "frame_idx", "b0", "b1", "b2", "b3")
-      .orderBy(col("doc_id"), col("scene_id"))
+      .toDF("h", "scene_id", "frame_idx", "b0", "b1", "b2", "b3")
+    }.orderBy(col("doc_id"), col("scene_id"))
   }
 
   /** Temporal 2× downsample — the video transform sibling of
@@ -699,9 +696,10 @@ object Video {
   val videoSample: Q = (s, d) => {
     val spark = s
     import spark.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
+    // r15: the demux→decode→encode→mux→demux→decode round trip runs once
+    // per DISTINCT text ([[Contract.perText]])
+    Contract.perText(s, d) { reps =>
+      reps.map { case (hkey, text) =>
         val blob = videoBlob((if (text == null) "" else text).getBytes("UTF-8"))
         val (nf, fps, w, h, frames) = parseContainer(blob)
         val kept = (0 until nf).filter(_ % 2 == 0).map { f =>
@@ -724,12 +722,12 @@ object Video {
           var i = 0
           while (i < px.length) { sum += px(i) & 0xff; i += 1 }
         }
-        (id, nf.toLong, nf2.toLong, nf2.toLong * 1000L / fps2,
+        (hkey, nf.toLong, nf2.toLong, nf2.toLong * 1000L / fps2,
           out.length.toLong, Multimodal.fp(sum, 3L * w2 * h2 * nf2))
       }
-      .toDF("doc_id", "n_frames_in", "n_frames_out", "duration_ms_out",
+      .toDF("h", "n_frames_in", "n_frames_out", "duration_ms_out",
         "n_bytes_out", "mean_luma_out")
-      .orderBy(col("doc_id"))
+    }.orderBy(col("doc_id"))
   }
 
   /** Per-doc signature frame — the shared decode+hash pass of
@@ -737,12 +735,13 @@ object Video {
   private def sigFrame(s: SparkSession, docs: DataFrame): DataFrame = {
     val spark = s
     import spark.implicits._
-    docs.select(col("doc_id"), col("text")).as[(Long, String)]
-      .map { case (id, text) =>
+    // r15: decode+hash once per DISTINCT text ([[Contract.perTextOf]])
+    Contract.perTextOf(docs) { reps =>
+      reps.map { case (h, text) =>
         val (hi, lo, scenes) = videoSignature(text)
-        (id, hi, lo, scenes)
-      }
-      .toDF("doc_id", "sig_hi", "sig_lo", "n_scenes")
+        (h, hi, lo, scenes)
+      }.toDF("h", "sig_hi", "sig_lo", "n_scenes")
+    }.select(col("doc_id"), col("sig_hi"), col("sig_lo"), col("n_scenes"))
   }
 
   /** Persist the at-rest video-signature index: one 32-byte (doc_id,
@@ -804,11 +803,12 @@ object Video {
   val videoScenesAvi: Q = (s, d) => {
     val spark = s
     import spark.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
-      .flatMap { case (id, text) => sceneRowsOfAvi(id, text) }
-      .toDF("doc_id", "scene_id", "start_frame", "end_frame", "n_frames")
-      .orderBy(col("doc_id"), col("scene_id"))
+    // r15: AVI demux+decode+scene-cut once per DISTINCT text
+    Contract.perText(s, d) { reps =>
+      reps.flatMap { case (h, text) =>
+        sceneRowsOfAvi(0L, text).map { case (_, sc, st, en, nf) => (h, sc, st, en, nf) }
+      }.toDF("h", "scene_id", "start_frame", "end_frame", "n_frames")
+    }.orderBy(col("doc_id"), col("scene_id"))
   }
 
   val queries: Map[String, Q] = Map(
