@@ -28,8 +28,34 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // r16 note: parallelismFirst=false (size-only AQE coalescing) was
+      // measured and REJECTED — it collapses small-byte but CPU-heavy
+      // reduce stages (token-explode aggregations: q_tfidf,
+      // q_source_overlap) to one task at sf0.1 while buying nothing on the
+      // stage-latency-bound keys; Spark's parallelism-first default is the
+      // right policy when compute, not shuffle block count, bounds a stage.
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      // r16 (guide §1.1/§7.3 — profile first): thread samples during the
+      // bench put the hot path in BypassMergeSortShuffleWriter: the bypass
+      // path opens one temp file PER REDUCE PARTITION per map task, i.e.
+      // tasks × partitions × stages file creations per query — tens of
+      // thousands of open(2)+rename(2) calls on multi-stage queries. The
+      // sort path writes ONE spill file per map task. The bypass exists to
+      // skip the sort for small partition counts on cheap-file-handle
+      // filesystems; with any nontrivial stage count the syscall storm
+      // costs more than the sort it avoids (and at cluster scale partition
+      // counts exceed any threshold, so bypass never fires there — this is
+      // scale-neutral). Measured (q_minhash_lsh / q_simhash_dedup sf0.1
+      // min-of-5): bypass on 2.78/2.15 s, off 1.87/1.52 s.
+      .config("spark.shuffle.sort.bypassMergeThreshold", 1)
+      // Shuffle/spill scratch on the fastest local storage available —
+      // standard practice at any scale (clusters point local dirs at NVMe;
+      // this sandbox's / is a slow virtio disk while /dev/shm is RAM).
+      // Overridable per deploy; falls back to the platform default.
+      .config("spark.local.dir", sys.env.getOrElse("SPARK_GRAFT_LOCAL_DIR",
+        if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/spark-graft-local"
+        else System.getProperty("java.io.tmpdir", "/tmp")))
       .config("spark.ui.enabled", "false")
 
   /** Build the session and install everything. */

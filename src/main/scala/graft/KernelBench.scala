@@ -35,11 +35,19 @@ object KernelBench {
       println(f"$name%-42s ${ns / n}%10.0f ns/doc  (sink=$sink)")
     }
 
-    // --- tokenize: current String.split (per-call Pattern.compile) vs
-    //     precompiled Pattern vs hand-rolled \s+ splitter
-    report("tokenize/current", 5) {
+    // --- tokenize (ADVICE r15: Tok.tokenize WAS switched to the
+    //     hand-rolled splitWs, so "current" now IS the hand-rolled path;
+    //     the other two legs are the historical baselines it replaced)
+    report("tokenize/current (splitWs)", 5) {
       var acc = 0L
       texts.foreach(t => acc += functions.Tok.tokenize(t).length)
+      acc
+    }
+    report("tokenize/regex-baseline (String.split)", 5) {
+      var acc = 0L
+      texts.foreach { t =>
+        acc += t.toLowerCase.trim.split("\\s+", -1).length
+      }
       acc
     }
     val ws = java.util.regex.Pattern.compile("\\s+")
@@ -49,11 +57,6 @@ object KernelBench {
         val lower = t.toLowerCase
         acc += ws.split(lower.trim, -1).length
       }
-      acc
-    }
-    report("tokenize/hand-rolled", 5) {
-      var acc = 0L
-      texts.foreach { t => acc += handSplit(t.toLowerCase.trim).length }
       acc
     }
 
@@ -156,25 +159,4 @@ object KernelBench {
     }
   }
 
-  private def isWs(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
-
-  /** Hand-rolled equivalent of `s.split("\\s+", -1)`. */
-  def handSplit(s: String): Array[String] = {
-    val n = s.length
-    if (n == 0) return Array("")
-    val out = new scala.collection.mutable.ArrayBuffer[String](16)
-    var i = 0
-    var start = 0
-    while (i < n) {
-      if (isWs(s.charAt(i))) {
-        out += s.substring(start, i)
-        i += 1
-        while (i < n && isWs(s.charAt(i))) i += 1
-        start = i
-      } else i += 1
-    }
-    out += s.substring(start, n)
-    out.toArray
-  }
 }

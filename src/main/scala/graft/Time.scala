@@ -25,7 +25,9 @@ object Time {
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          val desc = Option(js.properties.getProperty("spark.job.description"))
+          // ADVICE r15: SparkListenerJobStart.properties can itself be null
+          val desc = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("spark.job.description")))
             .filter(_.nonEmpty)
             .orElse(js.stageInfos.lastOption.map(_.name.takeWhile(_ != '\n')))
             .getOrElse("")
@@ -33,7 +35,7 @@ object Time {
         }
         override def onJobEnd(
             je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-          val st = jobs.get(je.jobId)
+          val st = jobs.remove(je.jobId)
           if (st != null) println(
             f"[job] id=${je.jobId}%4d ${(je.time - st._1) / 1e3}%8.3f s  ${st._2}")
         }

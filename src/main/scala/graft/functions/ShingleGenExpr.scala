@@ -62,8 +62,9 @@ object Tok {
     * (KernelBench). Semantics are bit-identical to the regex form: a
     * leading separator yields a leading "" (\s+ matches have width ≥ 1, so
     * the no-leading-empty rule for zero-width matches never applies),
-    * limit −1 keeps the trailing "", and "" → [""]. TokSpec pins parity
-    * against the regex spelling property-style. */
+    * limit −1 keeps the trailing "", and "" → [""]. MediaIOSpec pins
+    * parity against the regex spelling property-style (ADVICE r15: no
+    * TokSpec exists — the tokenizer parity properties live there). */
   private[graft] def splitWs(s: String): Array[String] = {
     val n = s.length
     if (n == 0) return Array("")

@@ -50,4 +50,31 @@ object Contract {
       .join(kernel(reps), Seq("h"))
       .drop("h")
   }
+
+  /** The contraction split open for callers that keep working at TEXT
+    * granularity instead of joining verdicts back per doc (r16): returns
+    *
+    *   - `lights` — (doc_id, h): the per-doc pass, no shuffle, text never
+    *     leaves the scan;
+    *   - `reps`   — (h, text, mult, mindoc): one row per distinct text with
+    *     its document multiplicity and minimum doc_id, from the SAME single
+    *     aggregate [[Text.textReps]] pays (min(doc_id) rides the existing
+    *     exchange for free).
+    *
+    * The near-dup signature families (minhash LSH / simhash) use this to
+    * build their signature-group structure over DISTINCT TEXTS — group
+    * reps and sizes recovered exactly as min(mindoc) / Σ mult — so the
+    * per-doc signature table, its persist, the doc-level groupBy(sig) and
+    * the doc-level join on the signature ARRAY all disappear from the
+    * query (guide §1.2 step 1 / §2.4: the contraction's own aggregate
+    * already holds everything the downstream grouping needed). */
+  def perTextStats(docs: DataFrame): (DataFrame, DataFrame) = {
+    val lights = docs.select(col("doc_id"), Text.textKey(col("text")).as("h"))
+    val reps = docs
+      .select(Text.textKey(col("text")).as("h"), col("text"), col("doc_id"))
+      .groupBy(col("h"))
+      .agg(first(col("text")).as("text"), count(lit(1)).as("mult"),
+        min(col("doc_id")).as("mindoc"))
+    (lights, reps)
+  }
 }

@@ -245,7 +245,10 @@ object CorpusCurate {
       .join(exactRep, Seq("digest"))
       .where(col("doc_id") === col("rep"))
       .select(col("doc_id"), col("text"))
-    val sigs = Vectors.minhashSigsOf(exact)
+    // ADVICE r15: `exact` is one representative per distinct text (the
+    // exact-dedup gate above), so the contraction inside minhashSigsOf
+    // would collapse nothing — sign the rows directly
+    val sigs = Vectors.minhashSigsRaw(exact)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bprobe = sigs.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band", "key")))

@@ -31,7 +31,15 @@ object Text {
 
   /** Content address for the DISTINCT-TEXT star contraction (r15
     * optimization round): the [[exactDedup]] md5-group discipline, with a
-    * sentinel so a NULL text keys (and joins) like any other group. */
+    * sentinel so a NULL text keys (and joins) like any other group.
+    *
+    * ACCEPTED RISK (ADVICE r15): this 128-bit md5 is the load-bearing
+    * doc→verdict join key across the ~25 contracted queries — two distinct
+    * texts colliding would silently attach one text's verdict rows to the
+    * other's documents. That is the same exposure [[exactDedup]] has always
+    * accepted for its grouping (collision probability ~n²/2^129; at 10^12
+    * docs ≈ 10^-15), kept as md5 so the contraction's groups are
+    * bit-compatible with the exact-dedup discipline the oracles replay. */
   private[operators] def textKey(c: Column): Column =
     coalesce(md5(c), lit("__null_text__"))
 

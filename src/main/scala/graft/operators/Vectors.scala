@@ -128,9 +128,10 @@ object Vectors {
       scoreAsc: Boolean,
       m: Int,
       selfDominates: Boolean): DataFrame = {
+    val members = memberRep.select(col("id"), col("rep"))
     val low = graft.plans.TopKPerGroup.topK(
-      memberRep, Seq("rep"), Seq(("id", true)), m + 1, rankName = "lrn")
-    val own = memberRep
+      members, Seq("rep"), Seq(("id", true)), m + 1, rankName = "lrn")
+    val own = members
       .join(low.select(col("rep"), col("id").as("nbr")), Seq("rep"))
       .where(col("id") =!= col("nbr"))
       .select(col("id"), col("nbr"), lit(selfScore).as("score"))
@@ -138,16 +139,28 @@ object Vectors {
       .select(col("rep_a").as("rep"), col("rep_b").as("nbr_rep"), col("score"))
       .union(repPairs
         .select(col("rep_b").as("rep"), col("rep_a").as("nbr_rep"), col("score")))
-    val probes =
-      if (selfDominates) {
-        val cnts = memberRep.groupBy(col("rep")).agg(count(lit(1)).as("cnt"))
-        memberRep.join(cnts, Seq("rep")).where(col("cnt") <= m)
-          .select(col("id"), col("rep"))
-      } else memberRep
-    val cross = probes.join(sym, Seq("rep"))
+    // r16 (guide §2.4, fewer exchanges): cross join reassociated —
+    // (probes ⋈_rep sym) ⋈_nbr_rep low  ≡  probes ⋈_rep (sym ⋈_nbr_rep low)
+    // by equi-join associativity, so the per-group cross candidate list
+    // (rep → nbr, score) is assembled once over the CONTRACTED relations
+    // and the Θ(members) side pays ONE join instead of two.
+    val crossCands = sym
       .join(low.where(col("lrn") <= m)
           .select(col("rep").as("nbr_rep"), col("id").as("nbr")),
         Seq("nbr_rep"))
+      .select(col("rep"), col("nbr"), col("score"))
+    // r16 (guide §2.4): the selfDominates probe cut (members of groups with
+    // ≤ m members) reads the group size the caller's rep aggregate already
+    // computes (memberRep.cnt) instead of re-aggregating the member set and
+    // joining the counts back — that was a second full exchange over
+    // Θ(members) for integers the groups groupBy produces for free.
+    // CALLER CONTRACT: selfDominates = true requires a `cnt` column on
+    // memberRep equal to the member count of the row's rep group.
+    val probes =
+      if (selfDominates)
+        memberRep.where(col("cnt") <= m).select(col("id"), col("rep"))
+      else members
+    val cross = probes.join(crossCands, Seq("rep"))
       .select(col("id"), col("nbr"), col("score"))
     graft.plans.TopKPerGroup.topK(own.union(cross), Seq("id"),
       Seq(("score", scoreAsc), ("nbr", true)), m, rankName = "rn")
@@ -2207,11 +2220,42 @@ object Vectors {
     * selfDominates prunes the cross expansion on dup-dense corpora.
     * Θ(m·docs) output at any dup density. */
   val minhashLsh: Q = (s, d) => {
-    val sigs = minhashSigs(s, d)
-    val groups = sigs.groupBy(col("sig"))
-      .agg(min(col("doc_id")).as("rep"), first(col("bands")).as("bands"))
-    val memberRep = sigs.join(groups.select(col("sig"), col("rep")), Seq("sig"))
-      .select(col("doc_id").as("id"), col("rep"))
+    val spark = s
+    import spark.implicits._
+    // r16: the whole group structure is built at TEXT granularity
+    // ([[Contract.perTextStats]]) — a doc's signature is a pure function of
+    // its text, so the sig groups over docs ARE the sig groups over
+    // distinct texts with rep = min(mindoc) and size = Σ mult (exact
+    // integers from the contraction's one aggregate). The r15 shape
+    // materialized+persisted a per-doc signature table, re-grouped it by
+    // the 32-long signature ARRAY and joined members back on that array —
+    // three Θ(docs) operators (and ~15 AQE stages at sf0.1) this wiring
+    // deletes (guide §1.2 step 1, §2.4). The kernel still runs once per
+    // distinct text; the persist below covers its two consumers (the sig
+    // groupBy and the h→rep attach), cleared by the ContextCleaner.
+    val (lights, reps) = Contract.perTextStats(Tables.documents(s, d))
+    val sigT = reps.select(col("h"), col("text"), col("mult"), col("mindoc"))
+      .as[(String, String, Long, Long)]
+      .map { case (h, text, mult, mindoc) =>
+        (h, minhashSigKernel(text), mult, mindoc)
+      }.toDF("h", "sig", "mult", "mindoc")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sgroups = sigT.groupBy(col("sig"))
+      .agg(min(col("mindoc")).as("rep"), sum(col("mult")).as("cnt"))
+    // bands recomputed from the grouping key (pure function of sig —
+    // identical to any member's bands) instead of a first(bands) carry,
+    // which would force the aggregate to SortAggregate (array agg buffer)
+    val groups = sgroups.select(col("sig"), col("rep"), col("cnt"))
+      .as[(Array[Long], Long, Long)]
+      .map { case (sig, rep, cnt) =>
+        (sig, Hashing.lshBands(sig, 8, 4), rep, cnt)
+      }.toDF("sig", "bands", "rep", "cnt")
+    val memberRep = lights
+      .join(sigT.select(col("h"), col("sig"))
+          .join(groups.select(col("sig"), col("rep"), col("cnt")), Seq("sig"))
+          .select(col("h"), col("rep"), col("cnt")),
+        Seq("h"))
+      .select(col("doc_id").as("id"), col("rep"), col("cnt"))
     val repPairs = minhashRepPairs(groups)
       .select(col("rep_a"), col("rep_b"),
         round(col("m") / lit(32.0), 4).as("score"))
@@ -2249,14 +2293,36 @@ object Vectors {
     // ([[Contract.perTextOf]]) — the signature is a pure text function
     Contract.perTextOf(docs) { reps =>
       reps.map { case (h, text) =>
-        val toks = graft.functions.Tok.tokenize(text).toSeq
-        val shingles =
-          if (toks.length < 3) toks
-          else toks.sliding(3).map(_.mkString(" ")).toSeq
-        val sig = Hashing.minhash(shingles, 32)
+        val sig = minhashSigKernel(text)
         (h, Hashing.lshBands(sig, 8, 4), sig)
       }.toDF("h", "bands", "sig")
     }.select(col("doc_id"), col("bands"), col("sig"))
+  }
+
+  /** The ONE tokenize→shingle→32-hash signature kernel every minhash
+    * surface runs (LSH presentation, contracted sig table, raw variant) —
+    * bit-identical signatures by construction. */
+  private[operators] def minhashSigKernel(text: String): Array[Long] = {
+    val toks = graft.functions.Tok.tokenize(text).toSeq
+    val shingles =
+      if (toks.length < 3) toks
+      else toks.sliding(3).map(_.mkString(" ")).toSeq
+    Hashing.minhash(shingles, 32)
+  }
+
+  /** [[minhashSigsOf]] WITHOUT the distinct-text contraction — for inputs
+    * already holding at most one row per distinct text (ADVICE r15: the
+    * curate pipelines sign the exact-dedup gate's output, where the
+    * contraction's md5 groupBy + join-back collapse nothing and cost a
+    * shuffle + broadcast per call). Same kernel, same signatures. */
+  def minhashSigsRaw(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val sig = minhashSigKernel(text)
+        (id, Hashing.lshBands(sig, 8, 4), sig)
+      }.toDF("doc_id", "bands", "sig")
   }
 
   /** Source label that plays the INCOMING BATCH for the at-rest screen —
@@ -2425,14 +2491,31 @@ object Vectors {
     * strictly dominates any cross-family candidate) come from each
     * family's m+1 lowest ids, output is Θ(m·docs) at any dup density. */
   val simhashDedup: Q = (s, d) => {
-    // lazy persist: the signature pass (tokenize + 64-bit simhash over the
-    // whole corpus) feeds both the distinct-sig groupBy and the member
-    // attach join; reclaimed by the ContextCleaner
-    val sigs = simhashSigs(s, d).select(col("doc_id"), col("sim"))
+    val spark = s
+    import spark.implicits._
+    // r16: group structure at TEXT granularity (mirrors [[minhashLsh]] —
+    // see the rationale there): sim groups over distinct texts, rep =
+    // min(mindoc), size = Σ mult; the per-doc signature table, its
+    // persist, the doc-level groupBy(sim) and member join all disappear.
+    // The persist covers the kernel's two consumers (sim groupBy + h→rep
+    // attach), reclaimed by the ContextCleaner.
+    val (lights, reps) = Contract.perTextStats(Tables.documents(s, d))
+    val simT = reps.select(col("h"), col("text"), col("mult"), col("mindoc"))
+      .as[(String, String, Long, Long)]
+      .map { case (h, text, mult, mindoc) =>
+        // shared tokenizer — same oracle-parity rationale as minhashLsh
+        (h, Hashing.simhash(graft.functions.Tok.tokenize(text).toSeq),
+          mult, mindoc)
+      }.toDF("h", "sim", "mult", "mindoc")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val groups = sigs.groupBy(col("sim")).agg(min(col("doc_id")).as("rep"))
-    val memberRep = sigs.join(groups, Seq("sim"))
-      .select(col("doc_id").as("id"), col("rep"))
+    val groups = simT.groupBy(col("sim"))
+      .agg(min(col("mindoc")).as("rep"), sum(col("mult")).as("cnt"))
+    val memberRep = lights
+      .join(simT.select(col("h"), col("sim"))
+          .join(groups, Seq("sim"))
+          .select(col("h"), col("rep"), col("cnt")),
+        Seq("h"))
+      .select(col("doc_id").as("id"), col("rep"), col("cnt"))
     val repPairs = simhashRepPairs(groups)
       .select(col("rep_a"), col("rep_b"), col("hamming").cast("double").as("score"))
     nearestMAssembly(memberRep, repPairs, selfScore = 0.0, scoreAsc = true,

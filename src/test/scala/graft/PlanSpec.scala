@@ -201,4 +201,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("aggregate(zip_with"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("every unpartitioned Window in a declared query sits on a bounded (aggregated) domain") {
+    // r15 verdict #3: an unpartitioned WindowExec funnels its whole input
+    // through ONE task — acceptable only when that input is provably
+    // bounded (a distinct/aggregate of a low-cardinality domain, e.g.
+    // q_domain_pagerank's site dimension), never the raw corpus. Sweep
+    // every declared query's optimized logical plan so a fixture or
+    // operator change can't silently turn one into a corpus funnel.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, GlobalLimit, LogicalPlan, Window => LWindow}
+    val spark = TestSpark.spark
+    def bounded(p: LogicalPlan): Boolean =
+      p.collectFirst {
+        case _: Aggregate => ()
+        case _: Deduplicate => ()
+        case _: GlobalLimit => ()
+      }.isDefined
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val lp = fn(spark, TestSpark.sf0001).queryExecution.optimizedPlan
+      lp.foreach {
+        case w: LWindow if w.partitionSpec.isEmpty =>
+          assert(bounded(w.child),
+            s"$name: unpartitioned Window over a non-aggregated (corpus-sized) input:\n${w.treeString.take(2000)}")
+        case _ => ()
+      }
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+  }
 }
