@@ -228,13 +228,13 @@ object DedupCluster {
     * DedupClusterSpec asserts consistency against the uncontracted pair
     * list. */
   def simhashReps(s: SparkSession, d: String): DataFrame = {
-    val sigs = Vectors.simhashSigs(s, d).select(col("doc_id"), col("sim"))
-    // one row per DISTINCT signature, labeled by its min member
-    val groups = sigs.groupBy(col("sim")).agg(min(col("doc_id")).as("rep"))
-    // non-rep members attach to their group rep (Θ(docs) star edges)
-    val starEdges = sigs.join(groups, Seq("sim"))
-      .where(col("doc_id") =!= col("rep"))
-      .select(col("doc_id").as("id_a"), col("rep").as("id_b"))
+    // r16: group structure from the shared text-granularity builder
+    // ([[Vectors.simhashTextGroups]] — star edges are exactly "member ≠
+    // its sig group's min-id rep", computed without the per-doc signature
+    // table or a doc-level groupBy(sim))
+    val (memberRep, groups) = Vectors.simhashTextGroups(s, d)
+    val starEdges = memberRep.where(col("id") =!= col("rep"))
+      .select(col("id").as("id_a"), col("rep").as("id_b"))
     // pigeonhole block join over distinct sims only — the SAME rep-pair
     // stage the bounded q_simhash_dedup presentation ranks from
     val interEdges = Vectors.simhashRepPairs(groups)
@@ -266,12 +266,12 @@ object DedupCluster {
     * bands). */
   private[operators] def contractedMinhashEdges(s: SparkSession, d: String,
       minAgree: Int): DataFrame = {
-    val sigs = Vectors.minhashSigs(s, d)
-    val groups = sigs.groupBy(col("sig"))
-      .agg(min(col("doc_id")).as("rep"), first(col("bands")).as("bands"))
-    val starEdges = sigs.join(groups.select(col("sig"), col("rep")), Seq("sig"))
-      .where(col("doc_id") =!= col("rep"))
-      .select(col("doc_id").as("id_a"), col("rep").as("id_b"))
+    // r16: group structure from the shared text-granularity builder
+    // ([[Vectors.minhashTextGroups]]) — same star edges, no per-doc
+    // signature table, no doc-level groupBy on the signature array
+    val (memberRep, groups) = Vectors.minhashTextGroups(s, d)
+    val starEdges = memberRep.where(col("id") =!= col("rep"))
+      .select(col("id").as("id_a"), col("rep").as("id_b"))
     val interEdges = Vectors.minhashRepPairs(groups)
       .where(col("m") >= minAgree)
       .select(col("rep_a").as("id_a"), col("rep_b").as("id_b"))

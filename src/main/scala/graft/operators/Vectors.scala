@@ -2220,19 +2220,41 @@ object Vectors {
     * selfDominates prunes the cross expansion on dup-dense corpora.
     * Θ(m·docs) output at any dup density. */
   val minhashLsh: Q = (s, d) => {
+    val (memberRep, groups) = minhashTextGroups(s, d)
+    val repPairs = minhashRepPairs(groups)
+      .select(col("rep_a"), col("rep_b"),
+        round(col("m") / lit(32.0), 4).as("score"))
+    nearestMAssembly(memberRep, repPairs, selfScore = 1.0, scoreAsc = false,
+        m = NearestM, selfDominates = true)
+      .select(col("id").as("doc_id"), col("rn"), col("nbr").as("neighbor_id"),
+        col("score").as("est_jaccard"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  /** r16: the MinHash group structure built at TEXT granularity
+    * ([[Contract.perTextStats]]) — a doc's signature is a pure function of
+    * its text, so the sig groups over docs ARE the sig groups over
+    * distinct texts with rep = min(mindoc) and size = Σ mult (exact
+    * integers from the contraction's one aggregate). The r15 shape
+    * materialized+persisted a per-doc signature table, re-grouped it by
+    * the 32-long signature ARRAY and joined members back on that array —
+    * three Θ(docs) operators (and ~15 AQE stages at sf0.1) this wiring
+    * deletes (guide §1.2 step 1, §2.4). The kernel still runs once per
+    * distinct text; the persist covers its two consumers (the sig groupBy
+    * and the h→rep attach), cleared by the ContextCleaner.
+    *
+    * Returns (memberRep: (id, rep, cnt) — every doc labeled with its
+    * sig group's min doc_id and group size; groups: (sig, bands, rep,
+    * cnt) — one row per distinct signature). Shared by the bounded LSH
+    * presentation ([[minhashLsh]]) and the dedup edge builder
+    * ([[DedupCluster.contractedMinhashEdges]]). Bands are recomputed from
+    * the grouping key (pure function of sig — identical to any member's)
+    * instead of a first(bands) carry, which would force the aggregate to
+    * SortAggregate (array agg buffer). */
+  private[operators] def minhashTextGroups(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val spark = s
     import spark.implicits._
-    // r16: the whole group structure is built at TEXT granularity
-    // ([[Contract.perTextStats]]) — a doc's signature is a pure function of
-    // its text, so the sig groups over docs ARE the sig groups over
-    // distinct texts with rep = min(mindoc) and size = Σ mult (exact
-    // integers from the contraction's one aggregate). The r15 shape
-    // materialized+persisted a per-doc signature table, re-grouped it by
-    // the 32-long signature ARRAY and joined members back on that array —
-    // three Θ(docs) operators (and ~15 AQE stages at sf0.1) this wiring
-    // deletes (guide §1.2 step 1, §2.4). The kernel still runs once per
-    // distinct text; the persist below covers its two consumers (the sig
-    // groupBy and the h→rep attach), cleared by the ContextCleaner.
     val (lights, reps) = Contract.perTextStats(Tables.documents(s, d))
     val sigT = reps.select(col("h"), col("text"), col("mult"), col("mindoc"))
       .as[(String, String, Long, Long)]
@@ -2242,9 +2264,6 @@ object Vectors {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sgroups = sigT.groupBy(col("sig"))
       .agg(min(col("mindoc")).as("rep"), sum(col("mult")).as("cnt"))
-    // bands recomputed from the grouping key (pure function of sig —
-    // identical to any member's bands) instead of a first(bands) carry,
-    // which would force the aggregate to SortAggregate (array agg buffer)
     val groups = sgroups.select(col("sig"), col("rep"), col("cnt"))
       .as[(Array[Long], Long, Long)]
       .map { case (sig, rep, cnt) =>
@@ -2252,18 +2271,11 @@ object Vectors {
       }.toDF("sig", "bands", "rep", "cnt")
     val memberRep = lights
       .join(sigT.select(col("h"), col("sig"))
-          .join(groups.select(col("sig"), col("rep"), col("cnt")), Seq("sig"))
+          .join(sgroups.select(col("sig"), col("rep"), col("cnt")), Seq("sig"))
           .select(col("h"), col("rep"), col("cnt")),
         Seq("h"))
       .select(col("doc_id").as("id"), col("rep"), col("cnt"))
-    val repPairs = minhashRepPairs(groups)
-      .select(col("rep_a"), col("rep_b"),
-        round(col("m") / lit(32.0), 4).as("score"))
-    nearestMAssembly(memberRep, repPairs, selfScore = 1.0, scoreAsc = false,
-        m = NearestM, selfDominates = true)
-      .select(col("id").as("doc_id"), col("rn"), col("nbr").as("neighbor_id"),
-        col("score").as("est_jaccard"))
-      .orderBy(col("doc_id"), col("rn"))
+    (memberRep, groups)
   }
 
   /** The per-document MinHash signature stage shared by [[minhashLsh]] and
@@ -2491,14 +2503,27 @@ object Vectors {
     * strictly dominates any cross-family candidate) come from each
     * family's m+1 lowest ids, output is Θ(m·docs) at any dup density. */
   val simhashDedup: Q = (s, d) => {
+    val (memberRep, groups) = simhashTextGroups(s, d)
+    val repPairs = simhashRepPairs(groups)
+      .select(col("rep_a"), col("rep_b"), col("hamming").cast("double").as("score"))
+    nearestMAssembly(memberRep, repPairs, selfScore = 0.0, scoreAsc = true,
+        m = NearestM, selfDominates = true)
+      .select(col("id").as("doc_id"), col("rn"), col("nbr").as("neighbor_id"),
+        col("score").cast("long").as("hamming"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  /** r16: SimHash twin of [[minhashTextGroups]] — group structure at TEXT
+    * granularity (rationale there): sim groups over distinct texts, rep =
+    * min(mindoc), size = Σ mult; the per-doc signature table, its persist,
+    * the doc-level groupBy(sim) and member join all disappear. Returns
+    * (memberRep: (id, rep, cnt); groups: (sim, rep, cnt)). Shared by the
+    * bounded presentation ([[simhashDedup]]) and the dedup edge builder
+    * ([[DedupCluster.simhashReps]]). */
+  private[operators] def simhashTextGroups(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val spark = s
     import spark.implicits._
-    // r16: group structure at TEXT granularity (mirrors [[minhashLsh]] —
-    // see the rationale there): sim groups over distinct texts, rep =
-    // min(mindoc), size = Σ mult; the per-doc signature table, its
-    // persist, the doc-level groupBy(sim) and member join all disappear.
-    // The persist covers the kernel's two consumers (sim groupBy + h→rep
-    // attach), reclaimed by the ContextCleaner.
     val (lights, reps) = Contract.perTextStats(Tables.documents(s, d))
     val simT = reps.select(col("h"), col("text"), col("mult"), col("mindoc"))
       .as[(String, String, Long, Long)]
@@ -2516,13 +2541,7 @@ object Vectors {
           .select(col("h"), col("rep"), col("cnt")),
         Seq("h"))
       .select(col("doc_id").as("id"), col("rep"), col("cnt"))
-    val repPairs = simhashRepPairs(groups)
-      .select(col("rep_a"), col("rep_b"), col("hamming").cast("double").as("score"))
-    nearestMAssembly(memberRep, repPairs, selfScore = 0.0, scoreAsc = true,
-        m = NearestM, selfDominates = true)
-      .select(col("id").as("doc_id"), col("rn"), col("nbr").as("neighbor_id"),
-        col("score").cast("long").as("hamming"))
-      .orderBy(col("doc_id"), col("rn"))
+    (memberRep, groups)
   }
 
   /** Pigeonhole block join over DISTINCT signatures: `groups` must carry
