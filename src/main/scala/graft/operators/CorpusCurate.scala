@@ -184,6 +184,12 @@ object CorpusCurate {
       .withColumn("s4", col("s3") * coalesce(col("fd"), lit(0L)))
       .withColumn("s5", col("s4") * coalesce(col("fe"), lit(0L)))
       .select(col("lang"), col("s1"), col("s2"), col("s3"), col("s4"), col("s5"))
+      // r16 (guide §2.4): BOTH consumers below (the cumulative counts agg
+      // and the per-language n6 roll-up) re-evaluated the whole five-gate
+      // join tree — the audit plan showed 56 parquet scans and zero
+      // ReusedExchange for this key. One lazy persist of the Θ(docs)×6
+      // flag table halves the gate work; reclaimed by the ContextCleaner.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = cum.agg(
       count(lit(1)).as("n0"),
       coalesce(sum(col("s1")), lit(0L)).as("n1"),
