@@ -27,6 +27,12 @@ object StreamBench {
     val sfDir = args.headOption
       .getOrElse(sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/tmp/sf1"))
     val outPath = if (args.length > 1) args(1) else "bench/stream_last.json"
+    // r16: optional comma-separated pipeline filter (3rd arg) — the
+    // single-pipeline iteration loop for A/B legs, like graft.Time for
+    // batch keys. Default (absent/empty) runs the full committed surface.
+    val only: Set[String] =
+      if (args.length > 2 && args(2).nonEmpty) args(2).split(',').toSet
+      else Set.empty
     val spark = GraftSession.create(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
     spark.sparkContext.setLogLevel("WARN")
@@ -56,6 +62,7 @@ object StreamBench {
     /** Run one pipeline to completion; report per-batch engine metrics. */
     def run(name: String,
         start: () => org.apache.spark.sql.streaming.StreamingQuery): String = {
+      if (only.nonEmpty && !only(name)) return ""
       val t0 = System.nanoTime()
       val q = start()
       try q.processAllAvailable() finally q.stop()
@@ -138,7 +145,7 @@ object StreamBench {
           "chunk_bench", "append")))
 
     val line = s"""{"metric":"stream_bench","sf":"$sfDir","shards":$Shards,""" +
-      s""""pipelines":{${parts.mkString(",")}}}"""
+      s""""pipelines":{${parts.filter(_.nonEmpty).mkString(",")}}}"""
     try {
       Option(java.nio.file.Paths.get(outPath).getParent)
         .foreach(d => java.nio.file.Files.createDirectories(d))

@@ -2380,7 +2380,8 @@ object Vectors {
     // concurrent Spark jobs appending one path interleave partitions and
     // stomp each other's `_temporary` committer staging
     IndexLease.withLease(s, s"$dir/_lease") {
-      val sigs = minhashSigsOf(batch)
+      // r16: batch-sized input — raw signing (see [[simhashSigsRaw]] note)
+      val sigs = minhashSigsRaw(batch)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sigs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
         .write.mode("append").partitionBy("band").parquet(s"$dir/banded")
@@ -2440,7 +2441,7 @@ object Vectors {
     // verdicts attach back by signature. Exact: identical signatures share
     // all bands and agree at the same m.
     // lazy persist, reclaimed by the ContextCleaner (same note as minhashSigs)
-    val newSigs = minhashSigsOf(newDocs)
+    val newSigs = minhashSigsRaw(newDocs) // r16: batch-sized input
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val probeGroups = newSigs.groupBy(col("sig"))
       .agg(min(col("doc_id")).as("prep"), first(col("bands")).as("bands"))
@@ -2598,6 +2599,26 @@ object Vectors {
   /** The signature kernel of [[simhashSigs]] over an arbitrary documents
     * frame — shared with the at-rest block index and its incremental
     * screen (mirrors [[minhashSigsOf]]). */
+  /** [[simhashSigsOf]] WITHOUT the distinct-text contraction — the simhash
+    * twin of [[minhashSigsRaw]], for BATCH-SIZED inputs (incremental
+    * screens, index appends, streaming micro-batches) where the
+    * contraction's per-call aggregate + join-back overhead dwarfs any
+    * within-batch dup collapse. r16: the r15 contraction silently tripled
+    * the per-trigger cost of the streaming ingest sinks (StreamBench
+    * minhash_ingest 11.1 → ~30 s at sf1 — the committed stream_r15.json
+    * predates the contraction commit, so no leg ever measured it); the
+    * at-rest CORPUS builds keep the contracted [[simhashSigsOf]], where
+    * dup-dense mass is the design target. Same kernel, same rows. */
+  def simhashSigsRaw(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) =>
+        val h = Hashing.simhash(graft.functions.Tok.tokenize(text).toSeq)
+        (id, h, Array.tabulate(4)(b => (b.toLong << 32) | ((h >>> (b * 16)) & 0xffffL)))
+      }.toDF("doc_id", "sim", "blocks")
+  }
+
   def simhashSigsOf(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -2631,7 +2652,8 @@ object Vectors {
     * idempotence spec. */
   def appendSimhashIndex(s: SparkSession, dir: String, batch: DataFrame): Unit =
     IndexLease.withLease(s, s"$dir/_lease") {
-      simhashSigsOf(batch)
+      // r16: batch-sized input — raw signing (see [[simhashSigsRaw]] note)
+      simhashSigsRaw(batch)
         .select(col("doc_id").as("ref_id"), col("sim").as("sim_r"),
           explode(col("blocks")).as("blk"))
         .withColumn("bandi", shiftright(col("blk"), 32).cast("int"))
@@ -2811,7 +2833,7 @@ object Vectors {
     // sim_r) the index contracts to its min ref_id — identical signatures
     // share all blocks and tie on hamming, so the (hamming, ref_id) best
     // is preserved exactly; the per-doc verdict attaches back by signature.
-    val sigs = simhashSigsOf(newDocs)
+    val sigs = simhashSigsRaw(newDocs) // r16: batch-sized input
     val probeGroups = sigs.groupBy(col("sim")).agg(first(col("blocks")).as("blocks"))
     val probe = probeGroups
       .select(col("sim").as("sim_n"), explode(col("blocks")).as("blk"))

@@ -1220,7 +1220,7 @@ object Streams {
   def ingestMinhashBatch(s: SparkSession, idxDir: String, batch: DataFrame,
       batchId: Long): Unit = {
     val sigs = graft.operators.Vectors
-      .minhashSigsOf(batch.select(col("doc_id"), col("text")))
+      .minhashSigsRaw(batch.select(col("doc_id"), col("text"))) // r16: micro-batch — raw signing
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (!sigs.isEmpty) {
       sigs.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
